@@ -1,0 +1,119 @@
+"""Iterative-fixpoint graph algorithms on edge DataFrames.
+
+Used for SPARQL property paths ``+``/``*`` (SURVEY §2.2 P7), the
+owl:TransitiveProperty inference rule, and owl:sameAs equivalence classes
+(SURVEY §2.8). Semi-naive evaluation: each round joins only the *delta*
+(paths discovered last round) against the base edges, so round k costs
+O(|delta_k| ⋈ |E|), not O(|paths| ⋈ |E|) — the SURVEY §7 "hard part (6)"
+requirement. ``localCheckpoint`` truncates lineage so plans don't grow
+exponentially with iterations (critical at scale: a 20-round closure
+otherwise builds a 2^20-node plan).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """All pairs (a, b) with a path a →+ b (SPARQL ``p+`` semantics).
+
+    Semi-naive: delta ⋈ edges per round, de-duplicated against the
+    accumulated path set before the next round.
+    """
+    base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    base = base.localCheckpoint(eager=True)
+
+    paths = base
+    delta = base
+    for _ in range(max_iterations):
+        grown = (
+            delta.alias("d")
+            .join(base.alias("e"), F.col("d.dst") == F.col("e.src"))
+            .select(F.col("d.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+        )
+        # Semi-naive delta: only genuinely new pairs feed the next round.
+        new_delta = grown.exceptAll(paths).distinct().localCheckpoint(eager=True)
+        if new_delta.isEmpty():
+            break
+        paths = paths.unionByName(new_delta).localCheckpoint(eager=True)
+        delta = new_delta
+    return paths
+
+
+def reflexive_transitive_closure(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "id",
+) -> DataFrame:
+    """SPARQL ``p*``: closure plus (n, n) for every node in scope."""
+    plus = transitive_closure(edges, src, dst)
+    self_pairs = nodes.select(
+        F.col(node_col).alias("src"), F.col(node_col).alias("dst")
+    ).distinct()
+    return plus.unionByName(self_pairs).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Undirected connected components → (id, component) with component =
+    min member id. Used for owl:sameAs equivalence classes (SURVEY §2.8).
+
+    Large-star/small-star style min-propagation: each round every node
+    adopts the smallest component label among itself and its neighbours.
+    Converges in O(log n) rounds on typical graphs; each round is one
+    shuffle on the node id.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .select(F.col("id"), F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # Candidate label for each node: min over neighbours' labels.
+        neighbour_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbour_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+        )
+        stable = changed.isEmpty()
+        labels = updated
+        if stable:
+            break
+    return labels

@@ -1,0 +1,741 @@
+"""LLM-training-data-pipeline extension queries (SURVEY.md §7 M8).
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force cosine top-k), text analysis
+(language-ID, quality scoring, token counting, fingerprinting), and batch
+analogs of the streaming window operators, over the driver's ``documents`` /
+``embeddings`` / ``events`` tables.
+
+Determinism strategy for oracle parity: all hashing is MD5 (bit-identical in
+Spark and DuckDB) with the first 15 hex digits parsed as a 60-bit integer —
+``conv(substr(md5(x),1,15),16,10)`` in Spark ≡ ``('0x'||substr(md5(x),1,15))
+::BIGINT`` in DuckDB. Floating-point similarity scores are computed in double
+precision and rounded to 6 dp on both sides.
+
+Scale notes: every dedup operator is shuffle-bounded by (shingle|band|token,
+doc) pairs — no O(n²) all-pairs stage. Candidate generation is blocking-based
+(shared shingle / LSH band / query-set restriction), the standard web-scale
+dedup shape (cf. Spark MLlib's public MinHashLSH, re-expressed here as pure
+DataFrame ops so the DuckDB oracle can mirror the exact semantics).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from dublin_smart_city_graphdb_spark.harness.registry import load, load_events, register
+
+
+def _hash60_spark(expr: str) -> str:
+    """Spark SQL fragment: deterministic 60-bit integer hash of a string."""
+    return f"CAST(conv(substr(md5(CAST({expr} AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _hash60_duck(expr: str) -> str:
+    """DuckDB fragment computing the identical 60-bit hash."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on normalized text (SURVEY §7 dedup #1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+    doc="Exact dedup: normalize → md5 → groupBy(hash); keep min doc_id. One "
+        "shuffle on the 128-bit hash; map-side partial agg collapses "
+        "duplicates before the shuffle at scale.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))).cast("binary"))
+    return d.groupBy(h.alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling helpers (word k-grams; shared by MinHash and Jaccard dedup)
+# ---------------------------------------------------------------------------
+
+def _shingles_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(doc_id, shingle): distinct word-k-gram shingles per document."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    shingles = F.when(
+        F.size(w) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def _shingles_cte(k: int) -> str:
+    """DuckDB CTE body producing table ``sh(doc_id, shingle)``."""
+    return f"""
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+{k - 1}], ' ') AS shingle
+        FROM words, UNNEST(range(1, len(w) - {k - 2})) AS t(i)
+        WHERE len(w) >= {k}
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (k=8 seeded md5 "permutations"; SURVEY §7 dedup #2)
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 8
+
+_minhash_mins_duck = ",\n           ".join(
+    f"MIN({_hash60_duck(chr(39) + str(j) + ':' + chr(39) + ' || shingle')}) AS mh{j}"
+    for j in range(_MINHASH_K)
+)
+
+_MINHASH_SIG_SQL = f"""
+    WITH {_shingles_cte(5)}
+    SELECT doc_id,
+           {_minhash_mins_duck}
+    FROM sh GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_minhash_sig",
+    _MINHASH_SIG_SQL,
+    doc="MinHash signatures: per doc, min of 8 seeded 60-bit md5 hashes over "
+        "5-word shingles. One shuffle (groupBy doc_id); constant signature "
+        "width → linear in corpus size.",
+)
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir, 5)
+    aggs = [
+        F.min(F.expr(_hash60_spark(f"concat('{j}:', shingle)"))).alias(f"mh{j}")
+        for j in range(_MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate pairs: 4 bands × 2 rows (SURVEY §7 dedup #2, LSH)
+# ---------------------------------------------------------------------------
+
+_N_BANDS = 4
+
+_band_selects_duck = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {b} AS band_idx, "
+    f"CAST(mh{2 * b} AS VARCHAR) || ':' || CAST(mh{2 * b + 1} AS VARCHAR) AS band_val FROM sig"
+    for b in range(_N_BANDS)
+)
+
+_MINHASH_PAIRS_SQL = f"""
+    WITH {_shingles_cte(5)},
+    sig AS (
+        SELECT doc_id,
+               {_minhash_mins_duck}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{_band_selects_duck}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_minhash_pairs",
+    _MINHASH_PAIRS_SQL,
+    doc="MinHash-LSH: signatures banded 4×2; docs sharing any band bucket "
+        "become candidate pairs. The self-join is on (band_idx, band_val) — "
+        "bucket-local, never all-pairs; skewed buckets are handled by AQE "
+        "skew-join splitting at scale.",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_minhash_sig(spark, sf_dir)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                ":", F.col(f"mh{2 * b}").cast("string"), F.col(f"mh{2 * b + 1}").cast("string")
+            ).alias("band_val"),
+        )
+        for b in range(_N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (3-word shingles, blocked by shared shingle)
+# ---------------------------------------------------------------------------
+
+_JACCARD_SQL = f"""
+    WITH {_shingles_cte(3)},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.1
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _JACCARD_SQL,
+    doc="n-gram Jaccard near-dup: 3-word shingles; candidate pairs share ≥1 "
+        "shingle (blocking join — the only shuffle is on the shingle key); "
+        "J = |∩| / (|A|+|B|−|∩|) ≥ 0.1.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (16-bit, over distinct tokens; SURVEY §7 dedup #3)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+_bit_sums_duck = ",\n           ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_bit_combine = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_SQL = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, t
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
+    ),
+    hashed AS (SELECT doc_id, {_hash60_duck('t')} AS h FROM toks),
+    bitsums AS (
+        SELECT doc_id,
+           {_bit_sums_duck}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_bit_combine} AS BIGINT) AS simhash
+    FROM bitsums
+"""
+
+
+@register(
+    "dedup_simhash",
+    _SIMHASH_SQL,
+    doc="SimHash: 16-bit fingerprint; bit b = sign of Σ±1 over distinct-token "
+        "60-bit hashes. Single groupBy(doc_id) shuffle; near-dups then cluster "
+        "by Hamming distance on the fingerprint (constant-width key).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t")
+    )
+    hashed = toks.select("doc_id", F.expr(_hash60_spark("t")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    bitsums = hashed.groupBy("doc_id").agg(*bit_sums)
+    combine = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        combine = term if combine is None else combine + term
+    return bitsums.select("doc_id", combine.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (SURVEY §7 dedup #5 / similarity search)
+# ---------------------------------------------------------------------------
+
+def _dot_duck(a: str, b: str) -> str:
+    """DuckDB double-precision dot product, index-lambda form — mirrors the
+    sequential fold order of Spark's ``aggregate(zip_with(...))`` (DuckDB's
+    ``list_cosine_similarity`` computes in float32 and diverges at ~1e-7)."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}.embedding) + 1), "
+        f"i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+    )
+
+
+def _cos_duck(a: str, b: str) -> str:
+    return (
+        f"ROUND(({_dot_duck(a, b)}) / "
+        f"(sqrt({_dot_duck(a, a)}) * sqrt({_dot_duck(b, b)})), 6)"
+    )
+
+
+_COSINE_PAIRS_SQL = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos_duck('a', 'b')} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 50
+      AND {_cos_duck('a', 'b')} >= 0.35
+"""
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
+    return df.withColumn(out, F.expr(f"sqrt({_DOT.format(a=vec, b=vec)})"))
+
+
+@register(
+    "embedding_cosine_pairs",
+    _COSINE_PAIRS_SQL,
+    doc="Embedding near-dup: cosine ≥ 0.35 between a query subset (vec_id<50) "
+        "and the corpus. Brute-force with broadcast query side — the exact "
+        "baseline the LSH/IVF path is validated against.",
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    a = _with_norm(
+        e.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        ),
+        "emb_a",
+        "norm_a",
+    )
+    b = _with_norm(
+        e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")),
+        "emb_b",
+        "norm_b",
+    )
+    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    cos = F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6)
+    return (
+        F.broadcast(a)
+        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.35)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k ANN baseline (SURVEY §7 similarity search)
+# ---------------------------------------------------------------------------
+
+_ANN_SQL = f"""
+    SELECT * FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_cos_duck('a', 'b')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_cos_duck('a', 'b')} DESC, b.vec_id
+               ) AS rk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10
+    ) WHERE rk <= 5
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    _ANN_SQL,
+    doc="Similarity search: exact top-5 cosine neighbors for 10 query "
+        "vectors. Broadcast queries × corpus scan + per-query top-k (window "
+        "on rounded score, vec_id tiebreak). At 100 TB the same plan holds "
+        "with the corpus partition-pruned by an IVF cell column.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = _with_norm(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+        ),
+        "emb_q",
+        "norm_q",
+    )
+    c = _with_norm(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c")),
+        "emb_c",
+        "norm_c",
+    )
+    dot = F.expr(_DOT.format(a="emb_q", b="emb_c"))
+    cos = F.round(dot / (F.col("norm_q") * F.col("norm_c")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language ID (stopword n-gram heuristic; SURVEY §7 text #1)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_langid_counts_duck = ",\n           ".join(
+    f"len(list_filter(string_split(text, ' '), t -> t IN ({_in_list(ws)}))) AS {lang}_cnt"
+    for lang, ws in _STOPWORDS.items()
+)
+
+_LANGID_SQL = f"""
+    WITH counted AS (
+        SELECT doc_id, lang,
+           {_langid_counts_duck}
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN en_cnt >= de_cnt AND en_cnt >= es_cnt AND en_cnt >= fr_cnt AND en_cnt > 0 THEN 'en'
+             WHEN de_cnt >= es_cnt AND de_cnt >= fr_cnt AND de_cnt > 0 THEN 'de'
+             WHEN es_cnt >= fr_cnt AND es_cnt > 0 THEN 'es'
+             WHEN fr_cnt > 0 THEN 'fr'
+             ELSE 'und'
+           END AS pred_lang,
+           en_cnt, de_cnt, es_cnt, fr_cnt
+    FROM counted
+"""
+
+
+@register(
+    "text_langid",
+    _LANGID_SQL,
+    doc="Language-ID heuristic: per-language stopword token counts, argmax "
+        "with fixed priority (en>de>es>fr), 'und' when all zero. Pure "
+        "JVM-side array ops — no UDF in the hot path.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(
+                f"size(filter(split(text, ' '), t -> t IN ({_in_list(ws)})))"
+            ).alias(f"{lang}_cnt")
+            for lang, ws in _STOPWORDS.items()
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("en_cnt") >= F.col("de_cnt"))
+            & (F.col("en_cnt") >= F.col("es_cnt"))
+            & (F.col("en_cnt") >= F.col("fr_cnt"))
+            & (F.col("en_cnt") > 0),
+            "en",
+        )
+        .when(
+            (F.col("de_cnt") >= F.col("es_cnt"))
+            & (F.col("de_cnt") >= F.col("fr_cnt"))
+            & (F.col("de_cnt") > 0),
+            "de",
+        )
+        .when((F.col("es_cnt") >= F.col("fr_cnt")) & (F.col("es_cnt") > 0), "es")
+        .when(F.col("fr_cnt") > 0, "fr")
+        .otherwise("und")
+    )
+    return counted.select(
+        "doc_id", "lang", pred.alias("pred_lang"), "en_cnt", "de_cnt", "es_cnt", "fr_cnt"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality scoring (SURVEY §7 text #2)
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = """
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               n_chars,
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_alpha,
+           ROUND(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           ROUND(LEAST(1.0, n_tokens / 100.0) * 0.5
+                 + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5, 6) AS quality_score
+    FROM base
+"""
+
+
+@register(
+    "text_quality",
+    _QUALITY_SQL,
+    doc="Quality scoring: token count, alpha ratio, stopword ratio → "
+        "composite score (length-capped + stopword density), all JVM-side.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        "n_chars",
+        F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).alias("n_alpha"),
+        F.expr(
+            "size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))"
+        ).alias("n_stop"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_alpha",
+        F.round(F.col("n_alpha").cast("double") / F.col("n_chars"), 6).alias("alpha_ratio"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * 0.5
+            + (F.col("n_stop").cast("double") / F.col("n_tokens")) * 0.5,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting (whitespace + regex alpha runs + BPE-ish est.)
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                t -> CAST(ceil(strlen(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
+    FROM documents
+"""
+
+
+@register(
+    "text_tokens",
+    _TOKENS_SQL,
+    doc="Token counting: whitespace tokens, regex alpha-run tokens, and a "
+        "BPE-ish ceil(len/4) subword estimate — all vectorized builtins.",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.expr("regexp_count(text, '[a-z]+')").cast("long").alias("n_alpha_runs"),
+        F.expr(
+            "CAST(aggregate(transform(split(text, ' '), t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+        ).alias("n_subword_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: document fingerprinting (SURVEY §7 text #4)
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_SQL = f"""
+    WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    SELECT doc_id, md5(norm_text) AS fingerprint,
+           {_hash60_duck('norm_text')} % 1024 AS bucket
+    FROM norm
+"""
+
+
+@register(
+    "text_fingerprint",
+    _FINGERPRINT_SQL,
+    doc="Document fingerprint: whitespace-normalized md5 + 60-bit hash bucket "
+        "(content-addressed partitioning key for incremental dedup at scale).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("fingerprint"),
+        (F.expr(_hash60_spark("trim(regexp_replace(lower(text), '\\\\s+', ' '))")) % 1024).alias(
+            "bucket"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: batch analogs of the streaming windows (SURVEY §7 streaming)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling",
+    """
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900 AS bucket_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 15-min window aggregation (batch twin of the Structured "
+        "Streaming path in streaming/ingest.py); bucket key as epoch seconds "
+        "for engine-neutral comparison.",
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    bucket = (F.expr("(ts_us div 900000000) * 900")).alias("bucket_start_s")
+    return (
+        e.groupBy(bucket, F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH base AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN ts_us - LAG(ts_us)
+                           OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                         > 1800000000
+                    OR LAG(ts_us)
+                       OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM base
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts_us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM marked
+    )
+    SELECT user_id, session_idx, MIN(ts_us) AS session_start_us,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+    doc="Sessionization (30-min inactivity gap) via lag + running sum — the "
+        "batch twin of session windows; one shuffle on user_id.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = marked.withColumn("session_idx", F.sum("new_session").over(wsum))
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.min("ts_us").alias("session_start_us"), F.count("*").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: binary payload + Pandas-UDF metadata extraction
+# (SURVEY §7 multimodal; decode is a deterministic stub — see operators/)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+           CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS height,
+           CAST(1 + doc_id % 3 AS INTEGER) AS n_frames,
+           'stub-decoded' AS decode_status
+    FROM documents
+    """,
+    doc="Multimodal plumbing: opaque binary column + mapInPandas metadata "
+        "extraction (Arrow-batched). The 'decoder' is a deterministic stub "
+        "(no image libs in env; see operators/multimodal.py) — the oracle "
+        "checks the Spark-side schema/partitioning/batch plumbing is real.",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.operators.multimodal import extract_metadata
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_metadata(d, id_col="doc_id", payload_col="payload")

@@ -1,0 +1,63 @@
+"""Registry mapping query names to (spark_fn, oracle_sql) pairs.
+
+Contract (driver, see repo-root ``__spark_entry__.py``): each spark_fn takes
+``(spark, sf_dir)`` and returns a DataFrame; the oracle is ANSI SQL DuckDB
+runs over the same parquet tables. Column names/aliases must match exactly —
+the driver sorts columns by name before value-hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class HarnessQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None → driver records a weaker rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, HarnessQuery] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a harness query to the registry."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = HarnessQuery(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def queries() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in REGISTRY.values()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, whose ``ts`` is parquet TIMESTAMP(NANOS) —
+    illegal for Spark's reader. With ``nanosAsLong`` it reads as a long of
+    ns-since-epoch; expose ``ts_us`` (µs, matching DuckDB's ``epoch_us``
+    truncation) as the canonical event-time column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyspark.sql.functions as F
+
+    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )

@@ -1,0 +1,804 @@
+"""Core relational demonstrations of SURVEY.md §2's operator inventory.
+
+Mapping convention (FIXTURES.md §B): SPARQL-shaped operators are demonstrated
+relationally — BGP join ≈ ``orders ⋈ customer ⋈ nation ⋈ region``; FILTER NOT
+EXISTS ≈ anti-join; the golden bounding-box FILTER (reference
+``facilities.ttl:211-218``) ≈ a two-column range predicate; etc. Every
+aggregate over ``double`` money columns is computed as
+``SUM(CAST(x AS DECIMAL(18,2)))`` then cast back to double: decimal addition
+is exact and associative, so Spark's partial-aggregation order and DuckDB's
+serial order produce bit-identical results (doubles would not).
+
+Scale notes (100 TB design): every query here is a declarative DataFrame plan
+— Catalyst gets filter/projection pushdown into the Parquet scans, AQE picks
+broadcast sides for the small dims (region/nation/supplier), and the only
+shuffles are the semantically required ones (groupBy/join keys). No
+collect()-driven loops; the one iterative operator (transitive closure) joins
+a frontier DataFrame per round and unions lazily.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from dublin_smart_city_graphdb_spark.harness.registry import load, register
+
+
+def _money_sum(col):
+    """Deterministic (order-independent) sum of a 2-dp double column."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+_MONEY_SUM_SQL = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/J1 — BGP join chain (reference README.md:70-78 acceptance query shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "bgp_join_chain",
+    """
+    SELECT o.o_orderkey, c.c_name, n.n_name, r.r_name
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+    doc="SURVEY §2.2 P2 / §2.3 J1: multi-pattern BGP as an equi-join chain "
+        "with small-dim broadcast (README.md:73-77).",
+)
+def bgp_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("o_orderkey", "c_name", "n_name", "r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3/A7 — grouped aggregation (TPC-H Q1 shape; SPARQL GROUP BY analog,
+# reference facilities.ttl:190-193)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_MONEY_SUM_SQL.format(c='l_quantity')} AS sum_qty,
+           {_MONEY_SUM_SQL.format(c='l_extendedprice')} AS sum_base_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 0
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="SURVEY §2.4 A2/A3/A7 + §2.5 M2: grouped agg with HAVING and sort "
+        "(facilities.ttl:190-193 analog).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum("l_quantity").alias("sum_qty"),
+            _money_sum("l_extendedprice").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+        .filter(F.col("count_order") > 0)
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M5 — top-k (ORDER BY + LIMIT → TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_k_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="SURVEY §2.5 M5: top-k; Catalyst plans TakeOrderedAndProject "
+        "(no full sort at scale).",
+)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2/M3 — ORDER BY + OFFSET slice
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_offset_slice",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20 OFFSET 10
+    """,
+    doc="SURVEY §2.5 M2/M3: ORDER BY with OFFSET (Spark 3.4+ native offset).",
+)
+def order_offset_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .offset(10)
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 — DISTINCT
+# ---------------------------------------------------------------------------
+
+@register(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    doc="SURVEY §2.5 M4: DISTINCT projection (map-side partial dedup free "
+        "from Catalyst).",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# A1 — global COUNT(*) (the reference's verification query,
+# init-graphdb.sh:133)
+# ---------------------------------------------------------------------------
+
+@register(
+    "count_star",
+    "SELECT COUNT(*) AS n FROM lineitem",
+    doc="SURVEY §2.4 A1: global count; partial+final agg (init-graphdb.sh:133 "
+        "analog).",
+)
+def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# A4 — COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+
+@register(
+    "count_distinct_custkeys",
+    "SELECT COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders FROM orders",
+    doc="SURVEY §2.4 A4: exact distinct count (expand+two-phase agg in Spark).",
+)
+def count_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — GROUP_CONCAT (deterministic via sorted collect)
+# ---------------------------------------------------------------------------
+
+@register(
+    "group_concat_nations",
+    """
+    SELECT r.r_name, STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    doc="SURVEY §2.4 A5: GROUP_CONCAT(separator) ≈ concat_ws(collect_list); "
+        "sorted for determinism (SPARQL leaves order unspecified).",
+)
+def group_concat_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — SAMPLE (made deterministic with min)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_per_group",
+    """
+    SELECT c_mktsegment, MIN(c_name) AS sample_name
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="SURVEY §2.4 A6: SAMPLE(?v) — SPARQL allows any member; we pick MIN "
+        "so the oracle is deterministic.",
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.min("c_name").alias("sample_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — anti-join (FILTER NOT EXISTS; golden query facilities.ttl:195-202)
+# ---------------------------------------------------------------------------
+
+@register(
+    "anti_join_no_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="SURVEY §2.3 J3: FILTER NOT EXISTS → left_anti join "
+        "(facilities.ttl:198-201: areas with no parks).",
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J4 — semi-join (FILTER EXISTS)
+# ---------------------------------------------------------------------------
+
+@register(
+    "semi_join_urgent",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="SURVEY §2.3 J4: FILTER EXISTS → left_semi join.",
+)
+def semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J2 — OPTIONAL → left outer join (+ COALESCE over the unbound side)
+# ---------------------------------------------------------------------------
+
+@register(
+    "optional_left_join",
+    f"""
+    SELECT c.c_custkey,
+           COALESCE(agg.n_orders, 0) AS n_orders,
+           COALESCE(agg.total_spent, CAST(0.0 AS DOUBLE)) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               {_MONEY_SUM_SQL.format(c='o_totalprice')} AS total_spent
+        FROM orders GROUP BY o_custkey
+    ) agg ON c.c_custkey = agg.o_custkey
+    """,
+    doc="SURVEY §2.3 J2: OPTIONAL {} → left join; unbound → null → COALESCE "
+        "(SPARQL unbound compatibility).",
+)
+def optional_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders_raw"),
+            _money_sum("o_totalprice").alias("total_spent_raw"),
+        )
+    )
+    return (
+        customer.join(agg, customer.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n_orders_raw"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("total_spent_raw"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — MINUS / EXCEPT
+# ---------------------------------------------------------------------------
+
+@register(
+    "minus_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="SURVEY §2.3 J5: MINUS over compatible solutions → exceptAll/except "
+        "on the shared domain.",
+)
+def minus_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    have = load(spark, sf_dir, "customer").select("c_custkey")
+    done = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return have.exceptAll(done.distinct()).distinct()
+
+
+# ---------------------------------------------------------------------------
+# J8 — UNION of group patterns
+# ---------------------------------------------------------------------------
+
+@register(
+    "union_priorities",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    doc="SURVEY §2.3 J8: UNION → unionByName (unbound vars → nulls via "
+        "allowMissingColumns).",
+)
+def union_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH")
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# J7 — VALUES inline table join
+# ---------------------------------------------------------------------------
+
+@register(
+    "values_inline_join",
+    """
+    SELECT n.n_nationkey, n.n_name, v.bloc
+    FROM nation n
+    JOIN (VALUES ('NATION_0', 'EU'), ('NATION_1', 'EU'), ('NATION_2', 'EU'),
+                 ('NATION_3', 'APAC'), ('NATION_4', 'APAC')) v(n_name, bloc)
+      ON n.n_name = v.n_name
+    ORDER BY n.n_nationkey
+    """,
+    doc="SURVEY §2.3 J7: VALUES {} → literal DataFrame + broadcast inner join.",
+)
+def values_inline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    vals = spark.createDataFrame(
+        [("NATION_0", "EU"), ("NATION_1", "EU"), ("NATION_2", "EU"),
+         ("NATION_3", "APAC"), ("NATION_4", "APAC")],
+        ["v_name", "bloc"],
+    )
+    return (
+        nation.join(F.broadcast(vals), nation.n_name == vals.v_name)
+        .select("n_nationkey", "n_name", "bloc")
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — theta (non-equi) join
+# ---------------------------------------------------------------------------
+
+@register(
+    "theta_join_nation_pairs",
+    """
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    doc="SURVEY §2.3 J6: theta join (equi on region + strict inequality); "
+        "Catalyst picks broadcast-hash + post-filter.",
+)
+def theta_join_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 — FILTER bounding box (golden query facilities.ttl:211-218 analog)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_bbox",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_extendedprice > 20000 AND l_extendedprice < 30000
+      AND l_discount > 0.02 AND l_discount < 0.08
+    """,
+    doc="SURVEY §2.2 P6: conjunctive range FILTER (the lat/lon bounding box "
+        "at facilities.ttl:216-217); pushed to the Parquet scan.",
+)
+def filter_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_extendedprice") > 20000)
+            & (F.col("l_extendedprice") < 30000)
+            & (F.col("l_discount") > 0.02)
+            & (F.col("l_discount") < 0.08)
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — scalar string functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_strings",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS uname,
+           LOWER(c_mktsegment) AS lseg,
+           LENGTH(c_name) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           c_name || '/' || c_mktsegment AS concat_nm,
+           REPLACE(c_name, 'Customer', 'Cust') AS replaced,
+           CASE WHEN c_name LIKE 'Customer%' THEN 1 ELSE 0 END AS starts_cust,
+           CASE WHEN contains(c_name, '1') THEN 1 ELSE 0 END AS has_one
+    FROM customer
+    """,
+    doc="SURVEY §2.7 strings: STRLEN/UCASE/LCASE/SUBSTR/CONCAT/REPLACE/"
+        "STRSTARTS/CONTAINS compiled to JVM builtins (no Python UDFs).",
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("concat_nm"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.when(F.col("c_name").startswith("Customer"), 1).otherwise(0).alias("starts_cust"),
+        F.when(F.col("c_name").contains("1"), 1).otherwise(0).alias("has_one"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — scalar numeric functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_numeric",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_d,
+           ROUND(l_extendedprice, 1) AS round_p,
+           CEIL(l_quantity) AS ceil_q,
+           FLOOR(l_quantity) AS floor_q
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+    doc="SURVEY §2.7 numerics: ABS/ROUND/CEIL/FLOOR (ROUND half-up matches "
+        "DuckDB on positive doubles).",
+)
+def scalar_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.round("l_extendedprice", 1).alias("round_p"),
+        F.ceil("l_quantity").alias("ceil_q"),
+        F.floor("l_quantity").alias("floor_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — date/time accessors
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_datetime",
+    """
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m, DAY(o_orderdate) AS d,
+           HOUR(o_orderdate) AS h
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    doc="SURVEY §2.7 date/time: YEAR/MONTH/DAY/HOURS accessors.",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.hour("o_orderdate").alias("h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — hash functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_hash",
+    """
+    SELECT c_custkey, MD5(c_name) AS md5_name, SHA256(c_name) AS sha256_name
+    FROM customer WHERE c_custkey <= 50
+    """,
+    doc="SURVEY §2.7 hash: MD5/SHA256 → identical hex digests both engines.",
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("md5_name"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("sha256_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — functional forms: IF / COALESCE / IN
+# ---------------------------------------------------------------------------
+
+@register(
+    "functional_forms",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS is_hot,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label
+    FROM orders
+    """,
+    doc="SURVEY §2.7 functional forms: IF→when/otherwise, IN→isin, "
+        "COALESCE; SPARQL error→null semantics ride on SQL NULL here.",
+)
+def functional_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("is_hot"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — REGEX filter
+# ---------------------------------------------------------------------------
+
+@register(
+    "regex_filter",
+    """
+    SELECT p_partkey, p_type
+    FROM part
+    WHERE regexp_matches(p_type, '^S(TANDARD|MALL)$')
+    """,
+    doc="SURVEY §2.7 REGEX: rlike anchored pattern (Java vs RE2 dialects "
+        "agree on this subset; XPath-flavor divergences documented).",
+)
+def regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").rlike("^S(TANDARD|MALL)$")).select(
+        "p_partkey", "p_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — scalar subquery
+# ---------------------------------------------------------------------------
+
+@register(
+    "subquery_above_avg",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM orders
+    )
+    """,
+    doc="SURVEY §2.6 F5: scalar subquery (nested SELECT); threshold computed "
+        "with exact decimal sum so both engines agree bit-for-bit.",
+)
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    thr = o.agg(
+        (_money_sum("o_totalprice") / F.count("*")).alias("thr")
+    )
+    return (
+        o.join(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geo — Haversine distance (SURVEY §2.7 geof:distance as a SQL expression)
+# ---------------------------------------------------------------------------
+
+_HAVERSINE_SQL = """
+    SELECT c_custkey, lat, lon,
+           ROUND(12742.0 * ASIN(SQRT(
+               POW(SIN(RADIANS(lat - 53.3498) / 2), 2)
+               + COS(RADIANS(53.3498)) * COS(RADIANS(lat))
+                 * POW(SIN(RADIANS(lon - (-6.2603)) / 2), 2)
+           )), 3) AS dist_km
+    FROM (
+        SELECT c_custkey,
+               CAST(53.20 + (c_custkey % 100) * 0.002 AS DOUBLE) AS lat,
+               CAST(-6.45 + (c_custkey % 80) * 0.005 AS DOUBLE) AS lon
+        FROM customer
+    )
+"""
+
+
+@register(
+    "geo_haversine",
+    _HAVERSINE_SQL,
+    doc="SURVEY §2.7 geo: geof:distance → Haversine as a pure Spark SQL "
+        "expression (reference uses lat/lon FILTERs, facilities.ttl:211-218); "
+        "synthetic coords derived from c_custkey.",
+)
+def geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    lat = (F.lit(53.20) + (F.col("c_custkey") % 100) * 0.002).alias("lat")
+    lon = (F.lit(-6.45) + (F.col("c_custkey") % 80) * 0.005).alias("lon")
+    base = c.select("c_custkey", lat, lon)
+    dlat = F.radians(F.col("lat") - 53.3498) / 2
+    dlon = F.radians(F.col("lon") - (-6.2603)) / 2
+    h = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(F.lit(53.3498))) * F.cos(F.radians(F.col("lat"))) * F.pow(F.sin(dlon), 2)
+    )
+    return base.withColumn("dist_km", F.round(12742.0 * F.asin(F.sqrt(h)), 3))
+
+
+# ---------------------------------------------------------------------------
+# P7 — transitive closure (property path + / *) via iterative frontier joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_transitive_closure",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT c_custkey AS src, 100000 + c_nationkey AS dst FROM customer
+        UNION ALL
+        SELECT 100000 + n_nationkey AS src, 200000 + n_regionkey AS dst FROM nation
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT DISTINCT src, dst FROM reach
+    """,
+    doc="SURVEY §2.2 P7 + §4.2(3): property path '+' → driver-side "
+        "iterate-to-fixpoint frontier joins (Catalyst has no recursion); "
+        "oracle uses DuckDB WITH RECURSIVE.",
+)
+def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    e1 = customer.select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.lit(100000) + F.col("c_nationkey")).cast("long").alias("dst"),
+    )
+    e2 = nation.select(
+        (F.lit(100000) + F.col("n_nationkey")).cast("long").alias("src"),
+        (F.lit(200000) + F.col("n_regionkey")).cast("long").alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    from dublin_smart_city_graphdb_spark.graph.closure import transitive_closure
+
+    return transitive_closure(edges, "src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# Window extension (SURVEY §2.9/§7): rank + running sum on property-table view
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_rank_orders",
+    """
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="SURVEY §2.9/§7 window extension: per-customer top-3 orders via "
+        "row_number (deterministic tiebreak on o_orderkey).",
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="SURVEY §2.9/§7 window extension: running sum per customer over order "
+        "date (decimal accumulation for cross-engine determinism).",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup extension (Spark-native; SPARQL 1.1 lacks grouping sets — SURVEY A8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_returnflag",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="SURVEY §2.4 A8 (extension beyond SPARQL): ROLLUP grouping sets.",
+)
+def rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))

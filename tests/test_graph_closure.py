@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+from dublin_smart_city_graphdb_spark.graph.closure import (
+    connected_components,
+    transitive_closure,
+)
+
+
+def test_transitive_closure_chain(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    assert got == {
+        (1, 2), (2, 3), (3, 4), (1, 3), (2, 4), (1, 4), (10, 11),
+    }
+
+
+def test_transitive_closure_cycle_terminates(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    got = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    # Every node reaches every node (including itself via the cycle).
+    assert got == {(a, b) for a in (1, 2, 3) for b in (1, 2, 3)}
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (20, 20)], ["src", "dst"]
+    )
+    labels = {r.id: r.component for r in connected_components(edges).collect()}
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == labels[12] == 10
+    assert labels[20] == 20

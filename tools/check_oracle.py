@@ -1,0 +1,109 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column names,
+and order-insensitive values. Usage::
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (int, str)):
+        return str(v)
+    # timestamps, decimals, bytes, lists
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def compare(name: str, spark, con, sf_dir: str, fn, sql: str | None) -> tuple[bool, str, float]:
+    t0 = time.time()
+    sdf = fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    dt = time.time() - t0
+    if sql is None:
+        return True, f"rows-only ({len(s_rows)} rows)", dt
+    d = con.sql(sql)
+    d_cols = d.columns
+    d_rows = d.fetchall()
+    if sorted(s_cols) != sorted(c.lower() for c in d_cols) and sorted(
+        c.lower() for c in s_cols
+    ) != sorted(c.lower() for c in d_cols):
+        return False, f"column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}", dt
+    if len(s_rows) != len(d_rows):
+        return False, f"row count spark={len(s_rows)} duck={len(d_rows)}", dt
+    _, sn = _norm_rows([c.lower() for c in s_cols], s_rows)
+    _, dn = _norm_rows([c.lower() for c in d_cols], d_rows)
+    if sn != dn:
+        diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+        return False, f"value mismatch, first diffs: {diff}", dt
+    return True, f"match ({len(s_rows)} rows)", dt
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from dublin_smart_city_graphdb_spark import harness
+    from dublin_smart_city_graphdb_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    con = duck_connection(sf_dir)
+    failures = []
+    for name, q in harness.REGISTRY.items():
+        if only and name not in only:
+            continue
+        try:
+            ok, msg, dt = compare(name, spark, con, sf_dir, q.fn, q.oracle)
+        except Exception as ex:  # noqa: BLE001
+            ok, msg, dt = False, f"EXCEPTION {type(ex).__name__}: {ex}", 0.0
+        status = "OK " if ok else "FAIL"
+        print(f"[{status}] {name:32s} {dt:6.2f}s  {msg}", flush=True)
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(harness.REGISTRY) - len(failures)}/{len(harness.REGISTRY)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
