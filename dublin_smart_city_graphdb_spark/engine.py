@@ -1,0 +1,180 @@
+"""Engine facade: repository catalog + load + SPARQL entry point.
+
+Mirrors the reference deployment's operational surface (SURVEY.md §3):
+
+- ``create_repository(name, ruleset=..., query_timeout=...)`` —
+  ``init-graphdb.sh:44-72``'s POST /rest/repositories (idempotent, like the
+  re-init path at ``init-graphdb.sh:145-154``);
+- ``load_turtle`` / ``load_ntriples`` — the ``POST /statements`` Turtle bulk
+  path (``init-graphdb.sh:90-119``), with load-time RDFS-Plus forward
+  chaining when the repository's ruleset asks for it
+  (``init-graphdb.sh:51-55``);
+- ``sparql(query)`` — the query endpoint (``init-graphdb.sh:133-135``),
+  parse → compile → Catalyst, with the reference's 30 s query timeout
+  enforced via job-group cancellation;
+- ``count()`` — the post-load verification query
+  (``init-graphdb.sh:133``: ``SELECT (COUNT(*) as ?count) ...``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dublin_smart_city_graphdb_spark.model.schema import INFERRED_GRAPH, QUAD_SCHEMA
+from dublin_smart_city_graphdb_spark.sources.store import QuadStore
+from dublin_smart_city_graphdb_spark.sources.turtle import (
+    read_ntriples_distributed,
+    turtle_to_rows,
+)
+from dublin_smart_city_graphdb_spark.sparql.compiler import QueryCompiler
+from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+
+class Repository:
+    def __init__(self, engine: Engine, name: str, config: dict):
+        self.engine = engine
+        self.spark = engine.spark
+        self.name = name
+        self.config = config
+        self._quads: DataFrame | None = None
+        self._store = (
+            QuadStore(self.spark, os.path.join(engine.warehouse, name, "quads"))
+            if engine.warehouse
+            else None
+        )
+        if self._store and self._store.exists():
+            self._quads = self._store.read()
+
+    # -- loading ------------------------------------------------------------
+    def add_quads(self, df: DataFrame) -> None:
+        if self._store:
+            self._store.write(df, mode="append")
+            self._quads = self._store.read()
+        else:
+            self._quads = df if self._quads is None else self._quads.unionByName(df)
+            self._quads = self._quads.localCheckpoint(eager=True)
+
+    def load_turtle(self, source: str, graph: str | None = None) -> int:
+        """Load a Turtle document (path or text) — SURVEY §2.1 S1."""
+        text = open(source).read() if os.path.exists(source) else source
+        rows = turtle_to_rows(text, graph)
+        self.add_quads(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+        if self.config.get("ruleset", "none") != "none":
+            self.materialize_inference()
+        return len(rows)
+
+    def load_ntriples(self, path: str, graph: str | None = None) -> None:
+        """Distributed bulk load (splittable text + executor-side parse)."""
+        self.add_quads(read_ntriples_distributed(self.spark, path, graph))
+        if self.config.get("ruleset", "none") != "none":
+            self.materialize_inference()
+
+    def materialize_inference(self) -> None:
+        """Forward-chaining RDFS-Plus fixpoint → quads under urn:inferred
+        (the reference's load-time materialization, init-graphdb.sh:51-55)."""
+        from dublin_smart_city_graphdb_spark.inference.rdfsplus import materialize
+
+        explicit = self.quads.filter(
+            (self.quads.g.isNull()) | (self.quads.g != INFERRED_GRAPH)
+        )
+        inferred = materialize(explicit)
+        base = explicit
+        if self._store:
+            self._store.write(
+                base.unionByName(inferred), mode="overwrite"
+            )
+            self._quads = self._store.read()
+        else:
+            self._quads = base.unionByName(inferred).localCheckpoint(eager=True)
+
+    # -- query --------------------------------------------------------------
+    @property
+    def quads(self) -> DataFrame:
+        if self._quads is None:
+            return self.spark.createDataFrame([], QUAD_SCHEMA)
+        return self._quads
+
+    def sparql(self, query_text: str) -> DataFrame:
+        ast = parse_query(query_text)
+        return QueryCompiler(self.spark, self.quads).compile(ast)
+
+    def sparql_collect(self, query_text: str, timeout: float | None = None):
+        """Execute with the repository's query timeout (the reference's 30 s
+        ``queryTimeout``, init-graphdb.sh:66-70) via job-group cancellation."""
+        timeout = timeout or self.config.get("query_timeout", 30)
+        df = self.sparql(query_text)
+        sc = self.spark.sparkContext
+        group = f"sparql-{uuid.uuid4().hex[:8]}"
+        result: list = []
+        error: list = []
+
+        def run():
+            sc.setJobGroup(group, "sparql query", interruptOnCancel=True)
+            try:
+                result.append(df.collect())
+            except Exception as ex:  # noqa: BLE001
+                error.append(ex)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout)
+        if t.is_alive():
+            sc.cancelJobGroup(group)
+            raise TimeoutError(f"query exceeded {timeout}s timeout")
+        if error:
+            raise error[0]
+        return result[0]
+
+    def count(self) -> int:
+        """The reference's verification query (init-graphdb.sh:133)."""
+        return self.quads.count()
+
+
+class Engine:
+    """Catalog of repositories (SURVEY §2.1 S5, §3 E3)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse
+        self._repos: dict[str, Repository] = {}
+        if warehouse:
+            os.makedirs(warehouse, exist_ok=True)
+            for name in os.listdir(warehouse):
+                cfg_path = os.path.join(warehouse, name, "config.json")
+                if os.path.exists(cfg_path):
+                    with open(cfg_path) as f:
+                        self._repos[name] = Repository(self, name, json.load(f))
+
+    def create_repository(
+        self,
+        name: str,
+        ruleset: str = "rdfsplus",
+        query_timeout: float = 30.0,
+        context_index: bool = True,
+    ) -> Repository:
+        """Idempotent create (matches init-graphdb.sh:36-82 + :145-154)."""
+        if name in self._repos:
+            return self._repos[name]
+        config = {
+            "ruleset": ruleset,
+            "query_timeout": query_timeout,
+            "context_index": context_index,
+        }
+        repo = Repository(self, name, config)
+        self._repos[name] = repo
+        if self.warehouse:
+            os.makedirs(os.path.join(self.warehouse, name), exist_ok=True)
+            with open(os.path.join(self.warehouse, name, "config.json"), "w") as f:
+                json.dump(config, f)
+        return repo
+
+    def list_repositories(self) -> list[str]:
+        return sorted(self._repos)
+
+    def repository(self, name: str) -> Repository:
+        return self._repos[name]

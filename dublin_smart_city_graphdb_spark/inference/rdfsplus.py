@@ -1,0 +1,296 @@
+"""RDFS-Plus forward-chaining materializer (SURVEY.md §2.8).
+
+The reference configures ruleset ``rdfsplus-optimized``
+(``init-graphdb.sh:51-55``): inference runs at load time (forward chaining /
+materialization — GraphDB's documented ruleset execution model) so query
+time reads plain triples. Same tradeoff here: each rule is one DataFrame
+join; the driver loops the rule batch to fixpoint, de-duplicating against
+the accumulated statement set each round (semi-naive: only genuinely new
+triples re-enter). Inferred statements land under ``g = urn:inferred`` so
+"explicit only" access stays possible (SURVEY §1.5).
+
+RDFS-Plus = RDFS ∪ {inverseOf, SymmetricProperty, TransitiveProperty,
+sameAs, equivalentClass, equivalentProperty, FunctionalProperty,
+InverseFunctionalProperty}. Schema vocabularies are tiny (the reference
+ontology: ~11 properties), so every rule join broadcasts the schema side;
+the instance side streams through unchanged — the shape that holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from dublin_smart_city_graphdb_spark.model.schema import INFERRED_GRAPH, KIND_IRI
+from dublin_smart_city_graphdb_spark.model.terms import OWL, RDF_TYPE, RDFS
+
+_SUBCLASS = RDFS + "subClassOf"
+_SUBPROP = RDFS + "subPropertyOf"
+_DOMAIN = RDFS + "domain"
+_RANGE = RDFS + "range"
+_INVERSE = OWL + "inverseOf"
+_SYMMETRIC = OWL + "SymmetricProperty"
+_TRANSITIVE = OWL + "TransitiveProperty"
+_SAME_AS = OWL + "sameAs"
+_EQ_CLASS = OWL + "equivalentClass"
+_EQ_PROP = OWL + "equivalentProperty"
+_FUNCTIONAL = OWL + "FunctionalProperty"
+_INV_FUNCTIONAL = OWL + "InverseFunctionalProperty"
+
+_ID_COLS = ["s", "p", "o_kind", "o_lex", "o_dtype", "o_lang"]
+
+
+def _type_triple(df: DataFrame, s_col: str, cls_col: str) -> DataFrame:
+    return df.select(
+        F.col(s_col).alias("s"),
+        F.lit(RDF_TYPE).alias("p"),
+        F.lit(KIND_IRI).cast("tinyint").alias("o_kind"),
+        F.col(cls_col).alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dtype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("decimal(38,10)").alias("o_num"),
+        F.lit(None).cast("timestamp").alias("o_ts"),
+        F.lit(None).cast("boolean").alias("o_bool"),
+    )
+
+
+def _swap_so(df: DataFrame, new_p_col) -> DataFrame:
+    """(s p o) → (o p' s); only for non-literal objects."""
+    return df.filter(F.col("o_kind") != 2).select(
+        F.col("o_lex").alias("s"),
+        new_p_col.alias("p"),
+        F.when(F.col("s").startswith("_:"), F.lit(1)).otherwise(F.lit(0))
+        .cast("tinyint").alias("o_kind"),
+        F.col("s").alias("o_lex"),
+        F.lit(None).cast("string").alias("o_dtype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("decimal(38,10)").alias("o_num"),
+        F.lit(None).cast("timestamp").alias("o_ts"),
+        F.lit(None).cast("boolean").alias("o_bool"),
+    )
+
+
+def _schema_pairs(all_df: DataFrame, pred: str) -> DataFrame:
+    """(a, b) pairs of a schema predicate, IRIs only — always broadcast."""
+    return F.broadcast(
+        all_df.filter((F.col("p") == pred) & (F.col("o_kind") == KIND_IRI))
+        .select(F.col("s").alias("a"), F.col("o_lex").alias("b"))
+        .distinct()
+    )
+
+
+def _round(all_df: DataFrame) -> DataFrame:
+    """One application of every RDFS-Plus rule over the current statement
+    set; returns candidate triples (possibly already known)."""
+    outs: list[DataFrame] = []
+    facts = all_df
+
+    # rdfs7: subPropertyOf use  (schema side broadcast)
+    subp = _schema_pairs(facts, _SUBPROP)
+    outs.append(
+        facts.join(subp, facts.p == subp.a)
+        .select(
+            "s", F.col("b").alias("p"), "o_kind", "o_lex", "o_dtype",
+            "o_lang", "o_num", "o_ts", "o_bool",
+        )
+    )
+    # rdfs5: subPropertyOf transitivity (schema-level)
+    sp_trans = (
+        subp.alias("x").join(subp.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
+    )
+    outs.append(
+        _type_triple(sp_trans, "sa", "sb").withColumn("p", F.lit(_SUBPROP))
+    )
+    # rdfs11: subClassOf transitivity
+    subc = _schema_pairs(facts, _SUBCLASS)
+    sc_trans = (
+        subc.alias("x").join(subc.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
+    )
+    outs.append(
+        _type_triple(sc_trans, "sa", "sb").withColumn("p", F.lit(_SUBCLASS))
+    )
+    # rdfs9: subClassOf inheritance
+    types = facts.filter(F.col("p") == RDF_TYPE)
+    outs.append(
+        _type_triple(
+            types.join(subc, types.o_lex == subc.a).select(
+                F.col("s").alias("ss"), F.col("b").alias("cc")
+            ),
+            "ss", "cc",
+        )
+    )
+    # rdfs2/3: domain / range
+    dom = _schema_pairs(facts, _DOMAIN)
+    outs.append(
+        _type_triple(
+            facts.join(dom, facts.p == dom.a).select(
+                F.col("s").alias("ss"), F.col("b").alias("cc")
+            ),
+            "ss", "cc",
+        )
+    )
+    rng = _schema_pairs(facts, _RANGE)
+    outs.append(
+        _type_triple(
+            facts.filter(F.col("o_kind") != 2)
+            .join(rng, facts.p == rng.a)
+            .select(F.col("o_lex").alias("ss"), F.col("b").alias("cc")),
+            "ss", "cc",
+        )
+    )
+    # inverseOf (both directions) + equivalentProperty (both directions)
+    inv = _schema_pairs(facts, _INVERSE)
+    inv_both = inv.unionByName(inv.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    fi = facts.join(F.broadcast(inv_both), facts.p == F.col("a"))
+    outs.append(_swap_so(fi, F.col("b")))
+    eqp = _schema_pairs(facts, _EQ_PROP)
+    eqp_both = eqp.unionByName(eqp.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    fe = facts.join(F.broadcast(eqp_both), facts.p == F.col("a"))
+    outs.append(
+        fe.select(
+            "s", F.col("b").alias("p"), "o_kind", "o_lex", "o_dtype",
+            "o_lang", "o_num", "o_ts", "o_bool",
+        )
+    )
+    # equivalentClass → mutual subClassOf (handled through rdfs9 next round)
+    eqc = _schema_pairs(facts, _EQ_CLASS)
+    eqc_both = eqc.unionByName(eqc.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    outs.append(
+        _type_triple(
+            eqc_both.select(F.col("a").alias("sa"), F.col("b").alias("sb")),
+            "sa", "sb",
+        ).withColumn("p", F.lit(_SUBCLASS))
+    )
+    # SymmetricProperty
+    sym_props = F.broadcast(
+        facts.filter(
+            (F.col("p") == RDF_TYPE) & (F.col("o_lex") == _SYMMETRIC)
+        ).select(F.col("s").alias("a")).distinct()
+    )
+    outs.append(_swap_so(facts.join(sym_props, facts.p == F.col("a")), F.col("p")))
+    # TransitiveProperty: one join step per round (outer loop closes it)
+    trans_props = F.broadcast(
+        facts.filter(
+            (F.col("p") == RDF_TYPE) & (F.col("o_lex") == _TRANSITIVE)
+        ).select(F.col("s").alias("tp")).distinct()
+    )
+    tfacts = facts.join(trans_props, facts.p == F.col("tp")).filter(
+        F.col("o_kind") != 2
+    )
+    step = (
+        tfacts.alias("x")
+        .join(
+            tfacts.alias("y"),
+            (F.col("x.o_lex") == F.col("y.s")) & (F.col("x.p") == F.col("y.p")),
+        )
+        .select(
+            F.col("x.s").alias("s"), F.col("x.p").alias("p"),
+            F.col("y.o_kind").alias("o_kind"), F.col("y.o_lex").alias("o_lex"),
+            F.col("y.o_dtype").alias("o_dtype"), F.col("y.o_lang").alias("o_lang"),
+            F.col("y.o_num").alias("o_num"), F.col("y.o_ts").alias("o_ts"),
+            F.col("y.o_bool").alias("o_bool"),
+        )
+    )
+    outs.append(step)
+    # sameAs: symmetry + one transitive step per round
+    same = facts.filter((F.col("p") == _SAME_AS) & (F.col("o_kind") == KIND_IRI))
+    outs.append(_swap_so(same, F.col("p")))
+    same_pairs = _schema_pairs(facts, _SAME_AS)
+    sa_trans = (
+        same_pairs.alias("x").join(same_pairs.alias("y"), F.col("x.b") == F.col("y.a"))
+        .filter(F.col("x.a") != F.col("y.b"))
+        .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
+    )
+    outs.append(
+        _type_triple(sa_trans, "sa", "sb").withColumn("p", F.lit(_SAME_AS))
+    )
+    # sameAs statement propagation (subject position)
+    outs.append(
+        facts.join(same_pairs, facts.s == same_pairs.a)
+        .select(
+            F.col("b").alias("s"), "p", "o_kind", "o_lex", "o_dtype",
+            "o_lang", "o_num", "o_ts", "o_bool",
+        )
+    )
+    # Functional / InverseFunctional → sameAs
+    fun_props = F.broadcast(
+        facts.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == _FUNCTIONAL))
+        .select(F.col("s").alias("fp")).distinct()
+    )
+    ffacts = facts.join(fun_props, facts.p == F.col("fp")).filter(F.col("o_kind") == KIND_IRI)
+    outs.append(
+        _type_triple(
+            ffacts.alias("x")
+            .join(
+                ffacts.alias("y"),
+                (F.col("x.s") == F.col("y.s")) & (F.col("x.p") == F.col("y.p"))
+                & (F.col("x.o_lex") < F.col("y.o_lex")),
+            )
+            .select(F.col("x.o_lex").alias("sa"), F.col("y.o_lex").alias("sb")),
+            "sa", "sb",
+        ).withColumn("p", F.lit(_SAME_AS))
+    )
+    ifun_props = F.broadcast(
+        facts.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == _INV_FUNCTIONAL))
+        .select(F.col("s").alias("fp")).distinct()
+    )
+    iffacts = facts.join(ifun_props, facts.p == F.col("fp"))
+    outs.append(
+        _type_triple(
+            iffacts.alias("x")
+            .join(
+                iffacts.alias("y"),
+                (F.col("x.o_lex") == F.col("y.o_lex"))
+                & (F.col("x.o_kind") == F.col("y.o_kind"))
+                & F.col("x.o_dtype").eqNullSafe(F.col("y.o_dtype"))
+                & F.col("x.o_lang").eqNullSafe(F.col("y.o_lang"))
+                & (F.col("x.p") == F.col("y.p"))
+                & (F.col("x.s") < F.col("y.s")),
+            )
+            .select(F.col("x.s").alias("sa"), F.col("y.s").alias("sb")),
+            "sa", "sb",
+        ).withColumn("p", F.lit(_SAME_AS))
+    )
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def materialize(explicit: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Run the rule batch to fixpoint; returns ONLY the inferred quads,
+    tagged ``g = urn:inferred``."""
+    spo = explicit.select(
+        "s", "p", "o_kind", "o_lex", "o_dtype", "o_lang", "o_num", "o_ts", "o_bool"
+    ).distinct().localCheckpoint(eager=True)
+
+    known = spo
+    inferred_acc: DataFrame | None = None
+    for _ in range(max_rounds):
+        candidates = _round(known)
+        # Null-safe anti-join: o_dtype/o_lang are NULL on most inferred
+        # triples, and plain equi-join keys treat NULL != NULL — which would
+        # re-derive every triple forever. eqNullSafe keeps the hash-join
+        # strategy while matching NULLs.
+        cand = candidates.dropDuplicates(_ID_COLS).alias("c")
+        kn = known.alias("k")
+        cond = None
+        for col in _ID_COLS:
+            clause = F.col(f"c.{col}").eqNullSafe(F.col(f"k.{col}"))
+            cond = clause if cond is None else (cond & clause)
+        fresh = cand.join(kn, on=cond, how="left_anti").localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            break
+        known = known.unionByName(fresh).localCheckpoint(eager=True)
+        inferred_acc = (
+            fresh if inferred_acc is None else inferred_acc.unionByName(fresh)
+        )
+    if inferred_acc is None:
+        return explicit.limit(0)
+    return inferred_acc.select(
+        F.lit(INFERRED_GRAPH).alias("g"),
+        "s", "p", "o_kind", "o_lex", "o_dtype", "o_lang", "o_num", "o_ts", "o_bool",
+    )

@@ -1,0 +1,114 @@
+"""RDF term model: IRIs, blank nodes, literals (RDF 1.1 / SPARQL 1.1).
+
+Python-side representation used by the Turtle/SPARQL parsers before rows are
+handed to Spark; executors only ever see the flattened columnar form
+(model/schema.py). Mirrors the term kinds present in the reference's data
+(SURVEY.md §1.1: IRIs, plain / language-tagged / typed literals, wktLiteral).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from decimal import Decimal, InvalidOperation
+import datetime as _dt
+
+# Well-known namespaces (public W3C vocabularies).
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+OWL = "http://www.w3.org/2002/07/owl#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+RDF_TYPE = RDF + "type"
+
+NUMERIC_DATATYPES = frozenset(
+    XSD + t
+    for t in (
+        "integer", "decimal", "double", "float", "int", "long", "short",
+        "byte", "nonNegativeInteger", "positiveInteger", "negativeInteger",
+        "nonPositiveInteger", "unsignedInt", "unsignedLong", "unsignedShort",
+        "unsignedByte",
+    )
+)
+
+
+@dataclass(frozen=True)
+class Term:
+    pass
+
+
+@dataclass(frozen=True)
+class IRI(Term):
+    value: str
+
+    def __str__(self) -> str:
+        return f"<{self.value}>"
+
+
+@dataclass(frozen=True)
+class BNode(Term):
+    label: str
+
+    def __str__(self) -> str:
+        return f"_:{self.label}"
+
+
+@dataclass(frozen=True)
+class Literal(Term):
+    lex: str
+    datatype: str | None = None
+    lang: str | None = None
+
+    def __str__(self) -> str:
+        if self.lang:
+            return f'"{self.lex}"@{self.lang}'
+        if self.datatype:
+            return f'"{self.lex}"^^<{self.datatype}>'
+        return f'"{self.lex}"'
+
+    def numeric_value(self) -> Decimal | None:
+        if self.datatype in NUMERIC_DATATYPES:
+            try:
+                return Decimal(self.lex)
+            except InvalidOperation:
+                return None
+        return None
+
+    def boolean_value(self) -> bool | None:
+        if self.datatype == XSD + "boolean":
+            if self.lex in ("true", "1"):
+                return True
+            if self.lex in ("false", "0"):
+                return False
+        return None
+
+    def timestamp_value(self) -> _dt.datetime | None:
+        if self.datatype in (XSD + "dateTime", XSD + "date"):
+            try:
+                lex = self.lex
+                if self.datatype == XSD + "date":
+                    lex = lex + "T00:00:00"
+                if lex.endswith("Z"):
+                    lex = lex[:-1] + "+00:00"
+                ts = _dt.datetime.fromisoformat(lex)
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=_dt.timezone.utc)
+                return ts
+            except ValueError:
+                return None
+        return None
+
+
+def term_to_row(g: str | None, s: Term, p: Term, o: Term) -> tuple:
+    """Flatten one statement into the QUAD_SCHEMA row layout."""
+    s_lex = s.value if isinstance(s, IRI) else f"_:{s.label}"
+    p_lex = p.value  # predicates are always IRIs
+    if isinstance(o, IRI):
+        return (g, s_lex, p_lex, 0, o.value, None, None, None, None, None)
+    if isinstance(o, BNode):
+        return (g, s_lex, p_lex, 1, f"_:{o.label}", None, None, None, None, None)
+    lit: Literal = o
+    num = lit.numeric_value()
+    return (
+        g, s_lex, p_lex, 2, lit.lex, lit.datatype, lit.lang,
+        num, lit.timestamp_value(), lit.boolean_value(),
+    )

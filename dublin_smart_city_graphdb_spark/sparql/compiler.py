@@ -1,0 +1,658 @@
+"""SPARQL algebra → DataFrame compiler (SURVEY.md §3 E1, §4.2).
+
+Every algebra node maps to the declarative DataFrame op from SURVEY.md §2 —
+BGP → filtered-scan join chain, OPTIONAL → left join, MINUS → guarded
+anti-join, UNION → unionByName, FILTER → EBV filter, aggregation → groupBy —
+and Catalyst handles physical join selection, pushdown, and pruning.
+
+Custom semantics Catalyst cannot supply (SURVEY §4.2):
+
+- *join compatibility with unbound*: shared variables that may be unbound
+  (introduced under OPTIONAL/UNION/VALUES-UNDEF) join with
+  ``l IS NULL OR r IS NULL OR l = r`` and merge via coalesce; strictly-bound
+  shared variables use plain struct equality so the common case stays a
+  hash-joinable equi-join.
+- *MINUS shared-domain guard*: no shared variables → no-op; removal requires
+  at least one variable bound on both sides (differs from NOT EXISTS).
+- *FILTER error semantics*: EBV null (type error) drops the row.
+- *recursion*: property paths ``+``/``*`` run the semi-naive closure of
+  graph/closure.py — driver-side fixpoint, since Catalyst has no recursion.
+- *BGP join order*: patterns greedily ordered by bound-position selectivity
+  while preserving shared-variable connectivity (avoids accidental cross
+  joins); AQE fixes the physical side at runtime.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from dublin_smart_city_graphdb_spark.model.schema import KIND_IRI, TERM_STRUCT
+from dublin_smart_city_graphdb_spark.model.terms import IRI, Literal, Term
+from dublin_smart_city_graphdb_spark.sparql import ast as A
+from dublin_smart_city_graphdb_spark.sparql.exprs import ExprCompiler
+from dublin_smart_city_graphdb_spark.sparql.termcol import (
+    const_struct,
+    ebv,
+    make_numeric,
+    make_string,
+    null_struct,
+    object_struct,
+    sort_keys,
+    subject_struct,
+)
+from dublin_smart_city_graphdb_spark.model.terms import XSD
+
+
+@dataclass
+class Compiled:
+    df: DataFrame
+    var_order: list[str]
+    certain: set[str]
+
+    @property
+    def vars(self) -> set[str]:
+        return set(self.var_order)
+
+
+@dataclass
+class _AggRef:
+    """Marker substituted for Aggregate nodes before post-agg expression
+    compilation; resolved to the precomputed aggregate column."""
+
+    col: Column
+
+
+class QueryCompiler:
+    def __init__(self, spark: SparkSession, quads: DataFrame):
+        self.spark = spark
+        self.quads = quads
+        self._uid = itertools.count()
+
+    # ------------------------------------------------------------------ API
+    def compile(self, query) -> DataFrame:
+        if isinstance(query, A.SelectQuery):
+            return self.compile_select(query).df
+        if isinstance(query, A.AskQuery):
+            c = self.compile_group(query.where, None)
+            return (
+                c.df.limit(1)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select((F.col("n") > 0).alias("ask"))
+            )
+        if isinstance(query, A.ConstructQuery):
+            return self._compile_construct(query)
+        if isinstance(query, A.DescribeQuery):
+            return self._compile_describe(query)
+        raise ValueError(f"unsupported query form {type(query).__name__}")
+
+    # ------------------------------------------------------- SELECT pipeline
+    def compile_select(self, q: A.SelectQuery) -> Compiled:
+        base = self.compile_group(q.where, None)
+
+        agg_nodes: list[A.Aggregate] = []
+
+        def find_aggs(e):
+            if isinstance(e, A.Aggregate):
+                agg_nodes.append(e)
+            elif isinstance(e, (A.OrExpr, A.AndExpr)):
+                for p in e.parts:
+                    find_aggs(p)
+            elif isinstance(e, (A.Compare, A.Arith)):
+                find_aggs(e.left)
+                find_aggs(e.right)
+            elif isinstance(e, (A.UnaryMinus, A.NotExpr)):
+                find_aggs(e.inner)
+            elif isinstance(e, A.InExpr):
+                find_aggs(e.expr)
+                for o in e.options:
+                    find_aggs(o)
+            elif isinstance(e, A.FuncCall):
+                for a in e.args:
+                    find_aggs(a)
+
+        for proj, _ in q.projections:
+            find_aggs(proj)
+        for h in q.having:
+            find_aggs(h)
+        for ob, _ in q.order_by:
+            find_aggs(ob)
+
+        if q.group_by or agg_nodes:
+            cur = self._aggregate(base, q, agg_nodes)
+        else:
+            cur = base
+
+        # projection
+        if q.projections:
+            sel: list[Column] = []
+            names: list[str] = []
+            certain: set[str] = set()
+            ec = self._expr_compiler(cur)
+            for proj, alias in q.projections:
+                if isinstance(proj, A.Var) and alias is None:
+                    name = proj.name
+                    col = (
+                        F.col(name) if name in cur.vars else null_struct()
+                    )
+                else:
+                    name = alias.name
+                    col = ec.compile(proj)
+                sel.append(col.alias(name))
+                names.append(name)
+                if isinstance(proj, A.Var) and proj.name in cur.certain:
+                    certain.add(name)
+            out = Compiled(cur.df.select(*sel), names, certain)
+        else:  # SELECT *
+            out = Compiled(
+                cur.df.select(*[F.col(v) for v in cur.var_order]),
+                list(cur.var_order),
+                set(cur.certain),
+            )
+
+        if q.order_by:
+            ec = self._expr_compiler(out)
+            keys: list[Column] = []
+            for expr, asc in q.order_by:
+                t = ec.compile(expr)
+                for k in sort_keys(t):
+                    keys.append(k.asc() if asc else k.desc())
+            out = Compiled(out.df.orderBy(*keys), out.var_order, out.certain)
+
+        if q.distinct or q.reduced:
+            out = Compiled(out.df.dropDuplicates(out.var_order), out.var_order, out.certain)
+        if q.offset:
+            out = Compiled(out.df.offset(q.offset), out.var_order, out.certain)
+        if q.limit is not None:
+            out = Compiled(out.df.limit(q.limit), out.var_order, out.certain)
+        return out
+
+    def _expr_compiler(self, c: Compiled) -> ExprCompiler:
+        return ExprCompiler(lambda n: F.col(n), c.vars)
+
+    # ---------------------------------------------------------- aggregation
+    def _aggregate(
+        self, base: Compiled, q: A.SelectQuery, agg_nodes: list[A.Aggregate]
+    ) -> Compiled:
+        ec = self._expr_compiler(base)
+        key_cols: list[Column] = []
+        key_names: list[str] = []
+        for g in q.group_by:
+            if isinstance(g, A.Var):
+                key_cols.append(F.col(g.name))
+                key_names.append(g.name)
+            else:
+                expr, alias = g
+                name = alias.name if alias else f"_gk{next(self._uid)}"
+                key_cols.append(ec.compile(expr).alias(name))
+                key_names.append(name)
+
+        agg_exprs: list[Column] = []
+        builders: dict[int, Column] = {}
+        for node in agg_nodes:
+            uid = next(self._uid)
+            raw = f"_agg{uid}"
+            operand = ec.compile(node.expr) if node.expr is not None else None
+            fn = node.func
+            if fn == "COUNT":
+                if operand is None:
+                    agg_exprs.append(F.count(F.lit(1)).alias(raw))
+                elif node.distinct:
+                    agg_exprs.append(F.countDistinct(operand).alias(raw))
+                else:
+                    agg_exprs.append(F.count(operand).alias(raw))
+                builders[id(node)] = make_numeric(
+                    F.col(raw).cast("decimal(38,10)"), XSD + "integer"
+                )
+            elif fn in ("SUM", "AVG"):
+                num = operand["num"]
+                if node.distinct:
+                    col = F.sum_distinct(num) if fn == "SUM" else F.avg(num)
+                else:
+                    col = F.sum(num) if fn == "SUM" else F.avg(num)
+                agg_exprs.append(col.alias(raw))
+                builders[id(node)] = make_numeric(F.col(raw).cast("decimal(38,10)"))
+            elif fn in ("MIN", "MAX"):
+                f = F.min if fn == "MIN" else F.max
+                agg_exprs.append(f(operand["num"]).alias(raw + "_n"))
+                agg_exprs.append(f(operand["lex"]).alias(raw + "_s"))
+                builders[id(node)] = (
+                    F.when(F.col(raw + "_n").isNotNull(), make_numeric(F.col(raw + "_n")))
+                    .otherwise(make_string(F.col(raw + "_s")))
+                )
+            elif fn == "GROUP_CONCAT":
+                lex = operand["lex"]
+                coll = F.collect_set(lex) if node.distinct else F.collect_list(lex)
+                agg_exprs.append(coll.alias(raw))
+                # sorted for determinism (SPARQL leaves order unspecified)
+                builders[id(node)] = make_string(
+                    F.concat_ws(node.separator, F.array_sort(F.col(raw)))
+                )
+            elif fn == "SAMPLE":
+                agg_exprs.append(F.first(operand, ignorenulls=True).alias(raw))
+                builders[id(node)] = F.col(raw)
+            else:
+                raise ValueError(f"unsupported aggregate {fn}")
+
+        if not agg_exprs:  # GROUP BY with no aggregates → keys only
+            agg_exprs = [F.count(F.lit(1)).alias("_gdummy")]
+        gdf = (
+            base.df.groupBy(*key_cols).agg(*agg_exprs)
+            if key_cols
+            else base.df.agg(*agg_exprs)
+        )
+        # Replace Aggregate nodes with resolved columns for post-agg exprs.
+        post = gdf.select(
+            *[F.col(n) for n in key_names],
+            *[builders[id(n)].alias(f"_aggv{i}") for i, n in enumerate(agg_nodes)],
+        )
+        for i, node in enumerate(agg_nodes):
+            self._rewrite_agg(q, node, f"_aggv{i}")
+        cur = Compiled(post, key_names + [f"_aggv{i}" for i in range(len(agg_nodes))],
+                       set(key_names))
+
+        if q.having:
+            ec2 = self._expr_compiler(cur)
+            for h in q.having:
+                cur = Compiled(
+                    cur.df.filter(ec2.compile_bool(h)), cur.var_order, cur.certain
+                )
+        return cur
+
+    def _rewrite_agg(self, q: A.SelectQuery, node: A.Aggregate, colname: str):
+        """Swap an Aggregate node for a Var reference to its computed col."""
+        ref = A.Var(colname)
+
+        def sub(e):
+            if e is node:
+                return ref
+            if isinstance(e, (A.OrExpr, A.AndExpr)):
+                e.parts = [sub(p) for p in e.parts]
+            elif isinstance(e, (A.Compare, A.Arith)):
+                e.left = sub(e.left)
+                e.right = sub(e.right)
+            elif isinstance(e, (A.UnaryMinus, A.NotExpr)):
+                e.inner = sub(e.inner)
+            elif isinstance(e, A.InExpr):
+                e.expr = sub(e.expr)
+                e.options = [sub(o) for o in e.options]
+            elif isinstance(e, A.FuncCall):
+                e.args = [sub(a) for a in e.args]
+            return e
+
+        q.projections = [(sub(p), a) for p, a in q.projections]
+        q.having = [sub(h) for h in q.having]
+        q.order_by = [(sub(o), asc) for o, asc in q.order_by]
+
+    # ------------------------------------------------------------- patterns
+    def unit(self) -> Compiled:
+        return Compiled(self.spark.range(1).select(), [], set())
+
+    def compile_group(self, group: A.GroupPattern, graph_ctx) -> Compiled:
+        cur: Compiled | None = None
+        for elem in group.elements:
+            if isinstance(elem, A.BGP):
+                c = self.compile_bgp(elem, graph_ctx)
+                cur = c if cur is None else self.join(cur, c, "inner")
+            elif isinstance(elem, A.OptionalPattern):
+                left = cur if cur is not None else self.unit()
+                right = self.compile_group(elem.group, graph_ctx)
+                cur = self.join(left, right, "left")
+            elif isinstance(elem, A.UnionPattern):
+                branches = [self.compile_group(b, graph_ctx) for b in elem.branches]
+                c = self._union(branches)
+                cur = c if cur is None else self.join(cur, c, "inner")
+            elif isinstance(elem, A.MinusPattern):
+                right = self.compile_group(elem.group, graph_ctx)
+                left = cur if cur is not None else self.unit()
+                cur = self._minus(left, right)
+            elif isinstance(elem, A.GraphGraphPattern):
+                ctx = elem.graph
+                c = self.compile_group(elem.group, ctx)
+                cur = c if cur is None else self.join(cur, c, "inner")
+            elif isinstance(elem, A.BindPattern):
+                if cur is None:
+                    cur = self.unit()
+                ec = self._expr_compiler(cur)
+                name = elem.var.name
+                if name in cur.vars:
+                    raise ValueError(f"BIND to already-bound ?{name}")
+                cur = Compiled(
+                    cur.df.withColumn(name, ec.compile(elem.expr)),
+                    cur.var_order + [name],
+                    cur.certain,
+                )
+            elif isinstance(elem, A.ValuesPattern):
+                c = self._values(elem)
+                cur = c if cur is None else self.join(cur, c, "inner")
+            elif isinstance(elem, A.SubSelectPattern):
+                c = self.compile_select(elem.query)
+                cur = c if cur is None else self.join(cur, c, "inner")
+            elif isinstance(elem, A.GroupPattern):
+                c = self.compile_group(elem, graph_ctx)
+                cur = c if cur is None else self.join(cur, c, "inner")
+            else:
+                raise ValueError(f"unsupported pattern {type(elem).__name__}")
+        if cur is None:
+            cur = self.unit()
+        for flt in group.filters:
+            cur = self._filter(cur, flt, graph_ctx)
+        return cur
+
+    # -- BGP -----------------------------------------------------------------
+    def compile_bgp(self, bgp: A.BGP, graph_ctx) -> Compiled:
+        if not bgp.triples:
+            return self.unit()
+
+        def selectivity(tp: A.TriplePattern) -> tuple:
+            n_vars = sum(isinstance(t, A.Var) for t in (tp.s, tp.p, tp.o))
+            p_bound = 0 if isinstance(tp.p, (IRI,)) else 1
+            return (n_vars, p_bound)
+
+        remaining = sorted(bgp.triples, key=selectivity)
+        # Greedy connected ordering: always join on a shared var when any
+        # remaining pattern allows it (avoids accidental cartesians).
+        ordered: list[A.TriplePattern] = [remaining.pop(0)]
+        bound: set[str] = {
+            t.name for t in (ordered[0].s, ordered[0].p, ordered[0].o)
+            if isinstance(t, A.Var)
+        }
+        while remaining:
+            idx = next(
+                (
+                    i
+                    for i, tp in enumerate(remaining)
+                    if bound & {
+                        t.name for t in (tp.s, tp.p, tp.o) if isinstance(t, A.Var)
+                    }
+                ),
+                0,
+            )
+            tp = remaining.pop(idx)
+            ordered.append(tp)
+            bound |= {t.name for t in (tp.s, tp.p, tp.o) if isinstance(t, A.Var)}
+
+        cur = self.scan_pattern(ordered[0], graph_ctx)
+        for tp in ordered[1:]:
+            cur = self.join(cur, self.scan_pattern(tp, graph_ctx), "inner")
+        return cur
+
+    def scan_pattern(self, tp: A.TriplePattern, graph_ctx) -> Compiled:
+        if not isinstance(tp.p, (A.Var, IRI)):
+            return self._scan_path_pattern(tp, graph_ctx)
+
+        df = self.quads
+        if isinstance(graph_ctx, IRI):
+            df = df.filter(F.col("g") == graph_ctx.value)
+        elif isinstance(graph_ctx, A.Var):
+            df = df.filter(F.col("g").isNotNull())
+
+        if isinstance(tp.p, IRI):
+            df = df.filter(F.col("p") == tp.p.value)
+        if isinstance(tp.s, IRI):
+            df = df.filter(F.col("s") == tp.s.value)
+        elif isinstance(tp.s, Literal):
+            return Compiled(self.quads.limit(0).select(), [], set())
+        if isinstance(tp.o, Term) and not isinstance(tp.o, A.Var):
+            df = df.filter(object_struct().eqNullSafe(const_struct(tp.o)))
+
+        sel: list[Column] = []
+        names: list[str] = []
+        conds: list[Column] = []
+        position_exprs = {}
+        if isinstance(tp.s, A.Var):
+            position_exprs.setdefault(tp.s.name, []).append(subject_struct(F.col("s")))
+        if isinstance(tp.p, A.Var):
+            position_exprs.setdefault(tp.p.name, []).append(subject_struct(F.col("p")))
+        if isinstance(tp.o, A.Var):
+            position_exprs.setdefault(tp.o.name, []).append(object_struct())
+        if isinstance(graph_ctx, A.Var):
+            position_exprs.setdefault(graph_ctx.name, []).append(
+                subject_struct(F.col("g"))
+            )
+        for name, exprs in position_exprs.items():
+            sel.append(exprs[0].alias(name))
+            names.append(name)
+            for other in exprs[1:]:  # same var twice in one pattern
+                conds.append(exprs[0] == other)
+        for c in conds:
+            df = df.filter(c)
+        return Compiled(df.select(*sel), names, set(names))
+
+    # -- property paths ------------------------------------------------------
+    def _scan_path_pattern(self, tp: A.TriplePattern, graph_ctx) -> Compiled:
+        pairs = self.compile_path_pairs(tp.p, graph_ctx)
+        names: list[str] = []
+        sel: list[Column] = []
+        if isinstance(tp.s, A.Var):
+            sel.append(F.col("src").alias(tp.s.name))
+            names.append(tp.s.name)
+        else:
+            pairs = pairs.filter(F.col("src").eqNullSafe(const_struct(tp.s)))
+        if isinstance(tp.o, A.Var):
+            if isinstance(tp.s, A.Var) and tp.o.name == tp.s.name:
+                pairs = pairs.filter(F.col("src").eqNullSafe(F.col("dst")))
+            else:
+                sel.append(F.col("dst").alias(tp.o.name))
+                names.append(tp.o.name)
+        else:
+            pairs = pairs.filter(F.col("dst").eqNullSafe(const_struct(tp.o)))
+        return Compiled(pairs.select(*sel) if sel else pairs.select(), names, set(names))
+
+    def compile_path_pairs(self, path, graph_ctx) -> DataFrame:
+        df = self.quads
+        if isinstance(graph_ctx, IRI):
+            df = df.filter(F.col("g") == graph_ctx.value)
+        elif isinstance(graph_ctx, A.Var):
+            df = df.filter(F.col("g").isNotNull())
+
+        if isinstance(path, A.PathLink):
+            return (
+                df.filter(F.col("p") == path.iri)
+                .select(subject_struct(F.col("s")).alias("src"),
+                        object_struct().alias("dst"))
+            )
+        if isinstance(path, A.PathInv):
+            inner = self.compile_path_pairs(path.inner, graph_ctx)
+            return inner.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if isinstance(path, A.PathSeq):
+            cur = self.compile_path_pairs(path.parts[0], graph_ctx)
+            for part in path.parts[1:]:
+                nxt = self.compile_path_pairs(part, graph_ctx)
+                cur = (
+                    cur.alias("L")
+                    .join(nxt.alias("R"), F.col("L.dst").eqNullSafe(F.col("R.src")))
+                    .select(F.col("L.src").alias("src"), F.col("R.dst").alias("dst"))
+                )
+            return cur
+        if isinstance(path, A.PathAlt):
+            parts = [self.compile_path_pairs(p, graph_ctx) for p in path.parts]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.distinct()
+        if isinstance(path, (A.PathStar, A.PathPlus, A.PathOpt)):
+            from dublin_smart_city_graphdb_spark.graph.closure import (
+                transitive_closure,
+            )
+
+            inner = self.compile_path_pairs(path.inner, graph_ctx)
+            if isinstance(path, A.PathPlus):
+                return transitive_closure(inner, "src", "dst")
+            nodes = (
+                df.select(subject_struct(F.col("s")).alias("n"))
+                .unionByName(df.select(object_struct().alias("n")))
+                .distinct()
+            )
+            identity = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+            if isinstance(path, A.PathOpt):
+                return inner.unionByName(identity).distinct()
+            closed = transitive_closure(inner, "src", "dst")
+            return closed.unionByName(identity).distinct()
+        raise ValueError(f"unsupported path {type(path).__name__}")
+
+    # -- joins ---------------------------------------------------------------
+    def join(self, a: Compiled, b: Compiled, how: str) -> Compiled:
+        shared = [v for v in a.var_order if v in b.vars]
+        b_df = b.df
+        for v in shared:
+            b_df = b_df.withColumnRenamed(v, v + "__r")
+        L, R = a.df.alias("L"), b_df.alias("R")
+        cond = F.lit(True)
+        for v in shared:
+            l, r = F.col(f"L.{v}"), F.col(f"R.{v}__r")
+            if v in a.certain and v in b.certain:
+                cond = cond & (l == r)
+            else:
+                cond = cond & (l.isNull() | r.isNull() | (l == r))
+        if not shared and how == "inner":
+            joined = L.crossJoin(R)
+        else:
+            joined = L.join(R, cond, how)
+        sel: list[Column] = []
+        order: list[str] = []
+        for v in a.var_order:
+            if v in shared:
+                sel.append(F.coalesce(F.col(f"L.{v}"), F.col(f"R.{v}__r")).alias(v))
+            else:
+                sel.append(F.col(f"L.{v}").alias(v))
+            order.append(v)
+        for v in b.var_order:
+            if v not in shared:
+                sel.append(F.col(f"R.{v}").alias(v))
+                order.append(v)
+        certain = set(a.certain)
+        if how == "inner":
+            certain |= b.certain
+        # left join: b-only vars are maybe-null; shared stay as in a
+        return Compiled(joined.select(*sel), order, certain)
+
+    def _union(self, branches: list[Compiled]) -> Compiled:
+        all_vars: list[str] = []
+        for br in branches:
+            for v in br.var_order:
+                if v not in all_vars:
+                    all_vars.append(v)
+        dfs = []
+        for br in branches:
+            missing = [v for v in all_vars if v not in br.vars]
+            df = br.df
+            for v in missing:
+                df = df.withColumn(v, null_struct())
+            dfs.append(df.select(*all_vars))
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        certain = set.intersection(*[br.certain for br in branches]) if branches else set()
+        return Compiled(out, all_vars, certain)
+
+    def _minus(self, a: Compiled, b: Compiled) -> Compiled:
+        shared = [v for v in a.var_order if v in b.vars]
+        if not shared:
+            return a  # no shared domain → MINUS is a no-op (SURVEY §2.3 J5)
+        b_df = b.df
+        for v in shared:
+            b_df = b_df.withColumnRenamed(v, v + "__r")
+        compat = F.lit(True)
+        overlap = F.lit(False)
+        for v in shared:
+            l, r = F.col(f"L.{v}"), F.col(f"R.{v}__r")
+            compat = compat & (l.isNull() | r.isNull() | (l == r))
+            overlap = overlap | (l.isNotNull() & r.isNotNull())
+        joined = a.df.alias("L").join(b_df.alias("R"), compat & overlap, "left_anti")
+        return Compiled(joined.select(*a.var_order), a.var_order, a.certain)
+
+    def _values(self, vp: A.ValuesPattern) -> Compiled:
+        names = [v.name for v in vp.vars]
+        unit = self.spark.range(1).select()
+        rows_df = None
+        for row in vp.rows:
+            sel = [
+                (const_struct(t) if t is not None else null_struct()).alias(n)
+                for t, n in zip(row, names)
+            ]
+            one = unit.select(*sel)
+            rows_df = one if rows_df is None else rows_df.unionByName(one)
+        if rows_df is None:
+            rows_df = unit.select(*[null_struct().alias(n) for n in names]).limit(0)
+        certain = {
+            n for i, n in enumerate(names)
+            if all(row[i] is not None for row in vp.rows)
+        }
+        return Compiled(rows_df, names, certain)
+
+    # -- filters -------------------------------------------------------------
+    def _filter(self, cur: Compiled, flt, graph_ctx) -> Compiled:
+        if isinstance(flt, A.ExistsExpr):
+            inner = self.compile_group(flt.group, graph_ctx)
+            shared = [v for v in cur.var_order if v in inner.vars]
+            b_df = inner.df
+            for v in shared:
+                b_df = b_df.withColumnRenamed(v, v + "__r")
+            cond = F.lit(True)
+            for v in shared:
+                l, r = F.col(f"L.{v}"), F.col(f"R.{v}__r")
+                if v in cur.certain and v in inner.certain:
+                    cond = cond & (l == r)
+                else:
+                    cond = cond & (l.isNull() | r.isNull() | (l == r))
+            how = "left_anti" if flt.negated else "left_semi"
+            joined = cur.df.alias("L").join(b_df.alias("R"), cond, how)
+            return Compiled(joined.select(*cur.var_order), cur.var_order, cur.certain)
+        ec = self._expr_compiler(cur)
+        return Compiled(cur.df.filter(ec.compile_bool(flt)), cur.var_order, cur.certain)
+
+    # -- CONSTRUCT / DESCRIBE ------------------------------------------------
+    def _compile_construct(self, q: A.ConstructQuery) -> DataFrame:
+        sol = self.compile_group(q.where, None)
+        df = sol.df
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        outs = []
+        for tp in q.template:
+            def term_col(t):
+                if isinstance(t, A.Var):
+                    return F.col(t.name) if t.name in sol.vars else null_struct()
+                return const_struct(t)
+
+            one = df.select(
+                term_col(tp.s).alias("s"),
+                term_col(tp.p).alias("p"),
+                term_col(tp.o).alias("o"),
+            ).filter(
+                F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+            )
+            outs.append(one)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out.dropDuplicates(["s", "p", "o"])
+
+    def _compile_describe(self, q: A.DescribeQuery) -> DataFrame:
+        targets = None
+        consts = [t.value for t in q.terms if isinstance(t, IRI)]
+        if consts:
+            targets = self.spark.createDataFrame(
+                [(c,) for c in consts], ["target"]
+            )
+        if q.where is not None:
+            sol = self.compile_group(q.where, None)
+            for t in q.terms:
+                if isinstance(t, A.Var) and t.name in sol.vars:
+                    tt = sol.df.select(
+                        F.col(t.name)["lex"].alias("target")
+                    ).distinct()
+                    targets = tt if targets is None else targets.unionByName(tt).distinct()
+        if targets is None:
+            return self.quads.limit(0)
+        targets = F.broadcast(targets.distinct())
+        by_s = self.quads.join(targets, self.quads.s == targets.target, "left_semi")
+        by_o = self.quads.filter(F.col("o_kind") == KIND_IRI).join(
+            targets, self.quads.o_lex == targets.target, "left_semi"
+        )
+        return by_s.unionByName(by_o).distinct()

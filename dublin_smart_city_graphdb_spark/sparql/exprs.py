@@ -1,0 +1,336 @@
+"""SPARQL expression → Column compiler (SURVEY.md §2.7).
+
+Every expression evaluates to a term-struct Column (termcol.py); FILTER takes
+its EBV. SPARQL's eval-error semantics ride on SQL NULL: an erroring
+(sub)expression yields a null struct, ``F.when`` chains propagate it, and
+FILTER drops null-EBV rows — matching the spec's error→false-in-FILTER rule
+without any Python in the hot path. All functions compile to JVM builtins;
+none are Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from dublin_smart_city_graphdb_spark.model.schema import (
+    KIND_BLANK,
+    KIND_IRI,
+    KIND_LITERAL,
+)
+from dublin_smart_city_graphdb_spark.model.terms import XSD
+from dublin_smart_city_graphdb_spark.sparql import ast as A
+from dublin_smart_city_graphdb_spark.sparql.termcol import (
+    const_struct,
+    ebv,
+    make_bool,
+    make_iri,
+    make_numeric,
+    make_string,
+    make_ts,
+    null_struct,
+)
+
+
+class ExprError(ValueError):
+    pass
+
+
+def _num(t: Column) -> Column:
+    return t["num"]
+
+
+def _lex(t: Column) -> Column:
+    return t["lex"]
+
+
+def _is_str_literal(t: Column) -> Column:
+    return (t["kind"] == KIND_LITERAL) & (
+        t["dtype"].isNull() | (t["dtype"] == XSD + "string")
+    )
+
+
+def _null_bool() -> Column:
+    return F.lit(None).cast("boolean")
+
+
+def term_eq(a: Column, b: Column) -> Column:
+    """SPARQL ``=``: numeric value equality when both numeric, timestamp
+    equality when both temporal, else RDF term identity; errors → null."""
+    return (
+        F.when(a.isNull() | b.isNull(), _null_bool())
+        .when(_num(a).isNotNull() & _num(b).isNotNull(), _num(a) == _num(b))
+        .when(a["ts"].isNotNull() & b["ts"].isNotNull(), a["ts"] == b["ts"])
+        .otherwise(
+            (a["kind"] == b["kind"])
+            & (a["lex"] == b["lex"])
+            & a["dtype"].eqNullSafe(b["dtype"])
+            & a["lang"].eqNullSafe(b["lang"])
+        )
+    )
+
+
+def _cmp(op: str, a: Column, b: Column) -> Column:
+    def apply(x: Column, y: Column) -> Column:
+        return {
+            "<": x < y, ">": x > y, "<=": x <= y, ">=": x >= y,
+        }[op]
+
+    return (
+        F.when(a.isNull() | b.isNull(), _null_bool())
+        .when(_num(a).isNotNull() & _num(b).isNotNull(), apply(_num(a), _num(b)))
+        .when(a["ts"].isNotNull() & b["ts"].isNotNull(), apply(a["ts"], b["ts"]))
+        .when(a["bool"].isNotNull() & b["bool"].isNotNull(),
+              apply(a["bool"].cast("int"), b["bool"].cast("int")))
+        .when(
+            _is_str_literal(a) & _is_str_literal(b), apply(_lex(a), _lex(b))
+        )
+        .otherwise(_null_bool())
+    )
+
+
+class ExprCompiler:
+    """Compiles AST expressions against a DataFrame whose variable columns
+    are term structs. EXISTS/aggregate nodes must have been rewritten by the
+    query compiler before reaching here (they need plan context)."""
+
+    def __init__(self, var_resolver, in_scope: set[str]):
+        self._resolve = var_resolver  # name -> Column (term struct)
+        self._scope = in_scope
+
+    # -- boolean fast path ---------------------------------------------------
+    def compile_bool(self, e) -> Column:
+        """Compile straight to a BooleanType column (EBV), skipping the
+        term-struct round-trip. Critical for FILTER chains: the struct wrap +
+        EBV unwrap duplicates the comparison tree ~30× per level, which blows
+        up Catalyst analysis on conjunctive filters (the golden bounding-box
+        query). Null = SPARQL eval error."""
+        if isinstance(e, (A.OrExpr, A.AndExpr)):
+            parts = [self.compile_bool(p) for p in e.parts]
+            out = parts[0]
+            for p in parts[1:]:
+                # Spark's 3-valued AND/OR matches SPARQL's error semantics
+                out = (out | p) if isinstance(e, A.OrExpr) else (out & p)
+            return out
+        if isinstance(e, A.NotExpr):
+            return ~self.compile_bool(e.inner)
+        if isinstance(e, A.Compare):
+            a, b = self.compile(e.left), self.compile(e.right)
+            if e.op == "=":
+                return term_eq(a, b)
+            if e.op == "!=":
+                return ~term_eq(a, b)
+            return _cmp(e.op, a, b)
+        if isinstance(e, A.InExpr):
+            a = self.compile(e.expr)
+            hit = F.lit(False)
+            for opt in e.options:
+                hit = hit | F.coalesce(term_eq(a, self.compile(opt)), F.lit(False))
+            return ~hit if e.negated else hit
+        return ebv(self.compile(e))
+
+    # -- dispatch -----------------------------------------------------------
+    def compile(self, e) -> Column:
+        if isinstance(e, A.Var):
+            if e.name not in self._scope:
+                return null_struct()  # unbound var → error in expressions
+            return self._resolve(e.name)
+        if isinstance(e, (A.OrExpr, A.AndExpr, A.NotExpr)):
+            return make_bool(self.compile_bool(e))
+        if isinstance(e, A.Compare):
+            a, b = self.compile(e.left), self.compile(e.right)
+            if e.op == "=":
+                return make_bool(term_eq(a, b))
+            if e.op == "!=":
+                return make_bool(~term_eq(a, b))
+            return make_bool(_cmp(e.op, a, b))
+        if isinstance(e, A.Arith):
+            a, b = self.compile(e.left), self.compile(e.right)
+            x, y = _num(a), _num(b)
+            out = {"+": x + y, "-": x - y, "*": x * y, "/": x / y}[e.op]
+            return make_numeric(out)
+        if isinstance(e, A.UnaryMinus):
+            return make_numeric(-_num(self.compile(e.inner)))
+        if isinstance(e, A.InExpr):
+            a = self.compile(e.expr)
+            hit = F.lit(False)
+            for opt in e.options:
+                hit = hit | F.coalesce(term_eq(a, self.compile(opt)), F.lit(False))
+            return make_bool(~hit if e.negated else hit)
+        if isinstance(e, A.FuncCall):
+            return self._func(e)
+        if hasattr(e, "value") or hasattr(e, "lex") or hasattr(e, "label"):
+            return const_struct(e)  # IRI / Literal / BNode constant
+        raise ExprError(f"unsupported expression node: {type(e).__name__}")
+
+    # -- builtins (SURVEY §2.7) ---------------------------------------------
+    def _func(self, e: A.FuncCall) -> Column:  # noqa: C901
+        name = e.name
+        args = [self.compile(a) for a in e.args]
+
+        if name == "BOUND":
+            return make_bool(args[0].isNotNull())
+        if name == "COALESCE":
+            return F.coalesce(*args) if args else null_struct()
+        if name == "IF":
+            c = ebv(args[0])
+            return F.when(c, args[1]).when(~c, args[2]).otherwise(null_struct())
+        if name == "SAMETERM":
+            a, b = args
+            return make_bool(
+                (a["kind"] == b["kind"]) & (a["lex"] == b["lex"])
+                & a["dtype"].eqNullSafe(b["dtype"]) & a["lang"].eqNullSafe(b["lang"])
+            )
+
+        if name == "STR":
+            return make_string(_lex(args[0]))
+        if name == "LANG":
+            return make_string(F.coalesce(args[0]["lang"], F.lit("")))
+        if name == "LANGMATCHES":
+            tag, rng = _lex(args[0]), _lex(args[1])
+            return make_bool(
+                F.when(rng == "*", F.length(tag) > 0)
+                .otherwise(
+                    (F.lower(tag) == F.lower(rng))
+                    | F.lower(tag).startswith(F.concat(F.lower(rng), F.lit("-")))
+                )
+            )
+        if name == "DATATYPE":
+            t = args[0]
+            return make_iri(
+                F.when(t["kind"] != KIND_LITERAL, F.lit(None).cast("string"))
+                .when(t["lang"].isNotNull(),
+                      F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+                .when(t["dtype"].isNotNull(), t["dtype"])
+                .otherwise(F.lit(XSD + "string"))
+            )
+        if name in ("IRI", "URI"):
+            return make_iri(_lex(args[0]))
+        if name == "BNODE":
+            lbl = F.concat(F.lit("_:gen"), F.abs(F.hash(F.rand())).cast("string"))
+            return F.struct(
+                F.lit(KIND_BLANK).cast("tinyint").alias("kind"),
+                lbl.alias("lex"),
+                *[F.lit(None).cast(t).alias(n) for n, t in (
+                    ("dtype", "string"), ("lang", "string"),
+                    ("num", "decimal(38,10)"), ("ts", "timestamp"),
+                    ("bool", "boolean"))],
+            )
+        if name == "STRDT":
+            from dublin_smart_city_graphdb_spark.sparql.termcol import _struct, _NULL_B, _NULL_N, _NULL_S, _NULL_T
+            lex, dt = _lex(args[0]), _lex(args[1])
+            num = F.when(
+                dt.isin(*[XSD + t for t in ("integer", "decimal", "double", "float")]),
+                lex.cast("decimal(38,10)"),
+            )
+            return _struct(F.lit(KIND_LITERAL), lex, dt, _NULL_S(), num, _NULL_T(), _NULL_B())
+        if name == "STRLANG":
+            from dublin_smart_city_graphdb_spark.sparql.termcol import _struct, _NULL_B, _NULL_N, _NULL_S, _NULL_T
+            return _struct(F.lit(KIND_LITERAL), _lex(args[0]), _NULL_S(),
+                           _lex(args[1]), _NULL_N(), _NULL_T(), _NULL_B())
+        if name == "UUID":
+            return make_iri(F.concat(F.lit("urn:uuid:"), F.uuid()))
+        if name == "STRUUID":
+            return make_string(F.uuid())
+        if name in ("ISIRI", "ISURI"):
+            return make_bool(args[0]["kind"] == KIND_IRI)
+        if name == "ISBLANK":
+            return make_bool(args[0]["kind"] == KIND_BLANK)
+        if name == "ISLITERAL":
+            return make_bool(args[0]["kind"] == KIND_LITERAL)
+        if name == "ISNUMERIC":
+            return make_bool(_num(args[0]).isNotNull())
+
+        if name == "STRLEN":
+            return make_numeric(F.length(_lex(args[0])), XSD + "integer")
+        if name == "SUBSTR":
+            s = _lex(args[0])
+            start = _num(args[1]).cast("int")
+            if len(args) > 2:
+                out = s.substr(start, _num(args[2]).cast("int"))
+            else:
+                out = s.substr(start, F.lit(2_000_000_000))
+            return make_string(out)
+        if name == "UCASE":
+            return make_string(F.upper(_lex(args[0])))
+        if name == "LCASE":
+            return make_string(F.lower(_lex(args[0])))
+        if name == "STRSTARTS":
+            return make_bool(_lex(args[0]).startswith(_lex(args[1])))
+        if name == "STRENDS":
+            return make_bool(_lex(args[0]).endswith(_lex(args[1])))
+        if name == "CONTAINS":
+            return make_bool(_lex(args[0]).contains(_lex(args[1])))
+        if name == "STRBEFORE":
+            s, sep = _lex(args[0]), _lex(args[1])
+            idx = F.instr(s, sep)
+            return make_string(
+                F.when(sep == "", F.lit(""))
+                .when(idx > 0, s.substr(F.lit(1), idx - 1))
+                .otherwise(F.lit(""))
+            )
+        if name == "STRAFTER":
+            s, sep = _lex(args[0]), _lex(args[1])
+            idx = F.instr(s, sep)
+            return make_string(
+                F.when(sep == "", s)
+                .when(idx > 0, s.substr(idx + F.length(sep), F.lit(2_000_000_000)))
+                .otherwise(F.lit(""))
+            )
+        if name == "CONCAT":
+            return make_string(F.concat(*[_lex(a) for a in args]))
+        if name == "ENCODE_FOR_URI":
+            return make_string(F.url_encode(_lex(args[0])))
+        if name == "REGEX":
+            s, pat = _lex(args[0]), _lex(args[1])
+            if len(args) > 2:
+                pat = F.concat(F.lit("(?"), _lex(args[2]), F.lit(")"), pat)
+            return make_bool(F.regexp_like(s, pat))
+        if name == "REPLACE":
+            s, pat, rep = _lex(args[0]), _lex(args[1]), _lex(args[2])
+            if len(args) > 3:
+                pat = F.concat(F.lit("(?"), _lex(args[3]), F.lit(")"), pat)
+            return make_string(F.regexp_replace(s, pat, rep))
+
+        if name == "ABS":
+            return make_numeric(F.abs(_num(args[0])))
+        if name == "ROUND":
+            return make_numeric(F.round(_num(args[0]), 0))
+        if name == "CEIL":
+            return make_numeric(F.ceil(_num(args[0])).cast("decimal(38,10)"))
+        if name == "FLOOR":
+            return make_numeric(F.floor(_num(args[0])).cast("decimal(38,10)"))
+        if name == "RAND":
+            return make_numeric(F.rand().cast("decimal(38,10)"), XSD + "double")
+
+        if name == "NOW":
+            return make_ts(F.current_timestamp())
+        if name == "YEAR":
+            return make_numeric(F.year(args[0]["ts"]), XSD + "integer")
+        if name == "MONTH":
+            return make_numeric(F.month(args[0]["ts"]), XSD + "integer")
+        if name == "DAY":
+            return make_numeric(F.dayofmonth(args[0]["ts"]), XSD + "integer")
+        if name == "HOURS":
+            return make_numeric(F.hour(args[0]["ts"]), XSD + "integer")
+        if name == "MINUTES":
+            return make_numeric(F.minute(args[0]["ts"]), XSD + "integer")
+        if name == "SECONDS":
+            return make_numeric(F.second(args[0]["ts"]), XSD + "integer")
+        if name in ("TIMEZONE", "TZ"):
+            # Stored lexical form carries the zone; engine normalizes to UTC.
+            lex = _lex(args[0])
+            tz = F.when(lex.endswith("Z"), F.lit("Z")).otherwise(
+                F.regexp_extract(lex, r"([+-]\d\d:\d\d)$", 1)
+            )
+            return make_string(tz)
+
+        if name == "MD5":
+            return make_string(F.md5(_lex(args[0]).cast("binary")))
+        if name == "SHA1":
+            return make_string(F.sha1(_lex(args[0]).cast("binary")))
+        if name in ("SHA256", "SHA384", "SHA512"):
+            bits = int(name[3:])
+            return make_string(F.sha2(_lex(args[0]).cast("binary"), bits))
+
+        raise ExprError(f"unsupported function {name}")

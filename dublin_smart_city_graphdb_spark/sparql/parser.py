@@ -1,0 +1,678 @@
+"""SPARQL 1.1 tokenizer + recursive-descent parser → AST (sparql/ast.py).
+
+Hand-rolled against the public W3C SPARQL 1.1 grammar (no rdflib in this
+environment). Covers the query surface inventoried in SURVEY.md §2:
+SELECT/ASK/CONSTRUCT/DESCRIBE, BGPs with ``a``/``;``/``,`` sugar, property
+paths, OPTIONAL/UNION/MINUS/GRAPH/BIND/VALUES/sub-SELECT, FILTER with
+EXISTS/NOT EXISTS, aggregates, and solution modifiers.
+"""
+
+from __future__ import annotations
+
+import re
+
+from dublin_smart_city_graphdb_spark.model.terms import RDF_TYPE, XSD, BNode, IRI, Literal
+from dublin_smart_city_graphdb_spark.sparql.ast import (
+    Aggregate, AndExpr, Arith, AskQuery, BGP, BindPattern, Compare,
+    ConstructQuery, DescribeQuery, ExistsExpr, FuncCall, GraphGraphPattern,
+    GroupPattern, InExpr, MinusPattern, NotExpr, OptionalPattern, OrExpr,
+    PathAlt, PathInv, PathLink, PathOpt, PathPlus, PathSeq, PathStar,
+    SelectQuery, SubSelectPattern, TriplePattern, UnaryMinus, UnionPattern,
+    ValuesPattern, Var,
+)
+from dublin_smart_city_graphdb_spark.sources.turtle import _unescape
+
+_SPARQL_TOKEN = re.compile(
+    r"""
+      (?P<WS>\s+|\#[^\n]*)
+    | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
+    | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<STRING_LONG2>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\")
+    | (?P<STRING_LONG1>'''(?:[^'\\]|\\.|'(?!''))*''')
+    | (?P<STRING2>"(?:[^"\\\n]|\\.)*")
+    | (?P<STRING1>'(?:[^'\\\n]|\\.)*')
+    | (?P<LANGTAG>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
+    | (?P<DOUBLE>(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+)
+    | (?P<DECIMAL>\d*\.\d+)
+    | (?P<INTEGER>\d+)
+    | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-]|[A-Za-z_][A-Za-z0-9_-]*:|:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-]|:)
+    | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[=<>!+\-*/|^?()\[\]{},.;])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "WHERE", "FROM", "NAMED",
+    "PREFIX", "BASE", "DISTINCT", "REDUCED", "AS", "OPTIONAL", "UNION",
+    "MINUS", "GRAPH", "FILTER", "BIND", "VALUES", "UNDEF", "GROUP", "BY",
+    "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET", "EXISTS", "NOT",
+    "IN", "A", "TRUE", "FALSE",
+}
+
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
+
+_BUILTINS = {
+    "STR", "LANG", "LANGMATCHES", "DATATYPE", "BOUND", "IRI", "URI", "BNODE",
+    "RAND", "ABS", "CEIL", "FLOOR", "ROUND", "CONCAT", "STRLEN", "UCASE",
+    "LCASE", "ENCODE_FOR_URI", "CONTAINS", "STRSTARTS", "STRENDS",
+    "STRBEFORE", "STRAFTER", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+    "SECONDS", "TIMEZONE", "TZ", "NOW", "UUID", "STRUUID", "MD5", "SHA1",
+    "SHA256", "SHA384", "SHA512", "COALESCE", "IF", "STRLANG", "STRDT",
+    "SAMETERM", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC",
+    "REGEX", "SUBSTR", "REPLACE",
+}
+
+
+class SparqlParser:
+    def __init__(self, text: str):
+        self.tokens: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(text):
+            m = _SPARQL_TOKEN.match(text, pos)
+            if not m:
+                raise ValueError(f"sparql: cannot tokenize at {text[pos:pos + 40]!r}")
+            pos = m.end()
+            if m.lastgroup != "WS":
+                self.tokens.append((m.lastgroup, m.group()))
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self._bnode_n = 0
+
+    # -- token helpers ------------------------------------------------------
+    def _peek(self, ahead: int = 0) -> tuple[str, str]:
+        j = self.i + ahead
+        return self.tokens[j] if j < len(self.tokens) else ("EOF", "")
+
+    def _kw(self, ahead: int = 0) -> str | None:
+        kind, v = self._peek(ahead)
+        return v.upper() if kind == "NAME" and v.upper() in _KEYWORDS | _AGG_FUNCS | _BUILTINS else None
+
+    def _next(self) -> tuple[str, str]:
+        tok = self._peek()
+        self.i += 1
+        return tok
+
+    def _expect_op(self, op: str):
+        kind, v = self._next()
+        if v != op:
+            raise ValueError(f"sparql: expected {op!r}, got {v!r}")
+
+    def _expect_kw(self, kw: str):
+        kind, v = self._next()
+        if kind != "NAME" or v.upper() != kw:
+            raise ValueError(f"sparql: expected {kw}, got {v!r}")
+
+    def _accept_kw(self, kw: str) -> bool:
+        if self._kw() == kw:
+            self._next()
+            return True
+        return False
+
+    def _accept_op(self, op: str) -> bool:
+        if self._peek()[1] == op:
+            self._next()
+            return True
+        return False
+
+    # -- entry --------------------------------------------------------------
+    def parse(self):
+        self._prologue()
+        kw = self._kw()
+        if kw == "SELECT":
+            q = self._select_query(top=True)
+        elif kw == "ASK":
+            q = self._ask_query()
+        elif kw == "CONSTRUCT":
+            q = self._construct_query()
+        elif kw == "DESCRIBE":
+            q = self._describe_query()
+        else:
+            raise ValueError(f"sparql: expected query form, got {self._peek()[1]!r}")
+        if self._peek()[0] != "EOF":
+            raise ValueError(f"sparql: trailing tokens at {self._peek()[1]!r}")
+        return q
+
+    def _prologue(self):
+        while True:
+            kw = self._kw()
+            if kw == "PREFIX":
+                self._next()
+                _, pname = self._next()
+                if not pname.endswith(":"):
+                    ns = pname.split(":", 1)[0]
+                else:
+                    ns = pname[:-1]
+                _, iriref = self._next()
+                self.prefixes[ns] = iriref[1:-1]
+            elif kw == "BASE":
+                self._next()
+                _, iriref = self._next()
+                self.base = iriref[1:-1]
+            else:
+                return
+
+    # -- query forms --------------------------------------------------------
+    def _select_query(self, top: bool) -> SelectQuery:
+        self._expect_kw("SELECT")
+        distinct = self._accept_kw("DISTINCT")
+        reduced = self._accept_kw("REDUCED")
+        projections: list[tuple[object, Var | None]] = []
+        if self._accept_op("*"):
+            pass
+        else:
+            while True:
+                kind, v = self._peek()
+                if kind == "VAR":
+                    self._next()
+                    projections.append((Var(v[1:]), None))
+                elif v == "(":
+                    self._next()
+                    expr = self._expression()
+                    self._expect_kw("AS")
+                    _, vv = self._next()
+                    projections.append((expr, Var(vv[1:])))
+                    self._expect_op(")")
+                else:
+                    break
+            if not projections:
+                raise ValueError("sparql: SELECT needs projections or *")
+        # FROM clauses: parsed and recorded (dataset selection is the
+        # engine's job; unsupported combinations raise there)
+        while self._kw() == "FROM":
+            self._next()
+            self._accept_kw("NAMED")
+            self._term()
+        self._accept_kw("WHERE")
+        where = self._group_graph_pattern()
+        q = SelectQuery(projections=projections, where=where,
+                        distinct=distinct, reduced=reduced)
+        self._solution_modifiers(q)
+        return q
+
+    def _ask_query(self) -> AskQuery:
+        self._expect_kw("ASK")
+        self._accept_kw("WHERE")
+        return AskQuery(where=self._group_graph_pattern())
+
+    def _construct_query(self) -> ConstructQuery:
+        self._expect_kw("CONSTRUCT")
+        self._expect_op("{")
+        template: list[TriplePattern] = []
+        while self._peek()[1] != "}":
+            template.extend(self._triples_same_subject())
+            if not self._accept_op("."):
+                break
+        self._expect_op("}")
+        self._accept_kw("WHERE")
+        where = self._group_graph_pattern()
+        q = ConstructQuery(template=template, where=where)
+        if self._accept_kw("LIMIT"):
+            q.limit = int(self._next()[1])
+        if self._accept_kw("OFFSET"):
+            q.offset = int(self._next()[1])
+        return q
+
+    def _describe_query(self) -> DescribeQuery:
+        self._expect_kw("DESCRIBE")
+        terms: list[Var | IRI] = []
+        while True:
+            kind, v = self._peek()
+            if kind == "VAR":
+                self._next()
+                terms.append(Var(v[1:]))
+            elif kind in ("IRIREF", "PNAME"):
+                terms.append(self._term())
+            else:
+                break
+        where = None
+        if self._kw() == "WHERE" or self._peek()[1] == "{":
+            self._accept_kw("WHERE")
+            where = self._group_graph_pattern()
+        return DescribeQuery(terms=terms, where=where)
+
+    def _solution_modifiers(self, q: SelectQuery):
+        if self._accept_kw("GROUP"):
+            self._expect_kw("BY")
+            while True:
+                kind, v = self._peek()
+                if kind == "VAR":
+                    self._next()
+                    q.group_by.append(Var(v[1:]))
+                elif v == "(":
+                    self._next()
+                    expr = self._expression()
+                    if self._accept_kw("AS"):
+                        _, vv = self._next()
+                        q.group_by.append((expr, Var(vv[1:])))
+                    else:
+                        q.group_by.append((expr, None))
+                    self._expect_op(")")
+                else:
+                    break
+        if self._accept_kw("HAVING"):
+            while self._peek()[1] == "(":
+                q.having.append(self._bracketted_expression())
+        if self._accept_kw("ORDER"):
+            self._expect_kw("BY")
+            while True:
+                kw = self._kw()
+                kind, v = self._peek()
+                if kw == "ASC" or kw == "DESC":
+                    self._next()
+                    q.order_by.append((self._bracketted_expression(), kw == "ASC"))
+                elif kind == "VAR":
+                    self._next()
+                    q.order_by.append((Var(v[1:]), True))
+                elif v == "(":
+                    q.order_by.append((self._bracketted_expression(), True))
+                elif kind == "NAME" and v.upper() in _BUILTINS:
+                    q.order_by.append((self._builtin_call(), True))
+                else:
+                    break
+        # LIMIT/OFFSET in either order
+        for _ in range(2):
+            if self._accept_kw("LIMIT"):
+                q.limit = int(self._next()[1])
+            elif self._accept_kw("OFFSET"):
+                q.offset = int(self._next()[1])
+        if self._kw() == "VALUES":
+            vp = self._values_pattern()
+            q.where.elements.append(vp)
+
+    # -- group graph pattern -------------------------------------------------
+    def _group_graph_pattern(self) -> GroupPattern:
+        self._expect_op("{")
+        group = GroupPattern()
+        while True:
+            kind, v = self._peek()
+            kw = self._kw()
+            if v == "}":
+                self._next()
+                return group
+            if kw == "SELECT":
+                group.elements.append(SubSelectPattern(self._select_query(top=False)))
+            elif kw == "OPTIONAL":
+                self._next()
+                group.elements.append(OptionalPattern(self._group_graph_pattern()))
+            elif kw == "MINUS":
+                self._next()
+                group.elements.append(MinusPattern(self._group_graph_pattern()))
+            elif kw == "GRAPH":
+                self._next()
+                gkind, gv = self._peek()
+                if gkind == "VAR":
+                    self._next()
+                    gterm: Var | IRI = Var(gv[1:])
+                else:
+                    t = self._term()
+                    if not isinstance(t, IRI):
+                        raise ValueError("sparql: GRAPH needs var or IRI")
+                    gterm = t
+                group.elements.append(
+                    GraphGraphPattern(gterm, self._group_graph_pattern())
+                )
+            elif kw == "FILTER":
+                self._next()
+                group.filters.append(self._constraint())
+            elif kw == "BIND":
+                self._next()
+                self._expect_op("(")
+                expr = self._expression()
+                self._expect_kw("AS")
+                _, vv = self._next()
+                self._expect_op(")")
+                group.elements.append(BindPattern(expr, Var(vv[1:])))
+            elif kw == "VALUES":
+                group.elements.append(self._values_pattern())
+            elif v == "{":
+                # group-or-union
+                first = self._group_graph_pattern()
+                branches = [first]
+                while self._accept_kw("UNION"):
+                    branches.append(self._group_graph_pattern())
+                if len(branches) == 1:
+                    group.elements.append(first)
+                else:
+                    group.elements.append(UnionPattern(branches))
+            else:
+                triples: list[TriplePattern] = []
+                while True:
+                    triples.extend(self._triples_same_subject())
+                    if self._accept_op("."):
+                        kind2, v2 = self._peek()
+                        if v2 == "}" or self._kw() in (
+                            "OPTIONAL", "MINUS", "GRAPH", "FILTER", "BIND",
+                            "VALUES", "SELECT",
+                        ) or v2 == "{":
+                            break
+                        continue
+                    break
+                group.elements.append(BGP(triples))
+
+    def _constraint(self):
+        kw = self._kw()
+        if kw in ("EXISTS", "NOT"):
+            return self._exists_expr()
+        if self._peek()[1] == "(":
+            return self._bracketted_expression()
+        return self._builtin_call()
+
+    def _exists_expr(self) -> ExistsExpr:
+        negated = False
+        if self._accept_kw("NOT"):
+            negated = True
+        self._expect_kw("EXISTS")
+        return ExistsExpr(self._group_graph_pattern(), negated)
+
+    def _values_pattern(self) -> ValuesPattern:
+        self._expect_kw("VALUES")
+        vars_: list[Var] = []
+        rows: list[list] = []
+        kind, v = self._peek()
+        if kind == "VAR":
+            self._next()
+            vars_.append(Var(v[1:]))
+            self._expect_op("{")
+            while self._peek()[1] != "}":
+                rows.append([self._values_term()])
+            self._next()
+        else:
+            self._expect_op("(")
+            while self._peek()[0] == "VAR":
+                _, vv = self._next()
+                vars_.append(Var(vv[1:]))
+            self._expect_op(")")
+            self._expect_op("{")
+            while self._peek()[1] == "(":
+                self._next()
+                row = []
+                while self._peek()[1] != ")":
+                    row.append(self._values_term())
+                self._next()
+                rows.append(row)
+            self._expect_op("}")
+        return ValuesPattern(vars_, rows)
+
+    def _values_term(self):
+        if self._kw() == "UNDEF":
+            self._next()
+            return None
+        return self._term()
+
+    # -- triples ------------------------------------------------------------
+    def _triples_same_subject(self) -> list[TriplePattern]:
+        out: list[TriplePattern] = []
+        kind, v = self._peek()
+        if v == "[":
+            self._next()
+            self._bnode_n += 1
+            subj: object = BNode(f"q_anon{self._bnode_n}")
+            if self._peek()[1] != "]":
+                self._predicate_object_list(subj, out)
+            self._expect_op("]")
+            if self._peek()[1] not in (".", "}", ";") and self._kw() is None:
+                self._predicate_object_list(subj, out)
+            return out
+        subj = self._graph_term()
+        self._predicate_object_list(subj, out)
+        return out
+
+    def _predicate_object_list(self, subj, out: list[TriplePattern]):
+        while True:
+            pred = self._verb_or_path()
+            while True:
+                obj = self._graph_term()
+                out.append(TriplePattern(subj, pred, obj))
+                if self._accept_op(","):
+                    continue
+                break
+            if self._accept_op(";"):
+                if self._peek()[1] in (".", "}", "]") :
+                    return
+                if self._peek()[1] == ";":
+                    continue
+                continue
+            return
+
+    def _verb_or_path(self):
+        kind, v = self._peek()
+        if kind == "VAR":
+            self._next()
+            return Var(v[1:])
+        path = self._path_alt()
+        if isinstance(path, PathLink):
+            return IRI(path.iri)  # plain predicate fast path
+        return path
+
+    def _path_alt(self):
+        parts = [self._path_seq()]
+        while self._accept_op("|"):
+            parts.append(self._path_seq())
+        return parts[0] if len(parts) == 1 else PathAlt(tuple(parts))
+
+    def _path_seq(self):
+        parts = [self._path_elt_or_inverse()]
+        while self._accept_op("/"):
+            parts.append(self._path_elt_or_inverse())
+        return parts[0] if len(parts) == 1 else PathSeq(tuple(parts))
+
+    def _path_elt_or_inverse(self):
+        if self._accept_op("^"):
+            return PathInv(self._path_elt())
+        return self._path_elt()
+
+    def _path_elt(self):
+        prim = self._path_primary()
+        kind, v = self._peek()
+        if v == "*":
+            self._next()
+            return PathStar(prim)
+        if v == "+":
+            self._next()
+            return PathPlus(prim)
+        if v == "?":
+            self._next()
+            return PathOpt(prim)
+        return prim
+
+    def _path_primary(self):
+        kind, v = self._peek()
+        if v == "(":
+            self._next()
+            inner = self._path_alt()
+            self._expect_op(")")
+            return inner
+        if kind == "NAME" and v.upper() == "A" and v == "a":
+            self._next()
+            return PathLink(RDF_TYPE)
+        t = self._term()
+        if not isinstance(t, IRI):
+            raise ValueError(f"sparql: path primary must be IRI, got {t}")
+        return PathLink(t.value)
+
+    def _graph_term(self):
+        kind, v = self._peek()
+        if kind == "VAR":
+            self._next()
+            return Var(v[1:])
+        if v == "[":
+            self._next()
+            self._bnode_n += 1
+            node = BNode(f"q_anon{self._bnode_n}")
+            # anonymous bnode as term (property lists inside [] in object
+            # position are rare; supported only as bare [])
+            self._expect_op("]")
+            return node
+        return self._term()
+
+    def _term(self):
+        kind, v = self._next()
+        if kind == "IRIREF":
+            iri = v[1:-1]
+            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+                iri = self.base + iri
+            return IRI(iri)
+        if kind == "PNAME":
+            ns, _, local = v.partition(":")
+            if ns not in self.prefixes:
+                raise ValueError(f"sparql: unknown prefix {ns!r}")
+            return IRI(self.prefixes[ns] + local)
+        if kind == "BNODE":
+            return BNode(v[2:])
+        if kind == "NAME" and v == "a":
+            return IRI(RDF_TYPE)
+        if kind == "NAME" and v.upper() in ("TRUE", "FALSE"):
+            return Literal(v.lower(), datatype=XSD + "boolean")
+        if kind in ("STRING2", "STRING1", "STRING_LONG2", "STRING_LONG1"):
+            q = 3 if kind.startswith("STRING_LONG") else 1
+            lex = _unescape(v[q:-q])
+            nk, nv = self._peek()
+            if nk == "LANGTAG":
+                self._next()
+                return Literal(lex, lang=nv[1:])
+            if nv == "^^":
+                self._next()
+                dt = self._term()
+                return Literal(lex, datatype=dt.value)
+            return Literal(lex)
+        if kind == "INTEGER":
+            return Literal(v, datatype=XSD + "integer")
+        if kind == "DECIMAL":
+            return Literal(v, datatype=XSD + "decimal")
+        if kind == "DOUBLE":
+            return Literal(v, datatype=XSD + "double")
+        raise ValueError(f"sparql: unexpected term token {v!r}")
+
+    # -- expressions --------------------------------------------------------
+    def _bracketted_expression(self):
+        self._expect_op("(")
+        e = self._expression()
+        self._expect_op(")")
+        return e
+
+    def _expression(self):
+        parts = [self._and_expression()]
+        while self._accept_op("||"):
+            parts.append(self._and_expression())
+        return parts[0] if len(parts) == 1 else OrExpr(parts)
+
+    def _and_expression(self):
+        parts = [self._relational()]
+        while self._accept_op("&&"):
+            parts.append(self._relational())
+        return parts[0] if len(parts) == 1 else AndExpr(parts)
+
+    def _relational(self):
+        left = self._additive()
+        kind, v = self._peek()
+        if v in ("=", "!=", "<", ">", "<=", ">="):
+            self._next()
+            return Compare(v, left, self._additive())
+        if self._kw() == "IN":
+            self._next()
+            return InExpr(left, self._expression_list(), False)
+        if self._kw() == "NOT":
+            self._next()
+            self._expect_kw("IN")
+            return InExpr(left, self._expression_list(), True)
+        return left
+
+    def _expression_list(self):
+        self._expect_op("(")
+        out = []
+        if self._peek()[1] != ")":
+            out.append(self._expression())
+            while self._accept_op(","):
+                out.append(self._expression())
+        self._expect_op(")")
+        return out
+
+    def _additive(self):
+        left = self._multiplicative()
+        while True:
+            v = self._peek()[1]
+            if v in ("+", "-"):
+                self._next()
+                left = Arith(v, left, self._multiplicative())
+            else:
+                return left
+
+    def _multiplicative(self):
+        left = self._unary()
+        while True:
+            v = self._peek()[1]
+            if v in ("*", "/"):
+                self._next()
+                left = Arith(v, left, self._unary())
+            else:
+                return left
+
+    def _unary(self):
+        v = self._peek()[1]
+        if v == "!":
+            self._next()
+            return NotExpr(self._unary())
+        if v == "-":
+            self._next()
+            return UnaryMinus(self._unary())
+        if v == "+":
+            self._next()
+            return self._unary()
+        return self._primary()
+
+    def _primary(self):
+        kind, v = self._peek()
+        if v == "(":
+            return self._bracketted_expression()
+        if kind == "VAR":
+            self._next()
+            return Var(v[1:])
+        kw = v.upper() if kind == "NAME" else None
+        if kw in _AGG_FUNCS:
+            return self._aggregate()
+        if kw in ("EXISTS", "NOT"):
+            return self._exists_expr()
+        if kw in _BUILTINS:
+            return self._builtin_call()
+        return self._term()
+
+    def _aggregate(self) -> Aggregate:
+        _, name = self._next()
+        func = name.upper()
+        self._expect_op("(")
+        distinct = self._accept_kw("DISTINCT")
+        if self._peek()[1] == "*":
+            self._next()
+            expr = None
+        else:
+            expr = self._expression()
+        sep = " "
+        if func == "GROUP_CONCAT" and self._accept_op(";"):
+            _, sepkw = self._next()  # SEPARATOR
+            if sepkw.upper() != "SEPARATOR":
+                raise ValueError("sparql: expected SEPARATOR")
+            self._expect_op("=")
+            kind, sv = self._next()
+            q = 3 if kind.startswith("STRING_LONG") else 1
+            sep = _unescape(sv[q:-q])
+        self._expect_op(")")
+        return Aggregate(func, expr, distinct, sep)
+
+    def _builtin_call(self) -> FuncCall:
+        _, name = self._next()
+        func = name.upper()
+        args: list = []
+        if self._accept_op("("):
+            if self._peek()[1] != ")":
+                args.append(self._expression())
+                while self._accept_op(","):
+                    args.append(self._expression())
+            self._expect_op(")")
+        return FuncCall(func, args)
+
+
+def parse_query(text: str):
+    return SparqlParser(text).parse()

@@ -1,0 +1,178 @@
+"""Term-struct column helpers: every SPARQL variable is carried through the
+compiled DataFrame plan as one struct column (kind, lex, dtype, lang, num,
+ts, bool) — model/schema.py TERM_FIELDS.
+
+Term identity = (kind, lex, dtype, lang); the shadow fields are derived from
+(lex, dtype) at load, so whole-struct equality (verified: Spark struct
+equality is null-safe per field) is exactly RDF term identity — one narrow
+join key per shared variable, JVM-side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from dublin_smart_city_graphdb_spark.model.schema import (
+    KIND_BLANK,
+    KIND_IRI,
+    KIND_LITERAL,
+)
+from dublin_smart_city_graphdb_spark.model.terms import (
+    XSD,
+    BNode,
+    IRI,
+    Literal,
+    Term,
+)
+
+_DEC = "decimal(38,10)"
+
+
+def _struct(kind, lex, dtype, lang, num, ts, boolean) -> Column:
+    return F.struct(
+        kind.cast("tinyint").alias("kind"),
+        lex.cast("string").alias("lex"),
+        dtype.cast("string").alias("dtype"),
+        lang.cast("string").alias("lang"),
+        num.cast(_DEC).alias("num"),
+        ts.cast("timestamp").alias("ts"),
+        boolean.cast("boolean").alias("bool"),
+    )
+
+
+def _NULL_S() -> Column:
+    return F.lit(None).cast("string")
+
+
+def _NULL_N() -> Column:
+    return F.lit(None).cast(_DEC)
+
+
+def _NULL_T() -> Column:
+    return F.lit(None).cast("timestamp")
+
+
+def _NULL_B() -> Column:
+    return F.lit(None).cast("boolean")
+
+
+def subject_struct(col: Column) -> Column:
+    """s/p/g positions hold IRIs or blank labels (``_:`` prefix)."""
+    kind = F.when(col.startswith("_:"), F.lit(KIND_BLANK)).otherwise(F.lit(KIND_IRI))
+    return _struct(kind, col, _NULL_S(), _NULL_S(), _NULL_N(), _NULL_T(), _NULL_B())
+
+
+def object_struct(df_prefix: str = "") -> Column:
+    p = df_prefix
+    return _struct(
+        F.col(p + "o_kind"), F.col(p + "o_lex"), F.col(p + "o_dtype"),
+        F.col(p + "o_lang"), F.col(p + "o_num"), F.col(p + "o_ts"),
+        F.col(p + "o_bool"),
+    )
+
+
+def const_struct(term: Term) -> Column:
+    if isinstance(term, IRI):
+        return _struct(F.lit(KIND_IRI), F.lit(term.value), _NULL_S(), _NULL_S(),
+                       _NULL_N(), _NULL_T(), _NULL_B())
+    if isinstance(term, BNode):
+        return _struct(F.lit(KIND_BLANK), F.lit(f"_:{term.label}"), _NULL_S(),
+                       _NULL_S(), _NULL_N(), _NULL_T(), _NULL_B())
+    lit: Literal = term
+    num = lit.numeric_value()
+    ts = lit.timestamp_value()
+    b = lit.boolean_value()
+    return _struct(
+        F.lit(KIND_LITERAL), F.lit(lit.lex), F.lit(lit.datatype),
+        F.lit(lit.lang),
+        F.lit(num).cast(_DEC) if num is not None else _NULL_N(),
+        F.lit(ts) if ts is not None else _NULL_T(),
+        F.lit(b) if b is not None else _NULL_B(),
+    )
+
+
+def null_struct() -> Column:
+    return _struct(F.lit(None).cast("tinyint"), _NULL_S(), _NULL_S(), _NULL_S(),
+                   _NULL_N(), _NULL_T(), _NULL_B())
+
+
+# -- constructors from computed values --------------------------------------
+
+def make_numeric(col: Column, dtype: str = XSD + "decimal") -> Column:
+    """Numeric result → typed literal struct (lex mirrors the value)."""
+    lex = (
+        col.cast("decimal(38,0)").cast("string")
+        if dtype == XSD + "integer"
+        else col.cast("string")
+    )
+    return _struct(
+        F.when(col.isNull(), F.lit(None)).otherwise(F.lit(KIND_LITERAL)),
+        lex,
+        F.when(col.isNull(), _NULL_S()).otherwise(F.lit(dtype)),
+        _NULL_S(), col, _NULL_T(), _NULL_B(),
+    )
+
+
+def make_string(col: Column) -> Column:
+    return _struct(
+        F.when(col.isNull(), F.lit(None)).otherwise(F.lit(KIND_LITERAL)),
+        col, _NULL_S(), _NULL_S(), _NULL_N(), _NULL_T(), _NULL_B(),
+    )
+
+
+def make_bool(col: Column) -> Column:
+    return _struct(
+        F.when(col.isNull(), F.lit(None)).otherwise(F.lit(KIND_LITERAL)),
+        F.when(col, F.lit("true")).otherwise(F.lit("false")),
+        F.when(col.isNull(), _NULL_S()).otherwise(F.lit(XSD + "boolean")),
+        _NULL_S(),
+        F.when(col, F.lit(1)).otherwise(F.lit(0)).cast(_DEC),
+        _NULL_T(), col,
+    )
+
+
+def make_iri(col: Column) -> Column:
+    return _struct(
+        F.when(col.isNull(), F.lit(None)).otherwise(F.lit(KIND_IRI)),
+        col, _NULL_S(), _NULL_S(), _NULL_N(), _NULL_T(), _NULL_B(),
+    )
+
+
+def make_ts(col: Column) -> Column:
+    return _struct(
+        F.when(col.isNull(), F.lit(None)).otherwise(F.lit(KIND_LITERAL)),
+        F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.when(col.isNull(), _NULL_S()).otherwise(F.lit(XSD + "dateTime")),
+        _NULL_S(), _NULL_N(), col, _NULL_B(),
+    )
+
+
+# -- accessors ---------------------------------------------------------------
+
+def ebv(term: Column) -> Column:
+    """SPARQL effective boolean value; null = type error (row dropped by
+    FILTER, which is exactly SPARQL's error semantics)."""
+    return (
+        F.when(term.isNull(), F.lit(None).cast("boolean"))
+        .when(term["bool"].isNotNull(), term["bool"])
+        .when(term["num"].isNotNull(), term["num"] != 0)
+        .when(
+            (term["kind"] == KIND_LITERAL)
+            & (term["dtype"].isNull() | (term["dtype"] == XSD + "string")),
+            F.length(term["lex"]) > 0,
+        )
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def sort_keys(term: Column) -> list[Column]:
+    """RDF term total order (SURVEY §2.5 M2): unbound < blank < IRI <
+    literal; literals by numeric/temporal/lexical value."""
+    rank = (
+        F.when(term.isNull() | term["kind"].isNull(), 0)
+        .when(term["kind"] == KIND_BLANK, 1)
+        .when(term["kind"] == KIND_IRI, 2)
+        .otherwise(3)
+    )
+    return [rank, term["num"], term["ts"], term["bool"].cast("int"), term["lex"]]

@@ -1,0 +1,314 @@
+"""SPARQL engine tests: the six golden queries from the reference (SURVEY.md
+§5 item 1) checked against a pure-Python oracle computed over the same parsed
+triples, plus per-operator algebra tests on a hand-built micro-graph."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from dublin_smart_city_graphdb_spark import fixtures
+from dublin_smart_city_graphdb_spark.engine import Engine
+from dublin_smart_city_graphdb_spark.model.terms import IRI, Literal
+from dublin_smart_city_graphdb_spark.sources.turtle import parse_turtle
+
+EX = fixtures.EX
+SCHEMA = fixtures.SCHEMA
+N_FACILITIES = 200
+
+PROLOG = f"PREFIX ex: <{EX}>\nPREFIX schema: <{SCHEMA}>\n"
+
+
+@pytest.fixture(scope="module")
+def repo(spark):
+    eng = Engine(spark)
+    r = eng.create_repository("test_facilities", ruleset="none")
+    r.load_turtle(fixtures.full_fixture_ttl(n=N_FACILITIES))
+    return r
+
+
+@pytest.fixture(scope="module")
+def triples():
+    return parse_turtle(fixtures.full_fixture_ttl(n=N_FACILITIES))
+
+
+def lexes(rows, i=0):
+    return [r[i].lex if r[i] is not None else None for r in rows]
+
+
+# -- the six golden queries --------------------------------------------------
+
+def test_golden_q1_readme_test_query(repo, triples):
+    rows = repo.sparql_collect(
+        PROLOG
+        + """SELECT ?name ?type WHERE {
+          ?facility a ex:Facility ; schema:name ?name ; ex:hasFacilityType ?type .
+        } LIMIT 10"""
+    )
+    assert len(rows) == 10
+    names = {(s, o.lex) for s, p, o in triples if p.value == SCHEMA + "name"}
+    for r in rows:
+        assert r["type"].lex.startswith(EX)
+
+
+def test_golden_q2_count_all(repo, triples):
+    rows = repo.sparql_collect("SELECT (COUNT(*) as ?count) WHERE { ?s ?p ?o }")
+    assert rows[0]["count"].lex == str(len(triples))
+
+
+def test_golden_q3_count_by_type(repo, triples):
+    rows = repo.sparql_collect(
+        PROLOG
+        + """SELECT ?type (COUNT(?facility) AS ?count)
+        WHERE { ?facility ex:hasFacilityType ?type } GROUP BY ?type"""
+    )
+    expected = Counter(
+        o.value for s, p, o in triples if p.value == EX + "hasFacilityType"
+    )
+    got = {r["type"].lex: int(r["count"].lex) for r in rows}
+    assert got == dict(expected)
+
+
+def test_golden_q4_areas_with_no_parks(repo):
+    rows = repo.sparql_collect(
+        PROLOG
+        + """SELECT ?area WHERE {
+          ?area a ex:CommitteeArea .
+          FILTER NOT EXISTS {
+            ?facility ex:hasFacilityType ex:Park ; ex:inCommitteeArea ?area .
+          }
+        }"""
+    )
+    assert lexes(rows) == [EX + "NorthWest"]
+
+
+def test_golden_q5_facilities_in_area(repo, triples):
+    rows = repo.sparql_collect(
+        PROLOG
+        + """SELECT ?name ?type WHERE {
+          ?facility ex:inCommitteeArea ex:NorthCentral ;
+                    schema:name ?name ; ex:hasFacilityType ?type .
+        }"""
+    )
+    in_area = {
+        s.value for s, p, o in triples
+        if p.value == EX + "inCommitteeArea" and o.value == EX + "NorthCentral"
+    }
+    assert len(rows) == len(in_area)
+
+
+def test_golden_q6_bounding_box(repo, triples):
+    rows = repo.sparql_collect(
+        PROLOG
+        + """SELECT ?facility ?name WHERE {
+          ?facility schema:name ?name ; ex:latitude ?lat ; ex:longitude ?lon .
+          FILTER(?lat > 53.34 && ?lat < 53.36 && ?lon > -6.27 && ?lon < -6.25)
+        }"""
+    )
+    lat = {s.value: float(o.lex) for s, p, o in triples if p.value == EX + "latitude"}
+    lon = {s.value: float(o.lex) for s, p, o in triples if p.value == EX + "longitude"}
+    expected = {
+        s for s in lat
+        if 53.34 < lat[s] < 53.36 and -6.27 < lon[s] < -6.25
+    }
+    assert set(lexes(rows)) == expected
+    assert len(expected) >= 50  # FIXTURES.md §A.2 guarantee
+
+
+# -- micro-graph algebra tests ----------------------------------------------
+
+MICRO_TTL = """
+@prefix ex: <http://m#> .
+ex:a ex:knows ex:b . ex:b ex:knows ex:c . ex:c ex:knows ex:d .
+ex:a ex:age 30 . ex:b ex:age 25 . ex:c ex:age 35 .
+ex:a ex:name "Alice"@en . ex:b ex:name "Bob" .
+ex:a a ex:Person . ex:b a ex:Person . ex:c a ex:Person . ex:d a ex:Robot .
+ex:d ex:age 7 .
+"""
+
+MP = "PREFIX ex: <http://m#>\n"
+
+
+@pytest.fixture(scope="module")
+def micro(spark):
+    eng = Engine(spark)
+    r = eng.create_repository("micro", ruleset="none")
+    r.load_turtle(MICRO_TTL)
+    return r
+
+
+def test_optional_left_join(micro):
+    rows = micro.sparql_collect(
+        MP + "SELECT ?p ?n WHERE { ?p a ex:Person . OPTIONAL { ?p ex:name ?n } }"
+    )
+    got = {r["p"].lex: (r["n"].lex if r["n"] else None) for r in rows}
+    assert got == {"http://m#a": "Alice", "http://m#b": "Bob", "http://m#c": None}
+
+
+def test_union(micro):
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x WHERE { { ?x a ex:Person } UNION { ?x a ex:Robot } }"
+    )
+    assert len(rows) == 4
+
+
+def test_minus_vs_not_exists_shared_domain(micro):
+    # MINUS with no shared variables is a no-op (SURVEY §2.3 J5)
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x WHERE { ?x a ex:Person . MINUS { ?y a ex:Robot } }"
+    )
+    assert len(rows) == 3
+    rows2 = micro.sparql_collect(
+        MP + "SELECT ?x WHERE { ?x a ex:Person . FILTER NOT EXISTS { ?y a ex:Robot } }"
+    )
+    assert len(rows2) == 0  # NOT EXISTS fails for every row
+
+
+def test_minus_shared(micro):
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x WHERE { ?x a ex:Person . MINUS { ?x ex:name ?n } }"
+    )
+    assert lexes(rows) == ["http://m#c"]
+
+
+def test_values_join(micro):
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x ?age WHERE { VALUES ?x { ex:a ex:c } ?x ex:age ?age }"
+    )
+    got = {r["x"].lex: r["age"].lex for r in rows}
+    assert got == {"http://m#a": "30", "http://m#c": "35"}
+
+
+def test_bind_and_arith(micro):
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x ?dbl WHERE { ?x ex:age ?a . BIND(?a * 2 AS ?dbl) FILTER(?dbl > 50) }"
+    )
+    got = {r["x"].lex: float(r["dbl"].lex) for r in rows}
+    assert got == {"http://m#a": 60.0, "http://m#c": 70.0}
+
+
+def test_subselect(micro):
+    rows = micro.sparql_collect(
+        MP
+        + """SELECT ?x ?a WHERE {
+            { SELECT ?x WHERE { ?x a ex:Person } }
+            ?x ex:age ?a . FILTER(?a >= 30)
+        }"""
+    )
+    assert sorted(lexes(rows)) == ["http://m#a", "http://m#c"]
+
+
+def test_property_path_plus(micro):
+    rows = micro.sparql_collect(
+        MP + "SELECT ?y WHERE { ex:a ex:knows+ ?y }"
+    )
+    assert sorted(lexes(rows)) == ["http://m#b", "http://m#c", "http://m#d"]
+
+
+def test_property_path_seq_inverse(micro):
+    rows = micro.sparql_collect(
+        MP + "SELECT ?y WHERE { ex:a ex:knows/ex:knows ?y }"
+    )
+    assert lexes(rows) == ["http://m#c"]
+    # ?y ^ex:knows ex:b ≡ ex:b ex:knows ?y → c
+    rows2 = micro.sparql_collect(MP + "SELECT ?y WHERE { ?y ^ex:knows ex:b }")
+    assert lexes(rows2) == ["http://m#c"]
+
+
+def test_order_limit_offset_distinct(micro):
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x ?a WHERE { ?x ex:age ?a } ORDER BY DESC(?a) LIMIT 2 OFFSET 1"
+    )
+    assert [r["a"].lex for r in rows] == ["30", "25"]
+
+
+def test_aggregates(micro):
+    rows = micro.sparql_collect(
+        MP
+        + """SELECT (SUM(?a) AS ?s) (AVG(?a) AS ?avg) (MIN(?a) AS ?mn)
+                   (MAX(?a) AS ?mx) (COUNT(*) AS ?n)
+           WHERE { ?x ex:age ?a }"""
+    )
+    r = rows[0]
+    assert float(r["s"].lex) == 97
+    assert abs(float(r["avg"].lex) - 24.25) < 1e-9
+    assert float(r["mn"].lex) == 7
+    assert float(r["mx"].lex) == 35
+    assert r["n"].lex == "4"
+
+
+def test_group_concat_having(micro):
+    rows = micro.sparql_collect(
+        MP
+        + """SELECT ?t (GROUP_CONCAT(STR(?x); SEPARATOR=",") AS ?members)
+           WHERE { ?x a ?t } GROUP BY ?t HAVING (COUNT(?x) > 1)"""
+    )
+    assert len(rows) == 1
+    assert rows[0]["members"].lex == "http://m#a,http://m#b,http://m#c"
+
+
+def test_ask(micro):
+    assert micro.sparql_collect(MP + "ASK { ex:a ex:knows ex:b }")[0]["ask"] is True
+    assert micro.sparql_collect(MP + "ASK { ex:b ex:knows ex:a }")[0]["ask"] is False
+
+
+def test_construct(micro):
+    rows = micro.sparql_collect(
+        MP + "CONSTRUCT { ?x ex:linked ?y } WHERE { ?x ex:knows ?y }"
+    )
+    assert len(rows) == 3
+    assert all(r["p"].lex == "http://m#linked" for r in rows)
+
+
+def test_describe(micro):
+    rows = micro.sparql_collect(MP + "DESCRIBE ex:a")
+    # statements with ex:a as subject (4) or as IRI object (none)
+    assert len(rows) == 4
+
+
+def test_builtin_functions(micro):
+    rows = micro.sparql_collect(
+        MP
+        + """SELECT ?x (STRLEN(?n) AS ?len) (UCASE(?n) AS ?u) (LANG(?n) AS ?lg)
+           WHERE { ?x ex:name ?n . FILTER(STRSTARTS(?n, "A")) }"""
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["len"].lex == "5"
+    assert r["u"].lex == "ALICE"
+    assert r["lg"].lex == "en"
+
+
+def test_filter_error_semantics_drops_row(micro):
+    # ?n is a string for b: numeric comparison is a type error → row dropped
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x WHERE { ?x ex:name ?n . FILTER(?n > 5) }"
+    )
+    assert rows == []
+
+
+def test_regex_and_if(micro):
+    rows = micro.sparql_collect(
+        MP
+        + """SELECT ?x (IF(?a > 28, "old", "young") AS ?cls)
+            WHERE { ?x ex:age ?a . FILTER(REGEX(STR(?x), "[ab]$")) }"""
+    )
+    got = {r["x"].lex: r["cls"].lex for r in rows}
+    assert got == {"http://m#a": "old", "http://m#b": "young"}
+
+
+def test_graph_scoping(spark):
+    eng = Engine(spark)
+    r = eng.create_repository("graphs", ruleset="none")
+    r.load_turtle("@prefix ex: <http://g#> . ex:a ex:p ex:b .", graph="http://g/one")
+    r.load_turtle("@prefix ex: <http://g#> . ex:c ex:p ex:d .", graph="http://g/two")
+    rows = r.sparql_collect(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s <http://g#p> ?o } }"
+    )
+    got = {r["g"].lex: r["s"].lex for r in rows}
+    assert got == {"http://g/one": "http://g#a", "http://g/two": "http://g#c"}
+    rows2 = r.sparql_collect(
+        "SELECT ?s WHERE { GRAPH <http://g/two> { ?s ?p ?o } }"
+    )
+    assert lexes(rows2) == ["http://g#c"]
