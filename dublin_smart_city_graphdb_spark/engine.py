@@ -103,6 +103,41 @@ class Repository:
         ast = parse_query(query_text)
         return QueryCompiler(self.spark, self.quads).compile(ast)
 
+    def sparql_json(self, query_text: str, timeout: float | None = None) -> dict:
+        """Query → SPARQL-results-JSON dict (the reference's
+        ``Accept: application/sparql-results+json`` path, init-graphdb.sh:134)."""
+        from dublin_smart_city_graphdb_spark.sparql.protocol import rows_to_json
+
+        df = self.sparql(query_text)
+        rows = self.sparql_collect(query_text, timeout=timeout)
+        return rows_to_json(df.columns, rows)
+
+    def update(self, update_text: str) -> None:
+        """SPARQL 1.1 Update (SURVEY §2.1 S7): mutate the explicit statement
+        set, then re-run load-time inference if the ruleset asks for it."""
+        from dublin_smart_city_graphdb_spark.sparql.parser import parse_update
+        from dublin_smart_city_graphdb_spark.sparql.update import UpdateExecutor
+
+        ops = parse_update(update_text)
+
+        def load_fn(path: str, graph: str | None) -> DataFrame:
+            text = open(path).read()
+            return self.spark.createDataFrame(
+                turtle_to_rows(text, graph), QUAD_SCHEMA
+            )
+
+        explicit = self.quads.filter(
+            (self.quads.g.isNull()) | (self.quads.g != INFERRED_GRAPH)
+        )
+        result = UpdateExecutor(self.spark, load_fn).apply(explicit, ops)
+        if self._store:
+            self._store.write(result, mode="overwrite")
+            self._quads = self._store.read()
+        else:
+            self._quads = result.localCheckpoint(eager=True)
+        if self.config.get("ruleset", "none") != "none":
+            self.materialize_inference()
+
     def sparql_collect(self, query_text: str, timeout: float | None = None):
         """Execute with the repository's query timeout (the reference's 30 s
         ``queryTimeout``, init-graphdb.sh:66-70) via job-group cancellation."""

@@ -209,11 +209,15 @@ class SelectQuery:
     order_by: list[tuple[Any, bool]] = field(default_factory=list)  # (expr, asc)
     limit: int | None = None
     offset: int | None = None
+    from_graphs: list[str] = field(default_factory=list)   # FROM (SURVEY §2.6 F6)
+    from_named: list[str] = field(default_factory=list)    # FROM NAMED
 
 
 @dataclass
 class AskQuery:
     where: GroupPattern
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -222,12 +226,82 @@ class ConstructQuery:
     where: GroupPattern
     limit: int | None = None
     offset: int | None = None
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
 
 @dataclass
 class DescribeQuery:
     terms: list[Var | IRI]
     where: GroupPattern | None
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
 
 Query = Union[SelectQuery, AskQuery, ConstructQuery, DescribeQuery]
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update (SURVEY §2.1 S7 — engine surface; the reference only
+# exercises the add path via POST /statements, init-graphdb.sh:90)
+# ---------------------------------------------------------------------------
+
+# A "quad template": (graph, triple) where graph is None (default graph),
+# an IRI, or a Var (only meaningful inside Modify templates/WHERE).
+QuadTemplate = tuple[Any, TriplePattern]
+
+
+@dataclass
+class InsertDataOp:
+    quads: list[QuadTemplate]  # ground terms only
+
+
+@dataclass
+class DeleteDataOp:
+    quads: list[QuadTemplate]  # ground terms only
+
+
+@dataclass
+class ModifyOp:
+    """DELETE/INSERT ... WHERE (also covers DELETE WHERE shorthand)."""
+
+    delete: list[QuadTemplate] | None
+    insert: list[QuadTemplate] | None
+    where: GroupPattern
+    with_graph: str | None = None
+    using: list[str] = field(default_factory=list)
+    using_named: list[str] = field(default_factory=list)
+
+
+@dataclass
+class LoadOp:
+    source: str
+    graph: str | None = None
+    silent: bool = False
+
+
+@dataclass
+class ClearOp:
+    # ("graph", iri) | ("default",) | ("named",) | ("all",)
+    target: tuple
+    silent: bool = False
+    drop: bool = False  # DROP ≡ CLEAR in our store (graphs are implicit)
+
+
+@dataclass
+class CreateOp:
+    graph: str
+    silent: bool = False
+
+
+@dataclass
+class GraphCopyOp:
+    kind: str  # COPY | MOVE | ADD
+    src: str | None  # None = default graph
+    dst: str | None
+    silent: bool = False
+
+
+UpdateOp = Union[
+    InsertDataOp, DeleteDataOp, ModifyOp, LoadOp, ClearOp, CreateOp, GraphCopyOp
+]

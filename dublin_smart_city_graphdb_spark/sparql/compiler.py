@@ -71,9 +71,38 @@ class QueryCompiler:
         self.spark = spark
         self.quads = quads
         self._uid = itertools.count()
+        # Dataset clause (SURVEY §2.6 F6). Empty = GraphDB-style union
+        # default graph (all contexts visible outside GRAPH).
+        self.default_graphs: list[str] | None = None
+        self.named_graphs: list[str] | None = None
+
+    def _graph_scope(self, df: DataFrame, graph_ctx) -> DataFrame:
+        """Apply GRAPH context + FROM/FROM NAMED dataset restriction."""
+        if isinstance(graph_ctx, IRI):
+            if self.named_graphs is not None and graph_ctx.value not in self.named_graphs:
+                return df.limit(0)
+            return df.filter(F.col("g") == graph_ctx.value)
+        if isinstance(graph_ctx, A.Var):
+            df = df.filter(F.col("g").isNotNull())
+            if self.named_graphs is not None:
+                df = df.filter(F.col("g").isin(self.named_graphs))
+            return df
+        if self.default_graphs is not None:
+            return df.filter(F.col("g").isin(self.default_graphs))
+        return df
 
     # ------------------------------------------------------------------ API
     def compile(self, query) -> DataFrame:
+        if getattr(query, "from_graphs", None):
+            self.default_graphs = list(query.from_graphs)
+        if getattr(query, "from_named", None):
+            self.named_graphs = list(query.from_named)
+        elif getattr(query, "from_graphs", None):
+            # FROM without FROM NAMED: GRAPH ranges over nothing (spec)
+            self.named_graphs = []
+        return self._compile_form(query)
+
+    def _compile_form(self, query) -> DataFrame:
         if isinstance(query, A.SelectQuery):
             return self.compile_select(query).df
         if isinstance(query, A.AskQuery):
@@ -384,11 +413,7 @@ class QueryCompiler:
         if not isinstance(tp.p, (A.Var, IRI)):
             return self._scan_path_pattern(tp, graph_ctx)
 
-        df = self.quads
-        if isinstance(graph_ctx, IRI):
-            df = df.filter(F.col("g") == graph_ctx.value)
-        elif isinstance(graph_ctx, A.Var):
-            df = df.filter(F.col("g").isNotNull())
+        df = self._graph_scope(self.quads, graph_ctx)
 
         if isinstance(tp.p, IRI):
             df = df.filter(F.col("p") == tp.p.value)
@@ -443,11 +468,7 @@ class QueryCompiler:
         return Compiled(pairs.select(*sel) if sel else pairs.select(), names, set(names))
 
     def compile_path_pairs(self, path, graph_ctx) -> DataFrame:
-        df = self.quads
-        if isinstance(graph_ctx, IRI):
-            df = df.filter(F.col("g") == graph_ctx.value)
-        elif isinstance(graph_ctx, A.Var):
-            df = df.filter(F.col("g").isNotNull())
+        df = self._graph_scope(self.quads, graph_ctx)
 
         if isinstance(path, A.PathLink):
             return (

@@ -13,10 +13,11 @@ import re
 
 from dublin_smart_city_graphdb_spark.model.terms import RDF_TYPE, XSD, BNode, IRI, Literal
 from dublin_smart_city_graphdb_spark.sparql.ast import (
-    Aggregate, AndExpr, Arith, AskQuery, BGP, BindPattern, Compare,
-    ConstructQuery, DescribeQuery, ExistsExpr, FuncCall, GraphGraphPattern,
-    GroupPattern, InExpr, MinusPattern, NotExpr, OptionalPattern, OrExpr,
-    PathAlt, PathInv, PathLink, PathOpt, PathPlus, PathSeq, PathStar,
+    Aggregate, AndExpr, Arith, AskQuery, BGP, BindPattern, ClearOp, Compare,
+    ConstructQuery, CreateOp, DeleteDataOp, DescribeQuery, ExistsExpr,
+    FuncCall, GraphCopyOp, GraphGraphPattern, GroupPattern, InExpr,
+    InsertDataOp, LoadOp, MinusPattern, ModifyOp, NotExpr, OptionalPattern,
+    OrExpr, PathAlt, PathInv, PathLink, PathOpt, PathPlus, PathSeq, PathStar,
     SelectQuery, SubSelectPattern, TriplePattern, UnaryMinus, UnionPattern,
     ValuesPattern, Var,
 )
@@ -49,6 +50,10 @@ _KEYWORDS = {
     "MINUS", "GRAPH", "FILTER", "BIND", "VALUES", "UNDEF", "GROUP", "BY",
     "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET", "EXISTS", "NOT",
     "IN", "A", "TRUE", "FALSE",
+    # SPARQL 1.1 Update (SURVEY §2.1 S7)
+    "INSERT", "DELETE", "DATA", "WITH", "USING", "INTO", "TO", "SILENT",
+    "DEFAULT", "ALL", "CLEAR", "DROP", "CREATE", "COPY", "MOVE", "ADD",
+    "LOAD",
 }
 
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
@@ -179,23 +184,35 @@ class SparqlParser:
                     break
             if not projections:
                 raise ValueError("sparql: SELECT needs projections or *")
-        # FROM clauses: parsed and recorded (dataset selection is the
-        # engine's job; unsupported combinations raise there)
-        while self._kw() == "FROM":
-            self._next()
-            self._accept_kw("NAMED")
-            self._term()
+        from_graphs, from_named = self._dataset_clauses()
         self._accept_kw("WHERE")
         where = self._group_graph_pattern()
         q = SelectQuery(projections=projections, where=where,
-                        distinct=distinct, reduced=reduced)
+                        distinct=distinct, reduced=reduced,
+                        from_graphs=from_graphs, from_named=from_named)
         self._solution_modifiers(q)
         return q
 
+    def _dataset_clauses(self) -> tuple[list[str], list[str]]:
+        """FROM / FROM NAMED (SURVEY §2.6 F6): FROM graphs merge into the
+        default graph; FROM NAMED graphs are the ones GRAPH may range over."""
+        from_graphs: list[str] = []
+        from_named: list[str] = []
+        while self._kw() == "FROM":
+            self._next()
+            named = self._accept_kw("NAMED")
+            t = self._term()
+            if not isinstance(t, IRI):
+                raise ValueError("sparql: FROM needs an IRI")
+            (from_named if named else from_graphs).append(t.value)
+        return from_graphs, from_named
+
     def _ask_query(self) -> AskQuery:
         self._expect_kw("ASK")
+        from_graphs, from_named = self._dataset_clauses()
         self._accept_kw("WHERE")
-        return AskQuery(where=self._group_graph_pattern())
+        return AskQuery(where=self._group_graph_pattern(),
+                        from_graphs=from_graphs, from_named=from_named)
 
     def _construct_query(self) -> ConstructQuery:
         self._expect_kw("CONSTRUCT")
@@ -206,9 +223,11 @@ class SparqlParser:
             if not self._accept_op("."):
                 break
         self._expect_op("}")
+        from_graphs, from_named = self._dataset_clauses()
         self._accept_kw("WHERE")
         where = self._group_graph_pattern()
-        q = ConstructQuery(template=template, where=where)
+        q = ConstructQuery(template=template, where=where,
+                           from_graphs=from_graphs, from_named=from_named)
         if self._accept_kw("LIMIT"):
             q.limit = int(self._next()[1])
         if self._accept_kw("OFFSET"):
@@ -227,11 +246,13 @@ class SparqlParser:
                 terms.append(self._term())
             else:
                 break
+        from_graphs, from_named = self._dataset_clauses()
         where = None
         if self._kw() == "WHERE" or self._peek()[1] == "{":
             self._accept_kw("WHERE")
             where = self._group_graph_pattern()
-        return DescribeQuery(terms=terms, where=where)
+        return DescribeQuery(terms=terms, where=where,
+                             from_graphs=from_graphs, from_named=from_named)
 
     def _solution_modifiers(self, q: SelectQuery):
         if self._accept_kw("GROUP"):
@@ -674,5 +695,177 @@ class SparqlParser:
         return FuncCall(func, args)
 
 
+    # -- SPARQL 1.1 Update (SURVEY §2.1 S7) ---------------------------------
+    def parse_update(self) -> list:
+        ops: list = []
+        self._prologue()
+        while self._peek()[0] != "EOF":
+            ops.append(self._update_op())
+            if self._accept_op(";"):
+                self._prologue()
+                continue
+            break
+        if self._peek()[0] != "EOF":
+            raise ValueError(f"sparql: trailing tokens at {self._peek()[1]!r}")
+        return ops
+
+    def _update_op(self):
+        kw = self._kw()
+        if kw == "INSERT":
+            self._next()
+            if self._accept_kw("DATA"):
+                return InsertDataOp(self._quad_block(ground=True))
+            insert = self._quad_block()
+            using, using_named = self._using_clauses()
+            self._expect_kw("WHERE")
+            return ModifyOp(delete=None, insert=insert,
+                            where=self._group_graph_pattern(),
+                            using=using, using_named=using_named)
+        if kw == "DELETE":
+            self._next()
+            if self._accept_kw("DATA"):
+                return DeleteDataOp(self._quad_block(ground=True))
+            if self._accept_kw("WHERE"):
+                # DELETE WHERE { quads }: the pattern is also the template
+                quads = self._quad_block()
+                return ModifyOp(delete=quads, insert=None,
+                                where=self._quads_as_group(quads))
+            delete = self._quad_block()
+            insert = None
+            if self._accept_kw("INSERT"):
+                insert = self._quad_block()
+            using, using_named = self._using_clauses()
+            self._expect_kw("WHERE")
+            return ModifyOp(delete=delete, insert=insert,
+                            where=self._group_graph_pattern(),
+                            using=using, using_named=using_named)
+        if kw == "WITH":
+            self._next()
+            g = self._term()
+            if not isinstance(g, IRI):
+                raise ValueError("sparql: WITH needs an IRI")
+            op = self._update_op()
+            if not isinstance(op, ModifyOp):
+                raise ValueError("sparql: WITH must precede DELETE/INSERT")
+            op.with_graph = g.value
+            return op
+        if kw == "LOAD":
+            self._next()
+            silent = self._accept_kw("SILENT")
+            src = self._term()
+            graph = None
+            if self._accept_kw("INTO"):
+                self._expect_kw("GRAPH")
+                graph = self._term().value
+            return LoadOp(source=src.value, graph=graph, silent=silent)
+        if kw in ("CLEAR", "DROP"):
+            self._next()
+            silent = self._accept_kw("SILENT")
+            return ClearOp(target=self._graph_ref_all(), silent=silent,
+                           drop=kw == "DROP")
+        if kw == "CREATE":
+            self._next()
+            silent = self._accept_kw("SILENT")
+            self._expect_kw("GRAPH")
+            return CreateOp(graph=self._term().value, silent=silent)
+        if kw in ("COPY", "MOVE", "ADD"):
+            self._next()
+            silent = self._accept_kw("SILENT")
+            src = self._graph_or_default()
+            self._expect_kw("TO")
+            dst = self._graph_or_default()
+            return GraphCopyOp(kind=kw, src=src, dst=dst, silent=silent)
+        raise ValueError(f"sparql: unknown update operation {self._peek()[1]!r}")
+
+    def _graph_ref_all(self) -> tuple:
+        if self._accept_kw("DEFAULT"):
+            return ("default",)
+        if self._accept_kw("NAMED"):
+            return ("named",)
+        if self._accept_kw("ALL"):
+            return ("all",)
+        self._accept_kw("GRAPH")
+        return ("graph", self._term().value)
+
+    def _graph_or_default(self) -> str | None:
+        if self._accept_kw("DEFAULT"):
+            return None
+        self._accept_kw("GRAPH")
+        return self._term().value
+
+    def _using_clauses(self) -> tuple[list[str], list[str]]:
+        using: list[str] = []
+        named: list[str] = []
+        while self._accept_kw("USING"):
+            is_named = self._accept_kw("NAMED")
+            (named if is_named else using).append(self._term().value)
+        return using, named
+
+    def _quad_block(self, ground: bool = False) -> list:
+        """'{' (triples | GRAPH iri-or-var '{' triples '}')* '}' →
+        [(graph, TriplePattern)]."""
+        self._expect_op("{")
+        quads: list = []
+        while True:
+            kind, v = self._peek()
+            if v == "}":
+                self._next()
+                break
+            if self._kw() == "GRAPH":
+                self._next()
+                gkind, gv = self._peek()
+                if gkind == "VAR":
+                    self._next()
+                    gterm: object = Var(gv[1:])
+                else:
+                    gterm = self._term()
+                    if not isinstance(gterm, IRI):
+                        raise ValueError("sparql: GRAPH needs var or IRI")
+                self._expect_op("{")
+                while self._peek()[1] != "}":
+                    for tp in self._triples_same_subject():
+                        quads.append((gterm, tp))
+                    if not self._accept_op("."):
+                        break
+                self._expect_op("}")
+                self._accept_op(".")
+            else:
+                for tp in self._triples_same_subject():
+                    quads.append((None, tp))
+                if not self._accept_op("."):
+                    continue
+        if ground:
+            for g, tp in quads:
+                for t in (tp.s, tp.p, tp.o):
+                    if isinstance(t, Var):
+                        raise ValueError(
+                            "sparql: INSERT/DELETE DATA must be ground"
+                        )
+        return quads
+
+    def _quads_as_group(self, quads: list) -> GroupPattern:
+        """DELETE WHERE shorthand: its quad pattern is also the WHERE."""
+        group = GroupPattern()
+        default_triples: list[TriplePattern] = []
+        for g, tp in quads:
+            if g is None:
+                default_triples.append(tp)
+            else:
+                group.elements.append(GraphGraphPattern(g, _bgp_group([tp])))
+        if default_triples:
+            group.elements.insert(0, BGP(default_triples))
+        return group
+
+
+def _bgp_group(triples: list[TriplePattern]) -> GroupPattern:
+    g = GroupPattern()
+    g.elements.append(BGP(triples))
+    return g
+
+
 def parse_query(text: str):
     return SparqlParser(text).parse()
+
+
+def parse_update(text: str) -> list:
+    return SparqlParser(text).parse_update()

@@ -1,0 +1,217 @@
+"""SPARQL Update (SURVEY §2.1 S7), results-JSON serialization (S4), and
+FROM/FROM NAMED dataset selection (§2.6 F6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dublin_smart_city_graphdb_spark.engine import Engine
+
+P = "PREFIX ex: <http://u#>\n"
+
+
+@pytest.fixture()
+def repo(spark):
+    eng = Engine(spark)
+    r = eng.create_repository(f"upd_{id(spark) % 97}", ruleset="none")
+    # start fresh each test: repository object is cached per name
+    r._quads = None
+    r.load_turtle("""
+        @prefix ex: <http://u#> .
+        ex:a ex:p ex:b .
+        ex:a ex:name "Alice" .
+        ex:b ex:name "Bob" .
+    """)
+    return r
+
+
+def lex_set(rows, var):
+    return {r[var].lex for r in rows}
+
+
+def test_insert_data(repo):
+    repo.update(P + 'INSERT DATA { ex:c ex:name "Cara" . ex:c ex:p ex:a . }')
+    rows = repo.sparql_collect(P + "SELECT ?x WHERE { ?x ex:name ?n }")
+    assert lex_set(rows, "x") == {"http://u#a", "http://u#b", "http://u#c"}
+
+
+def test_insert_data_idempotent_set_semantics(repo):
+    before = repo.count()
+    repo.update(P + 'INSERT DATA { ex:a ex:name "Alice" . }')
+    assert repo.count() == before  # RDF graphs are sets
+
+
+def test_delete_data(repo):
+    repo.update(P + 'DELETE DATA { ex:a ex:name "Alice" . }')
+    rows = repo.sparql_collect(P + "SELECT ?x WHERE { ?x ex:name ?n }")
+    assert lex_set(rows, "x") == {"http://u#b"}
+
+
+def test_delete_insert_where(repo):
+    repo.update(P + """
+        DELETE { ?x ex:name ?n }
+        INSERT { ?x ex:label ?n }
+        WHERE { ?x ex:name ?n }
+    """)
+    assert repo.sparql_collect(P + "SELECT ?x WHERE { ?x ex:name ?n }") == []
+    rows = repo.sparql_collect(P + "SELECT ?x ?n WHERE { ?x ex:label ?n }")
+    assert lex_set(rows, "n") == {"Alice", "Bob"}
+
+
+def test_delete_where_shorthand(repo):
+    repo.update(P + "DELETE WHERE { ex:a ?p ?o }")
+    rows = repo.sparql_collect("SELECT ?s WHERE { ?s ?p ?o }")
+    assert lex_set(rows, "s") == {"http://u#b"}
+
+
+def test_insert_where_into_graph(repo):
+    repo.update(P + """
+        INSERT { GRAPH ex:g1 { ?x ex:copied ?n } }
+        WHERE { ?x ex:name ?n }
+    """)
+    rows = repo.sparql_collect(
+        P + "SELECT ?x WHERE { GRAPH ex:g1 { ?x ex:copied ?n } }"
+    )
+    assert lex_set(rows, "x") == {"http://u#a", "http://u#b"}
+
+
+def test_clear_graph_and_all(repo):
+    repo.update(P + "INSERT DATA { GRAPH ex:g1 { ex:z ex:p ex:w } }")
+    repo.update(P + "CLEAR GRAPH ex:g1")
+    assert repo.sparql_collect(
+        P + "SELECT ?s WHERE { GRAPH ex:g1 { ?s ?p ?o } }"
+    ) == []
+    assert repo.count() == 3  # default graph untouched
+    repo.update("CLEAR ALL")
+    assert repo.count() == 0
+
+
+def test_clear_default_keeps_named(repo):
+    repo.update(P + "INSERT DATA { GRAPH ex:g1 { ex:z ex:p ex:w } }")
+    repo.update("CLEAR DEFAULT")
+    assert repo.count() == 1
+    rows = repo.sparql_collect(P + "SELECT ?s WHERE { GRAPH ex:g1 { ?s ?p ?o } }")
+    assert lex_set(rows, "s") == {"http://u#z"}
+
+
+def test_copy_move_add(repo):
+    repo.update(P + """
+        INSERT DATA { GRAPH ex:src { ex:1 ex:v "a" } GRAPH ex:dst { ex:2 ex:v "b" } }
+    """)
+    repo.update(P + "COPY GRAPH ex:src TO GRAPH ex:dst")
+    rows = repo.sparql_collect(P + "SELECT ?s WHERE { GRAPH ex:dst { ?s ?p ?o } }")
+    assert lex_set(rows, "s") == {"http://u#1"}  # dst replaced
+    repo.update(P + "ADD GRAPH ex:src TO GRAPH ex:dst")
+    repo.update(P + "MOVE GRAPH ex:src TO GRAPH ex:tmp")
+    assert repo.sparql_collect(
+        P + "SELECT ?s WHERE { GRAPH ex:src { ?s ?p ?o } }"
+    ) == []
+    rows = repo.sparql_collect(P + "SELECT ?s WHERE { GRAPH ex:tmp { ?s ?p ?o } }")
+    assert lex_set(rows, "s") == {"http://u#1"}
+
+
+def test_load_into_graph(repo, tmp_path):
+    f = tmp_path / "extra.ttl"
+    f.write_text('@prefix ex: <http://u#> .\nex:ld ex:name "Loaded" .\n')
+    repo.update(f"LOAD <file://{f}> INTO GRAPH <http://u#lg>")
+    rows = repo.sparql_collect(
+        P + "SELECT ?s WHERE { GRAPH <http://u#lg> { ?s ex:name ?n } }"
+    )
+    assert lex_set(rows, "s") == {"http://u#ld"}
+    with pytest.raises(FileNotFoundError):
+        repo.update("LOAD <file:///nonexistent.ttl>")
+    repo.update("LOAD SILENT <file:///nonexistent.ttl>")  # no raise
+
+
+def test_with_graph(repo):
+    repo.update(P + "INSERT DATA { GRAPH ex:wg { ex:x ex:age 9 } }")
+    repo.update(P + """
+        WITH ex:wg DELETE { ?s ex:age ?a } INSERT { ?s ex:age 10 } WHERE { ?s ex:age ?a }
+    """)
+    rows = repo.sparql_collect(
+        P + "SELECT ?a WHERE { GRAPH ex:wg { ex:x ex:age ?a } }"
+    )
+    assert [r["a"].lex for r in rows] == ["10"]
+
+
+def test_update_reruns_inference(spark):
+    eng = Engine(spark)
+    r = eng.create_repository("upd_inf", ruleset="rdfsplus")
+    r.load_turtle("""
+        @prefix ex: <http://u#> .
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        ex:hasType rdfs:domain ex:Facility .
+    """)
+    r.update(P + "INSERT DATA { ex:new ex:hasType ex:Park . }")
+    rows = r.sparql_collect(P + "SELECT ?f WHERE { ?f a ex:Facility }")
+    assert lex_set(rows, "f") == {"http://u#new"}
+
+
+# -- results JSON (S4) -------------------------------------------------------
+
+def test_sparql_results_json(repo):
+    doc = repo.sparql_json(
+        P + 'SELECT ?x ?n WHERE { ?x ex:name ?n . FILTER(?n = "Alice") }'
+    )
+    assert doc["head"]["vars"] == ["x", "n"]
+    [b] = doc["results"]["bindings"]
+    assert b["x"] == {"type": "uri", "value": "http://u#a"}
+    assert b["n"] == {"type": "literal", "value": "Alice"}
+
+
+def test_sparql_results_json_typed_and_lang(spark):
+    eng = Engine(spark)
+    r = eng.create_repository("json_t", ruleset="none")
+    r.load_turtle('@prefix ex: <http://u#> .\nex:a ex:v 5 .\nex:a ex:l "hi"@en .')
+    doc = r.sparql_json(P + "SELECT ?v ?l WHERE { ex:a ex:v ?v ; ex:l ?l }")
+    [b] = doc["results"]["bindings"]
+    assert b["v"]["datatype"].endswith("integer")
+    assert b["l"]["xml:lang"] == "en"
+
+
+def test_sparql_results_json_ask_and_unbound(repo):
+    assert repo.sparql_json(P + "ASK { ex:a ex:p ex:b }") == {
+        "head": {}, "boolean": True,
+    }
+    doc = repo.sparql_json(
+        P + "SELECT ?x ?m WHERE { ?x ex:p ?y . OPTIONAL { ?x ex:missing ?m } }"
+    )
+    [b] = doc["results"]["bindings"]
+    assert "m" not in b  # unbound var absent from binding (spec)
+
+
+# -- FROM / FROM NAMED (F6) --------------------------------------------------
+
+@pytest.fixture()
+def dataset_repo(spark):
+    eng = Engine(spark)
+    r = eng.create_repository("ds_repo", ruleset="none")
+    r._quads = None
+    r.load_turtle("@prefix ex: <http://u#> .\nex:d ex:v 1 .")
+    r.load_turtle("@prefix ex: <http://u#> .\nex:g1 ex:v 2 .", graph="http://u#G1")
+    r.load_turtle("@prefix ex: <http://u#> .\nex:g2 ex:v 3 .", graph="http://u#G2")
+    return r
+
+
+def test_no_dataset_union_default(dataset_repo):
+    rows = dataset_repo.sparql_collect("SELECT ?s WHERE { ?s <http://u#v> ?o }")
+    assert len(rows) == 3  # GraphDB-style union default graph
+
+
+def test_from_restricts_default(dataset_repo):
+    rows = dataset_repo.sparql_collect(
+        "SELECT ?s FROM <http://u#G1> WHERE { ?s <http://u#v> ?o }"
+    )
+    assert lex_set(rows, "s") == {"http://u#g1"}
+
+
+def test_from_named_restricts_graph(dataset_repo):
+    rows = dataset_repo.sparql_collect(
+        "SELECT ?g ?s FROM NAMED <http://u#G2> WHERE { GRAPH ?g { ?s ?p ?o } }"
+    )
+    assert lex_set(rows, "g") == {"http://u#G2"}
+    # FROM without FROM NAMED: GRAPH ranges over nothing
+    rows2 = dataset_repo.sparql_collect(
+        "SELECT ?g FROM <http://u#G1> WHERE { GRAPH ?g { ?s ?p ?o } }"
+    )
+    assert rows2 == []
