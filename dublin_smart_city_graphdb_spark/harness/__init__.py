@@ -16,5 +16,6 @@ from dublin_smart_city_graphdb_spark.harness.registry import (
 # Importing these modules populates REGISTRY via @register decorators.
 from dublin_smart_city_graphdb_spark.harness import relational  # noqa: E402,F401
 from dublin_smart_city_graphdb_spark.harness import pipeline  # noqa: E402,F401
+from dublin_smart_city_graphdb_spark.harness import sparql_gate  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "queries", "oracle_sql", "register"]

@@ -1,0 +1,297 @@
+"""SPARQL engine under the driver's DuckDB-oracle gate.
+
+The reference is a SPARQL endpoint (``README.md:63-65``); these entries prove
+the full parse → algebra → DataFrame pipeline (sparql/) produces the same
+answers as plain SQL. The driver's relational tables are RDF-ized into the
+canonical quads DataFrame (distributed ``select``/``union`` — no driver-side
+row building), real SPARQL text runs through the engine, and the resulting
+term-struct columns are projected back to relational columns that a DuckDB
+SQL oracle can reproduce.
+
+RDF mapping (FIXTURES.md §B analog):
+  region   → ``urn:region:{r_regionkey}``  a ``urn:rel:Region``; name
+  nation   → ``urn:nation:{n_nationkey}``  a ``urn:rel:Nation``; name; inRegion
+  supplier → ``urn:supplier:{s_suppkey}``  a ``urn:rel:Supplier``; name; inNation
+  customer → ``urn:customer:{c_custkey}``  a ``urn:rel:Customer``; name;
+             acctbal (xsd:decimal, 2 dp); inNation
+
+Scale note: triples are generated executor-side from the Parquet scans and
+unioned lazily; the quads DataFrame is cached per (session, sf_dir) because
+every SPARQL query scans it several times (one filtered scan per triple
+pattern — the predicate-partitioned layout of SURVEY §1.5 at cluster scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from dublin_smart_city_graphdb_spark.harness.registry import load, register
+from dublin_smart_city_graphdb_spark.model.terms import RDF_TYPE, XSD
+from dublin_smart_city_graphdb_spark.sparql.compiler import QueryCompiler
+from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+R = "urn:rel:"
+
+_NULL_QUAD_TAIL = None  # placeholder for readability
+
+
+def _null(t: str) -> Column:
+    return F.lit(None).cast(t)
+
+
+def _quad(s: Column, p: str, o_kind: int, o_lex: Column,
+          o_dtype: Column | None = None, o_num: Column | None = None) -> list[Column]:
+    return [
+        _null("string").alias("g"),
+        s.alias("s"),
+        F.lit(p).alias("p"),
+        F.lit(o_kind).cast("tinyint").alias("o_kind"),
+        o_lex.cast("string").alias("o_lex"),
+        (o_dtype if o_dtype is not None else _null("string")).alias("o_dtype"),
+        _null("string").alias("o_lang"),
+        (o_num if o_num is not None else _null("decimal(38,10)")).alias("o_num"),
+        _null("timestamp").alias("o_ts"),
+        _null("boolean").alias("o_bool"),
+    ]
+
+
+def _iri(prefix: str, keycol: str) -> Column:
+    return F.concat(F.lit(f"urn:{prefix}:"), F.col(keycol).cast("string"))
+
+
+def _rdfize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+
+    parts: list[DataFrame] = []
+
+    def add(df: DataFrame, cols: list[Column]) -> None:
+        parts.append(df.select(*cols))
+
+    # region
+    rs = _iri("region", "r_regionkey")
+    add(region, _quad(rs, RDF_TYPE, 0, F.lit(R + "Region")))
+    add(region, _quad(rs, R + "name", 2, F.col("r_name")))
+    # nation
+    ns = _iri("nation", "n_nationkey")
+    add(nation, _quad(ns, RDF_TYPE, 0, F.lit(R + "Nation")))
+    add(nation, _quad(ns, R + "name", 2, F.col("n_name")))
+    add(nation, _quad(ns, R + "inRegion", 0, _iri("region", "n_regionkey")))
+    # supplier
+    ss = _iri("supplier", "s_suppkey")
+    add(supplier, _quad(ss, RDF_TYPE, 0, F.lit(R + "Supplier")))
+    add(supplier, _quad(ss, R + "name", 2, F.col("s_name")))
+    add(supplier, _quad(ss, R + "inNation", 0, _iri("nation", "s_nationkey")))
+    # customer
+    cs = _iri("customer", "c_custkey")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    add(customer, _quad(cs, RDF_TYPE, 0, F.lit(R + "Customer")))
+    add(customer, _quad(cs, R + "name", 2, F.col("c_name")))
+    add(customer, _quad(cs, R + "inNation", 0, _iri("nation", "c_nationkey")))
+    add(customer, _quad(
+        cs, R + "acctbal", 2, bal,
+        o_dtype=F.lit(XSD + "decimal"), o_num=bal.cast("decimal(38,10)"),
+    ))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = _rdfize(spark, sf_dir).cache()
+    return _CACHE[key]
+
+
+def _sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    return QueryCompiler(spark, _quads(spark, sf_dir)).compile(parse_query(text))
+
+
+def _lex(var: str) -> Column:
+    return F.col(var)["lex"]
+
+
+def _long(var: str) -> Column:
+    return F.col(var)["num"].cast("long")
+
+
+def _money(var: str) -> Column:
+    return F.col(var)["num"].cast("decimal(18,2)").cast("double")
+
+
+# ---------------------------------------------------------------------------
+
+@register(
+    "sparql_bgp_region_rollup",
+    """
+    SELECT r.r_name AS region,
+           COUNT(*) AS num_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+    doc="SPARQL BGP join chain + GROUP BY through the real engine "
+        "(README.md:70-78 shape): 4-pattern BGP, shared-var equi-joins, "
+        "grouped SUM/COUNT.",
+)
+def sparql_bgp_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT ?region (COUNT(?cust) AS ?nc) (SUM(?bal) AS ?tb)
+        WHERE {{
+          ?cust a rel:Customer ; rel:inNation ?n ; rel:acctbal ?bal .
+          ?n rel:inRegion ?r .
+          ?r rel:name ?region .
+        }}
+        GROUP BY ?region
+        ORDER BY ?region
+    """)
+    return df.select(
+        _lex("region").alias("region"),
+        _long("nc").alias("num_customers"),
+        _money("tb").alias("total_bal"),
+    )
+
+
+@register(
+    "sparql_optional_suppliers",
+    """
+    SELECT n.n_name AS nation, COUNT(s.s_suppkey) AS num_suppliers
+    FROM nation n
+    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="SPARQL OPTIONAL (left join, SURVEY §2.3 J2) through the engine: "
+        "COUNT over a maybe-unbound variable ≡ SQL COUNT(col) over LEFT JOIN.",
+)
+def sparql_optional_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT ?nation (COUNT(?sup) AS ?ns)
+        WHERE {{
+          ?n a rel:Nation ; rel:name ?nation .
+          OPTIONAL {{ ?sup a rel:Supplier ; rel:inNation ?n }}
+        }}
+        GROUP BY ?nation
+    """)
+    return df.select(
+        _lex("nation").alias("nation"),
+        _long("ns").alias("num_suppliers"),
+    )
+
+
+@register(
+    "sparql_filter_topk",
+    """
+    SELECT c_name AS name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 9000
+    ORDER BY bal DESC, name
+    LIMIT 25
+    """,
+    doc="SPARQL FILTER + ORDER BY DESC + LIMIT (the bounding-box golden-query "
+        "shape, facilities.ttl:211-218) → TakeOrderedAndProject.",
+)
+def sparql_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT ?name ?bal
+        WHERE {{
+          ?c a rel:Customer ; rel:name ?name ; rel:acctbal ?bal .
+          FILTER(?bal > 9000)
+        }}
+        ORDER BY DESC(?bal) ?name
+        LIMIT 25
+    """)
+    return df.select(_lex("name").alias("name"), _money("bal").alias("bal"))
+
+
+@register(
+    "sparql_path_europe_customers",
+    """
+    SELECT COUNT(*) AS n
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    """,
+    doc="SPARQL property path (sequence, SURVEY §2.2 P7): "
+        "inNation/inRegion compiled to a join chain.",
+)
+def sparql_path_europe_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT (COUNT(?c) AS ?cnt)
+        WHERE {{
+          ?c a rel:Customer ; rel:inNation/rel:inRegion ?r .
+          ?r rel:name "EUROPE" .
+        }}
+    """)
+    return df.select(_long("cnt").alias("n"))
+
+
+@register(
+    "sparql_not_exists_nations",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS num_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_nationkey NOT IN (SELECT DISTINCT s_nationkey FROM supplier)
+    GROUP BY n.n_name
+    """,
+    doc="SPARQL FILTER NOT EXISTS (anti-join, SURVEY §2.3 J3 — the "
+        "areas-with-no-parks golden query, facilities.ttl:195-202).",
+)
+def sparql_not_exists_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT ?nation (COUNT(?c) AS ?nc)
+        WHERE {{
+          ?c a rel:Customer ; rel:inNation ?n .
+          ?n rel:name ?nation .
+          FILTER NOT EXISTS {{ ?s a rel:Supplier ; rel:inNation ?n }}
+        }}
+        GROUP BY ?nation
+    """)
+    return df.select(
+        _lex("nation").alias("nation"),
+        _long("nc").alias("num_customers"),
+    )
+
+
+@register(
+    "sparql_values_bind",
+    """
+    SELECT n.n_name AS name,
+           CASE WHEN r.r_name = 'EUROPE' THEN 'EU' ELSE 'AS' END AS zone
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('EUROPE', 'ASIA')
+    """,
+    doc="SPARQL VALUES inline table (J7) + BIND/IF (P3 expressions) through "
+        "the engine.",
+)
+def sparql_values_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT ?name ?zone
+        WHERE {{
+          ?n a rel:Nation ; rel:name ?name ; rel:inRegion ?r .
+          ?r rel:name ?rname .
+          VALUES ?rname {{ "EUROPE" "ASIA" }}
+          BIND(IF(?rname = "EUROPE", "EU", "AS") AS ?zone)
+        }}
+    """)
+    return df.select(_lex("name").alias("name"), _lex("zone").alias("zone"))
