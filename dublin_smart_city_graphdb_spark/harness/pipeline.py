@@ -68,11 +68,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shingling helpers (word k-grams; shared by MinHash and Jaccard dedup)
 # ---------------------------------------------------------------------------
 
-def _shingles_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
-    """(doc_id, shingle): distinct word-k-gram shingles per document."""
-    d = load(spark, sf_dir, "documents")
+def _shingle_arr(k: int):
+    """Column expr: distinct word-k-gram shingle array for ``text``."""
     w = F.split(F.col("text"), " ")
-    shingles = F.when(
+    return F.when(
         F.size(w) >= k,
         F.array_distinct(
             F.transform(
@@ -81,7 +80,19 @@ def _shingles_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return d.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(doc_id, shingle): distinct word-k-gram shingles per document."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(_shingle_arr(k)).alias("shingle"))
+
+
+# All ordered (doc_a < doc_b) pairs from a bucket's doc list ``ds``.
+_PAIR_EXPLODE = (
+    "flatten(transform(ds, a -> transform(filter(ds, b -> b > a), "
+    "b -> named_struct('doc_a', a, 'doc_b', b))))"
+)
 
 
 def _shingles_cte(k: int) -> str:
@@ -101,9 +112,27 @@ def _shingles_cte(k: int) -> str:
 
 _MINHASH_K = 8
 
+# 8 independent 32-bit hash lanes from just TWO md5 evaluations per shingle
+# (lanes 0-3 slice md5(shingle), lanes 4-7 slice md5('x:'||shingle)): md5 is
+# the per-shingle hot cost, so this is 4x less hashing than 8 seeded md5s.
+# 32 bits/lane keeps min-collisions across docs negligible while the banded
+# key (2 lanes = 64 bits) stays selective.
+
+
+def _mh_spark(j: int) -> str:
+    seed = "shingle" if j < 4 else "concat('x:', shingle)"
+    pos = 1 + 8 * (j % 4)
+    return f"CAST(conv(substr(md5(CAST({seed} AS BINARY)), {pos}, 8), 16, 10) AS BIGINT)"
+
+
+def _mh_duck(j: int) -> str:
+    seed = "shingle" if j < 4 else "'x:' || shingle"
+    pos = 1 + 8 * (j % 4)
+    return f"('0x' || substr(md5({seed}), {pos}, 8))::BIGINT"
+
+
 _minhash_mins_duck = ",\n           ".join(
-    f"MIN({_hash60_duck(chr(39) + str(j) + ':' + chr(39) + ' || shingle')}) AS mh{j}"
-    for j in range(_MINHASH_K)
+    f"MIN({_mh_duck(j)}) AS mh{j}" for j in range(_MINHASH_K)
 )
 
 _MINHASH_SIG_SQL = f"""
@@ -117,16 +146,13 @@ _MINHASH_SIG_SQL = f"""
 @register(
     "dedup_minhash_sig",
     _MINHASH_SIG_SQL,
-    doc="MinHash signatures: per doc, min of 8 seeded 60-bit md5 hashes over "
-        "5-word shingles. One shuffle (groupBy doc_id); constant signature "
-        "width → linear in corpus size.",
+    doc="MinHash signatures: per doc, min of 8 32-bit md5-derived hash lanes "
+        "over 5-word shingles (two md5s per shingle, sliced). One shuffle "
+        "(groupBy doc_id); constant signature width → linear in corpus size.",
 )
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(spark, sf_dir, 5)
-    aggs = [
-        F.min(F.expr(_hash60_spark(f"concat('{j}:', shingle)"))).alias(f"mh{j}")
-        for j in range(_MINHASH_K)
-    ]
+    aggs = [F.min(F.expr(_mh_spark(j))).alias(f"mh{j}") for j in range(_MINHASH_K)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -181,16 +207,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Bucket-grouped pair generation instead of a self-join: the signature
+    # subtree is evaluated ONCE (a self-join would recompute it per side),
+    # and the only shuffles are groupBy(bucket) + distinct. Buckets are tiny
+    # by construction (64-bit band key); a pathological hot bucket would be
+    # an all-identical corpus, where candidate pairs are quadratic anyway.
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(F.expr(_PAIR_EXPLODE)).alias("pr"))
+        .select(F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -225,18 +252,21 @@ _JACCARD_SQL = f"""
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(spark, sf_dir, 3)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # |A∩B| via bucket-grouped pair counts: group docs per shingle, emit
+    # ordered pairs inside each bucket, count per pair. The shingling+md5
+    # subtree runs once (the previous self-join evaluated it per side) and
+    # the shuffles are groupBy(shingle) + groupBy(pair) only.
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(F.expr(_PAIR_EXPLODE)).alias("pr"))
+        .groupBy(F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    # |A| per doc straight off the pre-explode shingle array: no shuffle.
+    d = load(spark, sf_dir, "documents")
+    sizes = d.select("doc_id", F.size(_shingle_arr(3)).alias("n_sh"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
     jac = F.col("n_common").cast("double") / (
