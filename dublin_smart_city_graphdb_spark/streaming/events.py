@@ -1,0 +1,122 @@
+"""Watermarked windowed aggregation over event streams (SURVEY §7 M8).
+
+``readStream`` → event-time windows → ``writeStream``; watermarks bound
+state so late data is handled without unbounded memory — the shape that
+holds on a real cluster ingesting an unbounded feed. Tests drive these with
+``trigger(availableNow=True)`` over the driver's static ``events`` parquet,
+which must agree with the equivalent batch aggregation (the harness queries
+``events_tumbling`` / ``events_sessionize``).
+
+The driver's ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's
+parquet reader only accepts as long-ns (``nanosAsLong``) — same gotcha and
+same fix as the batch path (harness/registry.py ``load_events``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Post-nanosAsLong schema: ts arrives as long nanoseconds since epoch.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming scan of an events feed directory (the file source watches
+    a directory; files arriving later are picked up incrementally) with a
+    proper event-time column (``etime``, µs to match the batch/oracle path)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return raw.withColumn(
+        "etime", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def tumbling_counts_stream(
+    events: DataFrame, width: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time windows: count + deterministic value sum per
+    (window, event_type). Watermark bounds the window state store."""
+    return (
+        events.withWatermark("etime", watermark)
+        .groupBy(F.window("etime", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding windows (overlapping): each event lands in width/slide
+    windows; state is bounded by the watermark."""
+    return (
+        events.withWatermark("etime", watermark)
+        .groupBy(F.window("etime", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-based, variable length) — the
+    streaming twin of the batch sessionization harness query."""
+    return (
+        events.withWatermark("etime", watermark)
+        .groupBy(F.session_window("etime", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_to_memory(
+    spark: SparkSession, stream_df: DataFrame, name: str, checkpoint: str
+) -> DataFrame:
+    """Drain everything currently available (trigger availableNow) into an
+    in-memory table and return it as a batch DataFrame. Complete output mode
+    because watermarked streaming aggregations emit finalized windows only
+    on watermark advance — a one-shot drain would otherwise hold every
+    window back in state."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
