@@ -42,6 +42,7 @@ class Repository:
         self.name = name
         self.config = config
         self._quads: DataFrame | None = None
+        self._pred_stats: dict[str, int] | None = None
         self._store = (
             QuadStore(self.spark, os.path.join(engine.warehouse, name, "quads"))
             if engine.warehouse
@@ -52,6 +53,7 @@ class Repository:
 
     # -- loading ------------------------------------------------------------
     def add_quads(self, df: DataFrame) -> None:
+        self._pred_stats = None
         if self._store:
             self._store.write(df, mode="append")
             self._quads = self._store.read()
@@ -83,6 +85,7 @@ class Repository:
             (self.quads.g.isNull()) | (self.quads.g != INFERRED_GRAPH)
         )
         inferred = materialize(explicit)
+        self._pred_stats = None
         base = explicit
         if self._store:
             self._store.write(
@@ -99,9 +102,29 @@ class Repository:
             return self.spark.createDataFrame([], QUAD_SCHEMA)
         return self._quads
 
+    def predicate_stats(self) -> dict[str, int]:
+        """Per-predicate row counts for BGP join ordering (the predicate-
+        lists statistics analogue, SURVEY §4.1). Collected once per
+        statement-set version; one tiny groupBy job."""
+        if self._pred_stats is None:
+            if self._store:
+                self._pred_stats = self._store.predicate_stats()
+            if not self._pred_stats:
+                import pyspark.sql.functions as F
+
+                self._pred_stats = {
+                    r["p"]: r["n"]
+                    for r in self.quads.groupBy("p")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+        return self._pred_stats
+
     def sparql(self, query_text: str) -> DataFrame:
         ast = parse_query(query_text)
-        return QueryCompiler(self.spark, self.quads).compile(ast)
+        return QueryCompiler(
+            self.spark, self.quads, predicate_stats=self.predicate_stats()
+        ).compile(ast)
 
     def sparql_json(self, query_text: str, timeout: float | None = None) -> dict:
         """Query → SPARQL-results-JSON dict (the reference's
@@ -130,6 +153,7 @@ class Repository:
             (self.quads.g.isNull()) | (self.quads.g != INFERRED_GRAPH)
         )
         result = UpdateExecutor(self.spark, load_fn).apply(explicit, ops)
+        self._pred_stats = None
         if self._store:
             self._store.write(result, mode="overwrite")
             self._quads = self._store.read()

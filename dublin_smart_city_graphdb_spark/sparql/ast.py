@@ -63,7 +63,21 @@ class PathOpt:
     inner: Any
 
 
-Path = Union[PathLink, PathInv, PathSeq, PathAlt, PathStar, PathPlus, PathOpt]
+@dataclass(frozen=True)
+class PathNeg:
+    """Negated property set ``!(p1|^p2|...)``: forward edges whose predicate
+    is NOT in ``fwd``, plus reversed edges whose predicate is NOT in ``inv``
+    (SPARQL 1.1 §9.1; only present when the set names inverse members)."""
+
+    fwd: tuple  # predicate IRIs excluded in forward direction
+    inv: tuple  # predicate IRIs excluded in inverse direction
+    has_fwd: bool = True  # whether forward direction participates
+    has_inv: bool = False
+
+
+Path = Union[
+    PathLink, PathInv, PathSeq, PathAlt, PathStar, PathPlus, PathOpt, PathNeg
+]
 
 
 # ---------------------------------------------------------------------------

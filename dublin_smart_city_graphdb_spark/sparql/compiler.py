@@ -40,6 +40,7 @@ from dublin_smart_city_graphdb_spark.sparql.termcol import (
     make_numeric,
     make_string,
     null_struct,
+    object_const_filter,
     object_struct,
     sort_keys,
     subject_struct,
@@ -67,9 +68,17 @@ class _AggRef:
 
 
 class QueryCompiler:
-    def __init__(self, spark: SparkSession, quads: DataFrame):
+    def __init__(
+        self,
+        spark: SparkSession,
+        quads: DataFrame,
+        predicate_stats: dict[str, int] | None = None,
+    ):
         self.spark = spark
         self.quads = quads
+        # Per-predicate row counts collected at load time (the reference's
+        # statistics-driven pattern reordering, SURVEY §4.1/§4.2 item 2).
+        self.predicate_stats = predicate_stats or {}
         self._uid = itertools.count()
         # Dataset clause (SURVEY §2.6 F6). Empty = GraphDB-style union
         # default graph (all contexts visible outside GRAPH).
@@ -376,10 +385,20 @@ class QueryCompiler:
         if not bgp.triples:
             return self.unit()
 
+        big = float(sum(self.predicate_stats.values()) or 1 << 40)
+
         def selectivity(tp: A.TriplePattern) -> tuple:
             n_vars = sum(isinstance(t, A.Var) for t in (tp.s, tp.p, tp.o))
             p_bound = 0 if isinstance(tp.p, (IRI,)) else 1
-            return (n_vars, p_bound)
+            # Tie-break on load-time per-predicate row counts: start the
+            # join chain from the rarest predicate (unknown predicate → 0
+            # rows; unbound predicate → whole-store cardinality).
+            card = (
+                float(self.predicate_stats.get(tp.p.value, 0))
+                if isinstance(tp.p, IRI) and self.predicate_stats
+                else big
+            )
+            return (n_vars, p_bound, card)
 
         remaining = sorted(bgp.triples, key=selectivity)
         # Greedy connected ordering: always join on a shared var when any
@@ -422,7 +441,7 @@ class QueryCompiler:
         elif isinstance(tp.s, Literal):
             return Compiled(self.quads.limit(0).select(), [], set())
         if isinstance(tp.o, Term) and not isinstance(tp.o, A.Var):
-            df = df.filter(object_struct().eqNullSafe(const_struct(tp.o)))
+            df = df.filter(object_const_filter(tp.o))
 
         sel: list[Column] = []
         names: list[str] = []
@@ -476,6 +495,28 @@ class QueryCompiler:
                 .select(subject_struct(F.col("s")).alias("src"),
                         object_struct().alias("dst"))
             )
+        if isinstance(path, A.PathNeg):
+            parts = []
+            if path.has_fwd:
+                fwd = df
+                if path.fwd:
+                    fwd = fwd.filter(~F.col("p").isin(*path.fwd))
+                parts.append(
+                    fwd.select(subject_struct(F.col("s")).alias("src"),
+                               object_struct().alias("dst"))
+                )
+            if path.has_inv:
+                inv = df
+                if path.inv:
+                    inv = inv.filter(~F.col("p").isin(*path.inv))
+                parts.append(
+                    inv.select(object_struct().alias("src"),
+                               subject_struct(F.col("s")).alias("dst"))
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         if isinstance(path, A.PathInv):
             inner = self.compile_path_pairs(path.inner, graph_ctx)
             return inner.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -115,6 +115,10 @@ class ExprCompiler:
         if isinstance(e, A.NotExpr):
             return ~self.compile_bool(e.inner)
         if isinstance(e, A.Compare):
+            if e.op in ("<", ">", "<=", ">="):
+                fast = self._fast_range_cmp(e)
+                if fast is not None:
+                    return fast
             a, b = self.compile(e.left), self.compile(e.right)
             if e.op == "=":
                 return term_eq(a, b)
@@ -128,6 +132,27 @@ class ExprCompiler:
                 hit = hit | F.coalesce(term_eq(a, self.compile(opt)), F.lit(False))
             return ~hit if e.negated else hit
         return ebv(self.compile(e))
+
+    def _fast_range_cmp(self, e: A.Compare) -> Column | None:
+        """var-vs-numeric-constant range comparison as a BARE column
+        predicate (``o_num > lit``), not the general CASE WHEN chain.
+        Semantically identical for </>/<=/>= — every non-numeric branch of
+        the general form yields null (error→dropped), exactly what NULL
+        ``num`` gives here — and, unlike CASE WHEN, this shape survives to
+        the parquet scan as a pushed row-group filter."""
+        from dublin_smart_city_graphdb_spark.model.terms import Literal
+
+        def num_const(t):
+            return t.numeric_value() if isinstance(t, Literal) else None
+
+        lv, rv = num_const(e.left), num_const(e.right)
+        if isinstance(e.left, A.Var) and rv is not None:
+            a, b = self.compile(e.left)["num"], F.lit(rv)
+        elif lv is not None and isinstance(e.right, A.Var):
+            a, b = F.lit(lv), self.compile(e.right)["num"]
+        else:
+            return None
+        return {"<": a < b, ">": a > b, "<=": a <= b, ">=": a >= b}[e.op]
 
     # -- dispatch -----------------------------------------------------------
     def compile(self, e) -> Column:

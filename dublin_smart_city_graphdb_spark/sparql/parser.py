@@ -17,9 +17,9 @@ from dublin_smart_city_graphdb_spark.sparql.ast import (
     ConstructQuery, CreateOp, DeleteDataOp, DescribeQuery, ExistsExpr,
     FuncCall, GraphCopyOp, GraphGraphPattern, GroupPattern, InExpr,
     InsertDataOp, LoadOp, MinusPattern, ModifyOp, NotExpr, OptionalPattern,
-    OrExpr, PathAlt, PathInv, PathLink, PathOpt, PathPlus, PathSeq, PathStar,
-    SelectQuery, SubSelectPattern, TriplePattern, UnaryMinus, UnionPattern,
-    ValuesPattern, Var,
+    OrExpr, PathAlt, PathInv, PathLink, PathNeg, PathOpt, PathPlus, PathSeq,
+    PathStar, SelectQuery, SubSelectPattern, TriplePattern, UnaryMinus,
+    UnionPattern, ValuesPattern, Var,
 )
 from dublin_smart_city_graphdb_spark.sources.turtle import _unescape
 
@@ -501,6 +501,9 @@ class SparqlParser:
 
     def _path_primary(self):
         kind, v = self._peek()
+        if v == "!":
+            self._next()
+            return self._path_negated_set()
         if v == "(":
             self._next()
             inner = self._path_alt()
@@ -513,6 +516,37 @@ class SparqlParser:
         if not isinstance(t, IRI):
             raise ValueError(f"sparql: path primary must be IRI, got {t}")
         return PathLink(t.value)
+
+    def _path_negated_set(self) -> PathNeg:
+        """``!iri`` | ``!^iri`` | ``!( iri | ^iri | ... )`` (SPARQL §9.1)."""
+
+        def one() -> tuple[bool, str]:
+            invert = self._accept_op("^")
+            k, tv = self._peek()
+            if k == "NAME" and tv == "a":
+                self._next()
+                return invert, RDF_TYPE
+            t = self._term()
+            if not isinstance(t, IRI):
+                raise ValueError("sparql: negated property set needs IRIs")
+            return invert, t.value
+
+        fwd: list[str] = []
+        inv: list[str] = []
+        if self._accept_op("("):
+            while self._peek()[1] != ")":
+                invert, iri = one()
+                (inv if invert else fwd).append(iri)
+                if not self._accept_op("|"):
+                    break
+            self._expect_op(")")
+        else:
+            invert, iri = one()
+            (inv if invert else fwd).append(iri)
+        return PathNeg(
+            fwd=tuple(fwd), inv=tuple(inv),
+            has_fwd=bool(fwd), has_inv=bool(inv),
+        )
 
     def _graph_term(self):
         kind, v = self._peek()

@@ -97,6 +97,30 @@ def null_struct() -> Column:
                    _NULL_N(), _NULL_T(), _NULL_B())
 
 
+def object_const_filter(term: Term) -> Column:
+    """Constant-object pattern match as PER-COLUMN predicates on the quads
+    table (term identity = kind+lex+dtype+lang). Column-wise comparisons
+    reach the parquet scan as pushed filters with row-group min/max pruning;
+    a whole-struct equality would not push down."""
+    if isinstance(term, IRI):
+        return (F.col("o_kind") == KIND_IRI) & (F.col("o_lex") == term.value)
+    if isinstance(term, BNode):
+        return (F.col("o_kind") == KIND_BLANK) & (
+            F.col("o_lex") == f"_:{term.label}"
+        )
+    lit: Literal = term
+    cond = (F.col("o_kind") == KIND_LITERAL) & (F.col("o_lex") == lit.lex)
+    cond &= (
+        (F.col("o_dtype") == lit.datatype)
+        if lit.datatype
+        else F.col("o_dtype").isNull()
+    )
+    cond &= (
+        (F.col("o_lang") == lit.lang) if lit.lang else F.col("o_lang").isNull()
+    )
+    return cond
+
+
 # -- constructors from computed values --------------------------------------
 
 def make_numeric(col: Column, dtype: str = XSD + "decimal") -> Column:

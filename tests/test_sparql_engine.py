@@ -216,6 +216,39 @@ def test_property_path_seq_inverse(micro):
     assert lexes(rows2) == ["http://m#c"]
 
 
+def test_negated_property_set(micro):
+    # !ex:knows: any edge except knows (only the rdf:type edges here)
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x ?y WHERE { ?x !(ex:knows|ex:age|ex:name) ?y }"
+    )
+    types = {(r["x"].lex, r["y"].lex) for r in rows}
+    assert ("http://m#a", "http://m#Person") in types
+    assert all(y.endswith(("Person", "Robot")) for _, y in types)
+    # inverse-only: ?x !(^ex:knows) ex:a matches (a, p, ?x) with p ≠ knows,
+    # i.e. every non-knows edge OUT of a, reversed
+    rows2 = micro.sparql_collect(
+        MP + "SELECT ?x WHERE { ?x !(^ex:knows) ex:a }"
+    )
+    got2 = {r["x"].lex for r in rows2}
+    assert got2 == {"30", "Alice", "http://m#Person"}
+    rows3 = micro.sparql_collect(
+        MP + "SELECT ?y WHERE { ex:b !ex:name ?y }"
+    )
+    got = {r["y"].lex for r in rows3}
+    assert got == {"http://m#c", "25", "http://m#Person"}
+
+
+def test_predicate_stats_used_for_ordering(micro):
+    stats = micro.predicate_stats()
+    assert stats["http://m#knows"] == 3
+    assert stats["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"] == 4
+    # ordering is a pure optimization — results must not change
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x WHERE { ?x a ex:Person . ?x ex:name ?n . ?x ex:age ?a }"
+    )
+    assert sorted(r["x"].lex for r in rows) == ["http://m#a", "http://m#b"]
+
+
 def test_order_limit_offset_distinct(micro):
     rows = micro.sparql_collect(
         MP + "SELECT ?x ?a WHERE { ?x ex:age ?a } ORDER BY DESC(?a) LIMIT 2 OFFSET 1"
