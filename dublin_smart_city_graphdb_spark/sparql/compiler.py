@@ -48,6 +48,20 @@ from dublin_smart_city_graphdb_spark.sparql.termcol import (
 from dublin_smart_city_graphdb_spark.model.terms import XSD
 
 
+def _contains_exists(e) -> bool:
+    if isinstance(e, A.ExistsExpr):
+        return True
+    for attr in ("parts", "args", "options"):
+        for sub in getattr(e, attr, []) or []:
+            if _contains_exists(sub):
+                return True
+    for attr in ("left", "right", "inner", "expr"):
+        sub = getattr(e, attr, None)
+        if sub is not None and _contains_exists(sub):
+            return True
+    return False
+
+
 @dataclass
 class Compiled:
     df: DataFrame
@@ -337,8 +351,20 @@ class QueryCompiler:
                 cur = c if cur is None else self.join(cur, c, "inner")
             elif isinstance(elem, A.OptionalPattern):
                 left = cur if cur is not None else self.unit()
-                right = self.compile_group(elem.group, graph_ctx)
-                cur = self.join(left, right, "left")
+                # SPARQL 18.2.2.2: FILTERs at the top level of an OPTIONAL
+                # group become part of the LeftJoin CONDITION — they may
+                # reference variables bound only on the LEFT side, and an
+                # unsatisfied condition must keep the left row (unmatched),
+                # not produce a matched-then-filtered row. EXISTS filters
+                # need plan context and stay inside (they cannot reference
+                # cross-side vars in our compile).
+                plain = [f for f in elem.group.filters if not _contains_exists(f)]
+                inner = A.GroupPattern(
+                    elements=elem.group.elements,
+                    filters=[f for f in elem.group.filters if _contains_exists(f)],
+                )
+                right = self.compile_group(inner, graph_ctx)
+                cur = self.join(left, right, "left", filter_asts=plain)
             elif isinstance(elem, A.UnionPattern):
                 branches = [self.compile_group(b, graph_ctx) for b in elem.branches]
                 c = self._union(branches)
@@ -557,7 +583,9 @@ class QueryCompiler:
         raise ValueError(f"unsupported path {type(path).__name__}")
 
     # -- joins ---------------------------------------------------------------
-    def join(self, a: Compiled, b: Compiled, how: str) -> Compiled:
+    def join(
+        self, a: Compiled, b: Compiled, how: str, filter_asts: list | None = None
+    ) -> Compiled:
         shared = [v for v in a.var_order if v in b.vars]
         b_df = b.df
         for v in shared:
@@ -570,7 +598,21 @@ class QueryCompiler:
                 cond = cond & (l == r)
             else:
                 cond = cond & (l.isNull() | r.isNull() | (l == r))
-        if not shared and how == "inner":
+        if filter_asts:
+            # OPTIONAL-with-FILTER: the filter joins the LeftJoin condition,
+            # evaluated over the merged solution (outer vars resolve to the
+            # left side). Eval error → false → left row survives unmatched.
+            def resolve(name: str) -> Column:
+                if name in shared:
+                    return F.coalesce(F.col(f"L.{name}"), F.col(f"R.{name}__r"))
+                if name in a.vars:
+                    return F.col(f"L.{name}")
+                return F.col(f"R.{name}")
+
+            ec = ExprCompiler(resolve, a.vars | b.vars)
+            for fa in filter_asts:
+                cond = cond & F.coalesce(ec.compile_bool(fa), F.lit(False))
+        if not shared and how == "inner" and not filter_asts:
             joined = L.crossJoin(R)
         else:
             joined = L.join(R, cond, how)

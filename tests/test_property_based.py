@@ -1,0 +1,183 @@
+"""Property-based spot checks (SURVEY §5 item 5): the engine against an
+independent pure-Python SPARQL-semantics evaluator on random small graphs
+and random BGP / OPTIONAL / FILTER queries (hypothesis)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
+from dublin_smart_city_graphdb_spark.model.terms import IRI, Literal, XSD, term_to_row
+from dublin_smart_city_graphdb_spark.sparql.compiler import QueryCompiler
+from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+G = "http://g#"
+SUBJECTS = [f"{G}s{i}" for i in range(4)]
+PREDICATES = [f"{G}p{i}" for i in range(3)]
+VARS = ["a", "b", "c"]
+
+
+# -- strategies --------------------------------------------------------------
+
+term_obj = st.one_of(
+    st.sampled_from(SUBJECTS).map(lambda v: ("iri", v)),
+    st.integers(0, 4).map(lambda n: ("int", str(n))),
+)
+
+triple = st.tuples(st.sampled_from(SUBJECTS), st.sampled_from(PREDICATES), term_obj)
+
+graph = st.lists(triple, min_size=0, max_size=14).map(lambda ts: sorted(set(ts)))
+
+pat_s = st.one_of(
+    st.sampled_from(VARS).map(lambda v: ("var", v)),
+    st.sampled_from(SUBJECTS).map(lambda v: ("iri", v)),
+)
+pat_p = st.one_of(
+    st.sampled_from(VARS).map(lambda v: ("var", v)),
+    st.sampled_from(PREDICATES).map(lambda v: ("iri", v)),
+)
+pat_o = st.one_of(st.sampled_from(VARS).map(lambda v: ("var", v)), term_obj)
+
+pattern = st.tuples(pat_s, pat_p, pat_o)
+
+query = st.fixed_dictionaries(
+    {
+        "base": st.lists(pattern, min_size=1, max_size=2),
+        "optional": st.one_of(st.none(), pattern),
+        "filter": st.one_of(
+            st.none(),
+            st.tuples(st.sampled_from(VARS), st.integers(0, 4)),  # ?v > n
+        ),
+    }
+)
+
+
+# -- pure-Python reference evaluator -----------------------------------------
+
+def _match(tp, triple, binding):
+    out = dict(binding)
+    for pos, val in zip(tp, triple):
+        kind, v = pos
+        if kind == "var":
+            if v in out:
+                if out[v] != val:
+                    return None
+            else:
+                out[v] = val
+        else:
+            if pos != val:
+                return None
+    return out
+
+
+def _triple_positions(t):
+    s, p, o = t
+    return (("iri", s), ("iri", p), o)
+
+
+def _eval_bgp(triples, patterns, seeds):
+    sols = seeds
+    for tp in patterns:
+        sols = [
+            m
+            for b in sols
+            for t in triples
+            if (m := _match(tp, _triple_positions(t), b)) is not None
+        ]
+    return sols
+
+
+def _compatible(b1, b2):
+    return all(b2.get(k, v) == v for k, v in b1.items())
+
+
+def _reference_eval(triples, q):
+    base = _eval_bgp(triples, q["base"], [{}])
+    if q["optional"] is not None:
+        out = []
+        for b in base:
+            matches = [
+                m for m in _eval_bgp(triples, [q["optional"]], [{}])
+                if _compatible(b, m)
+            ]
+            if matches:
+                out.extend({**b, **m} for m in matches)
+            else:
+                out.append(b)
+        base = out
+    if q["filter"] is not None:
+        var, n = q["filter"]
+        base = [
+            b
+            for b in base
+            if var in b and b[var][0] == "int" and int(b[var][1]) > n
+        ]
+    return base
+
+
+# -- SPARQL text generation ---------------------------------------------------
+
+def _pos_text(pos):
+    kind, v = pos
+    if kind == "var":
+        return f"?{v}"
+    if kind == "iri":
+        return f"<{v}>"
+    return v  # int literal lexical form
+
+
+def _query_text(q):
+    lines = [" ".join(_pos_text(p) for p in tp) + " ." for tp in q["base"]]
+    if q["optional"] is not None:
+        lines.append(
+            "OPTIONAL { " + " ".join(_pos_text(p) for p in q["optional"]) + " }"
+        )
+    if q["filter"] is not None:
+        var, n = q["filter"]
+        lines.append(f"FILTER(?{var} > {n})")
+    return "SELECT * WHERE { " + "\n".join(lines) + " }"
+
+
+def _term(val):
+    kind, v = val
+    if kind == "iri":
+        return IRI(v)
+    return Literal(v, datatype=XSD + "integer")
+
+
+def _row_key(row, cols):
+    out = []
+    for c in cols:
+        t = row[c]
+        if t is None or t["kind"] is None:
+            out.append(None)
+        elif t["kind"] == 0:
+            out.append(("iri", t["lex"]))
+        else:
+            out.append(("int", t["lex"]))
+    return tuple(out)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(triples=graph, q=query)
+def test_engine_matches_reference_eval(spark, triples, q):
+    rows = [
+        term_to_row(None, IRI(s), IRI(p), _term(o)) for s, p, o in triples
+    ]
+    quads = spark.createDataFrame(rows, QUAD_SCHEMA)
+    df = QueryCompiler(spark, quads).compile(parse_query(_query_text(q)))
+    cols = df.columns
+    got = sorted(_row_key(r, cols) for r in df.collect())
+
+    want_sols = _reference_eval(triples, q)
+    want = sorted(
+        tuple(b.get(c) for c in cols) for b in want_sols
+    )
+    assert got == want, f"query: {_query_text(q)}\ntriples: {triples}"

@@ -146,6 +146,38 @@ def test_optional_left_join(micro):
     assert got == {"http://m#a": "Alice", "http://m#b": "Bob", "http://m#c": None}
 
 
+def test_optional_filter_joins_the_leftjoin_condition(spark):
+    """W3C SPARQL 18.2.2.2: OPTIONAL { P FILTER(F) } puts F in the LeftJoin
+    condition — a failing F keeps the left row UNMATCHED (null), it does not
+    drop it; and F may reference left-side variables."""
+    eng = Engine(spark)
+    r = eng.create_repository("optfilter", ruleset="none")
+    r.load_turtle("""
+        @prefix ex: <http://of#> .
+        ex:book1 ex:title "SPARQL Tutorial" ; ex:price 42 .
+        ex:book2 ex:title "The Semantic Web" ; ex:price 23 .
+    """)
+    P2 = "PREFIX ex: <http://of#>\n"
+    rows = r.sparql_collect(
+        P2 + """SELECT ?title ?price WHERE {
+            ?x ex:title ?title .
+            OPTIONAL { ?x ex:price ?price . FILTER(?price < 30) }
+        }"""
+    )
+    got = {r_["title"].lex: (r_["price"].lex if r_["price"] else None) for r_ in rows}
+    # book1's price fails the filter → title still returned, price unbound
+    assert got == {"SPARQL Tutorial": None, "The Semantic Web": "23"}
+    # filter referencing a LEFT-side variable
+    rows2 = r.sparql_collect(
+        P2 + """SELECT ?x ?other WHERE {
+            ?x ex:price ?p .
+            OPTIONAL { ?y ex:price ?other . FILTER(?other < ?p) }
+        }"""
+    )
+    got2 = {r_["x"].lex: (r_["other"].lex if r_["other"] else None) for r_ in rows2}
+    assert got2 == {"http://of#book1": "23", "http://of#book2": None}
+
+
 def test_union(micro):
     rows = micro.sparql_collect(
         MP + "SELECT ?x WHERE { { ?x a ex:Person } UNION { ?x a ex:Robot } }"
