@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "sparql_bgp_region_rollup",
     "text_quality",
     "text_fingerprint",
     "events_sessionize",

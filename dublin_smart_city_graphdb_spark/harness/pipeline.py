@@ -461,6 +461,118 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH-bucketed ANN: random-hyperplane signatures (the 100 TB scale path —
+# candidates come from one equi-join on an 8-bit bucket key instead of a
+# full corpus × queries product; SURVEY §7 similarity #2)
+# ---------------------------------------------------------------------------
+
+_LSH_PLANES = 8
+_EMB_DIM = 64
+
+
+def _plane_weight(j: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1] — derived
+    from md5 so Spark and the DuckDB oracle embed IDENTICAL plane literals."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane{j}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+_PLANES = [
+    [_plane_weight(j, d) for d in range(_EMB_DIM)] for j in range(_LSH_PLANES)
+]
+
+
+def _lsh_bucket_spark():
+    """8-bit bucket: bit j = sign of <embedding, plane_j> (double, in array
+    order — bit-identical to the DuckDB formulation)."""
+    bits = None
+    for j, w in enumerate(_PLANES):
+        arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in w) + ")"
+        dot = F.expr(_DOT.format(a="embedding", b=arr))
+        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits
+
+
+def _lsh_bucket_duck(prefix: str) -> str:
+    parts = []
+    for j, w in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(x) for x in w) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+            f"i -> CAST({prefix}embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+_LSH_TOPK_SQL = f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_lsh_bucket_duck('')} AS bucket
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_cos_duck('q', 'c')} AS cosine
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rk FROM cand
+    ) WHERE rk <= 5
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    _LSH_TOPK_SQL,
+    doc="ANN via random-hyperplane LSH: 8 sign bits → bucket; candidates "
+        "share a bucket (equi-join on the 8-bit key — no corpus × queries "
+        "product), exact cosine re-rank inside the bucket. The approximate "
+        "scale path next to ann_cosine_topk's exact baseline.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").withColumn("bucket", _lsh_bucket_spark())
+    q = _with_norm(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("emb_q"),
+            "bucket",
+        ),
+        "emb_q",
+        "norm_q",
+    )
+    c = _with_norm(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("emb_c"),
+            F.col("bucket").alias("bucket_c"),
+        ),
+        "emb_c",
+        "norm_c",
+    )
+    dot = F.expr(_DOT.format(a="emb_q", b="emb_c"))
+    cos = F.round(dot / (F.col("norm_q") * F.col("norm_c")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("bucket") == F.col("bucket_c"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: language ID (stopword n-gram heuristic; SURVEY §7 text #1)
 # ---------------------------------------------------------------------------
 
