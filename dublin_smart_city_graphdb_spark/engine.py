@@ -193,6 +193,20 @@ class Repository:
         """The reference's verification query (init-graphdb.sh:133)."""
         return self.quads.count()
 
+    def property_table(
+        self,
+        columns: dict[str, tuple[str, str]],
+        class_iri: str | None = None,
+        collect: str = "first",
+    ) -> DataFrame:
+        """Wide per-subject view of hot classes — the columnar analytics
+        fast path (SURVEY §1.5); one pivot, natively-typed columns."""
+        from dublin_smart_city_graphdb_spark.model.property_table import (
+            property_table,
+        )
+
+        return property_table(self.quads, columns, class_iri, collect)
+
 
 class Engine:
     """Catalog of repositories (SURVEY §2.1 S5, §3 E3)."""

@@ -272,6 +272,44 @@ def sparql_not_exists_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "property_table_roundtrip",
+    """
+    SELECT c_name AS name,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+           n.n_name AS nation
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="Property-table view (SURVEY §1.5 columnar fast path): quads pivoted "
+        "back to a wide customer table with natively-typed columns; the "
+        "nation IRI column joins the nation name like any relational dim.",
+)
+def property_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.model.property_table import property_table
+
+    quads = _quads(spark, sf_dir)
+    cust = property_table(
+        quads,
+        columns={
+            R + "name": ("name", "string"),
+            R + "acctbal": ("acctbal", "decimal"),
+            R + "inNation": ("nation_iri", "iri"),
+        },
+        class_iri=R + "Customer",
+    )
+    nations = property_table(
+        quads, columns={R + "name": ("nation", "string")}, class_iri=R + "Nation"
+    ).select(F.col("s").alias("n_iri"), "nation")
+    return (
+        cust.join(F.broadcast(nations), cust.nation_iri == nations.n_iri)
+        .select(
+            "name",
+            F.col("acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
+            "nation",
+        )
+    )
+
+
+@register(
     "sparql_values_bind",
     """
     SELECT n.n_name AS name,

@@ -1,0 +1,173 @@
+"""Thin SPARQL-Protocol HTTP facade (SURVEY §2.1 S3, §3 E1/E3).
+
+Mirrors the exact REST surface the reference deployment exercises:
+
+- ``GET/POST /repositories/{r}?query=`` → SPARQL-results JSON
+  (``init-graphdb.sh:133-135``, ``README.md:63-65``);
+- ``POST /repositories/{r}/statements`` with ``Content-Type: text/turtle``
+  → bulk load (``init-graphdb.sh:90-119``), or form/raw ``update=`` →
+  SPARQL Update (engine surface S7);
+- ``GET /rest/repositories`` → repository list (``init-graphdb.sh:38``,
+  ``entrypoint.sh:30``);
+- ``POST /rest/repositories`` with the reference's JSON config shape
+  → idempotent create (``init-graphdb.sh:44-72``).
+
+Serving is a stdlib ThreadingHTTPServer — the facade is NOT the engine: it
+parses/dispatches only, every query still runs as a distributed Spark job.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from dublin_smart_city_graphdb_spark.engine import Engine
+
+
+def _make_handler(engine: Engine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet test output
+            pass
+
+        # -- helpers ---------------------------------------------------------
+        def _send(self, code: int, payload, ctype="application/json"):
+            body = (
+                payload.encode()
+                if isinstance(payload, str)
+                else json.dumps(payload).encode()
+            )
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _repo(self, name: str):
+            try:
+                return engine.repository(name)
+            except KeyError:
+                self._send(404, {"error": f"unknown repository {name!r}"})
+                return None
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n) if n else b""
+
+        # -- routes ----------------------------------------------------------
+        def do_GET(self):
+            url = urllib.parse.urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            if parts == ["rest", "repositories"]:
+                self._send(200, [{"id": r} for r in engine.list_repositories()])
+                return
+            if len(parts) == 2 and parts[0] == "repositories":
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                qs = urllib.parse.parse_qs(url.query)
+                query = (qs.get("query") or [None])[0]
+                if not query:
+                    self._send(400, {"error": "missing query parameter"})
+                    return
+                try:
+                    self._send(
+                        200,
+                        repo.sparql_json(query),
+                        "application/sparql-results+json",
+                    )
+                except Exception as ex:  # noqa: BLE001 — protocol boundary
+                    self._send(400, {"error": str(ex)})
+                return
+            self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            url = urllib.parse.urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            body = self._body()
+
+            if parts == ["rest", "repositories"]:
+                # reference config shape: {"id": ..., "params": {...}}
+                cfg = json.loads(body or b"{}")
+                name = cfg.get("id")
+                if not name:
+                    self._send(400, {"error": "missing repository id"})
+                    return
+                params = cfg.get("params", {})
+                ruleset = params.get("ruleset", {}).get("value", "rdfsplus")
+                timeout = float(
+                    params.get("queryTimeout", {}).get("value", 30)
+                )
+                engine.create_repository(
+                    name, ruleset=ruleset, query_timeout=timeout
+                )
+                self._send(201, {"id": name})
+                return
+
+            if len(parts) == 3 and parts[0] == "repositories" and parts[2] == "statements":
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                try:
+                    if ctype == "text/turtle":
+                        qs = urllib.parse.parse_qs(url.query)
+                        graph = (qs.get("context") or [None])[0]
+                        repo.load_turtle(body.decode(), graph=graph)
+                        self._send(204, "")
+                    else:  # SPARQL update: form-encoded or raw body
+                        if ctype == "application/x-www-form-urlencoded":
+                            form = urllib.parse.parse_qs(body.decode())
+                            update = (form.get("update") or [""])[0]
+                        else:
+                            update = body.decode()
+                        repo.update(update)
+                        self._send(204, "")
+                except Exception as ex:  # noqa: BLE001
+                    self._send(400, {"error": str(ex)})
+                return
+
+            if len(parts) == 2 and parts[0] == "repositories":
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                if ctype == "application/x-www-form-urlencoded":
+                    form = urllib.parse.parse_qs(body.decode())
+                    query = (form.get("query") or [""])[0]
+                else:
+                    query = body.decode()
+                try:
+                    self._send(
+                        200,
+                        repo.sparql_json(query),
+                        "application/sparql-results+json",
+                    )
+                except Exception as ex:  # noqa: BLE001
+                    self._send(400, {"error": str(ex)})
+                return
+            self._send(404, {"error": "not found"})
+
+    return Handler
+
+
+class SparqlHttpServer:
+    """Serve an Engine over the SPARQL protocol; ``port=0`` picks a free
+    port (exposed as ``.port``)."""
+
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+        self._httpd = ThreadingHTTPServer((host, port), _make_handler(engine))
+        self.host = host
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "SparqlHttpServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
