@@ -123,7 +123,10 @@ class Repository:
     def sparql(self, query_text: str) -> DataFrame:
         ast = parse_query(query_text)
         return QueryCompiler(
-            self.spark, self.quads, predicate_stats=self.predicate_stats()
+            self.spark,
+            self.quads,
+            predicate_stats=self.predicate_stats(),
+            extensions=self.engine.functions,
         ).compile(ast)
 
     def sparql_json(self, query_text: str, timeout: float | None = None) -> dict:
@@ -215,6 +218,13 @@ class Engine:
         self.spark = spark
         self.warehouse = warehouse
         self._repos: dict[str, Repository] = {}
+        from dublin_smart_city_graphdb_spark.sparql.extensions import (
+            default_extensions,
+        )
+
+        # SPARQL extension-function registry (SURVEY §2.9): IRI → callable
+        # taking term-struct Columns, returning a term-struct Column.
+        self.functions: dict = default_extensions()
         if warehouse:
             os.makedirs(warehouse, exist_ok=True)
             for name in os.listdir(warehouse):
@@ -245,6 +255,13 @@ class Engine:
             with open(os.path.join(self.warehouse, name, "config.json"), "w") as f:
                 json.dump(config, f)
         return repo
+
+    def register_function(self, iri: str, fn) -> None:
+        """Register a SPARQL extension function: ``fn(args: list[Column
+        (term struct)]) -> Column (term struct)``. Prefer JVM Column math;
+        a pandas_udf-returning callable slots in when it can't express the
+        semantics (Arrow-batched, never row-at-a-time)."""
+        self.functions[iri] = fn
 
     def list_repositories(self) -> list[str]:
         return sorted(self._repos)

@@ -87,12 +87,14 @@ class QueryCompiler:
         spark: SparkSession,
         quads: DataFrame,
         predicate_stats: dict[str, int] | None = None,
+        extensions: dict | None = None,
     ):
         self.spark = spark
         self.quads = quads
         # Per-predicate row counts collected at load time (the reference's
         # statistics-driven pattern reordering, SURVEY §4.1/§4.2 item 2).
         self.predicate_stats = predicate_stats or {}
+        self.extensions = extensions or {}
         self._uid = itertools.count()
         # Dataset clause (SURVEY §2.6 F6). Empty = GraphDB-style union
         # default graph (all contexts visible outside GRAPH).
@@ -223,7 +225,7 @@ class QueryCompiler:
         return out
 
     def _expr_compiler(self, c: Compiled) -> ExprCompiler:
-        return ExprCompiler(lambda n: F.col(n), c.vars)
+        return ExprCompiler(lambda n: F.col(n), c.vars, self.extensions)
 
     # ---------------------------------------------------------- aggregation
     def _aggregate(
@@ -609,7 +611,7 @@ class QueryCompiler:
                     return F.col(f"L.{name}")
                 return F.col(f"R.{name}")
 
-            ec = ExprCompiler(resolve, a.vars | b.vars)
+            ec = ExprCompiler(resolve, a.vars | b.vars, self.extensions)
             for fa in filter_asts:
                 cond = cond & F.coalesce(ec.compile_bool(fa), F.lit(False))
         if not shared and how == "inner" and not filter_asts:

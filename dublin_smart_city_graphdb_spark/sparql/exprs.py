@@ -94,9 +94,13 @@ class ExprCompiler:
     are term structs. EXISTS/aggregate nodes must have been rewritten by the
     query compiler before reaching here (they need plan context)."""
 
-    def __init__(self, var_resolver, in_scope: set[str]):
+    def __init__(self, var_resolver, in_scope: set[str], extensions=None):
         self._resolve = var_resolver  # name -> Column (term struct)
         self._scope = in_scope
+        # extension-function registry: IRI -> callable(list[Column]) -> Column
+        # (term struct). SURVEY §2.9: gaps get vectorized impls, never
+        # row-at-a-time Python in the hot path.
+        self._ext = extensions or {}
 
     # -- boolean fast path ---------------------------------------------------
     def compile_bool(self, e) -> Column:
@@ -192,6 +196,9 @@ class ExprCompiler:
     def _func(self, e: A.FuncCall) -> Column:  # noqa: C901
         name = e.name
         args = [self.compile(a) for a in e.args]
+
+        if name in self._ext:  # extension function by IRI (SURVEY §2.9)
+            return self._ext[name](args)
 
         if name == "BOUND":
             return make_bool(args[0].isNotNull())

@@ -692,7 +692,19 @@ class SparqlParser:
             return self._exists_expr()
         if kw in _BUILTINS:
             return self._builtin_call()
-        return self._term()
+        t = self._term()
+        # iriOrFunction: IRI followed by an arg list is an extension
+        # function call (SPARQL grammar [128]; SURVEY §2.9 registry)
+        if isinstance(t, IRI) and self._peek()[1] == "(":
+            self._next()
+            args: list = []
+            if self._peek()[1] != ")":
+                args.append(self._expression())
+                while self._accept_op(","):
+                    args.append(self._expression())
+            self._expect_op(")")
+            return FuncCall(t.value, args)
+        return t
 
     def _aggregate(self) -> Aggregate:
         _, name = self._next()

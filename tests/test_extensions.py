@@ -1,0 +1,90 @@
+"""SPARQL extension-function registry (SURVEY §2.9): built-in Haversine and
+user-registered functions, callable by IRI in FILTER/BIND."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dublin_smart_city_graphdb_spark.engine import Engine
+
+TTL = """
+@prefix ex: <http://x#> .
+ex:spire ex:lat 53.3498 ; ex:lon -6.2603 .
+ex:howth ex:lat 53.3873 ; ex:lon -6.0654 .
+ex:bray  ex:lat 53.2009 ; ex:lon -6.1114 .
+"""
+
+P = "PREFIX ex: <http://x#>\nPREFIX fn: <urn:spark-graft:fn:>\n"
+
+
+def _haversine_py(lat1, lon1, lat2, lon2):
+    r = 6371.0088
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = math.radians(lat2 - lat1)
+    dl = math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+@pytest.fixture(scope="module")
+def repo(spark):
+    eng = Engine(spark)
+    r = eng.create_repository("ext_fns", ruleset="none")
+    r.load_turtle(TTL)
+    return r
+
+
+def test_haversine_builtin_extension(repo):
+    rows = repo.sparql_collect(
+        P + """SELECT ?place ?d WHERE {
+            ?place ex:lat ?lat ; ex:lon ?lon .
+            BIND(fn:haversineKm(53.3498, -6.2603, ?lat, ?lon) AS ?d)
+        } ORDER BY ?d"""
+    )
+    got = {r_["place"].lex.split("#")[1]: float(r_["d"].lex) for r_ in rows}
+    for name, (lat, lon) in {
+        "spire": (53.3498, -6.2603),
+        "howth": (53.3873, -6.0654),
+        "bray": (53.2009, -6.1114),
+    }.items():
+        want = _haversine_py(53.3498, -6.2603, lat, lon)
+        assert abs(got[name] - want) < 1e-6
+    assert [r_["place"].lex for r_ in rows][0] == "http://x#spire"
+
+
+def test_haversine_in_filter(repo):
+    rows = repo.sparql_collect(
+        P + """SELECT ?place WHERE {
+            ?place ex:lat ?lat ; ex:lon ?lon .
+            FILTER(fn:haversineKm(53.3498, -6.2603, ?lat, ?lon) < 15)
+        }"""
+    )
+    got = {r_["place"].lex for r_ in rows}
+    assert got == {"http://x#spire", "http://x#howth"}
+
+
+def test_user_registered_function(spark):
+    import pyspark.sql.functions as F
+
+    from dublin_smart_city_graphdb_spark.sparql.termcol import make_string
+
+    eng = Engine(spark)
+    eng.register_function(
+        "urn:me:shout", lambda args: make_string(F.upper(args[0]["lex"]))
+    )
+    r = eng.create_repository("ext_user", ruleset="none")
+    r.load_turtle('@prefix ex: <http://x#> .\nex:a ex:name "dublin" .')
+    rows = r.sparql_collect(
+        "PREFIX ex: <http://x#> SELECT ?u WHERE "
+        "{ ?s ex:name ?n . BIND(<urn:me:shout>(?n) AS ?u) }"
+    )
+    assert rows[0]["u"].lex == "DUBLIN"
+
+
+def test_unknown_function_raises(repo):
+    with pytest.raises(Exception, match="unsupported function"):
+        repo.sparql(
+            P + "SELECT ?d WHERE { ?p ex:lat ?lat . BIND(<urn:nope:fn>(?lat) AS ?d) }"
+        )
