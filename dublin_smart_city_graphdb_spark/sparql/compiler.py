@@ -413,6 +413,37 @@ class QueryCompiler:
         if not bgp.triples:
             return self.unit()
 
+        # Star compaction: patterns sharing a subject VAR with bound
+        # predicates collapse into ONE groupBy(s) shuffle (collect_list per
+        # pattern + sequential explodes reproduce exact join multiplicity)
+        # instead of k-1 self-joins — the dominant BGP shape (entity + its
+        # attributes) and the single biggest shuffle saver at scale.
+        star_groups: dict[str, list[A.TriplePattern]] = {}
+        rest: list[A.TriplePattern] = []
+        for tp in bgp.triples:
+            if (
+                isinstance(tp.s, A.Var)
+                and isinstance(tp.p, IRI)
+                and not (isinstance(tp.o, A.Var) and tp.o.name == tp.s.name)
+            ):
+                star_groups.setdefault(tp.s.name, []).append(tp)
+            else:
+                rest.append(tp)
+        star_parts: list[Compiled] = []
+        for svar, tps in star_groups.items():
+            if len(tps) >= 2:
+                star_parts.append(self._compile_star(svar, tps, graph_ctx))
+            else:
+                rest.extend(tps)
+
+        if not rest:
+            cur = star_parts[0]
+            for p in star_parts[1:]:
+                cur = self.join(cur, p, "inner")
+            return cur
+
+        bgp = A.BGP(rest)
+
         big = float(sum(self.predicate_stats.values()) or 1 << 40)
 
         def selectivity(tp: A.TriplePattern) -> tuple:
@@ -428,33 +459,100 @@ class QueryCompiler:
             )
             return (n_vars, p_bound, card)
 
+        def tp_vars(tp: A.TriplePattern) -> set[str]:
+            return {
+                t.name for t in (tp.s, tp.p, tp.o) if isinstance(t, A.Var)
+            }
+
         remaining = sorted(bgp.triples, key=selectivity)
         # Greedy connected ordering: always join on a shared var when any
         # remaining pattern allows it (avoids accidental cartesians).
-        ordered: list[A.TriplePattern] = [remaining.pop(0)]
-        bound: set[str] = {
-            t.name for t in (ordered[0].s, ordered[0].p, ordered[0].o)
-            if isinstance(t, A.Var)
-        }
+        cur: Compiled | None = None
+        bound: set[str] = set()
+        for part in star_parts:
+            cur = part if cur is None else self.join(cur, part, "inner")
+        if cur is not None:
+            bound = set(cur.vars)
+        if cur is None:
+            first = remaining.pop(0)
+            cur = self.scan_pattern(first, graph_ctx)
+            bound = tp_vars(first)
         while remaining:
             idx = next(
-                (
-                    i
-                    for i, tp in enumerate(remaining)
-                    if bound & {
-                        t.name for t in (tp.s, tp.p, tp.o) if isinstance(t, A.Var)
-                    }
-                ),
+                (i for i, tp in enumerate(remaining) if bound & tp_vars(tp)),
                 0,
             )
             tp = remaining.pop(idx)
-            ordered.append(tp)
-            bound |= {t.name for t in (tp.s, tp.p, tp.o) if isinstance(t, A.Var)}
-
-        cur = self.scan_pattern(ordered[0], graph_ctx)
-        for tp in ordered[1:]:
             cur = self.join(cur, self.scan_pattern(tp, graph_ctx), "inner")
+            bound |= tp_vars(tp)
         return cur
+
+    def _compile_star(
+        self, svar: str, tps: list[A.TriplePattern], graph_ctx
+    ) -> Compiled:
+        """k same-subject bound-predicate patterns as ONE groupBy(s) shuffle.
+
+        Per pattern: a ``collect_list(when(p == pred [and o matches const],
+        object))`` aggregate, then a sequential ``explode`` per var-object
+        pattern — the explode product reproduces the exact multiset a join
+        chain yields (empty list → subject dropped, matching inner-join
+        semantics). Constant-object patterns become an existence flag (RDF
+        graphs are sets: multiplicity of an exact triple is 1).
+        Repeated variables turn into post-explode equality filters.
+        """
+        preds = sorted({tp.p.value for tp in tps})
+        df = self._graph_scope(self.quads, graph_ctx)
+        df = df.filter(F.col("p").isin(preds))
+
+        group_cols = ["s"]
+        if isinstance(graph_ctx, A.Var):
+            group_cols.append("g")
+
+        aggs: list[Column] = []
+        var_cols: list[tuple[str, str]] = []  # (colname, varname)
+        flag_cols: list[str] = []
+        for i, tp in enumerate(tps):
+            pred_match = F.col("p") == tp.p.value
+            if isinstance(tp.o, A.Var):
+                aggs.append(
+                    F.collect_list(
+                        F.when(pred_match, object_struct())
+                    ).alias(f"_l{i}")
+                )
+                var_cols.append((f"_l{i}", tp.o.name))
+            else:
+                aggs.append(
+                    F.max(
+                        F.when(pred_match & object_const_filter(tp.o), True)
+                    ).alias(f"_f{i}")
+                )
+                flag_cols.append(f"_f{i}")
+
+        out = df.groupBy(*group_cols).agg(*aggs)
+        for fc in flag_cols:
+            out = out.filter(F.col(fc))
+        if isinstance(graph_ctx, A.Var) and graph_ctx.name == svar:
+            out = out.filter(F.col("g") == F.col("s"))
+
+        names: list[str] = [svar]
+        sel: list[Column] = [subject_struct(F.col("s")).alias(svar)]
+        if isinstance(graph_ctx, A.Var) and graph_ctx.name != svar:
+            names.append(graph_ctx.name)
+            sel.append(subject_struct(F.col("g")).alias(graph_ctx.name))
+        eq_filters: list[tuple[str, str]] = []
+        for i, (lc, vname) in enumerate(var_cols):
+            out = out.withColumn(f"_e{lc}", F.explode(F.col(lc)))
+            if vname in names:
+                eq_filters.append((f"_e{lc}", vname))
+            else:
+                names.append(vname)
+                sel.append(F.col(f"_e{lc}").alias(vname))
+        out = out.select(*sel, *[F.col(c) for c, _ in eq_filters])
+        for c, vname in eq_filters:
+            out = out.filter(F.col(c).eqNullSafe(F.col(vname)))
+        if eq_filters:
+            out = out.select(*names)
+        return Compiled(out, names, set(names))
 
     def scan_pattern(self, tp: A.TriplePattern, graph_ctx) -> Compiled:
         if not isinstance(tp.p, (A.Var, IRI)):
