@@ -40,10 +40,32 @@ def transitive_closure(
             .distinct()
         )
         # Semi-naive delta: only genuinely new pairs feed the next round.
-        new_delta = grown.exceptAll(paths).distinct().localCheckpoint(eager=True)
+        # Anti-join, not exceptAll: both sides are already distinct, and a
+        # hash anti-join beats exceptAll's sort-based set difference.
+        # eqNullSafe keys: correct for struct-typed node ids with null
+        # fields, and generates no IsNotNull constraints (plain equi-keys
+        # trip Catalyst's Union constraint rewrite on checkpointed plans).
+        new_delta = (
+            grown.alias("g")
+            .join(
+                paths.alias("p"),
+                F.col("g.src").eqNullSafe(F.col("p.src"))
+                & F.col("g.dst").eqNullSafe(F.col("p.dst")),
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
         if new_delta.isEmpty():
             break
-        paths = paths.unionByName(new_delta).localCheckpoint(eager=True)
+        # dropDuplicates on the checkpointed delta is a semantic no-op (the
+        # delta is distinct by construction) but inserts an Aggregate that
+        # regenerates plan constraints — without it, Catalyst's Union
+        # constraint rewrite hits a stale-attribute lookup on checkpointed
+        # struct-keyed anti-join plans (NoSuchElementException: key not
+        # found) when the union is checkpointed again.
+        paths = paths.unionByName(
+            new_delta.dropDuplicates()
+        ).localCheckpoint(eager=True)
         delta = new_delta
     return paths
 
