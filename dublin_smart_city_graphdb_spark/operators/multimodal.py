@@ -22,6 +22,9 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -78,4 +81,135 @@ def extract_metadata(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, METADATA_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stub: a real impl would decode → scale → re-encode per batch
+    (PIL/libvips, not shipped here); the deterministic fake re-encodes as a
+    byte pattern sized width*height//64 so batch shapes and memory behavior
+    are representative. Plumbing (schema, Arrow batches, zero shuffles) is
+    the real design."""
+
+    target = max(1, width * height // 64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                (bytes(p) * (target // max(1, len(bytes(p))) + 1))[:target]
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").values,
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling stub: one output row per sampled frame (a real impl
+    demuxes the container and decodes every Nth frame). The fake slices the
+    payload into n_frames chunks (per the stub decoder) and keeps every Nth
+    — exercising the row-expanding mapInPandas shape (output rows ≠ input
+    rows) that real frame extraction needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p)
+                meta = _decode_stub(int(i), payload)
+                n = meta["n_frames"]
+                step = max(1, len(payload) // max(1, n))
+                for k in range(0, n, every_n):
+                    ids.append(int(i))
+                    idxs.append(k)
+                    frames.append(payload[k * step:(k + 1) * step])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, FRAMES_SCHEMA
+    )
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Feature-extraction stub → ``array<float>`` embedding column usable by
+    the similarity-search operators (ann_cosine_topk / ann_lsh_topk). The
+    fake derives deterministic unit-norm-ish features from payload byte
+    statistics; a real impl would run a vision/audio encoder per Arrow
+    batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf[payload_col]:
+                payload = bytes(p)
+                vec = [
+                    float((sum(payload[j::dim]) % 1000) - 500) / 500.0
+                    if payload
+                    else 0.0
+                    for j in range(dim)
+                ]
+                feats.append(vec)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").values,
+                    "features": feats,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, FEATURES_SCHEMA
     )

@@ -55,6 +55,72 @@ def rows_to_json(columns: list[str], rows: list) -> dict:
     return {"head": {"vars": list(columns)}, "results": {"bindings": bindings}}
 
 
+def _nt_escape(col) -> "F.Column":
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    out = F.regexp_replace(out, "\n", "\\\\n")
+    out = F.regexp_replace(out, "\r", "\\\\r")
+    out = F.regexp_replace(out, "\t", "\\\\t")
+    return out
+
+
+def _term_nt(t) -> "F.Column":
+    """Term struct column → N-Triples lexical form (executor-side)."""
+    lit = F.concat(F.lit('"'), _nt_escape(t["lex"]), F.lit('"'))
+    lit = (
+        F.when(t["lang"].isNotNull(), F.concat(lit, F.lit("@"), t["lang"]))
+        .when(
+            t["dtype"].isNotNull(),
+            F.concat(lit, F.lit("^^<"), t["dtype"], F.lit(">")),
+        )
+        .otherwise(lit)
+    )
+    return (
+        F.when(t["kind"] == KIND_IRI, F.concat(F.lit("<"), t["lex"], F.lit(">")))
+        .when(t["kind"] == KIND_BLANK, t["lex"])  # stored with _: prefix
+        .otherwise(lit)
+    )
+
+
+def construct_to_ntriples(df: DataFrame) -> DataFrame:
+    """CONSTRUCT result (s/p/o term-struct columns) → one N-Triples line per
+    statement, serialized on executors — the distributed export twin of the
+    ingestion parser (round-trips through ``parse_ntriples_lines``)."""
+    return df.select(
+        F.concat_ws(
+            " ", _term_nt(F.col("s")), _term_nt(F.col("p")), _term_nt(F.col("o")),
+            F.lit("."),
+        ).alias("value")
+    )
+
+
+def quads_to_ntriples(quads: DataFrame) -> DataFrame:
+    """Quads-table rows → N-Triples lines (default + named graphs flattened;
+    use a ``g`` filter first for a graph-scoped export)."""
+    subj = F.when(
+        F.col("s").startswith("_:"), F.col("s")
+    ).otherwise(F.concat(F.lit("<"), F.col("s"), F.lit(">")))
+    pred = F.concat(F.lit("<"), F.col("p"), F.lit(">"))
+    lit = F.concat(F.lit('"'), _nt_escape(F.col("o_lex")), F.lit('"'))
+    lit = (
+        F.when(F.col("o_lang").isNotNull(), F.concat(lit, F.lit("@"), F.col("o_lang")))
+        .when(
+            F.col("o_dtype").isNotNull(),
+            F.concat(lit, F.lit("^^<"), F.col("o_dtype"), F.lit(">")),
+        )
+        .otherwise(lit)
+    )
+    obj = (
+        F.when(F.col("o_kind") == KIND_IRI,
+               F.concat(F.lit("<"), F.col("o_lex"), F.lit(">")))
+        .when(F.col("o_kind") == KIND_BLANK, F.col("o_lex"))
+        .otherwise(lit)
+    )
+    return quads.select(
+        F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("value")
+    )
+
+
 def df_to_json_lines(df: DataFrame) -> DataFrame:
     """Distributed path: one JSON object per solution row (NDJSON export).
     Serialization runs on executors via ``to_json``; no driver collect."""

@@ -1,0 +1,84 @@
+"""N-Triples export round-trip, warehouse persistence across engine
+restarts, and the reference's 30s query-timeout enforcement."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from dublin_smart_city_graphdb_spark.engine import Engine
+from dublin_smart_city_graphdb_spark.sources.turtle import parse_ntriples_lines
+from dublin_smart_city_graphdb_spark.sparql.protocol import (
+    construct_to_ntriples,
+    quads_to_ntriples,
+)
+
+TTL = """
+@prefix ex: <http://nt#> .
+ex:a ex:knows ex:b .
+ex:a ex:name "Al\\"ice\\nsmith"@en .
+ex:b ex:age 30 .
+_:bn ex:p ex:a .
+"""
+
+
+def test_ntriples_export_roundtrip(spark):
+    eng = Engine(spark)
+    repo = eng.create_repository("nt_export", ruleset="none")
+    repo.load_turtle(TTL)
+    lines = [r["value"] for r in quads_to_ntriples(repo.quads).collect()]
+    assert len(lines) == 4
+    reparsed = list(parse_ntriples_lines(iter(lines)))
+    original = {tuple(r) for r in repo.quads.collect()}
+    assert {tuple(r) for r in reparsed} == original
+
+
+def test_construct_export(spark):
+    eng = Engine(spark)
+    repo = eng.create_repository("nt_construct", ruleset="none")
+    repo.load_turtle(TTL)
+    df = repo.sparql(
+        "PREFIX ex: <http://nt#> "
+        "CONSTRUCT { ?x ex:linked ?y } WHERE { ?x ex:knows ?y }"
+    )
+    lines = [r["value"] for r in construct_to_ntriples(df).collect()]
+    assert lines == ["<http://nt#a> <http://nt#linked> <http://nt#b> ."]
+
+
+def test_warehouse_persists_across_engine_restart(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    eng1 = Engine(spark, warehouse=wh)
+    r1 = eng1.create_repository("persistent", ruleset="none", query_timeout=12.5)
+    r1.load_turtle(TTL)
+    assert r1.count() == 4
+
+    # a NEW engine over the same warehouse sees the repository, its config,
+    # and its statements (the reference's idempotent re-init path,
+    # init-graphdb.sh:145-154)
+    eng2 = Engine(spark, warehouse=wh)
+    assert eng2.list_repositories() == ["persistent"]
+    r2 = eng2.repository("persistent")
+    assert r2.config["query_timeout"] == 12.5
+    assert r2.count() == 4
+    rows = r2.sparql_collect(
+        "SELECT ?o WHERE { <http://nt#a> <http://nt#knows> ?o }"
+    )
+    assert [r["o"].lex for r in rows] == ["http://nt#b"]
+
+
+def test_query_timeout_cancels(spark):
+    eng = Engine(spark)
+    repo = eng.create_repository("timeout_repo", ruleset="none")
+    repo.load_turtle(TTL)
+    # a deliberately slow query: big cross joins
+    slow = """
+        SELECT (COUNT(*) AS ?n) WHERE {
+          ?a ?p1 ?b . ?c ?p2 ?d . ?e ?p3 ?f . ?g ?p4 ?h . ?i ?p5 ?j .
+          ?k ?p6 ?l . ?m ?p7 ?o2 . ?q ?p8 ?r . ?s ?p9 ?t . ?u ?p10 ?v .
+        }
+    """
+    t0 = time.time()
+    with pytest.raises(TimeoutError):
+        repo.sparql_collect(slow, timeout=2)
+    assert time.time() - t0 < 30
