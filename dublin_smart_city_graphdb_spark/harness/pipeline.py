@@ -805,6 +805,62 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding",
+    """
+    WITH offsets AS (SELECT UNNEST(range(0, 4)) AS k)
+    SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) - k * 900000000) // 3600000000)
+               * 3600 + k * 900 AS window_start_s,
+           COUNT(*) AS n_events
+    FROM events, offsets
+    WHERE (epoch_us(CAST(ts AS TIMESTAMP)) - k * 900000000) >= 0
+    GROUP BY 1
+    """,
+    doc="Sliding windows (1h width, 15-min slide) in batch: each event lands "
+        "in width/slide windows via a 4-row explode — the batch twin of "
+        "streaming/events.py sliding_counts_stream. Oracle derives the same "
+        "window starts arithmetically.",
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    # window_start = hour-aligned grid shifted by k*15min, k ∈ [0,4)
+    k = F.explode(F.sequence(F.lit(0).cast("long"), F.lit(3).cast("long"))).alias("k")
+    shifted_us = F.col("ts_us") - F.col("k") * F.lit(900000000).cast("long")
+    shifted = e.select("ts_us", k).filter(shifted_us >= 0)
+    win = (
+        F.floor(shifted_us / F.lit(3600000000).cast("long")) * 3600
+        + F.col("k") * 900
+    ).alias("window_start_s")
+    return shifted.groupBy(win).agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Skew-resilient aggregation: 3 distinct keys over 600k rows would "
+        "hash to 3 reducers; salting fans the partial agg across key×16 "
+        "salts, then a second tiny agg merges — the manual pattern behind "
+        "AQE skew handling, demonstrated with an exact decimal-sum oracle.",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", (F.rand(seed=7) * 16).cast("int"))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("n_p"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s_p"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("n_p").alias("n"),
+        F.sum("s_p").cast("double").alias("total_price"),
+    )
+
+
+@register(
     "events_sessionize",
     """
     WITH base AS (
