@@ -22,6 +22,7 @@ import re
 from collections.abc import Iterator
 
 from dublin_smart_city_graphdb_spark.model.terms import (
+    RDF,
     RDF_TYPE,
     XSD,
     BNode,
@@ -197,6 +198,20 @@ class TurtleParser:
                 self._predicate_object_list(node)
             self._expect("]")
             return node
+        if kind == "PUNCT" and v == "(":
+            # RDF collection → rdf:first/rdf:rest chain
+            items = []
+            while self._peek()[1] != ")":
+                items.append(self._term(position="object"))
+            self._next()
+            head: Term = IRI(RDF + "nil")
+            for item in reversed(items):
+                self._bnode_n += 1
+                cell = BNode(f"list{self._bnode_n}")
+                self.triples.append((cell, IRI(RDF + "first"), item))
+                self.triples.append((cell, IRI(RDF + "rest"), head))
+                head = cell
+            return head
         if position == "predicate":
             raise ValueError(f"turtle: bad predicate token {v!r}")
         if kind in ("STRING2", "STRING1", "STRING_LONG2", "STRING_LONG1"):

@@ -31,7 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from dublin_smart_city_graphdb_spark.model.schema import KIND_IRI, TERM_STRUCT
-from dublin_smart_city_graphdb_spark.model.terms import IRI, Literal, Term
+from dublin_smart_city_graphdb_spark.model.terms import BNode, IRI, Literal, Term
 from dublin_smart_city_graphdb_spark.sparql import ast as A
 from dublin_smart_city_graphdb_spark.sparql.exprs import ExprCompiler
 from dublin_smart_city_graphdb_spark.sparql.termcol import (
@@ -200,11 +200,12 @@ class QueryCompiler:
                 if isinstance(proj, A.Var) and proj.name in cur.certain:
                     certain.add(name)
             out = Compiled(cur.df.select(*sel), names, certain)
-        else:  # SELECT *
+        else:  # SELECT * — internal (blank-node) vars are not projectable
+            visible = [v for v in cur.var_order if not v.startswith("__bn_")]
             out = Compiled(
-                cur.df.select(*[F.col(v) for v in cur.var_order]),
-                list(cur.var_order),
-                set(cur.certain),
+                cur.df.select(*[F.col(v) for v in visible]),
+                visible,
+                {v for v in cur.certain if not v.startswith("__bn_")},
             )
 
         if q.order_by:
@@ -412,6 +413,21 @@ class QueryCompiler:
     def compile_bgp(self, bgp: A.BGP, graph_ctx) -> Compiled:
         if not bgp.triples:
             return self.unit()
+
+        # Query blank nodes are EXISTENTIAL VARIABLES (SPARQL §4.1.4), not
+        # constants: rewrite to internal vars (prefixed __bn_, excluded from
+        # SELECT *). Labels are parser-unique per [ ]/( ) instance; an
+        # explicit _:label reused across separate group patterns would share
+        # a var here (a deviation — such reuse is illegal SPARQL anyway).
+        def unbn(t):
+            return A.Var(f"__bn_{t.label}") if isinstance(t, BNode) else t
+
+        bgp = A.BGP(
+            [
+                A.TriplePattern(unbn(tp.s), unbn(tp.p), unbn(tp.o))
+                for tp in bgp.triples
+            ]
+        )
 
         # Star compaction: patterns sharing a subject VAR with bound
         # predicates collapse into ONE groupBy(s) shuffle (collect_list per
@@ -822,6 +838,17 @@ class QueryCompiler:
             def term_col(t):
                 if isinstance(t, A.Var):
                     return F.col(t.name) if t.name in sol.vars else null_struct()
+                if isinstance(t, BNode):
+                    # template bnodes are FRESH per solution (spec §16.2.1)
+                    from dublin_smart_city_graphdb_spark.sparql.termcol import (
+                        _NULL_B, _NULL_N, _NULL_S, _NULL_T, _struct,
+                    )
+
+                    return _struct(
+                        F.lit(1),
+                        F.concat(F.lit(f"_:{t.label}_"), F.expr("uuid()")),
+                        _NULL_S(), _NULL_S(), _NULL_N(), _NULL_T(), _NULL_B(),
+                    )
                 return const_struct(t)
 
             one = df.select(

@@ -11,7 +11,14 @@ from __future__ import annotations
 
 import re
 
-from dublin_smart_city_graphdb_spark.model.terms import RDF_TYPE, XSD, BNode, IRI, Literal
+from dublin_smart_city_graphdb_spark.model.terms import (
+    RDF,
+    RDF_TYPE,
+    XSD,
+    BNode,
+    IRI,
+    Literal,
+)
 from dublin_smart_city_graphdb_spark.sparql.ast import (
     Aggregate, AndExpr, Arith, AskQuery, BGP, BindPattern, ClearOp, Compare,
     ConstructQuery, CreateOp, DeleteDataOp, DescribeQuery, ExistsExpr,
@@ -434,10 +441,16 @@ class SparqlParser:
             if self._peek()[1] != "]":
                 self._predicate_object_list(subj, out)
             self._expect_op("]")
-            if self._peek()[1] not in (".", "}", ";") and self._kw() is None:
+            kw = self._kw()
+            if self._peek()[1] not in (".", "}", ";") and (
+                kw is None or (kw == "A" and self._peek()[1] == "a")
+            ):
                 self._predicate_object_list(subj, out)
             return out
-        subj = self._graph_term()
+        subj = self._graph_term(out)
+        # a collection subject may stand alone (its triples are in `out`)
+        if out and (self._peek()[1] in (".", "}") or self._peek()[0] == "EOF"):
+            return out
         self._predicate_object_list(subj, out)
         return out
 
@@ -445,7 +458,7 @@ class SparqlParser:
         while True:
             pred = self._verb_or_path()
             while True:
-                obj = self._graph_term()
+                obj = self._graph_term(out)
                 out.append(TriplePattern(subj, pred, obj))
                 if self._accept_op(","):
                     continue
@@ -548,7 +561,10 @@ class SparqlParser:
             has_fwd=bool(fwd), has_inv=bool(inv),
         )
 
-    def _graph_term(self):
+    def _graph_term(self, out: list[TriplePattern] | None = None):
+        """A term in s/o position; ``out`` receives auxiliary triples from
+        blank-node property lists ``[ p o ; ... ]`` and collections
+        ``( a b c )`` (rdf:first/rdf:rest chains)."""
         kind, v = self._peek()
         if kind == "VAR":
             self._next()
@@ -557,10 +573,30 @@ class SparqlParser:
             self._next()
             self._bnode_n += 1
             node = BNode(f"q_anon{self._bnode_n}")
-            # anonymous bnode as term (property lists inside [] in object
-            # position are rare; supported only as bare [])
+            if self._peek()[1] != "]":
+                if out is None:
+                    raise ValueError("sparql: [ property list ] not allowed here")
+                self._predicate_object_list(node, out)
             self._expect_op("]")
             return node
+        if v == "(":
+            self._next()
+            items = []
+            while self._peek()[1] != ")":
+                items.append(self._graph_term(out))
+            self._next()
+            if not items:
+                return IRI(RDF + "nil")
+            if out is None:
+                raise ValueError("sparql: collection not allowed here")
+            head: object = IRI(RDF + "nil")
+            for item in reversed(items):
+                self._bnode_n += 1
+                cell = BNode(f"q_list{self._bnode_n}")
+                out.append(TriplePattern(cell, IRI(RDF + "first"), item))
+                out.append(TriplePattern(cell, IRI(RDF + "rest"), head))
+                head = cell
+            return head
         return self._term()
 
     def _term(self):

@@ -248,6 +248,51 @@ def test_property_path_seq_inverse(micro):
     assert lexes(rows2) == ["http://m#c"]
 
 
+def test_bnode_patterns_are_existential_vars(micro):
+    # [ ex:knows ?y ]: "something that knows ?y" — must JOIN on the bnode,
+    # not match everything
+    rows = micro.sparql_collect(
+        MP + "SELECT ?y WHERE { [ ex:knows ?y ] a ex:Person }"
+    )
+    # knowers typed Person: a→b, b→c, c→d (a, b, c are all Persons)
+    assert sorted(r["y"].lex for r in rows) == [
+        "http://m#b", "http://m#c", "http://m#d",
+    ]
+    # bnode var not projected by SELECT *
+    rows2 = micro.sparql_collect(MP + "SELECT * WHERE { [ ex:knows ?y ] }")
+    assert set(rows2[0].asDict()) == {"y"}
+
+
+def test_collections_roundtrip(spark):
+    eng = Engine(spark)
+    r = eng.create_repository("coll", ruleset="none")
+    r.load_turtle("@prefix ex: <http://c#> .\nex:menu ex:items (ex:a ex:b ex:c) .")
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    # walk the list with a property path over rdf:rest*/rdf:first
+    rows = r.sparql_collect(
+        f"PREFIX ex: <http://c#> SELECT ?item WHERE {{ "
+        f"ex:menu ex:items/<{rdf}rest>*/<{rdf}first> ?item }}"
+    )
+    assert sorted(x["item"].lex for x in rows) == [
+        "http://c#a", "http://c#b", "http://c#c",
+    ]
+    # collection syntax in the query pattern too
+    rows2 = r.sparql_collect(
+        "PREFIX ex: <http://c#> SELECT ?s WHERE { ?s ex:items (ex:a ex:b ex:c) }"
+    )
+    assert [x["s"].lex for x in rows2] == ["http://c#menu"]
+
+
+def test_construct_bnode_fresh_per_solution(micro):
+    rows = micro.sparql_collect(
+        MP + "CONSTRUCT { ?x ex:via [ ] } WHERE { ?x ex:knows ?y }"
+    )
+    bnodes = [r["o"].lex for r in rows]
+    assert len(bnodes) == 3
+    assert len(set(bnodes)) == 3  # fresh per solution
+    assert all(b.startswith("_:") for b in bnodes)
+
+
 def test_negated_property_set(micro):
     # !ex:knows: any edge except knows (only the rdf:type edges here)
     rows = micro.sparql_collect(
