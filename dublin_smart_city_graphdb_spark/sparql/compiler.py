@@ -48,6 +48,38 @@ from dublin_smart_city_graphdb_spark.sparql.termcol import (
 from dublin_smart_city_graphdb_spark.model.terms import XSD
 
 
+_RANGE_OPS = {"<", ">", "<=", ">=", "="}
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
+
+
+def _pushable_ranges(filters: list) -> dict[str, list[tuple[str, object]]]:
+    """var → [(op, numeric const)] for FILTER conjuncts of the fast-path
+    shape (SPARQL error semantics = NULL num = row dropped either way), so
+    star-compacted scans can filter BEFORE the groupBy shuffle — Catalyst
+    pushes filters through joins on its own but not through our aggregate."""
+    out: dict[str, list[tuple[str, object]]] = {}
+
+    def visit(e):
+        if isinstance(e, A.AndExpr):
+            for p in e.parts:
+                visit(p)
+            return
+        if isinstance(e, A.Compare) and e.op in _RANGE_OPS:
+            def num(t):
+                return t.numeric_value() if isinstance(t, Literal) else None
+
+            if isinstance(e.left, A.Var) and num(e.right) is not None:
+                out.setdefault(e.left.name, []).append((e.op, num(e.right)))
+            elif isinstance(e.right, A.Var) and num(e.left) is not None:
+                out.setdefault(e.right.name, []).append(
+                    (_FLIP[e.op], num(e.left))
+                )
+
+    for f in filters:
+        visit(f)
+    return out
+
+
 def _contains_exists(e) -> bool:
     if isinstance(e, A.ExistsExpr):
         return True
@@ -348,9 +380,10 @@ class QueryCompiler:
 
     def compile_group(self, group: A.GroupPattern, graph_ctx) -> Compiled:
         cur: Compiled | None = None
+        pushdown = _pushable_ranges(group.filters)
         for elem in group.elements:
             if isinstance(elem, A.BGP):
-                c = self.compile_bgp(elem, graph_ctx)
+                c = self.compile_bgp(elem, graph_ctx, pushdown)
                 cur = c if cur is None else self.join(cur, c, "inner")
             elif isinstance(elem, A.OptionalPattern):
                 left = cur if cur is not None else self.unit()
@@ -410,7 +443,12 @@ class QueryCompiler:
         return cur
 
     # -- BGP -----------------------------------------------------------------
-    def compile_bgp(self, bgp: A.BGP, graph_ctx) -> Compiled:
+    def compile_bgp(
+        self,
+        bgp: A.BGP,
+        graph_ctx,
+        pushdown: dict[str, list[tuple[str, object]]] | None = None,
+    ) -> Compiled:
         if not bgp.triples:
             return self.unit()
 
@@ -448,7 +486,9 @@ class QueryCompiler:
         star_parts: list[Compiled] = []
         for svar, tps in star_groups.items():
             if len(tps) >= 2:
-                star_parts.append(self._compile_star(svar, tps, graph_ctx))
+                star_parts.append(
+                    self._compile_star(svar, tps, graph_ctx, pushdown or {})
+                )
             else:
                 rest.extend(tps)
 
@@ -504,7 +544,11 @@ class QueryCompiler:
         return cur
 
     def _compile_star(
-        self, svar: str, tps: list[A.TriplePattern], graph_ctx
+        self,
+        svar: str,
+        tps: list[A.TriplePattern],
+        graph_ctx,
+        pushdown: dict[str, list[tuple[str, object]]] | None = None,
     ) -> Compiled:
         """k same-subject bound-predicate patterns as ONE groupBy(s) shuffle.
 
@@ -519,6 +563,24 @@ class QueryCompiler:
         preds = sorted({tp.p.value for tp in tps})
         df = self._graph_scope(self.quads, graph_ctx)
         df = df.filter(F.col("p").isin(preds))
+        # Pre-shuffle filtering (the aggregate otherwise blocks Catalyst's
+        # own pushdown): (a) constant-object patterns drop non-matching rows
+        # of their predicate at the scan; (b) group FILTER range conjuncts
+        # on a star variable drop failing rows of the binding predicate.
+        # Both shapes reach parquet as pushed per-column filters; the
+        # group-level filter still runs afterwards (idempotent), so this is
+        # purely a row-reduction ahead of the shuffle.
+        ops = {"<": Column.__lt__, ">": Column.__gt__,
+               "<=": Column.__le__, ">=": Column.__ge__, "=": Column.__eq__}
+        for tp in tps:
+            pred_is = F.col("p") == tp.p.value
+            if not isinstance(tp.o, A.Var):
+                df = df.filter(~pred_is | object_const_filter(tp.o))
+            elif pushdown and tp.o.name in pushdown:
+                for op, const in pushdown[tp.o.name]:
+                    df = df.filter(
+                        ~pred_is | ops[op](F.col("o_num"), F.lit(const))
+                    )
 
         group_cols = ["s"]
         if isinstance(graph_ctx, A.Var):

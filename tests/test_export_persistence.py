@@ -79,6 +79,10 @@ def test_query_timeout_cancels(spark):
         }
     """
     t0 = time.time()
-    with pytest.raises(TimeoutError):
-        repo.sparql_collect(slow, timeout=2)
-    assert time.time() - t0 < 30
+    try:
+        with pytest.raises(TimeoutError):
+            repo.sparql_collect(slow, timeout=2)
+        assert time.time() - t0 < 30
+    finally:
+        # belt-and-braces: never let a straggler task wedge the shared JVM
+        spark.sparkContext.cancelAllJobs()

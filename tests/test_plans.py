@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: the scale properties we designed for —
+predicate-partition pruning, per-column parquet pushdown, star-join
+compaction, broadcast dimension joins — asserted on `.explain` output so a
+refactor can't silently regress them (the 100 TB plan-shape contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dublin_smart_city_graphdb_spark import fixtures
+from dublin_smart_city_graphdb_spark.engine import Engine
+
+EX = fixtures.EX
+SCHEMA = fixtures.SCHEMA
+PROLOG = f"PREFIX ex: <{EX}>\nPREFIX schema: <{SCHEMA}>\n"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def store_repo(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    eng = Engine(spark, warehouse=wh)
+    repo = eng.create_repository("plan_repo", ruleset="none")
+    repo.load_turtle(fixtures.full_fixture_ttl(300))
+    return repo
+
+
+def test_bound_predicate_scans_are_partition_pruned(store_repo):
+    df = store_repo.sparql(
+        PROLOG + "SELECT ?n WHERE { ?f schema:name ?n }"
+    )
+    plan = plan_of(df)
+    assert "PartitionFilters: [isnotnull(p" in plan
+    assert "schema.org/name" in plan
+
+
+def test_star_filters_apply_before_the_shuffle(store_repo):
+    """Constant-object match and FILTER range conjuncts must reduce rows
+    BELOW the star's exchange (per-predicate disjunctive filters on the
+    scan side), not only after the aggregate."""
+    df = store_repo.sparql(
+        PROLOG + """SELECT ?f WHERE {
+            ?f ex:hasFacilityType ex:Park ; ex:latitude ?lat .
+            FILTER(?lat > 53.3)
+        }"""
+    )
+    plan = plan_of(df)
+    pre = plan.split("Exchange hashpartitioning")[-1]  # below the shuffle
+    assert "facilities#Park" in pre          # const-object row filter
+    assert "o_num" in pre and "53.3" in pre  # range row filter
+
+
+def test_single_pattern_range_filter_pushes_to_parquet(store_repo):
+    df = store_repo.sparql(
+        PROLOG + """SELECT ?f ?lat WHERE {
+            ?f ex:latitude ?lat . FILTER(?lat > 53.3)
+        }"""
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_num), GreaterThan(o_num,53.3" in plan
+
+
+def test_star_bgp_is_single_exchange_no_joins(store_repo):
+    df = store_repo.sparql(
+        PROLOG + """SELECT ?n ?lat ?lon ?t WHERE {
+            ?f a ex:Facility ; schema:name ?n ; ex:latitude ?lat ;
+               ex:longitude ?lon ; ex:hasFacilityType ?t .
+        }"""
+    )
+    plan = plan_of(df)
+    assert plan.count("Join") == 0
+    # one shuffle for the star groupBy (AQE may add AQEShuffleRead readers)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_non_star_join_broadcasts_small_side(store_repo):
+    # two different subject vars → genuine join; the engine must broadcast
+    df = store_repo.sparql(
+        PROLOG + """SELECT ?fn ?an WHERE {
+            ?f ex:inCommitteeArea ?a . ?f schema:name ?fn . ?a schema:name ?an .
+        }"""
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_projection_prunes_read_schema(store_repo):
+    # projecting only the subject with a numeric filter: the scan must read
+    # just (s, o_num) + the partition column, not the full object struct
+    df = store_repo.sparql(
+        PROLOG + "SELECT ?f WHERE { ?f ex:latitude ?lat . FILTER(?lat > 53.3) }"
+    )
+    plan = plan_of(df)
+    scan = next(l for l in plan.split("\n") if "FileScan" in l)
+    assert "o_bool" not in scan and "o_ts" not in scan and "o_lang" not in scan
