@@ -44,7 +44,11 @@ class Repository:
         self._quads: DataFrame | None = None
         self._pred_stats: dict[str, int] | None = None
         self._store = (
-            QuadStore(self.spark, os.path.join(engine.warehouse, name, "quads"))
+            QuadStore(
+                self.spark,
+                os.path.join(engine.warehouse, name, "quads"),
+                bucket_subjects=config.get("bucket_subjects", 0),
+            )
             if engine.warehouse
             else None
         )
@@ -239,14 +243,18 @@ class Engine:
         ruleset: str = "rdfsplus",
         query_timeout: float = 30.0,
         context_index: bool = True,
+        bucket_subjects: int = 0,
     ) -> Repository:
-        """Idempotent create (matches init-graphdb.sh:36-82 + :145-154)."""
+        """Idempotent create (matches init-graphdb.sh:36-82 + :145-154).
+        ``bucket_subjects=N`` co-locates quads by subject hash (N buckets):
+        star-compacted BGPs then aggregate with no shuffle at all."""
         if name in self._repos:
             return self._repos[name]
         config = {
             "ruleset": ruleset,
             "query_timeout": query_timeout,
             "context_index": context_index,
+            "bucket_subjects": bucket_subjects,
         }
         repo = Repository(self, name, config)
         self._repos[name] = repo

@@ -21,30 +21,59 @@ from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
 
 
 class QuadStore:
-    def __init__(self, spark: SparkSession, path: str):
+    """``bucket_subjects=N`` additionally buckets (and sorts) by ``s`` via a
+    catalog table: subject-grouped operators — the star-compacted BGP
+    aggregate, subject-key joins — then read a pre-hashed distribution and
+    plan with ZERO exchanges. The 100 TB layout is partitionBy(p) ×
+    bucketBy(s): predicate pruning picks the files, bucketing removes the
+    shuffle."""
+
+    def __init__(self, spark: SparkSession, path: str, bucket_subjects: int = 0):
         self.spark = spark
         self.path = path
+        self.bucket_subjects = bucket_subjects
+        # catalog identifier for the bucketed table (bucket metadata lives
+        # in the metastore, not the parquet files)
+        self._table = "quads_" + "".join(
+            c if c.isalnum() else "_" for c in path
+        ).strip("_")[-64:]
 
     @property
     def _stats_path(self) -> str:
         return os.path.join(self.path, "_predicate_stats.json")
 
     def write(self, quads: DataFrame, mode: str = "append") -> None:
-        quads.write.mode(mode).partitionBy("p").parquet(self.path)
+        if self.bucket_subjects:
+            (
+                quads.write.mode(mode)
+                .partitionBy("p")
+                .bucketBy(self.bucket_subjects, "s")
+                .sortBy("s")
+                .option("path", os.path.join(self.path, "data"))
+                .format("parquet")
+                .saveAsTable(self._table)
+            )
+        else:
+            quads.write.mode(mode).partitionBy("p").parquet(self.path)
         self._refresh_stats()
 
     def read(self) -> DataFrame:
-        df = self.spark.read.schema(QUAD_SCHEMA).parquet(self.path)
+        if self.bucket_subjects:
+            df = self.spark.table(self._table)
+        else:
+            df = self.spark.read.schema(QUAD_SCHEMA).parquet(self.path)
         # partitionBy moves `p` to the end; restore canonical column order
         return df.select(*[f.name for f in QUAD_SCHEMA.fields])
 
     def _refresh_stats(self) -> None:
+        src = (
+            self.spark.table(self._table)
+            if self.bucket_subjects
+            else self.spark.read.parquet(self.path)
+        )
         stats = {
             r["p"]: r["n"]
-            for r in self.spark.read.parquet(self.path)
-            .groupBy("p")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            for r in src.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         with open(self._stats_path, "w") as f:
             json.dump(stats, f)
@@ -57,6 +86,8 @@ class QuadStore:
             return {}
 
     def exists(self) -> bool:
+        if self.bucket_subjects:
+            return self.spark.catalog.tableExists(self._table)
         return os.path.isdir(self.path) and any(
             e.startswith("p=") or e.endswith(".parquet")
             for e in os.listdir(self.path)

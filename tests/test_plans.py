@@ -87,6 +87,27 @@ def test_non_star_join_broadcasts_small_side(store_repo):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bucketed_store_star_has_zero_exchanges(spark, tmp_path_factory):
+    """partitionBy(p) × bucketBy(s): predicate pruning picks the files,
+    subject bucketing satisfies the star groupBy's distribution — a
+    4-pattern BGP plans with NO shuffle and NO join at all."""
+    wh = str(tmp_path_factory.mktemp("wh_bucketed"))
+    eng = Engine(spark, warehouse=wh)
+    repo = eng.create_repository("bucketed_plan", ruleset="none", bucket_subjects=8)
+    repo.load_turtle(fixtures.full_fixture_ttl(200))
+    df = repo.sparql(
+        PROLOG + """SELECT ?n ?lat ?t WHERE {
+            ?f a ex:Facility ; schema:name ?n ; ex:latitude ?lat ;
+               ex:hasFacilityType ?t .
+        }"""
+    )
+    plan = plan_of(df)
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange") == 0
+    assert plan.count("Join") == 0
+    assert df.count() == 200
+
+
 def test_projection_prunes_read_schema(store_repo):
     # projecting only the subject with a numeric filter: the scan must read
     # just (s, o_num) + the partition column, not the full object struct
