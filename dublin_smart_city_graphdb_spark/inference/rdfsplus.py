@@ -79,16 +79,44 @@ def _schema_pairs(all_df: DataFrame, pred: str) -> DataFrame:
     )
 
 
-def _round(all_df: DataFrame) -> DataFrame:
-    """One application of every RDFS-Plus rule over the current statement
-    set; returns candidate triples (possibly already known)."""
+_SCHEMA_PREDS = (
+    _SUBCLASS, _SUBPROP, _DOMAIN, _RANGE, _INVERSE, _EQ_CLASS, _EQ_PROP,
+    _SAME_AS,
+)
+_SCHEMA_CLASSES = (_SYMMETRIC, _TRANSITIVE, _FUNCTIONAL, _INV_FUNCTIONAL)
+
+
+def _touches_schema(delta: DataFrame) -> bool:
+    """Does this round's delta alter any rule's SCHEMA side (property maps,
+    property-class declarations, sameAs pairs)? If so the next round must
+    rejoin the full statement set; otherwise the delta alone suffices."""
+    return not delta.filter(
+        F.col("p").isin(*_SCHEMA_PREDS)
+        | ((F.col("p") == RDF_TYPE) & F.col("o_lex").isin(*_SCHEMA_CLASSES))
+    ).isEmpty()
+
+
+def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
+    """One application of every RDFS-Plus rule; returns candidate triples
+    (possibly already known).
+
+    Semi-naive evaluation: ``inst`` is the instance-side input for the
+    high-volume rules (subPropertyOf use, domain/range, inverse/equivalent
+    rewrites, symmetric swap, rdfs9 inheritance, sameAs propagation) — the
+    caller passes last round's DELTA when the delta contains no schema
+    triples, so those rules join O(|delta|) rows instead of O(|all|).
+    Schema maps, and the property-filtered transitive/functional rules
+    (already reduced to declared properties, usually none), always read the
+    full set — a new schema fact forces a full round via _touches_schema."""
     outs: list[DataFrame] = []
     facts = all_df
+    if inst is None:
+        inst = all_df
 
     # rdfs7: subPropertyOf use  (schema side broadcast)
     subp = _schema_pairs(facts, _SUBPROP)
     outs.append(
-        facts.join(subp, facts.p == subp.a)
+        inst.join(subp, inst.p == subp.a)
         .select(
             "s", F.col("b").alias("p"), "o_kind", "o_lex", "o_dtype",
             "o_lang", "o_num", "o_ts", "o_bool",
@@ -112,7 +140,7 @@ def _round(all_df: DataFrame) -> DataFrame:
         _type_triple(sc_trans, "sa", "sb").withColumn("p", F.lit(_SUBCLASS))
     )
     # rdfs9: subClassOf inheritance
-    types = facts.filter(F.col("p") == RDF_TYPE)
+    types = inst.filter(F.col("p") == RDF_TYPE)
     outs.append(
         _type_triple(
             types.join(subc, types.o_lex == subc.a).select(
@@ -125,7 +153,7 @@ def _round(all_df: DataFrame) -> DataFrame:
     dom = _schema_pairs(facts, _DOMAIN)
     outs.append(
         _type_triple(
-            facts.join(dom, facts.p == dom.a).select(
+            inst.join(dom, inst.p == dom.a).select(
                 F.col("s").alias("ss"), F.col("b").alias("cc")
             ),
             "ss", "cc",
@@ -134,8 +162,8 @@ def _round(all_df: DataFrame) -> DataFrame:
     rng = _schema_pairs(facts, _RANGE)
     outs.append(
         _type_triple(
-            facts.filter(F.col("o_kind") != 2)
-            .join(rng, facts.p == rng.a)
+            inst.filter(F.col("o_kind") != 2)
+            .join(rng, inst.p == rng.a)
             .select(F.col("o_lex").alias("ss"), F.col("b").alias("cc")),
             "ss", "cc",
         )
@@ -143,11 +171,11 @@ def _round(all_df: DataFrame) -> DataFrame:
     # inverseOf (both directions) + equivalentProperty (both directions)
     inv = _schema_pairs(facts, _INVERSE)
     inv_both = inv.unionByName(inv.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    fi = facts.join(F.broadcast(inv_both), facts.p == F.col("a"))
+    fi = inst.join(F.broadcast(inv_both), inst.p == F.col("a"))
     outs.append(_swap_so(fi, F.col("b")))
     eqp = _schema_pairs(facts, _EQ_PROP)
     eqp_both = eqp.unionByName(eqp.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    fe = facts.join(F.broadcast(eqp_both), facts.p == F.col("a"))
+    fe = inst.join(F.broadcast(eqp_both), inst.p == F.col("a"))
     outs.append(
         fe.select(
             "s", F.col("b").alias("p"), "o_kind", "o_lex", "o_dtype",
@@ -169,7 +197,7 @@ def _round(all_df: DataFrame) -> DataFrame:
             (F.col("p") == RDF_TYPE) & (F.col("o_lex") == _SYMMETRIC)
         ).select(F.col("s").alias("a")).distinct()
     )
-    outs.append(_swap_so(facts.join(sym_props, facts.p == F.col("a")), F.col("p")))
+    outs.append(_swap_so(inst.join(sym_props, inst.p == F.col("a")), F.col("p")))
     # TransitiveProperty: one join step per round (outer loop closes it)
     trans_props = F.broadcast(
         facts.filter(
@@ -195,7 +223,7 @@ def _round(all_df: DataFrame) -> DataFrame:
     )
     outs.append(step)
     # sameAs: symmetry + one transitive step per round
-    same = facts.filter((F.col("p") == _SAME_AS) & (F.col("o_kind") == KIND_IRI))
+    same = inst.filter((F.col("p") == _SAME_AS) & (F.col("o_kind") == KIND_IRI))
     outs.append(_swap_so(same, F.col("p")))
     same_pairs = _schema_pairs(facts, _SAME_AS)
     sa_trans = (
@@ -208,7 +236,7 @@ def _round(all_df: DataFrame) -> DataFrame:
     )
     # sameAs statement propagation (subject position)
     outs.append(
-        facts.join(same_pairs, facts.s == same_pairs.a)
+        inst.join(same_pairs, inst.s == same_pairs.a)
         .select(
             F.col("b").alias("s"), "p", "o_kind", "o_lex", "o_dtype",
             "o_lang", "o_num", "o_ts", "o_bool",
@@ -268,9 +296,14 @@ def materialize(explicit: DataFrame, max_rounds: int = 20) -> DataFrame:
     ).distinct().localCheckpoint(eager=True)
 
     known = spo
+    delta: DataFrame | None = None  # None = first round → full evaluation
     inferred_acc: DataFrame | None = None
     for _ in range(max_rounds):
-        candidates = _round(known)
+        # Semi-naive: after round 0, high-volume rules join only last
+        # round's delta — unless that delta added schema facts, which force
+        # a full re-evaluation (new rule inputs can fire on OLD statements).
+        inst = None if delta is None or _touches_schema(delta) else delta
+        candidates = _round(known, inst)
         # Null-safe anti-join: o_dtype/o_lang are NULL on most inferred
         # triples, and plain equi-join keys treat NULL != NULL — which would
         # re-derive every triple forever. eqNullSafe keeps the hash-join
@@ -285,6 +318,7 @@ def materialize(explicit: DataFrame, max_rounds: int = 20) -> DataFrame:
         if fresh.isEmpty():
             break
         known = known.unionByName(fresh).localCheckpoint(eager=True)
+        delta = fresh
         inferred_acc = (
             fresh if inferred_acc is None else inferred_acc.unionByName(fresh)
         )

@@ -948,4 +948,25 @@ class QueryCompiler:
         by_o = self.quads.filter(F.col("o_kind") == KIND_IRI).join(
             targets, self.quads.o_lex == targets.target, "left_semi"
         )
-        return by_s.unionByName(by_o).distinct()
+        result = by_s.unionByName(by_o).distinct()
+        # Concise bounded description: follow blank-node objects so anonymous
+        # sub-structures (e.g. geometry nodes) are fully described. Bounded
+        # driver loop — bnode chains are structurally shallow.
+        for _ in range(5):
+            bnodes = F.broadcast(
+                result.filter(F.col("o_kind") == 1)
+                .select(F.col("o_lex").alias("target"))
+                .distinct()
+            )
+            extra = self.quads.join(
+                bnodes, self.quads.s == bnodes.target, "left_semi"
+            )
+            cond = None
+            for c in ["g", "s", "p", "o_kind", "o_lex", "o_dtype", "o_lang"]:
+                clause = F.col(f"e.{c}").eqNullSafe(F.col(f"r.{c}"))
+                cond = clause if cond is None else cond & clause
+            fresh = extra.alias("e").join(result.alias("r"), cond, "left_anti")
+            if fresh.isEmpty():
+                break
+            result = result.unionByName(fresh).localCheckpoint(eager=True)
+        return result

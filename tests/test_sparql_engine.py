@@ -377,6 +377,21 @@ def test_describe(micro):
     assert len(rows) == 4
 
 
+def test_describe_follows_bnode_closure(spark):
+    """Concise bounded description: anonymous sub-structures come along."""
+    eng = Engine(spark)
+    r = eng.create_repository("cbd", ruleset="none")
+    r.load_turtle("""
+        @prefix ex: <http://cbd#> .
+        ex:f ex:name "F" ; ex:geom [ ex:wkt "POINT(1 2)" ; ex:srs [ ex:code 4326 ] ] .
+        ex:other ex:name "O" .
+    """)
+    rows = r.sparql_collect("DESCRIBE <http://cbd#f>")
+    preds = sorted(row["p"].split("#")[1] for row in rows)
+    # f's 2 statements + bnode geom's 2 + nested srs bnode's 1
+    assert preds == ["code", "geom", "name", "srs", "wkt"]
+
+
 def test_builtin_functions(micro):
     rows = micro.sparql_collect(
         MP
