@@ -82,10 +82,23 @@ def _shingle_arr(k: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents scan, spread across the cluster. Shingling is a
+    higher-order-function expression (interpreted, not codegen), so its
+    map-side cost is real — but a small SF ships as ONE parquet file, which
+    Spark reads as one task. Round-robin the tiny (doc_id, text) rows first
+    so the shingle compute uses every core; at scale the scan already has
+    many splits and this repartition is AQE-coalesced noise next to the
+    groupBy shuffles that follow."""
+    d = load(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _shingles_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """(doc_id, shingle): distinct word-k-gram shingles per document."""
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", F.explode(_shingle_arr(k)).alias("shingle"))
+    return _docs_parallel(spark, sf_dir).select(
+        "doc_id", F.explode(_shingle_arr(k)).alias("shingle")
+    )
 
 
 # All ordered (doc_a < doc_b) pairs from a bucket's doc list ``ds``.
@@ -251,32 +264,41 @@ _JACCARD_SQL = f"""
         "J = |∩| / (|A|+|B|−|∩|) ≥ 0.1.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir, 3)
-    # |A∩B| via bucket-grouped pair counts: group docs per shingle, emit
-    # ordered pairs inside each bucket, count per pair. The shingling+md5
-    # subtree runs once (the previous self-join evaluated it per side) and
-    # the shuffles are groupBy(shingle) + groupBy(pair) only.
+    # Single-pass: |A| (the doc's distinct-shingle count) rides along with
+    # every exploded shingle, through the bucket, and out with each candidate
+    # pair — no second documents scan, no size joins. It travels PACKED into
+    # the doc id (id<<20 | n_sh, n_sh < 2^20 ≫ the shingle count of any real
+    # document) so the bucket stage stays on collect_list<long>'s flat
+    # primitive fast path, and pair ordering on the packed key is doc-id
+    # ordering. Shuffles: groupBy(shingle) + groupBy(pair), nothing else.
+    #
+    # Plan-shape trap (measured 5×): packing must happen in a SEPARATE select
+    # below the explode — fused into the same select, Catalyst places the
+    # Project above the Generate and re-evaluates the whole shingle
+    # expression per exploded row instead of per document.
+    arr = _shingle_arr(3)
+    base = _docs_parallel(spark, sf_dir).select(
+        (F.shiftleft(F.col("doc_id"), 20) + F.size(arr)).alias("packed"), "text"
+    )
+    sh = base.select("packed", F.explode(arr).alias("shingle"))
     inter = (
         sh.groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("ds"))
+        .agg(F.collect_list("packed").alias("ds"))
         .filter(F.size("ds") > 1)
         .select(F.explode(F.expr(_PAIR_EXPLODE)).alias("pr"))
-        .groupBy(F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b"))
+        .groupBy(F.col("pr.doc_a").alias("pa"), F.col("pr.doc_b").alias("pb"))
         .agg(F.count("*").alias("n_common"))
     )
-    # |A| per doc straight off the pre-explode shingle array: no shuffle.
-    d = load(spark, sf_dir, "documents")
-    sizes = d.select("doc_id", F.size(_shingle_arr(3)).alias("n_sh"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
     jac = F.col("n_common").cast("double") / (
-        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
+        (F.col("pa") % (1 << 20)) + (F.col("pb") % (1 << 20)) - F.col("n_common")
     )
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.1)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        inter.filter(jac >= 0.1)
+        .select(
+            F.shiftright(F.col("pa"), 20).alias("doc_a"),
+            F.shiftright(F.col("pb"), 20).alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
     )
 
 
