@@ -236,6 +236,65 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup cluster assignment: connected components over the LSH pair graph
+# (the keep-one-per-cluster step of a web-scale dedup pipeline)
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_shingles_cte(5)},
+    sig AS (
+        SELECT doc_id,
+               {_minhash_mins_duck}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{_band_selects_duck}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    lbl AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           CAST(COALESCE(LEAST(l.doc_id, l.mn), d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+"""
+
+
+@register(
+    "dedup_clusters",
+    _CLUSTERS_SQL,
+    doc="Dedup cluster assignment: hash-min connected components "
+        "(graph/closure.py) over the MinHash-LSH candidate-pair graph; every "
+        "document gets cluster_id = min doc_id of its near-dup component "
+        "(singletons keep their own id). O(log n) min-propagation rounds, "
+        "one node-id shuffle each — the distributed-CC shape that survives "
+        "100 TB, oracle-checked against a recursive-CTE closure.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.graph.closure import connected_components
+
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labels, docs.doc_id == labels.id, "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard dedup (3-word shingles, blocked by shared shingle)
 # ---------------------------------------------------------------------------
 
@@ -587,6 +646,140 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") == F.col("bucket_c"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
+        .withColumn("cosine", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN: nearest-centroid cells + nprobe=2 (SURVEY §7 similarity —
+# the partition-pruning scale path: at 100 TB the corpus is PARTITIONED BY
+# cell on disk, so a query reads nprobe/n_cells of the data; here the cell
+# assignment + probe are expressed as DataFrame ops with a full SQL oracle)
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 2
+
+
+def _ivf_centroid(c: int) -> list[float]:
+    """Deterministic pseudo-random centroid — md5-derived like the LSH
+    planes, so Spark and DuckDB embed IDENTICAL coordinate literals."""
+    import hashlib
+
+    out = []
+    for d in range(_EMB_DIM):
+        h = int(hashlib.md5(f"ivf{c}:{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+_CENTROIDS = [_ivf_centroid(c) for c in range(_IVF_CELLS)]
+
+
+def _ivf_dots_duck() -> str:
+    """UNION ALL of per-centroid dot products — (vec_id, cell, dot)."""
+    branches = []
+    for c, w in enumerate(_CENTROIDS):
+        lit = "[" + ", ".join(repr(x) for x in w) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        branches.append(f"SELECT vec_id, {c} AS cell, {dot} AS dot FROM embeddings")
+    return "\n        UNION ALL\n        ".join(branches)
+
+
+_IVF_TOPK_SQL = f"""
+    WITH dots AS (
+        {_ivf_dots_duck()}
+    ),
+    ranked AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rk
+        FROM dots
+    ),
+    corpus_cell AS (SELECT vec_id, cell FROM ranked WHERE rk = 1),
+    query_cells AS (SELECT vec_id, cell FROM ranked
+                    WHERE rk <= {_IVF_NPROBE} AND vec_id < 10),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM query_cells q JOIN corpus_cell c ON q.cell = c.cell
+        WHERE q.vec_id <> c.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id, {_cos_duck('a', 'b')} AS cosine
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.query_id
+        JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rk FROM scored
+    ) WHERE rk <= 5
+"""
+
+
+def _ivf_cells_df(e: DataFrame) -> DataFrame:
+    """(vec_id, cell, rk): centroid-affinity ranking per vector. The dot
+    array is built once per vector inside the Generate (posexplode), never
+    per output row."""
+    dots = []
+    for w in _CENTROIDS:
+        arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in w) + ")"
+        dots.append(F.expr(_DOT.format(a="embedding", b=arr)))
+    exploded = e.select(
+        "vec_id", F.posexplode(F.array(*dots)).alias("cell", "dot")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cell"))
+    return exploded.select("vec_id", "cell", F.row_number().over(w).alias("rk"))
+
+
+@register(
+    "ann_ivf_topk",
+    _IVF_TOPK_SQL,
+    doc="ANN via IVF cells: every vector is assigned its nearest of 16 "
+        "deterministic centroids (one posexplode + per-vector top-1 — the "
+        "map-side O(n·C) assignment); queries probe their best 2 cells and "
+        "re-rank exact cosine inside them. At scale the corpus is "
+        "partitionBy(cell) on disk and the probe is partition pruning — "
+        "reading nprobe/16 of the data instead of a full scan.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cells = _ivf_cells_df(e)
+    corpus_cell = cells.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    query_cells = cells.filter(
+        (F.col("rk") <= _IVF_NPROBE) & (F.col("vec_id") < 10)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = (
+        F.broadcast(query_cells)
+        .join(corpus_cell, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = _with_norm(
+        e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")),
+        "emb_q",
+        "norm_q",
+    )
+    c = _with_norm(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c")),
+        "emb_c",
+        "norm_c",
+    )
+    dot = F.expr(_DOT.format(a="emb_q", b="emb_c"))
+    cos = F.round(dot / (F.col("norm_q") * F.col("norm_c")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .withColumn("cosine", cos)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
