@@ -118,24 +118,24 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        new_comp = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_component"), F.col("component")),
+        )
+        # The convergence flag rides along into the checkpoint, so the
+        # stability test is a scan of the materialized result — no second
+        # join-against-previous-labels job per round.
         updated = (
             labels.join(neighbour_min, "id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp < F.col("component")).alias("moved"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-        )
-        stable = changed.isEmpty()
-        labels = updated
+        stable = updated.filter(F.col("moved")).isEmpty()
+        labels = updated.select("id", "component")
         if stable:
             break
     return labels
