@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §2.9: the extension path for stateful semantics the built-in
+windowed aggregations can't express).
+
+``budget_alerts_stream`` is a per-key running-accumulator detector: each
+user's event values accumulate across micro-batches (and across restarts —
+the accumulator lives in the streaming state store, checkpointed with the
+query), and every time the running total crosses another multiple of the
+threshold an alert row is emitted. The per-user state is one double, so
+state size is O(distinct active users) regardless of stream length — the
+bounded-state property that matters on an unbounded feed.
+
+Ordering contract: events are processed in (ts_us, event_id) order WITHIN a
+micro-batch, and micro-batches arrive in file order — the standard
+file-source contract. Out-of-order data across batches should be handled
+upstream with a watermarked sort or tolerated (alerts may fire on a
+slightly different event, totals are unaffected: addition commutes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+ALERT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("running_total", DoubleType()),
+        StructField("threshold_multiple", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("total", DoubleType())])
+
+
+def _alerts_fn(threshold: float):
+    def fn(
+        key: tuple,
+        pdf_iter: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        (total,) = state.get if state.exists else (0.0,)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        out: list[tuple] = []
+        if chunks:
+            events = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+            for ev_id, ts_us, value in zip(
+                events["event_id"], events["ts_us"], events["value"]
+            ):
+                before = int(total // threshold)
+                total += float(value)
+                after = int(total // threshold)
+                if after > before:
+                    out.append((user_id, int(ev_id), int(ts_us), total, after))
+        state.update((total,))
+        yield pd.DataFrame(
+            out,
+            columns=[f.name for f in ALERT_SCHEMA.fields],
+        )
+
+    return fn
+
+
+def budget_alerts_stream(events: DataFrame, threshold: float = 100.0) -> DataFrame:
+    """Per-user threshold-crossing alerts over a stream with columns
+    (event_id, ts_us, user_id, value). Grouping keys partition the state;
+    Arrow batches carry the rows — no per-row Python round trips."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _alerts_fn(threshold),
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -108,3 +108,76 @@ def test_streaming_ntriples_ingest_incremental(spark, tmp_path):
         "SELECT ?o WHERE { <http://s#a> <http://s#name> ?o }"
     )
     assert [r["o"].lex for r in rows] == ["Alpha"]
+
+
+def test_stateful_budget_alerts_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: the per-user accumulator survives micro-batch
+    boundaries AND a query restart (same checkpoint), and the emitted alerts
+    equal a batch replay of the same logic."""
+    import pandas as pd
+
+    from dublin_smart_city_graphdb_spark.streaming.stateful import (
+        ALERT_SCHEMA,
+        budget_alerts_stream,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    # Deterministic per-user event series; file 1 strictly precedes file 2
+    # in event time (file-source ordering contract).
+    def mk(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "ts_us", "user_id", "value"]
+        ).astype({"event_id": "int64", "ts_us": "int64", "user_id": "int64"})
+
+    batch1 = mk([(i, 1_000_000 * i, i % 3, 40.0 + i) for i in range(12)])
+    batch2 = mk([(i, 1_000_000 * i, i % 3, 40.0 + i) for i in range(12, 24)])
+
+    schema = "event_id long, ts_us long, user_id long, value double"
+
+    out_dir = str(tmp_path / "alerts_out")
+
+    def drain():
+        # File sink (not memory): restart-from-checkpoint requires a
+        # fault-tolerant sink, and exercising recovery is the point here.
+        stream = spark.readStream.schema(schema).parquet(str(feed))
+        q = (
+            budget_alerts_stream(stream, threshold=100.0)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(ALERT_SCHEMA).parquet(out_dir).collect()
+
+    batch1.to_parquet(feed / "b1.parquet")
+    alerts1 = drain()
+    batch2.to_parquet(feed / "b2.parquet")
+    both = drain()  # same checkpoint: state + file log resume
+    alerts2 = [r for r in both if r not in alerts1]
+
+    got = sorted(
+        (r.user_id, r.event_id, r.threshold_multiple) for r in both
+    )
+
+    # Batch replay of the same semantics.
+    expected = []
+    allrows = pd.concat([batch1, batch2]).sort_values(["ts_us", "event_id"])
+    totals: dict[int, float] = {}
+    for _, r in allrows.iterrows():
+        t = totals.get(r.user_id, 0.0)
+        before = int(t // 100.0)
+        t += r.value
+        totals[r.user_id] = t
+        after = int(t // 100.0)
+        if after > before:
+            expected.append((int(r.user_id), int(r.event_id), after))
+    assert got == sorted(expected)
+    assert len(got) > 0
+    # alerts fired in BOTH runs → state genuinely crossed the restart
+    assert alerts1 and alerts2
