@@ -142,6 +142,31 @@ class Repository:
         rows = self.sparql_collect(query_text, timeout=timeout)
         return rows_to_json(df.columns, rows)
 
+    def sparql_serialized(
+        self, query_text: str, accept: str = "application/sparql-results+json",
+        timeout: float | None = None,
+    ) -> tuple[str, str]:
+        """Query → (payload, content-type) for the protocol Accept types:
+        results-JSON (default), results-CSV, results-TSV."""
+        import json as _json
+
+        from dublin_smart_city_graphdb_spark.sparql.protocol import (
+            rows_to_csv,
+            rows_to_json,
+            rows_to_tsv,
+        )
+
+        df = self.sparql(query_text)
+        rows = self.sparql_collect(query_text, timeout=timeout)
+        if "text/csv" in accept:
+            return rows_to_csv(df.columns, rows), "text/csv"
+        if "text/tab-separated-values" in accept:
+            return rows_to_tsv(df.columns, rows), "text/tab-separated-values"
+        return (
+            _json.dumps(rows_to_json(df.columns, rows)),
+            "application/sparql-results+json",
+        )
+
     def update(self, update_text: str) -> None:
         """SPARQL 1.1 Update (SURVEY §2.1 S7): mutate the explicit statement
         set, then re-run load-time inference if the ruleset asks for it."""

@@ -72,11 +72,10 @@ def _make_handler(engine: Engine):
                     self._send(400, {"error": "missing query parameter"})
                     return
                 try:
-                    self._send(
-                        200,
-                        repo.sparql_json(query),
-                        "application/sparql-results+json",
+                    payload, ctype = repo.sparql_serialized(
+                        query, accept=self.headers.get("Accept") or ""
                     )
+                    self._send(200, payload, ctype)
                 except Exception as ex:  # noqa: BLE001 — protocol boundary
                     self._send(400, {"error": str(ex)})
                 return
@@ -138,11 +137,10 @@ def _make_handler(engine: Engine):
                 else:
                     query = body.decode()
                 try:
-                    self._send(
-                        200,
-                        repo.sparql_json(query),
-                        "application/sparql-results+json",
+                    payload, out_ctype = repo.sparql_serialized(
+                        query, accept=self.headers.get("Accept") or ""
                     )
+                    self._send(200, payload, out_ctype)
                 except Exception as ex:  # noqa: BLE001
                     self._send(400, {"error": str(ex)})
                 return

@@ -147,3 +147,75 @@ def df_to_json_lines(df: DataFrame) -> DataFrame:
         )
         cols.append(term.alias(var))
     return df.select(F.to_json(F.struct(*cols)).alias("json"))
+
+
+# ---------------------------------------------------------------------------
+# W3C "SPARQL 1.1 Query Results CSV and TSV Formats" (SELECT serialization;
+# the other Accept types GraphDB-compatible endpoints serve next to JSON)
+# ---------------------------------------------------------------------------
+
+def _bnode_label(lex: str) -> str:
+    return lex if lex.startswith("_:") else f"_:{lex}"
+
+
+def _term_csv(t) -> str:
+    """CSV term value: IRIs bare, blank nodes ``_:label``, literals their
+    lexical form only (no quotes/datatype/lang) — per the CSV results spec."""
+    if t is None or t["kind"] is None:
+        return ""
+    if t["kind"] == KIND_BLANK:
+        return _bnode_label(t["lex"])
+    return t["lex"] or ""
+
+
+def _csv_field(v: str) -> str:
+    if any(c in v for c in (',', '"', "\n", "\r")):
+        return '"' + v.replace('"', '""') + '"'
+    return v
+
+
+def rows_to_csv(columns: list[str], rows: list) -> str:
+    """SELECT solutions → results-CSV document (RFC 4180 quoting, CRLF)."""
+    if columns == ["ask"]:  # ASK: single true/false value (not spec'd; GraphDB-style)
+        return "ask\r\n%s\r\n" % ("true" if rows[0]["ask"] else "false")
+    out = [",".join(_csv_field(c) for c in columns)]
+    for r in rows:
+        out.append(",".join(_csv_field(_term_csv(r[var])) for var in columns))
+    return "\r\n".join(out) + "\r\n"
+
+
+def _tsv_escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace('"', '\\"')
+    )
+
+
+def _term_tsv(t) -> str:
+    """TSV term value: full SPARQL syntax — ``<iri>``, ``_:b``, quoted
+    literal with ``@lang`` / ``^^<dtype>``."""
+    if t is None or t["kind"] is None:
+        return ""
+    if t["kind"] == KIND_IRI:
+        return f"<{t['lex']}>"
+    if t["kind"] == KIND_BLANK:
+        return _bnode_label(t["lex"])
+    lit = f'"{_tsv_escape(t["lex"])}"'
+    if t["lang"]:
+        return f"{lit}@{t['lang']}"
+    if t["dtype"]:
+        return f"{lit}^^<{t['dtype']}>"
+    return lit
+
+
+def rows_to_tsv(columns: list[str], rows: list) -> str:
+    """SELECT solutions → results-TSV document (vars prefixed ``?``)."""
+    if columns == ["ask"]:
+        return "?ask\n%s\n" % ("true" if rows[0]["ask"] else "false")
+    out = ["\t".join(f"?{c}" for c in columns)]
+    for r in rows:
+        out.append("\t".join(_term_tsv(r[var]) for var in columns))
+    return "\n".join(out) + "\n"

@@ -108,3 +108,46 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e2:
         _get_json(server, "/repositories/dublin_facilities")
     assert e2.value.code == 400
+
+
+def test_csv_tsv_content_negotiation(server):
+    """W3C results-CSV / results-TSV via the Accept header (S4 depth)."""
+    # reuse the repo created by the sequence test; create one defensively
+    cfg = {"id": "csvrepo", "params": {"ruleset": {"value": "none"}}}
+    _post(server, "/rest/repositories", json.dumps(cfg).encode(), "application/json")
+    ttl = """
+        @prefix ex: <http://x#> .
+        ex:a ex:name "Alpha, \\"quoted\\"" ; ex:rank 3 .
+    """
+    _post(server, "/repositories/csvrepo/statements", ttl.encode(), "text/turtle")
+    q = urllib.parse.quote(
+        "SELECT ?s ?name ?rank WHERE { ?s <http://x#name> ?name ; "
+        "<http://x#rank> ?rank }"
+    )
+
+    def fetch(accept):
+        req = urllib.request.Request(
+            _url(server, f"/repositories/csvrepo?query={q}"),
+            headers={"Accept": accept},
+        )
+        with urllib.request.urlopen(req) as r:
+            return r.headers.get("Content-Type"), r.read().decode()
+
+    ctype, body = fetch("text/csv")
+    assert ctype == "text/csv"
+    lines = body.strip().split("\r\n")
+    assert lines[0] == "s,name,rank"
+    # IRI bare; comma+quote field RFC4180-quoted; plain lexical rank
+    assert lines[1] == 'http://x#a,"Alpha, ""quoted""",3'
+
+    ctype, body = fetch("text/tab-separated-values")
+    assert ctype == "text/tab-separated-values"
+    lines = body.strip().split("\n")
+    assert lines[0] == "?s\t?name\t?rank"
+    assert lines[1].startswith('<http://x#a>\t"Alpha, \\"quoted\\""\t')
+    assert '"3"^^<http://www.w3.org/2001/XMLSchema#integer>' in lines[1]
+
+    # default stays results-JSON
+    ctype, body = fetch("application/sparql-results+json")
+    assert ctype == "application/sparql-results+json"
+    assert json.loads(body)["head"]["vars"] == ["s", "name", "rank"]
