@@ -74,6 +74,15 @@ class Repository:
             self.materialize_inference()
         return len(rows)
 
+    def load_nquads(self, path: str) -> None:
+        """Bulk N-Quads load: per-line graph labels land in ``g`` (named
+        graphs queryable via GRAPH/FROM NAMED)."""
+        from dublin_smart_city_graphdb_spark.sources.turtle import (
+            read_nquads_distributed,
+        )
+
+        self.add_quads(read_nquads_distributed(self.spark, path))
+
     def load_ntriples(self, path: str, graph: str | None = None) -> None:
         """Distributed bulk load (splittable text + executor-side parse)."""
         self.add_quads(read_ntriples_distributed(self.spark, path, graph))

@@ -260,20 +260,27 @@ _NT_LINE = re.compile(
       |(?P<o_bn>_:\S+)
       |"(?P<o_lit>(?:[^"\\]|\\.)*)"
        (?:@(?P<lang>[A-Za-z0-9-]+)|\^\^<(?P<dt>[^>]*)>)?
-    )\s*\.\s*$""",
+    )
+    (?:\s+<(?P<g_iri>[^>]*)>)?    # N-Quads: optional graph label
+    \s*\.\s*$""",
     re.VERBOSE,
 )
 
 
-def parse_ntriples_lines(lines: Iterator[str], graph: str | None = None) -> Iterator[tuple]:
-    """Per-partition N-Triples line parser (used via mapPartitions)."""
+def parse_ntriples_lines(
+    lines: Iterator[str], graph: str | None = None, allow_graph: bool = False
+) -> Iterator[tuple]:
+    """Per-partition N-Triples / N-Quads line parser (used via
+    mapPartitions). With ``allow_graph`` a 4th ``<g>`` term routes the
+    statement to that named graph (N-Quads); otherwise it's rejected."""
     for line in lines:
         line = line.strip()
         if not line or line.startswith("#"):
             continue
         m = _NT_LINE.match(line)
-        if not m:
-            raise ValueError(f"ntriples: bad line {line[:80]!r}")
+        if not m or (m["g_iri"] is not None and not allow_graph):
+            kind = "nquads" if allow_graph else "ntriples"
+            raise ValueError(f"{kind}: bad line {line[:80]!r}")
         s: Term = IRI(m["s_iri"]) if m["s_iri"] is not None else BNode(m["s_bn"][2:])
         p = IRI(m["p"])
         if m["o_iri"] is not None:
@@ -282,7 +289,7 @@ def parse_ntriples_lines(lines: Iterator[str], graph: str | None = None) -> Iter
             o = BNode(m["o_bn"][2:])
         else:
             o = Literal(_unescape(m["o_lit"]), datatype=m["dt"], lang=m["lang"])
-        yield term_to_row(graph, s, p, o)
+        yield term_to_row(m["g_iri"] if m["g_iri"] is not None else graph, s, p, o)
 
 
 def read_ntriples_distributed(spark, path: str, graph: str | None = None):
@@ -295,4 +302,16 @@ def read_ntriples_distributed(spark, path: str, graph: str | None = None):
 
     lines = spark.read.text(path).rdd.map(lambda r: r.value)
     rows = lines.mapPartitions(lambda it: parse_ntriples_lines(it, graph))
+    return spark.createDataFrame(rows, QUAD_SCHEMA)
+
+
+def read_nquads_distributed(spark, path: str):
+    """Bulk N-Quads load: like the N-Triples path, with each line's optional
+    graph label landing in ``g`` (default graph when absent)."""
+    from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
+
+    lines = spark.read.text(path).rdd.map(lambda r: r.value)
+    rows = lines.mapPartitions(
+        lambda it: parse_ntriples_lines(it, None, allow_graph=True)
+    )
     return spark.createDataFrame(rows, QUAD_SCHEMA)

@@ -94,9 +94,8 @@ def construct_to_ntriples(df: DataFrame) -> DataFrame:
     )
 
 
-def quads_to_ntriples(quads: DataFrame) -> DataFrame:
-    """Quads-table rows → N-Triples lines (default + named graphs flattened;
-    use a ``g`` filter first for a graph-scoped export)."""
+def _quad_spo_cols() -> tuple["F.Column", "F.Column", "F.Column"]:
+    """Executor-side N-Triples serializations of a quads row's s/p/o."""
     subj = F.when(
         F.col("s").startswith("_:"), F.col("s")
     ).otherwise(F.concat(F.lit("<"), F.col("s"), F.lit(">")))
@@ -116,8 +115,29 @@ def quads_to_ntriples(quads: DataFrame) -> DataFrame:
         .when(F.col("o_kind") == KIND_BLANK, F.col("o_lex"))
         .otherwise(lit)
     )
+    return subj, pred, obj
+
+
+def quads_to_ntriples(quads: DataFrame) -> DataFrame:
+    """Quads-table rows → N-Triples lines (default + named graphs flattened;
+    use a ``g`` filter first for a graph-scoped export)."""
+    subj, pred, obj = _quad_spo_cols()
     return quads.select(
         F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("value")
+    )
+
+
+def quads_to_nquads(quads: DataFrame) -> DataFrame:
+    """Quads-table rows → N-Quads lines: named-graph statements carry their
+    ``<g>`` label as the 4th term, default-graph statements serialize as
+    plain triples (round-trips through the N-Quads reader)."""
+    subj, pred, obj = _quad_spo_cols()
+    gterm = F.when(
+        F.col("g").isNotNull(), F.concat(F.lit("<"), F.col("g"), F.lit(">"))
+    )
+    # concat_ws skips NULL columns → default-graph rows get no 4th term
+    return quads.select(
+        F.concat_ws(" ", subj, pred, obj, gterm, F.lit(".")).alias("value")
     )
 
 

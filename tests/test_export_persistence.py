@@ -86,3 +86,41 @@ def test_query_timeout_cancels(spark):
     finally:
         # belt-and-braces: never let a straggler task wedge the shared JVM
         spark.sparkContext.cancelAllJobs()
+
+
+def test_nquads_roundtrip(spark, tmp_path):
+    """N-Quads bulk load → GRAPH-scoped query → N-Quads export → reload:
+    graph labels survive the full cycle."""
+    from dublin_smart_city_graphdb_spark.engine import Engine
+    from dublin_smart_city_graphdb_spark.sparql.protocol import quads_to_nquads
+
+    nq = tmp_path / "data.nq"
+    nq.write_text(
+        '<http://x#a> <http://x#p> "v1" <http://g#one> .\n'
+        '<http://x#a> <http://x#p> "v2"@en <http://g#two> .\n'
+        '<http://x#a> <http://x#q> <http://x#b> .\n'  # default graph
+        '_:b0 <http://x#p> "3"^^<http://www.w3.org/2001/XMLSchema#integer> <http://g#one> .\n'
+    )
+    eng = Engine(spark)
+    repo = eng.create_repository("nq", ruleset="none")
+    repo.load_nquads(str(nq))
+
+    rows = repo.sparql_collect(
+        "SELECT ?g ?o WHERE { GRAPH ?g { <http://x#a> <http://x#p> ?o } }"
+    )
+    got = sorted((r["g"]["lex"], r["o"]["lex"]) for r in rows)
+    assert got == [("http://g#one", "v1"), ("http://g#two", "v2")]
+
+    # default-graph statement must NOT appear under GRAPH ?g
+    assert all(g.startswith("http://g#") for g, _ in got)
+
+    exported = sorted(r["value"] for r in quads_to_nquads(repo.quads).collect())
+    assert '<http://x#a> <http://x#p> "v1" <http://g#one> .' in exported
+    assert '<http://x#a> <http://x#q> <http://x#b> .' in exported  # no 4th term
+
+    # reload the export into a fresh repo → identical statement set
+    nq2 = tmp_path / "rt.nq"
+    nq2.write_text("\n".join(exported) + "\n")
+    repo2 = eng.create_repository("nq2", ruleset="none")
+    repo2.load_nquads(str(nq2))
+    assert repo2.count() == repo.count()
