@@ -788,6 +788,84 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-means training (2 Lloyd iterations from the deterministic IVF centroids —
+# the centroid-training counterpart of ann_ivf_topk's cell probing)
+# ---------------------------------------------------------------------------
+
+def _km_values() -> str:
+    rows = []
+    for c, w in enumerate(_CENTROIDS):
+        lit = "[" + ", ".join(repr(x) for x in w) + "]"
+        rows.append(f"({c}, CAST({lit} AS DOUBLE[]))")
+    return ",\n            ".join(rows)
+
+
+def _km_score(centroid: str) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+        f"i -> CAST(e.embedding[i] AS DOUBLE) * {centroid}[i]))"
+    )
+    self_dot = (
+        f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+        f"i -> {centroid}[i] * {centroid}[i]))"
+    )
+    return f"{dot} - {self_dot} / 2"
+
+
+_KMEANS_SQL = f"""
+    WITH init(cell, centroid) AS (
+        VALUES {_km_values()}
+    ),
+    s1 AS (
+        SELECT e.vec_id, c.cell, {_km_score('c.centroid')} AS score
+        FROM embeddings e, init c
+    ),
+    a1 AS (
+        SELECT vec_id, cell AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cell) AS rk FROM s1
+        ) WHERE rk = 1
+    ),
+    d1 AS (
+        SELECT a1.cluster, i,
+               ROUND(CAST(SUM(CAST(e.embedding[i] AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 9) AS m
+        FROM a1 JOIN embeddings e USING (vec_id), UNNEST(range(1, {_EMB_DIM + 1})) t(i)
+        GROUP BY a1.cluster, i
+    ),
+    c1 AS (SELECT cluster AS cell, list(m ORDER BY i) AS centroid FROM d1 GROUP BY cluster),
+    s2 AS (
+        SELECT e.vec_id, c.cell, {_km_score('c.centroid')} AS score
+        FROM embeddings e, c1 c
+    ),
+    a2 AS (
+        SELECT vec_id, cell AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cell) AS rk FROM s2
+        ) WHERE rk = 1
+    )
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a2
+"""
+
+
+@register(
+    "kmeans_embeddings",
+    _KMEANS_SQL,
+    doc="k-means training: 2 Lloyd iterations from 16 deterministic "
+        "centroids. Per round: broadcast k×d centroids into a scored "
+        "crossJoin + per-vector top-1 (assignment), then one (cluster, dim) "
+        "shuffle of decimal-exact partial sums (means) — the corpus is "
+        "never collected, so the same plan trains on 100 TB. Oracle mirrors "
+        "both rounds via chained CTEs.",
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.operators.kmeans import kmeans
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans(spark, e, _CENTROIDS, iterations=2)
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: language ID (stopword n-gram heuristic; SURVEY §7 text #1)
 # ---------------------------------------------------------------------------
 
