@@ -1068,6 +1068,106 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation: stratified sampling, redaction, shard packing — the
+# select / clean / lay-out stages of a training-data pipeline
+# ---------------------------------------------------------------------------
+
+_SAMPLE_SQL = f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_hash60_duck("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+"""
+
+
+@register(
+    "sample_stratified",
+    _SAMPLE_SQL,
+    doc="Deterministic stratified sampling: keep-rate per language stratum "
+        "(50% en, 10% other) decided by a content-addressed hash of the doc "
+        "id — reproducible across runs/engines, no shuffle at all (pure "
+        "map-side filter, prunable at the scan).",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    keep = F.expr(_hash60_spark("concat('sample:', CAST(doc_id AS STRING))")) % 100 < rate
+    return d.filter(keep).select("doc_id", "lang", "source")
+
+
+_REDACT_SQL = r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '\d{3}-\d{3,4}-\d{4}', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails
+    FROM documents
+"""
+
+
+@register(
+    "text_redact",
+    _REDACT_SQL,
+    doc="PII-style redaction: email/phone patterns replaced with typed "
+        "placeholder tokens + per-doc match counts. JVM-side regexp_replace "
+        "(whole-stage codegen), zero shuffles.",
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        r"\d{3}-\d{3,4}-\d{4}",
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.expr("regexp_count(text, '[a-z0-9.]+@[a-z0-9.]+')")
+        .cast("long")
+        .alias("n_emails"),
+    )
+
+
+_SHARDS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum_tokens - 1) // 10000 AS BIGINT) AS shard
+    FROM packed
+"""
+
+
+@register(
+    "shard_by_token_budget",
+    _SHARDS_SQL,
+    doc="Training-shard layout: documents packed into ~10k-token shards by "
+        "running token count in doc_id order. The global running sum is a "
+        "single-partition window here; at scale it becomes the standard "
+        "two-pass variant (per-partition sums → broadcast prefix offsets), "
+        "same result, embarrassingly parallel.",
+)
+def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / 10000).cast("long").alias("shard"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Events: batch analogs of the streaming windows (SURVEY §7 streaming)
 # ---------------------------------------------------------------------------
 
@@ -1124,6 +1224,29 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("k") * 900
     ).alias("window_start_s")
     return shifted.groupBy(win).agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "events_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact per-type value quantiles (linear interpolation — Spark "
+        "percentile ≡ SQL quantile_cont/percentile_cont). The exact baseline "
+        "for approx_percentile at scale, one event_type shuffle.",
+)
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95D)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+    )
 
 
 @register(
