@@ -166,6 +166,57 @@ def sparql_bgp_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inference_transitive_within",
+    """
+    SELECT r.r_name AS region, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="RDFS-Plus materializer under the oracle gate (SURVEY §2.8): an "
+        "ontology declares inNation/inRegion ⊑ within and within "
+        "owl:TransitiveProperty; forward chaining derives customer-within-"
+        "region 2-hop facts (rdfs7 + transitive closure), which the query "
+        "reads back ONLY from the inferred graph. Oracle reproduces the "
+        "closure relationally.",
+)
+def inference_transitive_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.inference.rdfsplus import materialize
+    from dublin_smart_city_graphdb_spark.model.terms import RDFS, OWL
+
+    quads = _quads(spark, sf_dir)
+    ontology = spark.createDataFrame(
+        [
+            (R + "inNation", RDFS + "subPropertyOf", R + "within"),
+            (R + "inRegion", RDFS + "subPropertyOf", R + "within"),
+            (R + "within", RDF_TYPE, OWL + "TransitiveProperty"),
+        ],
+        "s string, p string, o_lex string",
+    ).select(
+        _null("string").alias("g"), "s", "p",
+        F.lit(0).cast("tinyint").alias("o_kind"), "o_lex",
+        _null("string").alias("o_dtype"), _null("string").alias("o_lang"),
+        _null("decimal(38,10)").alias("o_num"),
+        _null("timestamp").alias("o_ts"), _null("boolean").alias("o_bool"),
+    )
+    inferred = materialize(quads.unionByName(ontology))
+    within_region = inferred.filter(
+        (F.col("p") == R + "within")
+        & F.col("s").startswith("urn:customer:")
+        & F.col("o_lex").startswith("urn:region:")
+    ).select("s", F.col("o_lex").alias("region_iri"))
+    names = quads.filter(
+        (F.col("p") == R + "name") & F.col("s").startswith("urn:region:")
+    ).select(F.col("s").alias("region_iri"), F.col("o_lex").alias("region"))
+    return (
+        within_region.join(F.broadcast(names), "region_iri")
+        .groupBy("region")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
     "sparql_optional_suppliers",
     """
     SELECT n.n_name AS nation, COUNT(s.s_suppkey) AS num_suppliers
