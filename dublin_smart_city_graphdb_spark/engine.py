@@ -43,6 +43,7 @@ class Repository:
         self.config = config
         self._quads: DataFrame | None = None
         self._pred_stats: dict[str, int] | None = None
+        self._plan_cache: dict[tuple[str, int], DataFrame] = {}
         self._store = (
             QuadStore(
                 self.spark,
@@ -134,13 +135,26 @@ class Repository:
         return self._pred_stats
 
     def sparql(self, query_text: str) -> DataFrame:
+        # Prepared-plan cache: compiling is Py4J-chatty (thousands of
+        # gateway round trips building Column trees), so identical query
+        # text over an unchanged statement set reuses the compiled
+        # DataFrame — plans are immutable, and any mutation path replaces
+        # self._quads, changing the cache key.
+        key = (query_text, id(self._quads), len(self.engine.functions))
+        cached = self._plan_cache.get(key)
+        if cached is not None:
+            return cached
         ast = parse_query(query_text)
-        return QueryCompiler(
+        df = QueryCompiler(
             self.spark,
             self.quads,
             predicate_stats=self.predicate_stats(),
             extensions=self.engine.functions,
         ).compile(ast)
+        if len(self._plan_cache) >= 128:
+            self._plan_cache.pop(next(iter(self._plan_cache)))
+        self._plan_cache[key] = df
+        return df
 
     def sparql_json(self, query_text: str, timeout: float | None = None) -> dict:
         """Query → SPARQL-results-JSON dict (the reference's

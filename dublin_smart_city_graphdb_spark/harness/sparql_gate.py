@@ -112,8 +112,19 @@ def _quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _sparql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
-    return QueryCompiler(spark, _quads(spark, sf_dir)).compile(parse_query(text))
+    """Compile with a prepared-plan cache (same rationale as
+    Repository.sparql: compilation is Py4J-chatty; the RDF-ized quads for a
+    (session, sf_dir) never mutate)."""
+    key = (spark.sparkContext.applicationId, sf_dir, text)
+    if key not in _PLAN_CACHE:
+        _PLAN_CACHE[key] = QueryCompiler(spark, _quads(spark, sf_dir)).compile(
+            parse_query(text)
+        )
+    return _PLAN_CACHE[key]
 
 
 def _lex(var: str) -> Column:
