@@ -181,3 +181,47 @@ def test_engine_matches_reference_eval(spark, triples, q):
         tuple(b.get(c) for c in cols) for b in want_sols
     )
     assert got == want, f"query: {_query_text(q)}\ntriples: {triples}"
+
+
+# -- dedup pipeline vs pure-Python brute force --------------------------------
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+doc_text = st.lists(words, min_size=0, max_size=12).map(" ".join)
+corpus = st.lists(doc_text, min_size=1, max_size=8)
+
+
+def _py_shingles(text: str, k: int) -> set[str]:
+    w = text.split(" ")
+    if len(w) < k:
+        return set()
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=corpus)
+def test_ngram_jaccard_matches_bruteforce(spark, docs, tmp_path_factory):
+    """The packed-id single-pass Jaccard equals the quadratic definition."""
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("jac")
+    pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": docs}
+    ).to_parquet(d / "documents.parquet")
+
+    from dublin_smart_city_graphdb_spark.harness.pipeline import dedup_ngram_jaccard
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, str(d)).collect()
+    }
+
+    expected = {}
+    sh = [_py_shingles(t, 3) for t in docs]
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sh[a] & sh[b])
+            if inter:
+                j = inter / (len(sh[a]) + len(sh[b]) - inter)
+                if j >= 0.1:
+                    expected[(a, b)] = round(j, 6)
+    assert got == expected
