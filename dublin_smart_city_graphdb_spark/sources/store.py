@@ -85,6 +85,59 @@ class QuadStore:
         except FileNotFoundError:
             return {}
 
+    def compact(self, target_rows_per_file: int = 2_000_000) -> int:
+        """Rewrite the store so each predicate partition holds
+        ``ceil(rows/target)`` right-sized files instead of one small file
+        per historical append — incremental ingest (S6 statements appends,
+        streaming triple feeds) otherwise accretes a small-file problem
+        that kills scan parallelism setup at scale.
+
+        Files per predicate are sized from the write-time predicate stats;
+        rows spread across a predicate's files by subject hash so bucketed
+        readers of the future files stay balanced. The rewrite lands in a
+        side directory and swaps in with two renames (crash before the
+        second rename leaves the original store intact). Bucketed-table
+        stores don't need this (each write produces exactly the bucket
+        file set). Returns the number of files after compaction."""
+        if self.bucket_subjects:
+            raise ValueError("bucketed stores are already file-aligned")
+        stats = self.predicate_stats() or {
+            r["p"]: r["n"]
+            for r in self.spark.read.parquet(self.path)
+            .groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_files = {
+            p: max(1, -(-n // target_rows_per_file)) for p, n in stats.items()
+        }
+        files_expr = F.create_map(
+            *[F.lit(x) for kv in n_files.items() for x in kv]
+        )
+        df = self.read().withColumn(
+            "_fg", F.pmod(F.hash("s"), files_expr[F.col("p")])
+        )
+        tmp = self.path + ".compacting"
+        (
+            df.repartition(F.col("p"), F.col("_fg"))
+            .drop("_fg")
+            .write.mode("overwrite")
+            .partitionBy("p")
+            .parquet(tmp)
+        )
+        old = self.path + ".old"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        import shutil
+
+        # stats file lived inside the old directory — regenerate
+        self._refresh_stats()
+        shutil.rmtree(old)
+        return sum(
+            1
+            for root, _, names in os.walk(self.path)
+            for f in names
+            if f.endswith(".parquet")
+        )
+
     def exists(self) -> bool:
         if self.bucket_subjects:
             return self.spark.catalog.tableExists(self._table)

@@ -124,3 +124,37 @@ def test_nquads_roundtrip(spark, tmp_path):
     repo2 = eng.create_repository("nq2", ruleset="none")
     repo2.load_nquads(str(nq2))
     assert repo2.count() == repo.count()
+
+
+def test_store_compaction(spark, tmp_path):
+    """Small-file compaction: many appended files per predicate partition
+    collapse to the stats-derived target count; statements and predicate
+    stats are unchanged."""
+    import os
+
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    repo = eng.create_repository("cmp", ruleset="none")
+    for i in range(6):  # 6 appends → ≥6 files per touched partition
+        repo.load_turtle(
+            f'@prefix ex: <http://c#> . ex:s{i} ex:p "v{i}" ; ex:q {i} .'
+        )
+    store = repo._store
+    before_files = sum(
+        1 for _, _, names in os.walk(store.path)
+        for f in names if f.endswith(".parquet")
+    )
+    before_rows = sorted(repo.quads.collect())
+    before_stats = store.predicate_stats()
+
+    after_files = store.compact()
+    repo._quads = store.read()
+
+    assert after_files < before_files
+    assert after_files == 2  # one right-sized file per predicate
+    assert sorted(repo.quads.collect()) == before_rows
+    assert store.predicate_stats() == before_stats
+    # the swap left no temp/backup directories behind
+    parent = os.path.dirname(store.path)
+    assert not [e for e in os.listdir(parent) if e.endswith((".old", ".compacting"))]
