@@ -81,17 +81,22 @@ def _pushable_ranges(filters: list) -> dict[str, list[tuple[str, object]]]:
 
 
 def _contains_exists(e) -> bool:
+    return bool(_collect_exists(e))
+
+
+def _collect_exists(e) -> list:
+    """Every ExistsExpr node in an expression tree (document order)."""
     if isinstance(e, A.ExistsExpr):
-        return True
+        return [e]
+    out: list = []
     for attr in ("parts", "args", "options"):
         for sub in getattr(e, attr, []) or []:
-            if _contains_exists(sub):
-                return True
+            out.extend(_collect_exists(sub))
     for attr in ("left", "right", "inner", "expr"):
         sub = getattr(e, attr, None)
-        if sub is not None and _contains_exists(sub):
-            return True
-    return False
+        if sub is not None:
+            out.extend(_collect_exists(sub))
+    return out
 
 
 @dataclass
@@ -217,7 +222,18 @@ class QueryCompiler:
             sel: list[Column] = []
             names: list[str] = []
             certain: set[str] = set()
-            ec = self._expr_compiler(cur)
+            proj_exists = [
+                n for proj, _ in q.projections for n in _collect_exists(proj)
+            ]
+            if proj_exists:
+                proj_df, ecols = self._exists_flags(cur, proj_exists, None)
+                cur = Compiled(proj_df, cur.var_order, cur.certain)
+                ec = ExprCompiler(
+                    lambda n: F.col(n), cur.vars, self.extensions,
+                    exists_cols=ecols,
+                )
+            else:
+                ec = self._expr_compiler(cur)
             for proj, alias in q.projections:
                 if isinstance(proj, A.Var) and alias is None:
                     name = proj.name
@@ -416,15 +432,23 @@ class QueryCompiler:
             elif isinstance(elem, A.BindPattern):
                 if cur is None:
                     cur = self.unit()
-                ec = self._expr_compiler(cur)
                 name = elem.var.name
                 if name in cur.vars:
                     raise ValueError(f"BIND to already-bound ?{name}")
-                cur = Compiled(
-                    cur.df.withColumn(name, ec.compile(elem.expr)),
-                    cur.var_order + [name],
-                    cur.certain,
-                )
+                exists_nodes = _collect_exists(elem.expr)
+                if exists_nodes:
+                    df, ecols = self._exists_flags(cur, exists_nodes, graph_ctx)
+                    ec = ExprCompiler(
+                        lambda n: F.col(n), cur.vars, self.extensions,
+                        exists_cols=ecols,
+                    )
+                    bound = df.withColumn(name, ec.compile(elem.expr)).select(
+                        *cur.var_order, name
+                    )
+                else:
+                    ec = self._expr_compiler(cur)
+                    bound = cur.df.withColumn(name, ec.compile(elem.expr))
+                cur = Compiled(bound, cur.var_order + [name], cur.certain)
             elif isinstance(elem, A.ValuesPattern):
                 c = self._values(elem)
                 cur = c if cur is None else self.join(cur, c, "inner")
@@ -884,8 +908,97 @@ class QueryCompiler:
             how = "left_anti" if flt.negated else "left_semi"
             joined = cur.df.alias("L").join(b_df.alias("R"), cond, how)
             return Compiled(joined.select(*cur.var_order), cur.var_order, cur.certain)
+        if _contains_exists(flt):
+            return self._filter_with_nested_exists(cur, flt, graph_ctx)
         ec = self._expr_compiler(cur)
         return Compiled(cur.df.filter(ec.compile_bool(flt)), cur.var_order, cur.certain)
+
+    def _filter_with_nested_exists(self, cur: Compiled, flt, graph_ctx) -> Compiled:
+        """EXISTS / NOT EXISTS as a SUB-expression of a compound FILTER
+        (e.g. ``FILTER(EXISTS {...} || ?v = 3)``)."""
+        df, exists_cols = self._exists_flags(cur, _collect_exists(flt), graph_ctx)
+        ec = ExprCompiler(
+            lambda n: F.col(n), cur.vars, self.extensions, exists_cols=exists_cols
+        )
+        out = df.filter(ec.compile_bool(flt)).select(*cur.var_order)
+        return Compiled(out, cur.var_order, cur.certain)
+
+    def _exists_flags(
+        self, cur: Compiled, nodes: list, graph_ctx
+    ) -> tuple[DataFrame, dict[int, str]]:
+        """Pre-join each EXISTS group in ``nodes`` to a boolean flag column
+        so the surrounding expression (FILTER / BIND / projection) compiles
+        normally over the flags.
+
+        Bag semantics guard: a compatible left join against a multi-matching
+        pattern would duplicate solutions, so when every shared variable is
+        certainly bound on both sides we join a DISTINCT projection of the
+        shared vars (at most one match per row); otherwise each row gets a
+        unique id, the match set is computed with a semi-join (never
+        duplicates), and the flag joins back on the id."""
+        inners = [(n, self.compile_group(n.group, graph_ctx)) for n in nodes]
+
+        def shared_of(inner):
+            return [v for v in cur.var_order if v in inner.vars]
+
+        need_rid = any(
+            not all(v in cur.certain and v in inner.certain for v in shared_of(inner))
+            for _, inner in inners
+            if shared_of(inner)
+        )
+        df = cur.df
+        if need_rid:
+            # monotonically_increasing_id is only row-stable on a
+            # materialized plan — checkpoint before reusing the ids
+            df = df.withColumn(
+                "__rid", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+        exists_cols: dict[int, str] = {}
+        extra: list[str] = []
+        for k, (node, inner) in enumerate(inners):
+            flag = f"__exists_{k}"
+            exists_cols[id(node)] = flag
+            extra.append(flag)
+            shared = shared_of(inner)
+            if not shared:
+                # disconnected EXISTS: constant over all solutions
+                df = df.withColumn(flag, F.lit(not inner.df.isEmpty()))
+                continue
+            if not need_rid:
+                marker = (
+                    inner.df.select(
+                        *[F.col(v).alias(v + "__r") for v in shared]
+                    )
+                    .distinct()
+                    .withColumn(flag, F.lit(True))
+                )
+                cond = F.lit(True)
+                for v in shared:
+                    cond = cond & (F.col(f"L.{v}") == F.col(f"R.{v}__r"))
+                df = (
+                    df.alias("L")
+                    .join(marker.alias("R"), cond, "left")
+                    .drop(*[v + "__r" for v in shared])
+                )
+            else:
+                b_df = inner.df
+                for v in shared:
+                    b_df = b_df.withColumnRenamed(v, v + "__r")
+                cond = F.lit(True)
+                for v in shared:
+                    l, r = F.col(f"L.{v}"), F.col(f"R.{v}__r")
+                    if v in cur.certain and v in inner.certain:
+                        cond = cond & (l == r)
+                    else:
+                        cond = cond & (l.isNull() | r.isNull() | (l == r))
+                matched = (
+                    df.alias("L")
+                    .join(b_df.alias("R"), cond, "left_semi")
+                    .select("__rid")
+                    .withColumn(flag, F.lit(True))
+                )
+                df = df.join(matched, "__rid", "left")
+        return df, exists_cols
 
     # -- CONSTRUCT / DESCRIBE ------------------------------------------------
     def _compile_construct(self, q: A.ConstructQuery) -> DataFrame:

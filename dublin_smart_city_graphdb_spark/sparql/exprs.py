@@ -94,13 +94,19 @@ class ExprCompiler:
     are term structs. EXISTS/aggregate nodes must have been rewritten by the
     query compiler before reaching here (they need plan context)."""
 
-    def __init__(self, var_resolver, in_scope: set[str], extensions=None):
+    def __init__(
+        self, var_resolver, in_scope: set[str], extensions=None, exists_cols=None
+    ):
         self._resolve = var_resolver  # name -> Column (term struct)
         self._scope = in_scope
         # extension-function registry: IRI -> callable(list[Column]) -> Column
         # (term struct). SURVEY §2.9: gaps get vectorized impls, never
         # row-at-a-time Python in the hot path.
         self._ext = extensions or {}
+        # EXISTS nodes inside compound expressions: the query compiler
+        # pre-joins each one to a boolean flag column and passes
+        # {id(node): column name} — here they read as plain booleans.
+        self._exists_cols = exists_cols or {}
 
     # -- boolean fast path ---------------------------------------------------
     def compile_bool(self, e) -> Column:
@@ -118,6 +124,8 @@ class ExprCompiler:
             return out
         if isinstance(e, A.NotExpr):
             return ~self.compile_bool(e.inner)
+        if isinstance(e, A.ExistsExpr):
+            return self._exists_flag(e)
         if isinstance(e, A.Compare):
             if e.op in ("<", ">", "<=", ">="):
                 fast = self._fast_range_cmp(e)
@@ -136,6 +144,15 @@ class ExprCompiler:
                 hit = hit | F.coalesce(term_eq(a, self.compile(opt)), F.lit(False))
             return ~hit if e.negated else hit
         return ebv(self.compile(e))
+
+    def _exists_flag(self, e) -> Column:
+        name = self._exists_cols.get(id(e))
+        if name is None:
+            raise ExprError(
+                "EXISTS in this expression position was not pre-joined"
+            )
+        flag = F.coalesce(F.col(name), F.lit(False))
+        return ~flag if e.negated else flag
 
     def _fast_range_cmp(self, e: A.Compare) -> Column | None:
         """var-vs-numeric-constant range comparison as a BARE column
@@ -186,6 +203,8 @@ class ExprCompiler:
             for opt in e.options:
                 hit = hit | F.coalesce(term_eq(a, self.compile(opt)), F.lit(False))
             return make_bool(~hit if e.negated else hit)
+        if isinstance(e, A.ExistsExpr):
+            return make_bool(self._exists_flag(e))
         if isinstance(e, A.FuncCall):
             return self._func(e)
         if hasattr(e, "value") or hasattr(e, "lex") or hasattr(e, "label"):

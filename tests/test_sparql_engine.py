@@ -437,3 +437,37 @@ def test_graph_scoping(spark):
         "SELECT ?s WHERE { GRAPH <http://g/two> { ?s ?p ?o } }"
     )
     assert lexes(rows2) == ["http://g#c"]
+
+
+def test_exists_nested_in_filter_expression(spark):
+    """EXISTS / NOT EXISTS as sub-expressions of compound FILTERs, BIND,
+    and projection expressions (pre-joined boolean flags)."""
+    eng = Engine(spark)
+    r = eng.create_repository("nex", ruleset="none")
+    r.load_turtle("""
+        @prefix ex: <http://nx#> .
+        ex:a ex:p 1 ; ex:q "x" . ex:b ex:p 2 ; ex:q "y" . ex:c ex:p 3 .
+    """)
+
+    def subjects(q):
+        return sorted(row["s"]["lex"][-1] for row in r.sparql_collect(q))
+
+    assert subjects(
+        'SELECT ?s WHERE { ?s <http://nx#p> ?v . '
+        'FILTER(EXISTS { ?s <http://nx#q> ?q } || ?v = 3) }'
+    ) == ["a", "b", "c"]
+    assert subjects(
+        'SELECT ?s WHERE { ?s <http://nx#p> ?v . '
+        'FILTER(NOT EXISTS { ?s <http://nx#q> ?q } && ?v > 1) }'
+    ) == ["c"]
+    assert subjects(
+        'SELECT ?s WHERE { ?s <http://nx#p> ?v . FILTER('
+        'EXISTS { ?s <http://nx#q> "x" } || EXISTS { ?s <http://nx#q> "y" }) }'
+    ) == ["a", "b"]
+    rows = r.sparql_collect(
+        'SELECT ?s ?h WHERE { ?s <http://nx#p> ?v . '
+        'BIND(IF(EXISTS { ?s <http://nx#q> ?q2 }, "has", "none") AS ?h) }'
+    )
+    assert sorted((x["s"]["lex"][-1], x["h"]["lex"]) for x in rows) == [
+        ("a", "has"), ("b", "has"), ("c", "none"),
+    ]
