@@ -1072,6 +1072,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # select / clean / lay-out stages of a training-data pipeline
 # ---------------------------------------------------------------------------
 
+_PROBES = [
+    "the quick brown fox jumps over",
+    "row fast merge batch part value",
+    "spark shuffle partition broadcast join key",
+]
+
+_probe_shingles = sorted(
+    {
+        " ".join(p.split(" ")[i : i + 5])
+        for p in _PROBES
+        for i in range(len(p.split(" ")) - 4)
+    }
+)
+
+_DECONTAM_SQL = f"""
+    WITH {_shingles_cte(5)},
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_hits
+        FROM sh
+        WHERE shingle IN ({", ".join("'" + s + "'" for s in _probe_shingles)})
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+           h.doc_id IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+@register(
+    "decontaminate_probe",
+    _DECONTAM_SQL,
+    doc="Benchmark decontamination: flag documents sharing any 5-gram with "
+        "a probe (eval-set) text. The probe shingle set broadcasts as a "
+        "literal IN-list (a broadcast join at real probe sizes); matching "
+        "is a map-side filter on the exploded shingles + one doc_id "
+        "aggregation — no all-pairs stage, same blocking shape as the "
+        "dedup family.",
+)
+def decontaminate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir, 5)
+    hits = (
+        sh.filter(F.col("shingle").isin(_probe_shingles))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.join(hits.withColumnRenamed("doc_id", "h_id"),
+                  d.doc_id == F.col("h_id"), "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.col("h_id").isNotNull().alias("contaminated"),
+    )
+
+
 _SAMPLE_SQL = f"""
     SELECT doc_id, lang, source
     FROM documents

@@ -120,3 +120,25 @@ def run_available_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def enriched_counts_stream(
+    events: DataFrame,
+    user_dim: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a static
+    dimension (re-read per micro-batch; Catalyst broadcasts the small side)
+    BEFORE the windowed aggregation, so the state key is the enriched
+    attribute — the canonical enrich-then-aggregate streaming shape."""
+    return (
+        events.join(F.broadcast(user_dim), "user_id", "left")
+        .withWatermark("etime", watermark)
+        .groupBy(
+            F.window("etime", width).alias("w"),
+            F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "segment", "n_events")
+    )

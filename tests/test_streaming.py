@@ -181,3 +181,45 @@ def test_stateful_budget_alerts_across_restarts(spark, tmp_path):
     assert len(got) > 0
     # alerts fired in BOTH runs → state genuinely crossed the restart
     assert alerts1 and alerts2
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path, events_dir):
+    """Stream-static join before the windowed agg: results equal the same
+    enrichment done in batch."""
+    from dublin_smart_city_graphdb_spark.streaming.events import (
+        enriched_counts_stream,
+    )
+
+    dim = spark.createDataFrame(
+        [(i, "high" if i % 3 == 0 else "low") for i in range(40)],
+        "user_id long, segment string",
+    )
+    ev = stream_events(spark, events_dir)
+    out = run_available_to_memory(
+        spark,
+        enriched_counts_stream(ev, dim),
+        "t_enriched",
+        str(tmp_path / "ckpt_enrich"),
+    )
+    got = {
+        (r.window_start, r.segment): r.n_events for r in out.collect()
+    }
+    assert got
+
+    batch = (
+        spark.read.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_dir)
+        .withColumn("etime", F.timestamp_micros(F.expr("ts div 1000")))
+        .join(F.broadcast(dim), "user_id", "left")
+        .groupBy(
+            F.window("etime", "1 hour").alias("w"),
+            F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "segment", "n")
+    )
+    expected = {(r.ws, r.segment): r.n for r in batch.collect()}
+    assert got == expected
