@@ -223,6 +223,30 @@ class SparqlParser:
 
     def _construct_query(self) -> ConstructQuery:
         self._expect_kw("CONSTRUCT")
+        if self._peek()[1] != "{":
+            # CONSTRUCT WHERE { BGP } shorthand (spec §10.2.3): the WHERE
+            # pattern doubles as the template. Dataset clauses may precede
+            # WHERE; the group must be a plain BGP (enforced by reusing its
+            # triple patterns as the template).
+            from_graphs, from_named = self._dataset_clauses()
+            self._expect_kw("WHERE")
+            where = self._group_graph_pattern()
+            from dublin_smart_city_graphdb_spark.sparql.ast import BGP
+
+            if where.filters or not all(
+                isinstance(e, BGP) for e in where.elements
+            ):
+                raise ValueError(
+                    "CONSTRUCT WHERE shorthand allows only a plain BGP"
+                )
+            template = [tp for e in where.elements for tp in e.triples]
+            q = ConstructQuery(template=template, where=where,
+                               from_graphs=from_graphs, from_named=from_named)
+            if self._accept_kw("LIMIT"):
+                q.limit = int(self._next()[1])
+            if self._accept_kw("OFFSET"):
+                q.offset = int(self._next()[1])
+            return q
         self._expect_op("{")
         template: list[TriplePattern] = []
         while self._peek()[1] != "}":

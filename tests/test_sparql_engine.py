@@ -471,3 +471,19 @@ def test_exists_nested_in_filter_expression(spark):
     assert sorted((x["s"]["lex"][-1], x["h"]["lex"]) for x in rows) == [
         ("a", "has"), ("b", "has"), ("c", "none"),
     ]
+
+
+def test_construct_where_shorthand(spark):
+    """CONSTRUCT WHERE { BGP } (spec §10.2.3): pattern doubles as template;
+    non-BGP groups are rejected."""
+    import pytest as _pytest
+
+    eng = Engine(spark)
+    r = eng.create_repository("cws", ruleset="none")
+    r.load_turtle('@prefix ex: <http://cw#> . ex:a ex:p 1 . ex:b ex:p 2 .')
+    rows = r.sparql_collect('CONSTRUCT WHERE { ?s <http://cw#p> ?v }')
+    assert sorted(x["o"]["lex"] for x in rows) == ["1", "2"]
+    with _pytest.raises(ValueError):
+        r.sparql_collect(
+            'CONSTRUCT WHERE { ?s <http://cw#p> ?v FILTER(?v > 1) }'
+        )
