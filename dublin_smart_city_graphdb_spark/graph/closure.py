@@ -85,6 +85,60 @@ def reflexive_transitive_closure(
     return plus.unionByName(self_pairs).distinct()
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank → (id, rank), GraphX-style but pure
+    DataFrame: per round one groupBy(dst) shuffle of contributions; the
+    out-degree side is computed once and re-joined (broadcast when small).
+    Dangling mass follows the common simplification of redistributing only
+    through the damping constant. Fixed iteration count keeps the result
+    deterministic (and SQL-oracle-expressible); ranks are decimal-exact
+    summed then rounded to 9dp so distributed partial-sum order can't
+    perturb the value."""
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("id"))
+        .unionByName(e.select(F.col("e_dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    degrees = e.groupBy(F.col("e_src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.e_src == ranks.id)
+            .join(degrees, "id")
+            .select(
+                F.col("e_dst").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+        )
+        summed = contribs.groupBy("id").agg(
+            F.round(
+                F.sum(F.col("c").cast("decimal(27,12)")).cast("double"), 9
+            ).alias("in_sum")
+        )
+        ranks = (
+            nodes.join(summed, "id", "left")
+            .select(
+                "id",
+                F.round(
+                    (1 - damping) + damping * F.coalesce("in_sum", F.lit(0.0)), 9
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

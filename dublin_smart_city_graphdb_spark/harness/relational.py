@@ -733,6 +733,73 @@ def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Graph analytics (BASELINE.json north star "GraphX for analytics queries"):
+# PageRank over the who-buys-from-whom graph
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_BASE = repr(1.0 - _PR_DAMP)  # embed the exact double Spark computes
+
+
+def _pr_round_sql(k: int) -> str:
+    return f"""
+    c{k} AS (
+        SELECT e.dst AS id, r.rank / d.out_deg AS c
+        FROM edges e JOIN r{k - 1} r ON e.src = r.id JOIN deg d ON e.src = d.id
+    ),
+    s{k} AS (
+        SELECT id, ROUND(CAST(SUM(CAST(c AS DECIMAL(27,12))) AS DOUBLE), 9) AS in_sum
+        FROM c{k} GROUP BY id
+    ),
+    r{k} AS (
+        SELECT n.id, ROUND({_PR_BASE} + {_PR_DAMP} * COALESCE(s{k}.in_sum, 0.0), 9) AS rank
+        FROM nodes n LEFT JOIN s{k} ON n.id = s{k}.id
+    )"""
+
+
+_PAGERANK_SQL = f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    {_pr_round_sql(1)},
+    {_pr_round_sql(2)}
+    SELECT id, rank FROM r2
+"""
+
+
+@register(
+    "graph_pagerank",
+    _PAGERANK_SQL,
+    doc="PageRank (2 power iterations, d=0.85) over the customer→supplier "
+        "purchase graph (distinct orders⋈lineitem pairs). Per round one "
+        "groupBy(dst) shuffle of rank/out_deg contributions — the GraphX "
+        "aggregateMessages shape as pure DataFrame ops; decimal-exact "
+        "contribution sums keep distributed partial-sum order out of the "
+        "result.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    from dublin_smart_city_graphdb_spark.graph.closure import pagerank
+
+    return pagerank(edges, iterations=2, damping=_PR_DAMP).select(
+        "id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window extension (SURVEY §2.9/§7): rank + running sum on property-table view
 # ---------------------------------------------------------------------------
 

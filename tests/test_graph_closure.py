@@ -31,3 +31,18 @@ def test_connected_components(spark):
     assert labels[1] == labels[2] == labels[3] == 1
     assert labels[10] == labels[11] == labels[12] == 10
     assert labels[20] == 20
+
+
+def test_pagerank_tiny_graph(spark):
+    """Hand-checked 2-iteration PageRank on a 3-node chain a→b→c."""
+    from dublin_smart_city_graphdb_spark.graph.closure import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    got = {r.id: r.rank for r in pagerank(edges, iterations=2).collect()}
+    # r1: a=0.15, b=0.15+0.85*1=1.0, c=0.15+0.85*1=1.0
+    # r2: a=0.15, b=0.15+0.85*0.15=0.2775, c=0.15+0.85*1.0=1.0
+    assert got[1] == 0.15
+    assert got[2] == 0.2775
+    assert got[3] == 1.0
