@@ -1,0 +1,41 @@
+"""Partition-invariance: results must be bit-identical whatever
+``spark.sql.shuffle.partitions`` is — the property that lets a plan move
+from local[32] to a 1000-executor cluster without value drift. Catches
+order-dependent double accumulation (the classic distributed-aggregation
+bug the decimal-exact patterns exist to prevent)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dublin_smart_city_graphdb_spark import harness
+from tests.conftest import SF_DIR
+
+# The value-sensitive queries: float aggregation, iterative algorithms,
+# hash bucketing, sampling.
+QUERIES = [
+    "q1_pricing_summary",
+    "skew_salted_agg",
+    "kmeans_embeddings",
+    "graph_pagerank",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "events_quantiles",
+    "sample_stratified",
+]
+
+
+def _rows(spark, name, n_shuffle):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    try:
+        df = harness.REGISTRY[name].fn(spark, SF_DIR)
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_is_partitioning_invariant(spark, name):
+    assert _rows(spark, name, 3) == _rows(spark, name, 41)
