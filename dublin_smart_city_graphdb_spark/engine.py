@@ -190,6 +190,17 @@ class Repository:
             "application/sparql-results+json",
         )
 
+    def explain(self, query_text: str, mode: str = "formatted") -> str:
+        """The physical plan Spark will execute for a SPARQL query (modes:
+        simple/extended/codegen/cost/formatted) — the engine's answer to a
+        query-plan inspection endpoint, and what the plan-contract tests
+        assert against."""
+        df = self.sparql(query_text)
+        jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            mode
+        )
+        return df._jdf.queryExecution().explainString(jmode)
+
     def update(self, update_text: str) -> None:
         """SPARQL 1.1 Update (SURVEY §2.1 S7): mutate the explicit statement
         set, then re-run load-time inference if the ruleset asks for it."""

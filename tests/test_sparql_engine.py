@@ -487,3 +487,14 @@ def test_construct_where_shorthand(spark):
         r.sparql_collect(
             'CONSTRUCT WHERE { ?s <http://cw#p> ?v FILTER(?v > 1) }'
         )
+
+
+def test_explain_surfaces_physical_plan(spark):
+    eng = Engine(spark)
+    r = eng.create_repository("expl", ruleset="none")
+    r.load_turtle('@prefix ex: <http://e#> . ex:a ex:p 1 .')
+    plan = r.explain('SELECT ?s WHERE { ?s <http://e#p> ?v . FILTER(?v > 0) }')
+    assert "Physical Plan" in plan
+    assert "Filter" in plan
+    # simple mode works too
+    assert "Scan" in r.explain('SELECT ?s WHERE { ?s ?p ?o }', mode="simple")
