@@ -1407,3 +1407,155 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return extract_metadata(d, id_col="doc_id", payload_col="payload")
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH takers AS (
+        SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    givers AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               MAX(value) AS g_value
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1, 2
+    )
+    SELECT t.event_id, t.user_id, t.ts_us,
+           g.ts_us AS matched_ts_us,
+           ROUND(g.g_value, 6) AS matched_value
+    FROM takers t
+    ASOF LEFT JOIN givers g
+      ON t.user_id = g.user_id AND g.ts_us <= t.ts_us
+    """,
+    doc="As-of join (point-in-time lookup): each purchase is matched to the "
+        "most recent view by the same user at-or-before its timestamp — the "
+        "operator behind leak-free feature joins in training pipelines. "
+        "Spark lacks a native ASOF JOIN (DuckDB's is the oracle); the "
+        "scalable composition is the union-marker trick: tag both sides, "
+        "single window partitioned by user_id ordered by (ts, side), carry "
+        "the last giver value forward with last(..., ignorenulls) — ONE "
+        "user_id shuffle, no range join, no per-row subquery. Ties "
+        "(same-user same-ts givers) are resolved to MAX(value) by ordering "
+        "givers by value ascending, mirroring the oracle's pre-aggregation.",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    takers = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.lit(None).cast("double").alias("g_value"),
+        F.lit(1).alias("side"),  # takers sort after same-ts givers: <= semantics
+    )
+    givers = e.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts_us",
+        F.col("value").alias("g_value"),
+        F.lit(0).alias("side"),
+    )
+    # One shuffle: window over the union. Ordering (ts, side, g_value) makes
+    # last(giver) = greatest ts, ties → greatest value (≡ oracle's MAX pre-agg).
+    u = takers.unionByName(givers)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side", "g_value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g_ts = F.when(F.col("side") == 0, F.col("ts_us"))
+    g_val = F.when(F.col("side") == 0, F.col("g_value"))
+    return (
+        u.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "side",
+            F.last(g_ts, ignorenulls=True).over(w).alias("matched_ts_us"),
+            F.round(F.last(g_val, ignorenulls=True).over(w), 6).alias("matched_value"),
+        )
+        .filter(F.col("side") == 1)
+        .drop("side")
+    )
+
+
+@register(
+    "events_rolling_avg",
+    """
+    SELECT event_id, user_id, ts_us, n_win,
+           ROUND(CAST(s_win AS DOUBLE) / n_win, 6) AS avg_1h
+    FROM (
+        SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               COUNT(*) OVER w AS n_win,
+               SUM(CAST(value AS DECIMAL(18,2))) OVER w AS s_win
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    """,
+    doc="Time-range rolling mean: per-user trailing-1h average of value via a "
+        "RANGE window frame over the µs epoch — the time-based frame Spark "
+        "and DuckDB both express natively (rangeBetween on a numeric order "
+        "key). Sum is exact decimal on both sides so the double division is "
+        "bit-stable; ONE user_id shuffle, frame evaluated by a sliding "
+        "accumulator, no self-join.",
+)
+def events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3600000000, Window.currentRow)
+    )
+    n_win = F.count("*").over(w).alias("n_win")
+    s_win = F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        n_win,
+        F.round(s_win.cast("double") / F.count("*").over(w), 6).alias("avg_1h"),
+    )
+
+
+@register(
+    "text_top_terms",
+    """
+    WITH toks AS (
+        SELECT source, UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, term, COUNT(*) AS n
+        FROM toks WHERE LENGTH(term) >= 4
+        GROUP BY 1, 2
+    )
+    SELECT source, term, n, rk FROM (
+        SELECT source, term, n,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, term) AS rk
+        FROM counts
+    ) WHERE rk <= 3
+    """,
+    doc="Top-k terms per corpus source (vocabulary profiling for corpus "
+        "curation): lowercase, split on non-letters, drop short tokens, "
+        "count per (source, term), rank within source. Spark plan: explode "
+        "below the aggregate (Generate → partial agg → one (source,term) "
+        "shuffle), then a tiny per-source window on the aggregated counts — "
+        "the window input is |vocab|, not |tokens|. Deterministic tie-break "
+        "(count DESC, term ASC) keeps the oracle hash stable.",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    term = F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+    counts = (
+        d.select("source", term)
+        .filter(F.length("term") >= 4)
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.select("source", "term", "n", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )

@@ -102,18 +102,73 @@ def session_counts_stream(
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication by event id, state bounded by the watermark:
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store only
+    until the watermark passes it, so re-delivered events (at-least-once
+    sources, replayed files) are suppressed without unbounded state — the
+    streaming twin of the batch ``dedup_exact`` harness operator. Unlike
+    plain ``dropDuplicates`` on a stream, state does NOT grow with the
+    lifetime key count: at 100 TB/day of events the store holds only the
+    watermark horizon."""
+    return events.withWatermark("etime", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def purchase_attribution_stream(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins every view by the
+    same user within the preceding ``lookback`` window. Both sides carry
+    watermarks and the join condition bounds event-time distance, so Spark
+    can expire buffered rows — the state-bounded form of the batch as-of /
+    attribution join (harness ``events_asof_join``)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("etime").alias("p_time"),
+        )
+        .withWatermark("p_time", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("etime").alias("v_time"),
+        )
+        .withWatermark("v_time", watermark)
+    )
+    cond = (
+        (purchases["p_user"] == views["v_user"])
+        & (views["v_time"] <= purchases["p_time"])
+        & (views["v_time"] >= purchases["p_time"] - F.expr(f"INTERVAL {lookback}"))
+    )
+    return purchases.join(views, cond, "inner").select(
+        "p_id", "p_user", "p_time", "v_id", "v_time"
+    )
+
+
 def run_available_to_memory(
-    spark: SparkSession, stream_df: DataFrame, name: str, checkpoint: str
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    checkpoint: str,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drain everything currently available (trigger availableNow) into an
     in-memory table and return it as a batch DataFrame. Complete output mode
-    because watermarked streaming aggregations emit finalized windows only
-    on watermark advance — a one-shot drain would otherwise hold every
-    window back in state."""
+    (default) because watermarked streaming aggregations emit finalized
+    windows only on watermark advance — a one-shot drain would otherwise
+    hold every window back in state. Non-aggregating streams (dedup,
+    stream-stream joins) use append mode instead."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -223,3 +223,66 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path, events_dir):
     )
     expected = {(r.ws, r.segment): r.n for r in batch.collect()}
     assert got == expected
+
+
+def test_streaming_dedup_suppresses_redelivery(spark, tmp_path):
+    from dublin_smart_city_graphdb_spark.streaming.events import dedup_events_stream
+
+    # A feed where every event is delivered twice (at-least-once source).
+    d = tmp_path / "dup_feed"
+    d.mkdir()
+    (d / "a.parquet").symlink_to(EVENTS)
+    (d / "b.parquet").symlink_to(EVENTS)
+    ev = stream_events(spark, str(d))
+    out = run_available_to_memory(
+        spark,
+        dedup_events_stream(ev),
+        "t_dedup_stream",
+        str(tmp_path / "ckpt_dedup"),
+        output_mode="append",
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    n_distinct = spark.read.parquet(EVENTS).select("event_id").distinct().count()
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path, events_dir):
+    from dublin_smart_city_graphdb_spark.streaming.events import (
+        purchase_attribution_stream,
+    )
+
+    ev = stream_events(spark, events_dir)
+    out = run_available_to_memory(
+        spark,
+        purchase_attribution_stream(ev),
+        "t_attr_join",
+        str(tmp_path / "ckpt_attr"),
+        output_mode="append",
+    )
+    got = {(r["p_id"], r["v_id"]) for r in out.collect()}
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    b = spark.read.parquet(EVENTS).withColumn(
+        "etime", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    p = b.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("etime").alias("p_time"),
+    )
+    v = b.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("etime").alias("v_time"),
+    )
+    want_df = p.join(
+        v,
+        (p["p_user"] == v["v_user"])
+        & (v["v_time"] <= p["p_time"])
+        & (v["v_time"] >= p["p_time"] - F.expr("INTERVAL 1 hour")),
+        "inner",
+    )
+    want = {(r["p_id"], r["v_id"]) for r in want_df.collect()}
+    assert got == want
+    assert len(got) > 0
