@@ -22,6 +22,10 @@ QUERIES = [
     "dedup_clusters",
     "events_quantiles",
     "sample_stratified",
+    # window-tie-break determinism: same-ts givers must resolve identically
+    # on any partitioning
+    "events_asof_join",
+    "events_rolling_avg",
 ]
 
 

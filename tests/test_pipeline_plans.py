@@ -76,3 +76,32 @@ def test_sessionize_is_single_user_shuffle(spark):
     partitioning — one hash exchange total."""
     plan = plan_of(q(spark, "events_sessionize"))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_is_single_user_shuffle_no_join(spark):
+    """The as-of join compiles to the union-marker window: ONE hash exchange
+    on user_id and no join operator — a range/theta join here would
+    all-pairs within user and a per-row subquery wouldn't distribute."""
+    plan = plan_of(q(spark, "events_asof_join"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_rolling_avg_is_single_user_shuffle(spark):
+    """The trailing-1h RANGE frame shares one user_id exchange across the
+    count and decimal-sum window aggregates — no self-join."""
+    plan = plan_of(q(spark, "events_rolling_avg"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_top_terms_window_sits_on_aggregated_counts(spark):
+    """The per-source ranking window must consume the (source, term) counts,
+    not the exploded token stream: the Generate appears below the partial
+    aggregate, and the plan has exactly two hash exchanges (token counts +
+    source window)."""
+    plan = plan_of(q(spark, "text_top_terms"))
+    assert "Generate explode" in plan
+    # top-down print: Window ... above HashAggregate ... above Generate
+    assert plan.index("Window") < plan.index("Generate explode")
+    assert plan.index("HashAggregate") < plan.index("Generate explode")
