@@ -395,3 +395,101 @@ def sparql_values_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
         }}
     """)
     return df.select(_lex("name").alias("name"), _lex("zone").alias("zone"))
+
+
+@register(
+    "sparql_minus_non_europe",
+    """
+    SELECT n_name AS name FROM nation
+    WHERE n_regionkey NOT IN
+          (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+    """,
+    doc="SPARQL MINUS (SURVEY §2.3 J5) through the engine: solutions sharing "
+        "?n with a Europe binding are removed via the shared-domain-guarded "
+        "anti-join — the algebra path distinct from FILTER NOT EXISTS.",
+)
+def sparql_minus_non_europe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT ?name
+        WHERE {{
+          ?n a rel:Nation ; rel:name ?name .
+          MINUS {{ ?n rel:inRegion ?r . ?r rel:name "EUROPE" }}
+        }}
+    """)
+    return df.select(_lex("name").alias("name"))
+
+
+@register(
+    "sparql_subquery_above_avg",
+    """
+    SELECT COUNT(*) AS nc,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS tb
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+          (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+    """,
+    doc="SPARQL nested SELECT (SURVEY §2.6 F5): a scalar AVG subquery joined "
+        "into the outer group, FILTER against the subquery's binding — the "
+        "decorrelated-subquery path through the engine.",
+)
+def sparql_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT (COUNT(?c) AS ?nc) (SUM(?bal) AS ?tb)
+        WHERE {{
+          ?c a rel:Customer ; rel:acctbal ?bal .
+          {{ SELECT (AVG(?b) AS ?avgbal)
+             WHERE {{ ?x a rel:Customer ; rel:acctbal ?b }} }}
+          FILTER(?bal > ?avgbal)
+        }}
+    """)
+    return df.select(_long("nc").alias("nc"), _money("tb").alias("tb"))
+
+
+@register(
+    "sparql_union_names",
+    """
+    SELECT s_name AS name, 'supplier' AS kind FROM supplier
+    UNION ALL
+    SELECT n_name AS name, 'nation' AS kind FROM nation
+    """,
+    doc="SPARQL UNION (SURVEY §2.3 J8) through the engine: bag-semantics "
+        "union of two group patterns with a BIND-ed discriminator column.",
+)
+def sparql_union_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT ?name ?kind
+        WHERE {{
+          {{ ?s a rel:Supplier ; rel:name ?name . BIND("supplier" AS ?kind) }}
+          UNION
+          {{ ?n a rel:Nation ; rel:name ?name . BIND("nation" AS ?kind) }}
+        }}
+    """)
+    return df.select(_lex("name").alias("name"), _lex("kind").alias("kind"))
+
+
+@register(
+    "sparql_construct_region_names",
+    """
+    SELECT 'urn:nation:' || CAST(n.n_nationkey AS VARCHAR) AS s,
+           'urn:rel:regionName' AS p,
+           r.r_name AS o
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="SPARQL CONSTRUCT (SURVEY §2.6 F3) through the engine: solution "
+        "mappings instantiated into a template triple, set-deduplicated, "
+        "projected back to (s, p, o) lexical columns for the oracle.",
+)
+def sparql_construct_region_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        CONSTRUCT {{ ?n rel:regionName ?rname }}
+        WHERE {{ ?n a rel:Nation ; rel:inRegion ?r . ?r rel:name ?rname }}
+    """)
+    return df.select(
+        F.col("s")["lex"].alias("s"),
+        F.col("p")["lex"].alias("p"),
+        F.col("o")["lex"].alias("o"),
+    )
