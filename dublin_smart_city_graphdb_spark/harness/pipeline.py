@@ -1559,3 +1559,45 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("source", "term", "n", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "multimodal_frames",
+    """
+    WITH meta AS (
+        SELECT doc_id, text, LENGTH(text) AS n_bytes, 1 + doc_id % 3 AS n_frames
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, UNNEST(range(0, n_frames, 2)) AS frame_idx,
+               text, GREATEST(1, n_bytes // n_frames) AS step
+        FROM meta
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           MD5(SUBSTRING(text, CAST(frame_idx * step + 1 AS BIGINT),
+                         CAST(step AS BIGINT))) AS frame_md5,
+           LENGTH(SUBSTRING(text, CAST(frame_idx * step + 1 AS BIGINT),
+                            CAST(step AS BIGINT))) AS frame_bytes
+    FROM frames
+    """,
+    doc="Multimodal frame sampling under the oracle gate: the row-expanding "
+        "mapInPandas plumbing (operators/multimodal.py sample_frames — one "
+        "output row per kept frame, output rows ≠ input rows) with the "
+        "deterministic stub decoder, verified value-exactly by reproducing "
+        "the byte slicing in SQL (documents are ASCII, so VARCHAR substring "
+        "≡ byte slicing; frames compared by MD5 + length). A real codec "
+        "swaps into the same batch shape.",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.operators.multimodal import sample_frames
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = sample_frames(d, every_n=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.col("frame")).alias("frame_md5"),
+        F.length(F.col("frame")).alias("frame_bytes"),
+    )
