@@ -140,7 +140,19 @@ class Repository:
         # text over an unchanged statement set reuses the compiled
         # DataFrame — plans are immutable, and any mutation path replaces
         # self._quads, changing the cache key.
-        key = (query_text, id(self._quads), len(self.engine.functions))
+        # SERVICE targets: sibling repositories in this catalog, addressable
+        # as <urn:repo:{name}> (SPARQL 1.1 Federated Query, engine-internal).
+        services = {
+            f"urn:repo:{n}": r.quads
+            for n, r in self.engine._repos.items()
+            if n != self.name
+        }
+        key = (
+            query_text,
+            id(self._quads),
+            len(self.engine.functions),
+            tuple(sorted((n, id(r._quads)) for n, r in self.engine._repos.items())),
+        )
         cached = self._plan_cache.get(key)
         if cached is not None:
             return cached
@@ -150,6 +162,7 @@ class Repository:
             self.quads,
             predicate_stats=self.predicate_stats(),
             extensions=self.engine.functions,
+            services=services,
         ).compile(ast)
         if len(self._plan_cache) >= 128:
             self._plan_cache.pop(next(iter(self._plan_cache)))

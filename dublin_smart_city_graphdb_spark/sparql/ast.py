@@ -127,6 +127,19 @@ class GraphGraphPattern:
 
 
 @dataclass
+class ServicePattern:
+    """SPARQL 1.1 Federated Query SERVICE clause. Engine-internal
+    federation: the target IRI names another repository in the same
+    catalog (``urn:repo:{name}``) rather than a remote HTTP endpoint —
+    the pattern evaluates against that repository's quad store and joins
+    into the outer solution."""
+
+    target: Var | IRI
+    group: GroupPattern
+    silent: bool = False
+
+
+@dataclass
 class BindPattern:
     expr: Any
     var: Var

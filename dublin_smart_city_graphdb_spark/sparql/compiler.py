@@ -125,6 +125,7 @@ class QueryCompiler:
         quads: DataFrame,
         predicate_stats: dict[str, int] | None = None,
         extensions: dict | None = None,
+        services: dict[str, DataFrame] | None = None,
     ):
         self.spark = spark
         self.quads = quads
@@ -132,6 +133,9 @@ class QueryCompiler:
         # statistics-driven pattern reordering, SURVEY §4.1/§4.2 item 2).
         self.predicate_stats = predicate_stats or {}
         self.extensions = extensions or {}
+        # Federated SERVICE targets (SPARQL 1.1 Federated Query): IRI →
+        # quads DataFrame of another repository in the same catalog.
+        self.services = services or {}
         self._uid = itertools.count()
         # Dataset clause (SURVEY §2.6 F6). Empty = GraphDB-style union
         # default graph (all contexts visible outside GRAPH).
@@ -429,6 +433,9 @@ class QueryCompiler:
                 ctx = elem.graph
                 c = self.compile_group(elem.group, ctx)
                 cur = c if cur is None else self.join(cur, c, "inner")
+            elif isinstance(elem, A.ServicePattern):
+                c = self._service(elem)
+                cur = c if cur is None else self.join(cur, c, "inner")
             elif isinstance(elem, A.BindPattern):
                 if cur is None:
                     cur = self.unit()
@@ -465,6 +472,33 @@ class QueryCompiler:
         for flt in group.filters:
             cur = self._filter(cur, flt, graph_ctx)
         return cur
+
+    # -- SERVICE (SPARQL 1.1 Federated Query) --------------------------------
+    def _service(self, elem: "A.ServicePattern") -> Compiled:
+        """Evaluate the group against the target repository's quad store
+        and return its solutions for the outer join-chain. Engine-internal
+        federation (the registry maps ``urn:repo:{name}`` IRIs to sibling
+        repositories' quads); the data never leaves the cluster — the
+        remote pattern is just another DataFrame subplan, so Catalyst is
+        free to reorder/broadcast it like any local pattern. SERVICE
+        SILENT on an unknown target degrades to the unit solution (spec
+        §2.2: a silent failure behaves as one empty solution mapping).
+        ``SERVICE ?var`` (target discovered from bindings) is unsupported
+        — it requires per-binding re-dispatch, which is inherently
+        driver-side iteration."""
+        if isinstance(elem.target, A.Var):
+            if elem.silent:
+                return self.unit()
+            raise ValueError("sparql: SERVICE with a variable target is unsupported")
+        remote = self.services.get(elem.target.value)
+        if remote is None:
+            if elem.silent:
+                return self.unit()
+            raise ValueError(f"sparql: unknown SERVICE endpoint <{elem.target.value}>")
+        sub = QueryCompiler(
+            self.spark, remote, extensions=self.extensions, services=self.services
+        )
+        return sub.compile_group(elem.group, None)
 
     # -- BGP -----------------------------------------------------------------
     def compile_bgp(

@@ -25,8 +25,8 @@ from dublin_smart_city_graphdb_spark.sparql.ast import (
     FuncCall, GraphCopyOp, GraphGraphPattern, GroupPattern, InExpr,
     InsertDataOp, LoadOp, MinusPattern, ModifyOp, NotExpr, OptionalPattern,
     OrExpr, PathAlt, PathInv, PathLink, PathNeg, PathOpt, PathPlus, PathSeq,
-    PathStar, SelectQuery, SubSelectPattern, TriplePattern, UnaryMinus,
-    UnionPattern, ValuesPattern, Var,
+    PathStar, SelectQuery, ServicePattern, SubSelectPattern, TriplePattern,
+    UnaryMinus, UnionPattern, ValuesPattern, Var,
 )
 from dublin_smart_city_graphdb_spark.sources.turtle import _unescape
 
@@ -54,7 +54,8 @@ _SPARQL_TOKEN = re.compile(
 _KEYWORDS = {
     "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "WHERE", "FROM", "NAMED",
     "PREFIX", "BASE", "DISTINCT", "REDUCED", "AS", "OPTIONAL", "UNION",
-    "MINUS", "GRAPH", "FILTER", "BIND", "VALUES", "UNDEF", "GROUP", "BY",
+    "MINUS", "GRAPH", "SERVICE", "FILTER", "BIND", "VALUES", "UNDEF",
+    "GROUP", "BY",
     "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET", "EXISTS", "NOT",
     "IN", "A", "TRUE", "FALSE",
     # SPARQL 1.1 Update (SURVEY §2.1 S7)
@@ -366,6 +367,21 @@ class SparqlParser:
                 group.elements.append(
                     GraphGraphPattern(gterm, self._group_graph_pattern())
                 )
+            elif kw == "SERVICE":
+                self._next()
+                silent = bool(self._accept_kw("SILENT"))
+                skind, sv = self._peek()
+                if skind == "VAR":
+                    self._next()
+                    sterm: Var | IRI = Var(sv[1:])
+                else:
+                    t = self._term()
+                    if not isinstance(t, IRI):
+                        raise ValueError("sparql: SERVICE needs var or IRI")
+                    sterm = t
+                group.elements.append(
+                    ServicePattern(sterm, self._group_graph_pattern(), silent)
+                )
             elif kw == "FILTER":
                 self._next()
                 group.filters.append(self._constraint())
@@ -396,8 +412,8 @@ class SparqlParser:
                     if self._accept_op("."):
                         kind2, v2 = self._peek()
                         if v2 == "}" or self._kw() in (
-                            "OPTIONAL", "MINUS", "GRAPH", "FILTER", "BIND",
-                            "VALUES", "SELECT",
+                            "OPTIONAL", "MINUS", "GRAPH", "SERVICE",
+                            "FILTER", "BIND", "VALUES", "SELECT",
                         ) or v2 == "{":
                             break
                         continue

@@ -498,3 +498,55 @@ def test_explain_surfaces_physical_plan(spark):
     assert "Filter" in plan
     # simple mode works too
     assert "Scan" in r.explain('SELECT ?s WHERE { ?s ?p ?o }', mode="simple")
+
+
+# -- SERVICE: engine-internal federation (SPARQL 1.1 Federated Query) --------
+
+
+@pytest.fixture(scope="module")
+def federated(spark):
+    eng = Engine(spark)
+    people = eng.create_repository("fed_people", ruleset="none")
+    people.load_turtle(
+        "@prefix ex: <http://f#> .\n"
+        "ex:alice ex:worksAt ex:acme . ex:bob ex:worksAt ex:globex .\n"
+        "ex:carol ex:worksAt ex:acme .\n"
+    )
+    firms = eng.create_repository("fed_firms", ruleset="none")
+    firms.load_turtle(
+        "@prefix ex: <http://f#> .\n"
+        'ex:acme ex:city "Dublin" . ex:globex ex:city "Cork" .\n'
+    )
+    return people
+
+
+def test_service_joins_across_repositories(federated):
+    rows = federated.sparql_collect(
+        "PREFIX ex: <http://f#> SELECT ?p ?city WHERE { "
+        "?p ex:worksAt ?f . "
+        "SERVICE <urn:repo:fed_firms> { ?f ex:city ?city } }"
+    )
+    got = sorted((r[0].lex, r[1].lex) for r in rows)
+    assert got == [
+        ("http://f#alice", "Dublin"),
+        ("http://f#bob", "Cork"),
+        ("http://f#carol", "Dublin"),
+    ]
+
+
+def test_service_silent_unknown_endpoint_is_unit(federated):
+    rows = federated.sparql_collect(
+        "PREFIX ex: <http://f#> SELECT ?p WHERE { "
+        "?p ex:worksAt ?f . "
+        "SERVICE SILENT <urn:repo:no_such> { ?f ex:city ?city } }"
+    )
+    assert len(rows) == 3  # silent failure = unit solution; outer rows kept
+
+
+def test_service_unknown_endpoint_raises(federated):
+    with pytest.raises(ValueError, match="SERVICE endpoint"):
+        federated.sparql(
+            "PREFIX ex: <http://f#> SELECT ?p WHERE { "
+            "?p ex:worksAt ?f . "
+            "SERVICE <urn:repo:no_such> { ?f ex:city ?city } }"
+        )
