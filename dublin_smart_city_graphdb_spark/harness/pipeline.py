@@ -1409,9 +1409,10 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_metadata(d, id_col="doc_id", payload_col="payload")
 
 
-@register(
-    "events_asof_join",
-    """
+# DuckDB's native ASOF JOIN is the oracle for BOTH as-of strategies (same
+# semantics, different physical plan). Givers are pre-deduped to (user, ts)
+# with MAX(value) — the engines' tie-break for same-ts givers must agree.
+_ASOF_ORACLE = """
     WITH takers AS (
         SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         FROM events WHERE event_type = 'purchase'
@@ -1428,56 +1429,68 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM takers t
     ASOF LEFT JOIN givers g
       ON t.user_id = g.user_id AND g.ts_us <= t.ts_us
-    """,
+    """
+
+
+def _asof_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    e = load_events(spark, sf_dir)
+    takers = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    givers = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", F.col("value").alias("g_value")
+    )
+    return takers, givers
+
+
+@register(
+    "events_asof_join",
+    _ASOF_ORACLE,
     doc="As-of join (point-in-time lookup): each purchase is matched to the "
         "most recent view by the same user at-or-before its timestamp — the "
         "operator behind leak-free feature joins in training pipelines. "
         "Spark lacks a native ASOF JOIN (DuckDB's is the oracle); the "
-        "scalable composition is the union-marker trick: tag both sides, "
+        "baseline composition is the union-marker trick: tag both sides, "
         "single window partitioned by user_id ordered by (ts, side), carry "
         "the last giver value forward with last(..., ignorenulls) — ONE "
         "user_id shuffle, no range join, no per-row subquery. Ties "
         "(same-user same-ts givers) are resolved to MAX(value) by ordering "
-        "givers by value ascending, mirroring the oracle's pre-aggregation.",
+        "givers by value ascending, mirroring the oracle's pre-aggregation. "
+        "See operators/asof.py; events_asof_join_bucketed is the "
+        "skew-resilient scale path.",
 )
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events(spark, sf_dir)
-    takers = e.filter(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        "ts_us",
-        F.lit(None).cast("double").alias("g_value"),
-        F.lit(1).alias("side"),  # takers sort after same-ts givers: <= semantics
+    from dublin_smart_city_graphdb_spark.operators.asof import asof_union_window
+
+    takers, givers = _asof_sides(spark, sf_dir)
+    r = asof_union_window(
+        takers, givers, key="user_id", ts="ts_us", val="g_value",
+        out_ts="matched_ts_us", out_val="matched_value",
     )
-    givers = e.filter(F.col("event_type") == "view").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts_us",
-        F.col("value").alias("g_value"),
-        F.lit(0).alias("side"),
+    return r.withColumn("matched_value", F.round(F.col("matched_value"), 6))
+
+
+@register(
+    "events_asof_join_bucketed",
+    _ASOF_ORACLE,
+    doc="Skew-resilient as-of join (operators/asof.py asof_bucketed): rows "
+        "hash by (user, 1h time-bucket) so a power-law-heavy user spreads "
+        "across buckets instead of serializing one window task; in-bucket "
+        "matches resolve locally and a tiny per-user prefix window over "
+        "bucket summaries (|users × buckets| rows) carries the most recent "
+        "prior-bucket giver forward. Same oracle as events_asof_join — "
+        "identical semantics, different physical strategy.",
+)
+def events_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.operators.asof import asof_bucketed
+
+    takers, givers = _asof_sides(spark, sf_dir)
+    r = asof_bucketed(
+        takers, givers, key="user_id", ts="ts_us", val="g_value",
+        bucket_width=3_600_000_000,
+        out_ts="matched_ts_us", out_val="matched_value",
     )
-    # One shuffle: window over the union. Ordering (ts, side, g_value) makes
-    # last(giver) = greatest ts, ties → greatest value (≡ oracle's MAX pre-agg).
-    u = takers.unionByName(givers)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "side", "g_value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    g_ts = F.when(F.col("side") == 0, F.col("ts_us"))
-    g_val = F.when(F.col("side") == 0, F.col("g_value"))
-    return (
-        u.select(
-            "event_id",
-            "user_id",
-            "ts_us",
-            "side",
-            F.last(g_ts, ignorenulls=True).over(w).alias("matched_ts_us"),
-            F.round(F.last(g_val, ignorenulls=True).over(w), 6).alias("matched_value"),
-        )
-        .filter(F.col("side") == 1)
-        .drop("side")
-    )
+    return r.withColumn("matched_value", F.round(F.col("matched_value"), 6))
 
 
 @register(

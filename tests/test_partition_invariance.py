@@ -25,6 +25,7 @@ QUERIES = [
     # window-tie-break determinism: same-ts givers must resolve identically
     # on any partitioning
     "events_asof_join",
+    "events_asof_join_bucketed",
     "events_rolling_avg",
 ]
 

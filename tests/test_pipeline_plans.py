@@ -105,3 +105,19 @@ def test_top_terms_window_sits_on_aggregated_counts(spark):
     # top-down print: Window ... above HashAggregate ... above Generate
     assert plan.index("Window") < plan.index("Generate explode")
     assert plan.index("HashAggregate") < plan.index("Generate explode")
+
+
+def test_bucketed_asof_windows_include_time_bucket(spark):
+    """The skew path must never run a full-stream window keyed by bare
+    user_id: the big window partitions by (user_id, _bkt) so heavy users
+    spread across buckets; only the tiny bucket-summary window keys by
+    user_id alone."""
+    plan = plan_of(q(spark, "events_asof_join_bucketed"))
+    assert "hashpartitioning" in plan
+    assert "_bkt" in plan
+    # the in-bucket window sorts within (user_id, _bkt)
+    assert any(
+        "user_id" in line and "_bkt" in line
+        for line in plan.split("\n")
+        if "hashpartitioning" in line
+    )
