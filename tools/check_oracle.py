@@ -90,9 +90,11 @@ def main() -> int:
     spark = get_spark(app_name="oracle-check")
     con = duck_connection(sf_dir)
     failures = []
+    attempted = 0
     for name, q in harness.REGISTRY.items():
         if only and name not in only:
             continue
+        attempted += 1
         try:
             ok, msg, dt = compare(name, spark, con, sf_dir, q.fn, q.oracle)
         except Exception as ex:  # noqa: BLE001
@@ -101,7 +103,7 @@ def main() -> int:
         print(f"[{status}] {name:32s} {dt:6.2f}s  {msg}", flush=True)
         if not ok:
             failures.append(name)
-    print(f"\n{len(harness.REGISTRY) - len(failures)}/{len(harness.REGISTRY)} passed")
+    print(f"\n{attempted - len(failures)}/{attempted} passed")
     return 1 if failures else 0
 
 
