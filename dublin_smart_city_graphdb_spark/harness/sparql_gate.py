@@ -493,3 +493,29 @@ def sparql_construct_region_names(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("p")["lex"].alias("p"),
         F.col("o")["lex"].alias("o"),
     )
+
+
+@register(
+    "sparql_group_concat_regions",
+    """
+    SELECT r.r_name AS region,
+           STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="SPARQL GROUP_CONCAT(?v; separator=',') (SURVEY §2.4 A5) through "
+        "the engine: collect_list → array_sort → concat_ws. Sorting is a "
+        "valid instance of SPARQL's unspecified concatenation order and "
+        "makes the result deterministic/oracle-comparable.",
+)
+def sparql_group_concat_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT ?region (GROUP_CONCAT(?nname; separator=",") AS ?nations)
+        WHERE {{
+          ?n a rel:Nation ; rel:name ?nname ; rel:inRegion ?r .
+          ?r rel:name ?region .
+        }}
+        GROUP BY ?region
+    """)
+    return df.select(_lex("region").alias("region"), _lex("nations").alias("nations"))
