@@ -519,3 +519,36 @@ def sparql_group_concat_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ?region
     """)
     return df.select(_lex("region").alias("region"), _lex("nations").alias("nations"))
+
+
+@register(
+    "sparql_ask_high_balance",
+    """
+    SELECT COUNT(*) > 0 AS ask FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 9999
+    """,
+    doc="SPARQL ASK (SURVEY §2.6 F2) through the engine: existence check "
+        "compiled to limit(1) + count > 0 — the scan stops at the first "
+        "matching row instead of counting them all.",
+)
+def sparql_ask_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        ASK {{ ?c a rel:Customer ; rel:acctbal ?b . FILTER(?b > 9999) }}
+    """)
+
+
+@register(
+    "sparql_count_distinct_nations",
+    "SELECT COUNT(DISTINCT c_nationkey) AS n FROM customer",
+    doc="SPARQL COUNT(DISTINCT ?v) (SURVEY §2.4 A4) through the engine — "
+        "the exact form; approx_count_distinct is the documented opt-in at "
+        "scale.",
+)
+def sparql_count_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT (COUNT(DISTINCT ?n) AS ?cnt)
+        WHERE {{ ?c a rel:Customer ; rel:inNation ?n }}
+    """)
+    return df.select(_long("cnt").alias("n"))
