@@ -1614,3 +1614,47 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("frame")).alias("frame_md5"),
         F.length(F.col("frame")).alias("frame_bytes"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH clusters AS ({_CLUSTERS_SQL}),
+    ranked AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, n_chars, n_members
+    FROM ranked WHERE rk = 1
+    """,
+    doc="Canonical-document selection — the step AFTER near-dup detection in "
+        "a curation pipeline: per MinHash-LSH cluster (dedup_clusters), keep "
+        "the longest document, tie-broken by lowest doc_id. One cluster_id "
+        "shuffle shared by the rank and member-count windows; emits one row "
+        "per surviving document.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.select(
+            "cluster_id",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(wc).alias("n_members"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_chars",
+            "n_members",
+        )
+    )
