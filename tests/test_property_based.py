@@ -225,3 +225,63 @@ def test_ngram_jaccard_matches_bruteforce(spark, docs, tmp_path_factory):
                 if j >= 0.1:
                     expected[(a, b)] = round(j, 6)
     assert got == expected
+
+
+# -- as-of join strategies agree (incl. timestamp ties) ----------------------
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),       # user key
+        st.integers(0, 20),      # timestamp (small range forces ties)
+        st.booleans(),           # True = taker (purchase), False = giver (view)
+        st.integers(0, 5),       # giver value
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_events)
+def test_asof_strategies_agree(spark, events):
+    """union-window and time-bucketed as-of joins must return identical
+    rows for any interleaving of takers/givers, including same-timestamp
+    ties (both resolve to the greatest-value giver) and buckets with no
+    giver (carry from a prior bucket)."""
+    from dublin_smart_city_graphdb_spark.operators.asof import (
+        asof_bucketed,
+        asof_union_window,
+    )
+
+    takers = [
+        (i, u, t) for i, (u, t, is_t, _) in enumerate(events) if is_t
+    ]
+    givers = [(u, t, float(v)) for (u, t, is_t, v) in events if not is_t]
+    if not takers:
+        takers = [(99, 0, 0)]
+    if not givers:
+        givers = [(0, 0, 1.0)]
+    tdf = spark.createDataFrame(takers, "event_id long, user_id long, ts_us long")
+    gdf = spark.createDataFrame(givers, "user_id long, ts_us long, g_value double")
+
+    def rows(df):
+        return sorted(
+            (r["event_id"], r["user_id"], r["ts_us"], r["matched_ts"], r["matched_value"])
+            for r in df.collect()
+        )
+
+    a = rows(asof_union_window(tdf, gdf, key="user_id", ts="ts_us", val="g_value"))
+    b = rows(
+        asof_bucketed(
+            tdf, gdf, key="user_id", ts="ts_us", val="g_value", bucket_width=7
+        )
+    )
+    assert a == b
+
+    # brute-force oracle: per taker, max (ts, value) over givers with ts <= t
+    expect = []
+    for eid, u, t in takers:
+        cands = [(ts, v) for (gu, ts, v) in givers if gu == u and ts <= t]
+        m = max(cands) if cands else (None, None)
+        expect.append((eid, u, t, m[0], m[1]))
+    assert a == sorted(expect)
