@@ -550,3 +550,26 @@ def test_service_unknown_endpoint_raises(federated):
             "?p ex:worksAt ?f . "
             "SERVICE <urn:repo:no_such> { ?f ex:city ?city } }"
         )
+
+
+def test_nested_optional_scoping(micro):
+    """Nested OPTIONAL: the inner OPTIONAL extends only solutions that
+    matched the outer one. ex:c has no name → outer OPTIONAL unmatched →
+    ?n and ?a both unbound, even though ex:c HAS an age (binding ?a there
+    would be the classic non-well-designed-pattern bug)."""
+    rows = micro.sparql_collect(
+        MP + "SELECT ?p ?n ?a WHERE { ?p a ex:Person . "
+        "OPTIONAL { ?p ex:name ?n . OPTIONAL { ?p ex:age ?a } } }"
+    )
+    got = {
+        r["p"].lex: (
+            r["n"].lex if r["n"] else None,
+            r["a"].lex if r["a"] else None,
+        )
+        for r in rows
+    }
+    assert got == {
+        "http://m#a": ("Alice", "30"),
+        "http://m#b": ("Bob", "25"),
+        "http://m#c": (None, None),
+    }
