@@ -238,6 +238,7 @@ class QueryCompiler:
                 )
             else:
                 ec = self._expr_compiler(cur)
+            alias_map: dict[str, Column] = {}
             for proj, alias in q.projections:
                 if isinstance(proj, A.Var) and alias is None:
                     name = proj.name
@@ -247,29 +248,47 @@ class QueryCompiler:
                 else:
                     name = alias.name
                     col = ec.compile(proj)
+                    alias_map[name] = col
                 sel.append(col.alias(name))
                 names.append(name)
                 if isinstance(proj, A.Var) and proj.name in cur.certain:
                     certain.add(name)
+            # ORDER BY applies to the pre-projection solution sequence
+            # (SPARQL §18.2.5: OrderBy comes before Project), so sort keys
+            # may reference WHERE-clause variables that are NOT projected.
+            # SELECT-expression aliases are also in scope (they extend the
+            # solutions) — resolve them to their compiled expressions.
+            if q.order_by and not (q.distinct or q.reduced):
+                cur = self._order(cur, q.order_by, alias_map)
             out = Compiled(cur.df.select(*sel), names, certain)
         else:  # SELECT * — internal (blank-node) vars are not projectable
             visible = [v for v in cur.var_order if not v.startswith("__bn_")]
+            if q.order_by and not (q.distinct or q.reduced):
+                cur = self._order(cur, q.order_by, {})
             out = Compiled(
                 cur.df.select(*[F.col(v) for v in visible]),
                 visible,
                 {v for v in cur.certain if not v.startswith("__bn_")},
             )
 
-        if q.order_by:
+        if q.order_by and (q.distinct or q.reduced):
+            # DISTINCT collapses the solution sequence, so the sort must run
+            # over the projected rows (ordering pre-projection would be
+            # destroyed by dropDuplicates' aggregation anyway); sort keys
+            # here can only reference projected names.
             ec = self._expr_compiler(out)
             keys: list[Column] = []
             for expr, asc in q.order_by:
                 t = ec.compile(expr)
                 for k in sort_keys(t):
                     keys.append(k.asc() if asc else k.desc())
-            out = Compiled(out.df.orderBy(*keys), out.var_order, out.certain)
+            out = Compiled(
+                out.df.dropDuplicates(out.var_order).orderBy(*keys),
+                out.var_order,
+                out.certain,
+            )
 
-        if q.distinct or q.reduced:
+        if (q.distinct or q.reduced) and not q.order_by:
             out = Compiled(out.df.dropDuplicates(out.var_order), out.var_order, out.certain)
         if q.offset:
             out = Compiled(out.df.offset(q.offset), out.var_order, out.certain)
@@ -279,6 +298,26 @@ class QueryCompiler:
 
     def _expr_compiler(self, c: Compiled) -> ExprCompiler:
         return ExprCompiler(lambda n: F.col(n), c.vars, self.extensions)
+
+    def _order(
+        self,
+        cur: Compiled,
+        order_by: list,
+        alias_map: dict[str, Column],
+    ) -> Compiled:
+        """Sort the solution sequence; SELECT-expression aliases resolve to
+        their compiled expressions, everything else to solution columns."""
+        ec = ExprCompiler(
+            lambda n: alias_map[n] if n in alias_map else F.col(n),
+            cur.vars | set(alias_map),
+            self.extensions,
+        )
+        keys: list[Column] = []
+        for expr, asc in order_by:
+            t = ec.compile(expr)
+            for k in sort_keys(t):
+                keys.append(k.asc() if asc else k.desc())
+        return Compiled(cur.df.orderBy(*keys), cur.var_order, cur.certain)
 
     # ---------------------------------------------------------- aggregation
     def _aggregate(

@@ -573,3 +573,40 @@ def test_nested_optional_scoping(micro):
         "http://m#b": ("Bob", "25"),
         "http://m#c": (None, None),
     }
+
+
+def test_order_by_unprojected_expression(micro):
+    """SPARQL §18.2.5: OrderBy precedes Project, so sort keys may use
+    WHERE-clause variables (and expressions over them) that are not in the
+    SELECT list. Regression: these previously compiled against the
+    projected frame and silently sorted by unbound."""
+    rows = micro.sparql_collect(
+        MP + "SELECT ?p WHERE { ?p ex:age ?a } ORDER BY DESC(?a + 0)"
+    )
+    assert lexes(rows) == [
+        "http://m#c",  # 35
+        "http://m#a",  # 30
+        "http://m#b",  # 25
+        "http://m#d",  # 7
+    ]
+
+
+def test_order_by_select_expression_alias(micro):
+    """SELECT-expression aliases extend the solutions and are valid sort
+    keys."""
+    rows = micro.sparql_collect(
+        MP + "SELECT ?p (?a * 2 AS ?dbl) WHERE { ?p ex:age ?a } ORDER BY ?dbl"
+    )
+    assert lexes(rows) == [
+        "http://m#d", "http://m#b", "http://m#a", "http://m#c",
+    ]
+
+
+def test_distinct_with_order_by(micro):
+    """DISTINCT + ORDER BY: duplicates collapse and the survivors come back
+    sorted (the sort must run after dropDuplicates, which would otherwise
+    destroy it)."""
+    rows = micro.sparql_collect(
+        MP + "SELECT DISTINCT ?t WHERE { ?x a ?t } ORDER BY DESC(STR(?t))"
+    )
+    assert lexes(rows) == ["http://m#Robot", "http://m#Person"]
