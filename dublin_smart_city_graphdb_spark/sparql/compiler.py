@@ -360,7 +360,11 @@ class QueryCompiler:
                 else:
                     col = F.sum(num) if fn == "SUM" else F.avg(num)
                 agg_exprs.append(col.alias(raw))
-                builders[id(node)] = make_numeric(F.col(raw).cast("decimal(38,10)"))
+                # SPARQL §18.5.1: Sum({}) = 0 (and Avg({}) = 0) — an empty
+                # or all-error operand multiset yields 0, not unbound.
+                builders[id(node)] = make_numeric(
+                    F.coalesce(F.col(raw), F.lit(0)).cast("decimal(38,10)")
+                )
             elif fn in ("MIN", "MAX"):
                 f = F.min if fn == "MIN" else F.max
                 agg_exprs.append(f(operand["num"]).alias(raw + "_n"))

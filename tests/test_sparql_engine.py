@@ -610,3 +610,14 @@ def test_distinct_with_order_by(micro):
         MP + "SELECT DISTINCT ?t WHERE { ?x a ?t } ORDER BY DESC(STR(?t))"
     )
     assert lexes(rows) == ["http://m#Robot", "http://m#Person"]
+
+
+def test_sum_avg_over_empty_is_zero(micro):
+    """SPARQL §18.5.1: Sum({}) = 0 and Avg({}) = 0 — not unbound."""
+    rows = micro.sparql_collect(
+        MP + "SELECT (SUM(?a) AS ?s) (AVG(?a) AS ?v) WHERE "
+        "{ ?x ex:age ?a . FILTER(?a > 1000) }"
+    )
+    assert len(rows) == 1
+    assert rows[0]["s"].lex.rstrip("0").rstrip(".") == "0"
+    assert rows[0]["v"].lex.rstrip("0").rstrip(".") == "0"
