@@ -876,7 +876,7 @@ class QueryCompiler:
             if v in a.certain and v in b.certain:
                 cond = cond & (l == r)
             else:
-                cond = cond & (l.isNull() | r.isNull() | (l == r))
+                cond = cond & (l["kind"].isNull() | r["kind"].isNull() | (l == r))
         if filter_asts:
             # OPTIONAL-with-FILTER: the filter joins the LeftJoin condition,
             # evaluated over the merged solution (outer vars resolve to the
@@ -943,8 +943,8 @@ class QueryCompiler:
         overlap = F.lit(False)
         for v in shared:
             l, r = F.col(f"L.{v}"), F.col(f"R.{v}__r")
-            compat = compat & (l.isNull() | r.isNull() | (l == r))
-            overlap = overlap | (l.isNotNull() & r.isNotNull())
+            compat = compat & (l["kind"].isNull() | r["kind"].isNull() | (l == r))
+            overlap = overlap | (l["kind"].isNotNull() & r["kind"].isNotNull())
         joined = a.df.alias("L").join(b_df.alias("R"), compat & overlap, "left_anti")
         return Compiled(joined.select(*a.var_order), a.var_order, a.certain)
 
@@ -981,7 +981,7 @@ class QueryCompiler:
                 if v in cur.certain and v in inner.certain:
                     cond = cond & (l == r)
                 else:
-                    cond = cond & (l.isNull() | r.isNull() | (l == r))
+                    cond = cond & (l["kind"].isNull() | r["kind"].isNull() | (l == r))
             how = "left_anti" if flt.negated else "left_semi"
             joined = cur.df.alias("L").join(b_df.alias("R"), cond, how)
             return Compiled(joined.select(*cur.var_order), cur.var_order, cur.certain)
@@ -1067,7 +1067,7 @@ class QueryCompiler:
                     if v in cur.certain and v in inner.certain:
                         cond = cond & (l == r)
                     else:
-                        cond = cond & (l.isNull() | r.isNull() | (l == r))
+                        cond = cond & (l["kind"].isNull() | r["kind"].isNull() | (l == r))
                 matched = (
                     df.alias("L")
                     .join(b_df.alias("R"), cond, "left_semi")

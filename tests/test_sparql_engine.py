@@ -621,3 +621,19 @@ def test_sum_avg_over_empty_is_zero(micro):
     assert len(rows) == 1
     assert rows[0]["s"].lex.rstrip("0").rstrip(".") == "0"
     assert rows[0]["v"].lex.rstrip("0").rstrip(".") == "0"
+
+
+def test_values_with_undef_rows(micro):
+    """VALUES rows may leave positions UNDEF; an UNDEF cell is compatible
+    with any binding (it constrains nothing). Regression: UNDEF produced a
+    null-fielded struct that failed the join-compatibility check, so every
+    row with an UNDEF silently matched nothing."""
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x ?k WHERE { ?x ex:knows ?k . "
+        "VALUES (?x ?k) { (ex:a UNDEF) (UNDEF ex:c) } }"
+    )
+    got = sorted((r["x"].lex, r["k"].lex) for r in rows)
+    assert got == [
+        ("http://m#a", "http://m#b"),
+        ("http://m#b", "http://m#c"),
+    ]
