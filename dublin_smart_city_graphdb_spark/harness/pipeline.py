@@ -1658,3 +1658,73 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-range (interval) join — SURVEY §2.3 J6 generalized to two streams
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_range_join",
+    """
+    SELECT p.event_id,
+           COUNT(*) AS n_ctx,
+           CAST(SUM(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_ctx
+    FROM events p JOIN events f
+      ON p.user_id = f.user_id
+     AND epoch_us(CAST(f.ts AS TIMESTAMP))
+         BETWEEN epoch_us(CAST(p.ts AS TIMESTAMP)) - 600000000
+             AND epoch_us(CAST(p.ts AS TIMESTAMP))
+    WHERE p.event_type = 'error'
+    GROUP BY p.event_id
+    """,
+    doc="Time-range (interval) join: for every error event, aggregate all "
+        "same-user events in the preceding 10 minutes (inclusive, probe "
+        "itself included) — the context-window join behind incident "
+        "analysis and windowed feature extraction. Spark's native plan for "
+        "the non-equi time predicate is a nested-loop join (quadratic); "
+        "operators/rangejoin.py rewrites it as bucketization: build rows "
+        "replicate into the ≤2 10-min buckets they can influence, the join "
+        "becomes a plain (user, bucket) equi-join AQE can skew-split, and "
+        "the exact range predicate filters post-join. Work is linear in "
+        "|events| + |matches|; the (user, bucket) shuffle key also "
+        "co-locates the downstream per-event aggregation.",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.operators.rangejoin import range_join_bucketed
+
+    ev = load_events(spark, sf_dir)
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts_us").alias("p_ts")
+    )
+    builds = ev.select("user_id", F.col("ts_us").alias("f_ts"), "value")
+    ten_min_us = 600_000_000
+    joined = range_join_bucketed(
+        probes, builds, key="user_id", probe_ts="p_ts", build_ts="f_ts",
+        lo=-ten_min_us, hi=0,
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("*").alias("n_ctx"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_ctx"),
+    )
+
+
+@register(
+    "events_quantiles_approx",
+    None,  # sketch output is algorithm-specific; accuracy is pytest-bounded
+    doc="Approximate per-type quantiles via approx_percentile (Greenwald-"
+        "Khanna sketch, accuracy 10000): the mergeable-sketch scale path "
+        "next to events_quantiles' exact baseline. Exact percentile "
+        "collects every group's values into one reducer's memory; the GK "
+        "sketch is fixed-size, merged map-side, and bounds rank error by "
+        "1/accuracy — the only feasible form at 100 TB. No SQL oracle (no "
+        "portable sketch semantics); tests/test_quantiles_approx.py bounds it "
+        "against the exact path at rank error 1e-4.",
+)
+def events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5D, 10000)"), 6).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.95D, 10000)"), 6).alias("p95"),
+        F.round(F.expr("approx_percentile(value, 0.99D, 10000)"), 6).alias("p99"),
+    )

@@ -869,3 +869,53 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "cube_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="SURVEY §2.4 A8 (extension beyond SPARQL): CUBE grouping sets with "
+        "GROUPING() disambiguators (a NULL-valued group vs the all-group "
+        "subtotal). One shuffle: Spark expands the grouping sets map-side "
+        "and aggregates partially before exchange, so the cube costs the "
+        "same single exchange as a plain groupBy at any scale.",
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "intersect_repeat_buyers",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Set intersection (completes the set-op family next to "
+        "union_priorities and minus_except): customers with at least one "
+        "urgent order AND at least one finished order. df.intersect — "
+        "Catalyst plans it as a distinct + hash semi-join on the full row, "
+        "one shuffle per side on the same key.",
+)
+def intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    done = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(done)

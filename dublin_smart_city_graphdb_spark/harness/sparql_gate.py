@@ -552,3 +552,41 @@ def sparql_count_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame
         WHERE {{ ?c a rel:Customer ; rel:inNation ?n }}
     """)
     return df.select(_long("cnt").alias("n"))
+
+
+@register(
+    "sparql_describe_nation",
+    """
+    SELECT s, p, o FROM (
+        SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+               'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+               'urn:rel:Nation' AS o
+        FROM nation WHERE n_nationkey = 3
+        UNION ALL
+        SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+               'urn:rel:name', n_name
+        FROM nation WHERE n_nationkey = 3
+        UNION ALL
+        SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+               'urn:rel:inRegion', 'urn:region:' || CAST(n_regionkey AS VARCHAR)
+        FROM nation WHERE n_nationkey = 3
+        UNION ALL
+        SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+               'urn:rel:inNation', 'urn:nation:3'
+        FROM supplier WHERE s_nationkey = 3
+        UNION ALL
+        SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR),
+               'urn:rel:inNation', 'urn:nation:3'
+        FROM customer WHERE c_nationkey = 3
+    )
+    """,
+    doc="SPARQL DESCRIBE (SURVEY §2.6 F4) through the engine: description "
+        "of one IRI — every triple where the node is the subject (type/"
+        "name/inRegion) plus every triple pointing AT it (suppliers and "
+        "customers with inNation → the node). Compiles to two semi-joins "
+        "of the quad store against a broadcast single-row target list; the "
+        "oracle reconstructs the same triple set relationally.",
+)
+def sparql_describe_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, "DESCRIBE <urn:nation:3>")
+    return df.select("s", "p", F.col("o_lex").alias("o"))

@@ -37,11 +37,14 @@ def repo(spark):
 
 
 def test_haversine_builtin_extension(repo):
+    # generous timeout: this asserts function semantics, not the 30s query
+    # budget, and late in a full-suite run the shared JVM can be GC-bound
     rows = repo.sparql_collect(
         P + """SELECT ?place ?d WHERE {
             ?place ex:lat ?lat ; ex:lon ?lon .
             BIND(fn:haversineKm(53.3498, -6.2603, ?lat, ?lon) AS ?d)
-        } ORDER BY ?d"""
+        } ORDER BY ?d""",
+        timeout=180,
     )
     got = {r_["place"].lex.split("#")[1]: float(r_["d"].lex) for r_ in rows}
     for name, (lat, lon) in {

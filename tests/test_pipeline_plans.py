@@ -121,3 +121,13 @@ def test_bucketed_asof_windows_include_time_bucket(spark):
         for line in plan.split("\n")
         if "hashpartitioning" in line
     )
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The interval join must compile to a hash-joinable equi-join on
+    (user, bucket) — never the quadratic BroadcastNestedLoop/Cartesian plan
+    Spark picks for a raw non-equi time predicate."""
+    plan = plan_of(q(spark, "events_range_join"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

@@ -285,3 +285,58 @@ def test_asof_strategies_agree(spark, events):
         m = max(cands) if cands else (None, None)
         expect.append((eid, u, t, m[0], m[1]))
     assert a == sorted(expect)
+
+
+# -- bucketed range join vs brute force --------------------------------------
+
+range_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),        # user key
+        st.integers(-10, 30),     # timestamp (negatives exercise floor-div)
+        st.booleans(),            # True = probe, False = build
+        st.integers(0, 5),        # build value
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(range_rows, st.sampled_from([(-5, 0), (-3, 2), (0, 4)]))
+def test_range_join_bucketed_matches_brute_force(spark, rows, window):
+    """The bucketized interval join must return exactly the pairs of the
+    quadratic definition for any window placement, including negative
+    timestamps (floor-division bucketing) and both-signed windows, at the
+    minimum bucket width and at a wider one."""
+    from dublin_smart_city_graphdb_spark.operators.rangejoin import range_join_bucketed
+
+    lo, hi = window
+    probes = [(i, u, t) for i, (u, t, is_p, _) in enumerate(rows) if is_p]
+    builds = [(u, t, float(v)) for (u, t, is_p, v) in rows if not is_p]
+    if not probes:
+        probes = [(99, 0, 0)]
+    if not builds:
+        builds = [(0, 1, 1.0)]
+    pdf = spark.createDataFrame(probes, "probe_id long, user_id long, p_ts long")
+    bdf = spark.createDataFrame(builds, "user_id long, b_ts long, b_val double")
+
+    def rows_of(df):
+        return sorted(
+            (r["probe_id"], r["user_id"], r["p_ts"], r["b_ts"], r["b_val"])
+            for r in df.collect()
+        )
+
+    expect = sorted(
+        (pid, u, pt, bt, bv)
+        for (pid, u, pt) in probes
+        for (bu, bt, bv) in builds
+        if bu == u and pt + lo <= bt <= pt + hi
+    )
+    for width in (None, 13):
+        got = rows_of(
+            range_join_bucketed(
+                pdf, bdf, key="user_id", probe_ts="p_ts", build_ts="b_ts",
+                lo=lo, hi=hi, bucket_width=width,
+            )
+        )
+        assert got == expect, f"width={width}"
