@@ -1718,8 +1718,9 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "collects every group's values into one reducer's memory; the GK "
         "sketch is fixed-size, merged map-side, and bounds rank error by "
         "1/accuracy — the only feasible form at 100 TB. No SQL oracle (no "
-        "portable sketch semantics); tests/test_quantiles_approx.py bounds it "
-        "against the exact path at rank error 1e-4.",
+        "portable sketch semantics); tests/test_quantiles_approx.py asserts "
+        "a 2% empirical rank-error bound against the exact path (small-sample "
+        "slack over GK's formal 1/accuracy guarantee).",
 )
 def events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)

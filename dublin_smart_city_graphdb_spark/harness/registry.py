@@ -51,13 +51,26 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table, whose ``ts`` is parquet TIMESTAMP(NANOS) —
-    illegal for Spark's reader. With ``nanosAsLong`` it reads as a long of
-    ns-since-epoch; expose ``ts_us`` (µs, matching DuckDB's ``epoch_us``
-    truncation) as the canonical event-time column."""
+    """Read the events table and expose ``ts_us`` (µs since epoch, matching
+    DuckDB's ``epoch_us``) as the canonical event-time column.
+
+    Driver testdata has shipped ``ts`` under two physical encodings:
+    parquet TIMESTAMP(NANOS) (illegal for Spark's reader without
+    ``nanosAsLong``, which surfaces it as long ns-since-epoch) and plain
+    timestamp[us] (read as ``timestamp_ntz``). Handle both; the ntz → µs
+    conversion uses ``timestampdiff`` against the epoch so it is
+    session-timezone-independent, exactly like DuckDB's ``epoch_us`` on a
+    naive timestamp."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import pyspark.sql.functions as F
 
-    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kind = dict(df.dtypes)["ts"]
+    if kind == "bigint":  # TIMESTAMP(NANOS) surfaced as long ns
+        ts_us = F.expr("ts div 1000")
+    else:  # timestamp / timestamp_ntz
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            "CAST(ts AS TIMESTAMP_NTZ))"
+        )
+    return df.withColumn("ts_us", ts_us)

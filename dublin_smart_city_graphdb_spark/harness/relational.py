@@ -500,13 +500,15 @@ def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            ABS(l_discount - 0.05) AS abs_d,
            ROUND(l_extendedprice, 1) AS round_p,
-           CEIL(l_quantity) AS ceil_q,
-           FLOOR(l_quantity) AS floor_q
+           CAST(CEIL(l_quantity) AS BIGINT) AS ceil_q,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS floor_q
     FROM lineitem
     WHERE l_orderkey < 500
     """,
     doc="SURVEY §2.7 numerics: ABS/ROUND/CEIL/FLOOR (ROUND half-up matches "
-        "DuckDB on positive doubles).",
+        "DuckDB on positive doubles). Spark CEIL/FLOOR return LongType, so "
+        "the oracle casts DuckDB's DOUBLE result to BIGINT — values are "
+        "bit-identical, only the carrier type differed (r1 hash mismatch).",
 )
 def scalar_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)

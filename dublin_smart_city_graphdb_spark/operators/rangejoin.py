@@ -32,7 +32,19 @@ with any downstream per-key aggregation.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+
+
+def _floor_div(c: Column, w: int) -> Column:
+    """Exact floor division of an integral column by positive ``w``.
+
+    ``F.floor(c / w)`` routes through DoubleType, which is only exact while
+    ``|c| < 2**53`` — ns-epoch timestamps (~1.8e18) would silently mis-bucket.
+    Subtracting the (always non-negative) ``pmod`` first makes the numerator an
+    exact multiple of ``w``; dividing in decimal(38,0) keeps every long exact.
+    """
+    exact_multiple = (c - F.pmod(c, F.lit(w))).cast("decimal(38,0)")
+    return (exact_multiple / F.lit(w)).cast("long")
 
 
 def range_join_bucketed(
@@ -57,16 +69,18 @@ def range_join_bucketed(
     if lo > hi:
         raise ValueError(f"empty range: lo={lo} > hi={hi}")
     w = bucket_width if bucket_width is not None else max(hi - lo, 1)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive, got {w}")
     if w < hi - lo:
         raise ValueError(f"bucket_width {w} < window span {hi - lo}")
 
-    p = probes.withColumn("_bkt", F.floor(F.col(probe_ts) / F.lit(w)))
+    p = probes.withColumn("_bkt", _floor_div(F.col(probe_ts), w))
     b = builds.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                F.floor((F.col(build_ts) - F.lit(hi)) / F.lit(w)),
-                F.floor((F.col(build_ts) - F.lit(lo)) / F.lit(w)),
+                _floor_div(F.col(build_ts) - F.lit(hi), w),
+                _floor_div(F.col(build_ts) - F.lit(lo), w),
             )
         ),
     ).withColumnRenamed(key, "_bkey")

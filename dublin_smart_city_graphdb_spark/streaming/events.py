@@ -7,45 +7,54 @@ holds on a real cluster ingesting an unbounded feed. Tests drive these with
 which must agree with the equivalent batch aggregation (the harness queries
 ``events_tumbling`` / ``events_sessionize``).
 
-The driver's ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's
-parquet reader only accepts as long-ns (``nanosAsLong``) — same gotcha and
-same fix as the batch path (harness/registry.py ``load_events``).
+The driver's ``events.parquet`` has shipped ``ts`` as parquet
+TIMESTAMP(NANOS) (Spark reads it only as long-ns via ``nanosAsLong``) and as
+plain timestamp[us] — same gotcha and same both-encodings fix as the batch
+path (harness/registry.py ``load_events``). The file source needs an explicit
+schema, so we probe it with a batch footer read first.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# Post-nanosAsLong schema: ts arrives as long nanoseconds since epoch.
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """Streaming scan of an events feed directory (the file source watches
     a directory; files arriving later are picked up incrementally) with a
-    proper event-time column (``etime``, µs to match the batch/oracle path)."""
+    proper event-time column (``etime``, µs to match the batch/oracle path).
+
+    The streaming file source requires a fixed schema; we take it from a
+    batch footer read of the same directory, which also tells us whether
+    ``ts`` arrived as long-ns (legacy TIMESTAMP(NANOS) testdata) or as a
+    native timestamp column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn(
-        "etime", F.timestamp_micros(F.expr("ts div 1000"))
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(path)
+    return raw.withColumn("etime", _etime_col(schema))
+
+
+def _etime_col(schema) -> F.Column:
+    kind = {f.name: f.dataType.simpleString() for f in schema.fields}["ts"]
+    if kind == "bigint":  # legacy TIMESTAMP(NANOS) surfaced as long ns
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    # Watermarks demand TIMESTAMP (not NTZ). Go through a tz-free µs diff so
+    # the naive value is pinned as a UTC instant whatever the session tz.
+    return F.timestamp_micros(
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            "CAST(ts AS TIMESTAMP_NTZ))"
+        )
     )
+
+
+def batch_events_with_etime(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of the same events feed with the identical ``etime``
+    derivation — the oracle side for stream-vs-batch equivalence tests."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.withColumn("etime", _etime_col(df.schema))
 
 
 def tumbling_counts_stream(

@@ -340,3 +340,44 @@ def test_range_join_bucketed_matches_brute_force(spark, rows, window):
             )
         )
         assert got == expect, f"width={width}"
+
+
+def test_range_join_bucketed_ns_epoch_exact(spark):
+    """Bucketing must stay exact beyond 2**53: ns-epoch timestamps (~1.8e18)
+    silently mis-bucket under double floor-division. Adjacent ns timestamps
+    around a boundary must all match a zero-width-window probe set exactly."""
+    from dublin_smart_city_graphdb_spark.operators.rangejoin import range_join_bucketed
+
+    base = 1_755_000_000_000_000_000  # ns epoch, > 2**53
+    probes = [(i, 1, base + i) for i in range(6)]
+    builds = [(1, base + i, float(i)) for i in range(6)]
+    pdf = spark.createDataFrame(probes, "probe_id long, user_id long, p_ts long")
+    bdf = spark.createDataFrame(builds, "user_id long, b_ts long, b_val double")
+    got = sorted(
+        (r["probe_id"], r["b_ts"] - base)
+        for r in range_join_bucketed(
+            pdf, bdf, key="user_id", probe_ts="p_ts", build_ts="b_ts",
+            lo=-1, hi=1,
+        ).collect()
+    )
+    expect = sorted(
+        (pid, j) for (pid, _, pt) in probes for j in range(6)
+        if pt - 1 <= base + j <= pt + 1
+    )
+    assert got == expect
+
+
+def test_range_join_bucketed_rejects_zero_width(spark):
+    """hi == lo with an explicit bucket_width=0 must raise, not return an
+    empty join (division by zero would NULL every bucket)."""
+    import pytest
+
+    from dublin_smart_city_graphdb_spark.operators.rangejoin import range_join_bucketed
+
+    pdf = spark.createDataFrame([(1, 1, 0)], "probe_id long, user_id long, p_ts long")
+    bdf = spark.createDataFrame([(1, 0, 1.0)], "user_id long, b_ts long, b_val double")
+    with pytest.raises(ValueError, match="positive"):
+        range_join_bucketed(
+            pdf, bdf, key="user_id", probe_ts="p_ts", build_ts="b_ts",
+            lo=0, hi=0, bucket_width=0,
+        )

@@ -9,6 +9,7 @@ import pytest
 
 from dublin_smart_city_graphdb_spark.engine import Engine
 from dublin_smart_city_graphdb_spark.streaming.events import (
+    batch_events_with_etime,
     run_available_to_memory,
     session_counts_stream,
     stream_events,
@@ -43,10 +44,8 @@ def test_tumbling_stream_matches_batch(spark, tmp_path, events_dir):
         for r in out.collect()
     }
     # batch equivalent over the same file
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = (
-        spark.read.parquet(EVENTS)
-        .withColumn("etime", F.timestamp_micros(F.expr("ts div 1000")))
+        batch_events_with_etime(spark, EVENTS)
         .groupBy(F.window("etime", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
@@ -68,10 +67,8 @@ def test_session_stream_matches_batch(spark, tmp_path, events_dir):
         "t_sessions",
         str(tmp_path / "ckpt"),
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = (
-        spark.read.parquet(EVENTS)
-        .withColumn("etime", F.timestamp_micros(F.expr("ts div 1000")))
+        batch_events_with_etime(spark, EVENTS)
         .groupBy(F.session_window("etime", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n"))
     )
@@ -207,12 +204,7 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path, events_dir):
     assert got
 
     batch = (
-        spark.read.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .parquet(events_dir)
-        .withColumn("etime", F.timestamp_micros(F.expr("ts div 1000")))
+        batch_events_with_etime(spark, events_dir)
         .join(F.broadcast(dim), "user_id", "left")
         .groupBy(
             F.window("etime", "1 hour").alias("w"),
@@ -262,10 +254,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path, events_dir):
     )
     got = {(r["p_id"], r["v_id"]) for r in out.collect()}
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    b = spark.read.parquet(EVENTS).withColumn(
-        "etime", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    b = batch_events_with_etime(spark, EVENTS)
     p = b.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
         F.col("user_id").alias("p_user"),
