@@ -456,6 +456,84 @@ def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
     return df.withColumn(out, F.expr(f"sqrt({_DOT.format(a=vec, b=vec)})"))
 
 
+def _seq_dot(a, b):
+    """Sequential-fold double dot product, vectorized over rows.
+
+    ``np.cumsum`` adds strictly left-to-right, which is bit-identical to both
+    Spark's ``aggregate(zip_with(...))`` fold and DuckDB's ``list_sum`` (a
+    BLAS ``dot``/pairwise sum is NOT — it reorders additions and the oracle
+    hash would drift in the last ulp). ``a``: (B, D) float64, ``b``: (D,) or
+    (B, D) float64 → (B,) float64."""
+    import numpy as np
+
+    return np.cumsum(a * b, axis=-1)[..., -1]
+
+
+def _ann_scan(
+    corpus: DataFrame,
+    queries_local: list[tuple[int, "object"]],
+    bucket_of=None,
+):
+    """One vectorized corpus pass scoring every (query, corpus row) pair.
+
+    The classic scatter-gather ANN serving plan: the handful of query vectors
+    is collected driver-side and ships inside the task closure (a broadcast
+    of a few KB); the corpus — the 100 TB side — is read ONCE, scored in
+    Arrow-batched numpy (a (B,D)×(D,) product per query instead of a
+    per-row interpreted HOF fold), and never shuffled. Only the scored
+    (query_id, neighbor_id, cosine_raw) rows leave the scan, and the
+    per-query top-k / threshold that follows is a reduction over ≤ B·|Q|
+    small rows. ``bucket_of(E) -> (B,) int`` optionally restricts candidates
+    to bucket-equal pairs (LSH); cosine doubles are bit-identical to the
+    expression path, so downstream F.round semantics are unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    qids = [int(q) for q, _ in queries_local]
+    qvecs = [np.asarray(v, dtype=np.float64) for _, v in queries_local]
+    qnorms = [float(np.sqrt(_seq_dot(v[None, :], v)[0])) for v in qvecs]
+    qbuckets = None
+    if bucket_of is not None:
+        qbuckets = [int(bucket_of(v[None, :])[0]) for v in qvecs]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            E = np.array([np.asarray(v) for v in pdf["embedding"]], dtype=np.float64)
+            norms = np.sqrt(_seq_dot(E, E))
+            cbuckets = bucket_of(E) if bucket_of is not None else None
+            out_q, out_n, out_c = [], [], []
+            for j, (qid, qv) in enumerate(zip(qids, qvecs)):
+                mask = ids != qid
+                if cbuckets is not None:
+                    mask &= cbuckets == qbuckets[j]
+                if not mask.any():
+                    continue
+                cos = _seq_dot(E[mask], qv) / (qnorms[j] * norms[mask])
+                out_q.append(np.full(int(mask.sum()), qid, dtype=np.int64))
+                out_n.append(ids[mask])
+                out_c.append(cos)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine_raw": np.concatenate(out_c),
+                    }
+                )
+
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cosine_raw double"
+    )
+
+
+def _collect_queries(e: DataFrame, upto: int) -> list[tuple[int, "object"]]:
+    rows = e.filter(F.col("vec_id") < upto).select("vec_id", "embedding").collect()
+    return [(r["vec_id"], r["embedding"]) for r in rows]
+
+
 @register(
     "embedding_cosine_pairs",
     _COSINE_PAIRS_SQL,
@@ -465,26 +543,16 @@ def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
 )
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    a = _with_norm(
-        e.filter(F.col("vec_id") < 50).select(
-            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
-        ),
-        "emb_a",
-        "norm_a",
-    )
-    b = _with_norm(
-        e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")),
-        "emb_b",
-        "norm_b",
-    )
-    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
-    cos = F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6)
+    scored = _ann_scan(e, _collect_queries(e, 50))
     return (
-        F.broadcast(a)
-        .join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cos)
+        scored.filter(F.col("neighbor_id") > F.col("query_id"))
+        .withColumn("cosine", F.round(F.col("cosine_raw"), 6))
         .filter(F.col("cosine") >= 0.35)
-        .select("vec_a", "vec_b", "cosine")
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            "cosine",
+        )
     )
 
 
@@ -516,25 +584,10 @@ _ANN_SQL = f"""
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    q = _with_norm(
-        e.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
-        ),
-        "emb_q",
-        "norm_q",
-    )
-    c = _with_norm(
-        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c")),
-        "emb_c",
-        "norm_c",
-    )
-    dot = F.expr(_DOT.format(a="emb_q", b="emb_c"))
-    cos = F.round(dot / (F.col("norm_q") * F.col("norm_c")), 6)
+    scored = _ann_scan(e, _collect_queries(e, 10))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cos)
+        scored.withColumn("cosine", F.round(F.col("cosine_raw"), 6))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "cosine", "rk")
@@ -608,45 +661,34 @@ _LSH_TOPK_SQL = f"""
 """
 
 
+def _lsh_bucket_numpy(E):
+    """(B, D) float64 → (B,) int bucket; bit j = sign of the SEQUENTIAL dot
+    with plane j — the same fold order as the SQL formulations, so a dot that
+    lands exactly on 0.0 gets the same bit everywhere."""
+    import numpy as np
+
+    buckets = np.zeros(E.shape[0], dtype=np.int64)
+    for j, w in enumerate(_PLANES):
+        plane = np.asarray(w, dtype=np.float64)
+        buckets += (_seq_dot(E, plane) >= 0).astype(np.int64) << j
+    return buckets
+
+
 @register(
     "ann_lsh_topk",
     _LSH_TOPK_SQL,
     doc="ANN via random-hyperplane LSH: 8 sign bits → bucket; candidates "
-        "share a bucket (equi-join on the 8-bit key — no corpus × queries "
-        "product), exact cosine re-rank inside the bucket. The approximate "
-        "scale path next to ann_cosine_topk's exact baseline.",
+        "share a bucket (computed vectorized inside the single corpus scan — "
+        "no corpus × queries product), exact cosine re-rank inside the "
+        "bucket. The approximate scale path next to ann_cosine_topk's exact "
+        "baseline.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").withColumn("bucket", _lsh_bucket_spark())
-    q = _with_norm(
-        e.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("emb_q"),
-            "bucket",
-        ),
-        "emb_q",
-        "norm_q",
-    )
-    c = _with_norm(
-        e.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("emb_c"),
-            F.col("bucket").alias("bucket_c"),
-        ),
-        "emb_c",
-        "norm_c",
-    )
-    dot = F.expr(_DOT.format(a="emb_q", b="emb_c"))
-    cos = F.round(dot / (F.col("norm_q") * F.col("norm_c")), 6)
+    e = load(spark, sf_dir, "embeddings")
+    scored = _ann_scan(e, _collect_queries(e, 10), bucket_of=_lsh_bucket_numpy)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        F.broadcast(q)
-        .join(
-            c,
-            (F.col("bucket") == F.col("bucket_c"))
-            & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        .withColumn("cosine", cos)
+        scored.withColumn("cosine", F.round(F.col("cosine_raw"), 6))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "cosine", "rk")

@@ -45,12 +45,25 @@ def test_minhash_pairs_single_signature_evaluation(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_ann_queries_broadcast_the_query_side(spark):
-    for name in ("ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk"):
+def test_ann_scan_queries_score_in_one_corpus_pass(spark):
+    """The scatter-gather ANN plan: queries ship in the task closure, the
+    corpus is scanned ONCE and scored in Arrow-batched numpy; the only
+    exchange after the scan is the tiny per-query top-k window. No join
+    operator may appear — a corpus × queries join re-reads or replicates
+    the 100 TB side."""
+    for name in ("ann_cosine_topk", "ann_lsh_topk", "embedding_cosine_pairs"):
         plan = plan_of(q(spark, name))
-        assert "Broadcast" in plan, name
-        # the big corpus side must never be sort-merge joined
-        assert "SortMergeJoin" not in plan, name
+        assert "MapInPandas" in plan, name
+        assert plan.count("FileScan") == 1, name
+        assert "Join" not in plan, name
+
+
+def test_ann_ivf_broadcasts_the_query_side(spark):
+    """IVF keeps the relational formulation: cell-pruned corpus joined to the
+    broadcast query cells — the big side must never be sort-merge joined."""
+    plan = plan_of(q(spark, "ann_ivf_topk"))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_dedup_exact_is_one_shuffle(spark):
