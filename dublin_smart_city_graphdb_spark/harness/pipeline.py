@@ -365,7 +365,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash fingerprints (16-bit, over distinct tokens; SURVEY §7 dedup #3)
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 32
 
 _bit_sums_duck = ",\n           ".join(
     f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -416,6 +416,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         combine = term if combine is None else combine + term
     return bitsums.select("doc_id", combine.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs via band blocking (completes the SimHash dedup
+# family: fingerprints → candidate pairs → exact Hamming verify)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BANDS = 4  # 4 bands × 8 bits; Hamming ≤ 3 < bands ⇒ exact recall
+
+_SIMHASH_PAIRS_SQL = f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM ({_SIMHASH_SQL}) a JOIN ({_SIMHASH_SQL}) b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    _SIMHASH_PAIRS_SQL,
+    doc="SimHash near-dup pairs, Hamming ≤ 3. Candidates come from band "
+        "blocking — 4 bands of 4 bits; by pigeonhole, ≤ 3 differing bits "
+        "leave at least one band identical, so the blocked plan has EXACT "
+        "recall (the oracle's quadratic self-join proves it). Fingerprints "
+        "ride packed into the doc id through collect_list's primitive fast "
+        "path, same trick as the Jaccard pipeline; shuffles: the signature "
+        "groupBy + groupBy(band) + the pair distinct. The oracle is O(n²) — "
+        "fine for DuckDB at gate scale, the banded plan is the 100 TB shape.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_simhash(spark, sf_dir)
+    packed = sig.select(
+        (F.shiftleft(F.col("doc_id"), _SIMHASH_BITS) + F.col("simhash")).alias("pk"),
+        "simhash",
+    )
+    band_width = _SIMHASH_BITS // _SIMHASH_BANDS
+    bands = packed.select(
+        "pk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col("simhash"), j * band_width)
+                        .bitwiseAND((1 << band_width) - 1)
+                        .alias("v"),
+                    )
+                    for j in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    cand = (
+        bands.groupBy("band")
+        .agg(F.collect_list("pk").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(F.expr(_PAIR_EXPLODE)).alias("pr"))
+        .select(F.col("pr.doc_a").alias("pa"), F.col("pr.doc_b").alias("pb"))
+        .distinct()
+    )
+    mask = (1 << _SIMHASH_BITS) - 1
+    hamming = F.bit_count(
+        (F.col("pa").bitwiseAND(mask)).bitwiseXOR(F.col("pb").bitwiseAND(mask))
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select(
+            F.shiftright(F.col("pa"), _SIMHASH_BITS).alias("doc_a"),
+            F.shiftright(F.col("pb"), _SIMHASH_BITS).alias("doc_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1289,6 +1362,45 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+           ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+    doc="Semi-structured extraction: pull $.k out of the JSON props column "
+        "(get_json_object — JVM-side Jackson path eval, no UDF) and "
+        "aggregate per event_type. Integer aggregates are exact; the one "
+        "double (avg) divides two exact integers, IEEE-identical on both "
+        "engines. At 100 TB the JSON parse is map-side and the only shuffle "
+        "is the low-cardinality event_type groupBy.",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long").alias("k")
+    return (
+        e.select("event_type", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(
+                F.sum("k").cast("double") / F.count("k"), 6
+            ).alias("avg_k"),
         )
     )
 

@@ -65,6 +65,62 @@ def bgp_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J1×5 + A2 — six-table star join with a correlated equality (TPC-H Q5
+# shape): the deepest join chain in the harness; the local-supplier
+# predicate (c_nationkey = s_nationkey) joins two big fact-side paths.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-table join (two broadcast dims, big sides "
+        "shuffle-joined on their keys) + local-supplier correlated equality "
+        "+ decimal-exact revenue sum. The per-double product happens in IEEE "
+        "double on both engines; only the (associativity-sensitive) SUM runs "
+        "in decimal.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,2)"
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # A2/A3/A7 — grouped aggregation (TPC-H Q1 shape; SPARQL GROUP BY analog,
 # reference facilities.ttl:190-193)
 # ---------------------------------------------------------------------------
