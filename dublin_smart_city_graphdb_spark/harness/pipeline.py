@@ -1314,25 +1314,69 @@ _SHARDS_SQL = """
 """
 
 
+_N_SHARD_BUCKETS = 32
+
+
 @register(
     "shard_by_token_budget",
     _SHARDS_SQL,
     doc="Training-shard layout: documents packed into ~10k-token shards by "
-        "running token count in doc_id order. The global running sum is a "
-        "single-partition window here; at scale it becomes the standard "
-        "two-pass variant (per-partition sums → broadcast prefix offsets), "
-        "same result, embarrassingly parallel.",
+        "running token count in doc_id order. Distributed two-pass prefix "
+        "sum: doc_id-range buckets → per-bucket token totals (one tiny "
+        "collect, |buckets| rows) → driver prefix offsets → broadcast "
+        "offset map → per-bucket local running sum. No single-partition "
+        "window anywhere; the only per-row shuffle is hashpartitioning on "
+        "the bucket key, so the plan is embarrassingly parallel at 100 TB "
+        "(at that scale the equal-width doc_id ranges become equi-depth "
+        "boundaries from approxQuantile, same two jobs).",
 )
 def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return toks.select(
-        "doc_id",
-        "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - 1) / 10000).cast("long").alias("shard"),
+    lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:  # empty corpus: no shards to assign
+        return toks.select(
+            "doc_id", "n_tokens", F.lit(None).cast("long").alias("shard")
+        )
+    width = max(1, (hi - lo) // _N_SHARD_BUCKETS + 1)
+    bucket = F.floor((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("long")
+    # Pass 1: per-bucket totals — |buckets| rows, a bounded scatter-gather
+    # like the ANN query collect, never O(corpus).
+    totals = (
+        toks.groupBy(bucket.alias("bucket"))
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    )
+    offsets: dict = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["bucket"]):
+        offsets[row["bucket"]] = acc
+        acc += row["total"]
+    off_map = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )
+    # Pass 2: running sum is local to each bucket (hash exchange on the
+    # bucket key, ~|corpus|/|buckets| rows per task), shifted by the
+    # bucket's global prefix offset.
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        toks.withColumn("bucket", bucket)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (F.sum("n_tokens").over(w) + off_map[F.col("bucket")] - 1)
+                / 10000
+            )
+            .cast("long")
+            .alias("shard"),
+        )
     )
 
 

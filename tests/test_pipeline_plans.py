@@ -144,3 +144,13 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_shard_by_token_budget_has_no_single_partition_exchange(spark):
+    """The running token sum must be the two-pass distributed form: the
+    window partitions by the doc_id-range bucket (hash exchange), never an
+    Exchange SinglePartition funnelling the whole corpus through one task."""
+    plan = plan_of(q(spark, "shard_by_token_budget"))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "Exchange hashpartitioning" in plan
