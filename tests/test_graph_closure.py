@@ -46,3 +46,29 @@ def test_pagerank_tiny_graph(spark):
     assert got[1] == 0.15
     assert got[2] == 0.2775
     assert got[3] == 1.0
+
+
+def test_connected_components_long_path_converges_fast(spark):
+    """A 200-node path has diameter 199 — plain min-propagation would need
+    ~199 rounds and silently truncate at max_iterations=50. Pointer
+    doubling must label it correctly well inside 20 rounds."""
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    labels = {
+        r.id: r.component
+        for r in connected_components(edges, max_iterations=20).collect()
+    }
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2)
