@@ -183,17 +183,25 @@ class Repository:
         timeout: float | None = None,
     ) -> tuple[str, str]:
         """Query → (payload, content-type) for the protocol Accept types:
-        results-JSON (default), results-CSV, results-TSV."""
+        results-JSON (default), results-XML (the W3C protocol default the
+        reference endpoint serves, README.md:63-65), results-CSV,
+        results-TSV."""
         import json as _json
 
         from dublin_smart_city_graphdb_spark.sparql.protocol import (
             rows_to_csv,
             rows_to_json,
             rows_to_tsv,
+            rows_to_xml,
         )
 
         df = self.sparql(query_text)
         rows = self.sparql_collect(query_text, timeout=timeout)
+        if "application/sparql-results+xml" in accept or "application/xml" in accept:
+            return (
+                rows_to_xml(df.columns, rows),
+                "application/sparql-results+xml",
+            )
         if "text/csv" in accept:
             return rows_to_csv(df.columns, rows), "text/csv"
         if "text/tab-separated-values" in accept:

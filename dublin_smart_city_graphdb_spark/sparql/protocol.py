@@ -239,3 +239,61 @@ def rows_to_tsv(columns: list[str], rows: list) -> str:
     for r in rows:
         out.append("\t".join(_term_tsv(r[var]) for var in columns))
     return "\n".join(out) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# W3C "SPARQL Query Results XML Format (Second Edition)" — the protocol's
+# default serialization, served by the reference endpoint (README.md:63-65)
+# ---------------------------------------------------------------------------
+
+_SPARQL_RESULTS_NS = "http://www.w3.org/2005/sparql-results#"
+
+
+def _term_xml(t) -> str | None:
+    """Binding struct Row → ``<uri>``/``<bnode>``/``<literal>`` element."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    if t is None or t["kind"] is None:
+        return None
+    if t["kind"] == KIND_IRI:
+        return f"<uri>{escape(t['lex'])}</uri>"
+    if t["kind"] == KIND_BLANK:
+        lex = t["lex"]
+        label = lex[2:] if lex.startswith("_:") else lex
+        return f"<bnode>{escape(label)}</bnode>"
+    attrs = ""
+    if t["lang"]:
+        attrs = f" xml:lang={quoteattr(t['lang'])}"
+    elif t["dtype"]:
+        attrs = f" datatype={quoteattr(t['dtype'])}"
+    return f"<literal{attrs}>{escape(t['lex'] or '')}</literal>"
+
+
+def rows_to_xml(columns: list[str], rows: list) -> str:
+    """SELECT/ASK solutions → SPARQL-results-XML document."""
+    from xml.sax.saxutils import quoteattr
+
+    out = [
+        '<?xml version="1.0"?>',
+        f'<sparql xmlns="{_SPARQL_RESULTS_NS}">',
+    ]
+    if columns == ["ask"]:  # ASK form
+        val = "true" if rows[0]["ask"] else "false"
+        out += ["<head/>", f"<boolean>{val}</boolean>", "</sparql>"]
+        return "\n".join(out) + "\n"
+    out.append(
+        "<head>"
+        + "".join(f"<variable name={quoteattr(v)}/>" for v in columns)
+        + "</head>"
+    )
+    out.append("<results>")
+    for r in rows:
+        parts = ["<result>"]
+        for var in columns:
+            tx = _term_xml(r[var])
+            if tx is not None:  # unbound vars are simply absent (spec)
+                parts.append(f"<binding name={quoteattr(var)}>{tx}</binding>")
+        parts.append("</result>")
+        out.append("".join(parts))
+    out += ["</results>", "</sparql>"]
+    return "\n".join(out) + "\n"

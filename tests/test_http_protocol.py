@@ -151,3 +151,59 @@ def test_csv_tsv_content_negotiation(server):
     ctype, body = fetch("application/sparql-results+json")
     assert ctype == "application/sparql-results+json"
     assert json.loads(body)["head"]["vars"] == ["s", "name", "rank"]
+
+
+def test_xml_content_negotiation(server):
+    """W3C results-XML (the protocol default the reference endpoint serves,
+    README.md:63-65): bindings round-trip incl. xml:lang and datatype."""
+    import xml.etree.ElementTree as ET
+
+    cfg = {"id": "xmlrepo", "params": {"ruleset": {"value": "none"}}}
+    _post(server, "/rest/repositories", json.dumps(cfg).encode(), "application/json")
+    ttl = """
+        @prefix ex: <http://x#> .
+        ex:a ex:label "Baile Atha Cliath"@ga ; ex:rank 3 ; ex:note "a<b&c" .
+    """
+    _post(server, "/repositories/xmlrepo/statements", ttl.encode(), "text/turtle")
+    q = urllib.parse.quote(
+        "SELECT ?s ?label ?rank ?note WHERE { ?s <http://x#label> ?label ; "
+        "<http://x#rank> ?rank ; <http://x#note> ?note }"
+    )
+    req = urllib.request.Request(
+        _url(server, f"/repositories/xmlrepo?query={q}"),
+        headers={"Accept": "application/sparql-results+xml"},
+    )
+    with urllib.request.urlopen(req) as r:
+        ctype, body = r.headers.get("Content-Type"), r.read().decode()
+    assert ctype == "application/sparql-results+xml"
+
+    ns = {"sr": "http://www.w3.org/2005/sparql-results#"}
+    root = ET.fromstring(body)
+    assert [v.get("name") for v in root.findall("sr:head/sr:variable", ns)] == [
+        "s", "label", "rank", "note",
+    ]
+    results = root.findall("sr:results/sr:result", ns)
+    assert len(results) == 1
+    terms = {
+        b.get("name"): b[0] for b in results[0].findall("sr:binding", ns)
+    }
+    assert terms["s"].tag.endswith("uri") and terms["s"].text == "http://x#a"
+    assert terms["label"].get(
+        "{http://www.w3.org/XML/1998/namespace}lang"
+    ) == "ga"
+    assert terms["label"].text == "Baile Atha Cliath"
+    assert terms["rank"].get("datatype") == (
+        "http://www.w3.org/2001/XMLSchema#integer"
+    )
+    assert terms["rank"].text == "3"
+    assert terms["note"].text == "a<b&c"  # escaping round-trips
+
+    # ASK over XML
+    qa = urllib.parse.quote("ASK { ?s <http://x#rank> ?r }")
+    req = urllib.request.Request(
+        _url(server, f"/repositories/xmlrepo?query={qa}"),
+        headers={"Accept": "application/sparql-results+xml"},
+    )
+    with urllib.request.urlopen(req) as r:
+        root = ET.fromstring(r.read().decode())
+    assert root.find("sr:boolean", ns).text == "true"
