@@ -54,6 +54,15 @@ def _null_bool() -> Column:
     return F.lit(None).cast("boolean")
 
 
+def _int_preserving(operand: Column, value: Column) -> Column:
+    """SPARQL numeric ops return the operand's type: xsd:integer stays
+    integer (ABS/ROUND/CEIL/FLOOR/unary minus, §17.4.4), else decimal."""
+    return F.when(
+        operand["dtype"] == XSD + "integer",
+        make_numeric(value, XSD + "integer"),
+    ).otherwise(make_numeric(value))
+
+
 def term_eq(a: Column, b: Column) -> Column:
     """SPARQL ``=``: numeric value equality when both numeric, timestamp
     equality when both temporal, else RDF term identity; errors → null."""
@@ -194,9 +203,18 @@ class ExprCompiler:
             a, b = self.compile(e.left), self.compile(e.right)
             x, y = _num(a), _num(b)
             out = {"+": x + y, "-": x - y, "*": x * y, "/": x / y}[e.op]
-            return make_numeric(out)
+            if e.op == "/":
+                # SPARQL §17.3: integer ÷ integer yields xsd:decimal
+                return make_numeric(out)
+            both_int = (a["dtype"] == XSD + "integer") & (
+                b["dtype"] == XSD + "integer"
+            )
+            return F.when(
+                both_int, make_numeric(out, XSD + "integer")
+            ).otherwise(make_numeric(out))
         if isinstance(e, A.UnaryMinus):
-            return make_numeric(-_num(self.compile(e.inner)))
+            inner = self.compile(e.inner)
+            return _int_preserving(inner, -_num(inner))
         if isinstance(e, A.InExpr):
             a = self.compile(e.expr)
             hit = F.lit(False)
@@ -222,7 +240,13 @@ class ExprCompiler:
         if name == "BOUND":
             return make_bool(args[0].isNotNull())
         if name == "COALESCE":
-            return F.coalesce(*args) if args else null_struct()
+            # SPARQL COALESCE skips *erroring* arguments. Errors are term
+            # structs with a null kind (the struct itself is non-null), so
+            # F.coalesce would wrongly accept them — test kind explicitly.
+            out = null_struct()
+            for a in reversed(args):
+                out = F.when(a["kind"].isNotNull(), a).otherwise(out)
+            return out
         if name == "IF":
             c = ebv(args[0])
             return F.when(c, args[1]).when(~c, args[2]).otherwise(null_struct())
@@ -344,13 +368,17 @@ class ExprCompiler:
             return make_string(F.regexp_replace(s, pat, rep))
 
         if name == "ABS":
-            return make_numeric(F.abs(_num(args[0])))
+            return _int_preserving(args[0], F.abs(_num(args[0])))
         if name == "ROUND":
-            return make_numeric(F.round(_num(args[0]), 0))
+            return _int_preserving(args[0], F.round(_num(args[0]), 0))
         if name == "CEIL":
-            return make_numeric(F.ceil(_num(args[0])).cast("decimal(38,10)"))
+            return _int_preserving(
+                args[0], F.ceil(_num(args[0])).cast("decimal(38,10)")
+            )
         if name == "FLOOR":
-            return make_numeric(F.floor(_num(args[0])).cast("decimal(38,10)"))
+            return _int_preserving(
+                args[0], F.floor(_num(args[0])).cast("decimal(38,10)")
+            )
         if name == "RAND":
             return make_numeric(F.rand().cast("decimal(38,10)"), XSD + "double")
 

@@ -124,12 +124,15 @@ def object_const_filter(term: Term) -> Column:
 # -- constructors from computed values --------------------------------------
 
 def make_numeric(col: Column, dtype: str = XSD + "decimal") -> Column:
-    """Numeric result → typed literal struct (lex mirrors the value)."""
-    lex = (
-        col.cast("decimal(38,0)").cast("string")
-        if dtype == XSD + "integer"
-        else col.cast("string")
-    )
+    """Numeric result → typed literal struct (lex mirrors the value).
+    Decimal lexical forms are canonical xsd:decimal: trailing zeros trimmed,
+    one fractional digit kept ("2.0", "3.5" — not "3.5000000000")."""
+    if dtype == XSD + "integer":
+        lex = col.cast("decimal(38,0)").cast("string")
+    else:
+        lex = col.cast("string")
+        lex = F.regexp_replace(lex, r"(\.\d*?)0+$", r"$1")
+        lex = F.regexp_replace(lex, r"\.$", ".0")
     return _struct(
         F.when(col.isNull(), F.lit(None)).otherwise(F.lit(KIND_LITERAL)),
         lex,
