@@ -43,7 +43,11 @@ class Repository:
         self.config = config
         self._quads: DataFrame | None = None
         self._pred_stats: dict[str, int] | None = None
-        self._plan_cache: dict[tuple[str, int], DataFrame] = {}
+        self._plan_cache: dict[tuple, DataFrame] = {}
+        # Star-view definitions (SURVEY §1.5 fast path): name →
+        # (predicates, class_iri). Built lazily per statement-set version.
+        self._star_view_defs: dict[str, tuple[tuple[str, ...], str | None]] = {}
+        self._star_views_built: dict[str, tuple[int, DataFrame]] = {}
         self._store = (
             QuadStore(
                 self.spark,
@@ -109,6 +113,52 @@ class Repository:
         else:
             self._quads = base.unionByName(inferred).localCheckpoint(eager=True)
 
+    # -- star views (property-table fast path, SURVEY §1.5) -----------------
+    def materialize_star_view(
+        self, name: str, predicates: list[str], class_iri: str | None = None
+    ) -> DataFrame:
+        """Register + build a property-table view for a hot class. The BGP
+        compiler then routes any same-subject star whose predicates all
+        live in the view (and whose rdf:type restriction matches
+        ``class_iri``) through ONE columnar scan instead of per-predicate
+        quad scans. Single-valued contract: see
+        :func:`model.property_table.star_view`. Views rebuild lazily after
+        mutations (keyed on the statement-set version)."""
+        self._star_view_defs[name] = (tuple(predicates), class_iri)
+        return self._star_view_df(name)
+
+    def drop_star_view(self, name: str) -> None:
+        self._star_view_defs.pop(name, None)
+        self._star_views_built.pop(name, None)
+
+    def _star_view_df(self, name: str) -> DataFrame:
+        from dublin_smart_city_graphdb_spark.model.property_table import (
+            star_view,
+        )
+
+        preds, cls = self._star_view_defs[name]
+        key = id(self._quads)
+        built = self._star_views_built.get(name)
+        if built is not None and built[0] == key:
+            return built[1]
+        df = star_view(self.quads, list(preds), cls)
+        if self._store:
+            path = os.path.join(
+                self.engine.warehouse, self.name, "star_views", name
+            )
+            df.write.mode("overwrite").parquet(path)
+            df = self.spark.read.parquet(path)
+        else:
+            df = df.localCheckpoint(eager=True)
+        self._star_views_built[name] = (key, df)
+        return df
+
+    def star_views(self) -> list[tuple[set, str | None, DataFrame]]:
+        return [
+            (set(preds), cls, self._star_view_df(n))
+            for n, (preds, cls) in self._star_view_defs.items()
+        ]
+
     # -- query --------------------------------------------------------------
     @property
     def quads(self) -> DataFrame:
@@ -152,6 +202,7 @@ class Repository:
             id(self._quads),
             len(self.engine.functions),
             tuple(sorted((n, id(r._quads)) for n, r in self.engine._repos.items())),
+            tuple(sorted(self._star_view_defs)),
         )
         cached = self._plan_cache.get(key)
         if cached is not None:
@@ -163,6 +214,7 @@ class Repository:
             predicate_stats=self.predicate_stats(),
             extensions=self.engine.functions,
             services=services,
+            star_views=self.star_views(),
         ).compile(ast)
         if len(self._plan_cache) >= 128:
             self._plan_cache.pop(next(iter(self._plan_cache)))

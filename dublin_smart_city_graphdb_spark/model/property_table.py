@@ -21,6 +21,44 @@ from pyspark.sql import DataFrame
 
 from dublin_smart_city_graphdb_spark.model.terms import RDF_TYPE
 
+
+def star_view(
+    quads: DataFrame, predicates: list[str], class_iri: str | None = None
+) -> DataFrame:
+    """Compiler-facing property table: ``s`` + one full TERM-STRUCT column
+    per predicate (named by the predicate IRI), so a star BGP can read it
+    directly instead of scanning+joining the quads table per pattern
+    (SURVEY §1.5 "columnar analytics fast path").
+
+    SINGLE-VALUED CONTRACT: one row per subject, ``first()`` per predicate.
+    Registering a view asserts the class's predicates are single-valued per
+    subject (the reference's facility record shape, SURVEY §1.3) — a
+    multi-valued predicate routed through a view would lose join
+    multiplicity. One groupBy(s) shuffle to build; reads are then
+    single-scan columnar.
+    """
+    from dublin_smart_city_graphdb_spark.sparql.termcol import object_struct
+
+    base = quads.filter(F.col("p").isin(list(predicates)))
+    if class_iri is not None:
+        typed = (
+            quads.filter(
+                (F.col("p") == RDF_TYPE)
+                & (F.col("o_kind") == 0)
+                & (F.col("o_lex") == class_iri)
+            )
+            .select("s")
+            .distinct()
+        )
+        base = base.join(typed, on="s", how="left_semi")
+    aggs = [
+        F.first(
+            F.when(F.col("p") == pred, object_struct()), ignorenulls=True
+        ).alias(pred)
+        for pred in predicates
+    ]
+    return base.groupBy("s").agg(*aggs)
+
 # predicate value kind → shadow column carrying the natively-typed value
 _KIND_FIELD = {
     "string": "o_lex",

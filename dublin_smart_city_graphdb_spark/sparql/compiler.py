@@ -126,9 +126,13 @@ class QueryCompiler:
         predicate_stats: dict[str, int] | None = None,
         extensions: dict | None = None,
         services: dict[str, DataFrame] | None = None,
+        star_views: list | None = None,
     ):
         self.spark = spark
         self.quads = quads
+        # Materialized property-table views (SURVEY §1.5 fast path):
+        # (predicate set, class_iri, wide DataFrame) per view.
+        self.star_views = star_views or []
         # Per-predicate row counts collected at load time (the reference's
         # statistics-driven pattern reordering, SURVEY §4.1/§4.2 item 2).
         self.predicate_stats = predicate_stats or {}
@@ -587,8 +591,11 @@ class QueryCompiler:
         star_parts: list[Compiled] = []
         for svar, tps in star_groups.items():
             if len(tps) >= 2:
+                via_view = self._compile_star_via_view(svar, tps, graph_ctx)
                 star_parts.append(
-                    self._compile_star(svar, tps, graph_ctx, pushdown or {})
+                    via_view
+                    if via_view is not None
+                    else self._compile_star(svar, tps, graph_ctx, pushdown or {})
                 )
             else:
                 rest.extend(tps)
@@ -643,6 +650,73 @@ class QueryCompiler:
             cur = self.join(cur, self.scan_pattern(tp, graph_ctx), "inner")
             bound |= tp_vars(tp)
         return cur
+
+    def _compile_star_via_view(
+        self, svar: str, tps: list[A.TriplePattern], graph_ctx
+    ) -> Compiled | None:
+        """Route a same-subject star through a materialized property table
+        (SURVEY §1.5 "columnar analytics fast path"): ONE scan of the wide
+        view replaces per-predicate quad scans + the star groupBy shuffle.
+
+        Applies only when it is provably equivalent to the quad-scan plan:
+        default graph scope, every attribute predicate lives in the view,
+        the star's rdf:type restriction equals the view's class (both-None
+        included), objects are distinct fresh vars or constants. Returns
+        None to fall back to :meth:`_compile_star` otherwise. The view's
+        single-valued contract is asserted at registration
+        (engine.materialize_star_view), not re-checked per query.
+        """
+        from dublin_smart_city_graphdb_spark.model.terms import RDF_TYPE
+
+        if not self.star_views or graph_ctx is not None:
+            return None
+        if self.default_graphs is not None or self.named_graphs is not None:
+            return None
+        type_const: str | None = None
+        attrs: list[A.TriplePattern] = []
+        for tp in tps:
+            if (
+                tp.p.value == RDF_TYPE
+                and isinstance(tp.o, IRI)
+                and type_const is None
+            ):
+                type_const = tp.o.value
+                continue
+            attrs.append(tp)
+        seen_vars: set[str] = set()
+        for tp in attrs:
+            if isinstance(tp.o, A.Var):
+                if tp.o.name == svar or tp.o.name in seen_vars:
+                    return None
+                seen_vars.add(tp.o.name)
+        need = {tp.p.value for tp in attrs}
+        view_df = None
+        for preds, cls, df in self.star_views:
+            if need <= preds and type_const == cls:
+                view_df = df
+                break
+        if view_df is None:
+            return None
+
+        out = view_df
+        names: list[str] = [svar]
+        sel: list[Column] = [subject_struct(F.col("s")).alias(svar)]
+        for tp in attrs:
+            c = F.col(f"`{tp.p.value}`")
+            if isinstance(tp.o, A.Var):
+                # inner-join semantics: subject must have the predicate
+                out = out.filter(c.isNotNull())
+                names.append(tp.o.name)
+                sel.append(c.alias(tp.o.name))
+            else:
+                k = const_struct(tp.o)
+                out = out.filter(
+                    (c["kind"] == k["kind"])
+                    & (c["lex"] == k["lex"])
+                    & c["dtype"].eqNullSafe(k["dtype"])
+                    & c["lang"].eqNullSafe(k["lang"])
+                )
+        return Compiled(out.select(*sel), names, set(names))
 
     def _compile_star(
         self,

@@ -79,3 +79,75 @@ def test_multivalued_collect_list(spark):
     )
     got = {row["s"]: sorted(row["tags"]) for row in t.collect()}
     assert got == {"http://pt#d": ["a", "b", "c"], "http://pt#e": ["x"]}
+
+
+# -- star-view fast path (compiler routing, SURVEY §1.5) ---------------------
+
+README_Q = (
+    f"PREFIX ex: <{EX}>\nPREFIX schema: <{SCHEMA}>\n"
+    "SELECT ?name ?type WHERE {\n"
+    "  ?facility a ex:Facility ; schema:name ?name ; ex:hasFacilityType ?type .\n"
+    "}"
+)
+
+
+@pytest.fixture(scope="module")
+def wh_repo(spark, tmp_path_factory):
+    eng = Engine(spark, warehouse=str(tmp_path_factory.mktemp("wh")))
+    r = eng.create_repository("sv_repo", ruleset="none")
+    r.load_turtle(fixtures.full_fixture_ttl(n=300))
+    return r
+
+
+def test_star_view_routes_readme_query_to_one_filescan(wh_repo):
+    """The README acceptance-query star compiles to ONE columnar FileScan
+    of the materialized view — no quads scan, no star groupBy shuffle."""
+    baseline = {
+        (r["name"].lex, r["type"].lex)
+        for r in wh_repo.sparql_collect(README_Q)
+    }
+    wh_repo.materialize_star_view(
+        "facility",
+        [SCHEMA + "name", EX + "hasFacilityType", EX + "latitude"],
+        class_iri=EX + "Facility",
+    )
+    df = wh_repo.sparql(README_Q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert "star_views" in plan  # scanning the view parquet, not quads
+    got = {(r["name"].lex, r["type"].lex) for r in wh_repo.sparql_collect(README_Q)}
+    assert got == baseline and len(got) > 0
+
+
+def test_star_view_constant_object_and_fallbacks(wh_repo):
+    """Constant objects filter the view columns; stars the view can't
+    prove equivalent (unknown predicate, wrong class) fall back to the
+    quads path and still answer correctly."""
+    q_const = (
+        f"PREFIX ex: <{EX}>\nPREFIX schema: <{SCHEMA}>\n"
+        "SELECT ?name WHERE { ?f a ex:Facility ; schema:name ?name ; "
+        "ex:hasFacilityType ex:Library . }"
+    )
+    base = {r["name"].lex for r in wh_repo.sparql_collect(q_const)}
+    plan = wh_repo.sparql(q_const)._jdf.queryExecution().executedPlan().toString()
+    assert "star_views" in plan
+    assert {r["name"].lex for r in wh_repo.sparql_collect(q_const)} == base
+
+    # predicate outside the view → falls back to quads (two scans of it)
+    q_out = (
+        f"PREFIX ex: <{EX}>\nPREFIX schema: <{SCHEMA}>\n"
+        "SELECT ?name ?addr WHERE { ?f schema:name ?name ; schema:address ?addr . }"
+    )
+    plan2 = wh_repo.sparql(q_out)._jdf.queryExecution().executedPlan().toString()
+    assert "star_views" not in plan2
+    assert len(wh_repo.sparql_collect(q_out)) > 0
+
+    # no rdf:type restriction in the query but the view is class-scoped →
+    # must NOT use the view (it would silently drop untyped subjects)
+    q_untyped = (
+        f"PREFIX ex: <{EX}>\nPREFIX schema: <{SCHEMA}>\n"
+        "SELECT ?name ?type WHERE { ?f schema:name ?name ; "
+        "ex:hasFacilityType ?type . }"
+    )
+    plan3 = wh_repo.sparql(q_untyped)._jdf.queryExecution().executedPlan().toString()
+    assert "star_views" not in plan3
