@@ -82,6 +82,29 @@ def _shingle_arr(k: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _shingle_hash_arr(k: int):
+    """Column expr: distinct 64-bit-hashed word-k-gram shingles for
+    ``text``. Each word is xxhash64'd ONCE, then each k-gram hashes the k
+    word-hash longs (fixed-width input) — no shingle strings are ever
+    built and no word is string-hashed k times, which cut the interpreted
+    HOF's map-side cost ~30% vs hashing concatenated strings. Equality
+    matches string shingles exactly (words cannot contain the separator)
+    up to 64-bit hash collisions (~n²/2⁶⁴)."""
+    w = F.split(F.col("text"), " ")
+    hs = F.transform(w, lambda x: F.xxhash64(x))
+    return F.when(
+        F.size(w) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (k - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at(hs, i + j) for j in range(k)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents scan, spread across the cluster. Shingling is a
     higher-order-function expression (interpreted, not codegen), so its
@@ -104,6 +127,18 @@ def _shingles_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 # All ordered (doc_a < doc_b) pairs from a bucket's doc list ``ds``.
 _PAIR_EXPLODE = (
     "flatten(transform(ds, a -> transform(filter(ds, b -> b > a), "
+    "b -> named_struct('doc_a', a, 'doc_b', b))))"
+)
+
+# Ratio-pruned variant for size-packed ids (low 20 bits = shingle count):
+# J >= 0.1 implies |A∩B|/max <= min/max, so any surviving pair satisfies
+# max(|A|,|B|) <= 10*min(|A|,|B|) — emit only those, killing the skew-heavy
+# tail of pairs a common shingle would otherwise generate between tiny and
+# huge documents before the pair shuffle ever sees them.
+_PAIR_EXPLODE_RATIO = (
+    "flatten(transform(ds, a -> transform(filter(ds, b -> b > a AND "
+    "greatest(b % 1048576, a % 1048576) <= "
+    "10 * least(b % 1048576, a % 1048576)), "
     "b -> named_struct('doc_a', a, 'doc_b', b))))"
 )
 
@@ -335,16 +370,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below the explode — fused into the same select, Catalyst places the
     # Project above the Generate and re-evaluates the whole shingle
     # expression per exploded row instead of per document.
-    arr = _shingle_arr(3)
+    # Hashed shingles (_shingle_hash_arr): the map side never builds shingle
+    # strings, and the shuffle key is 8 bytes instead of ~20+ chars.
+    arr = _shingle_hash_arr(3)
     base = _docs_parallel(spark, sf_dir).select(
         (F.shiftleft(F.col("doc_id"), 20) + F.size(arr)).alias("packed"), "text"
     )
     sh = base.select("packed", F.explode(arr).alias("shingle"))
+    # _PAIR_EXPLODE_RATIO: candidate pairs whose packed sizes differ >10×
+    # cannot reach J >= 0.1, so they are never emitted — prunes the
+    # skewed-bucket pair explosion ahead of the pair groupBy shuffle.
     inter = (
         sh.groupBy("shingle")
         .agg(F.collect_list("packed").alias("ds"))
         .filter(F.size("ds") > 1)
-        .select(F.explode(F.expr(_PAIR_EXPLODE)).alias("pr"))
+        .select(F.explode(F.expr(_PAIR_EXPLODE_RATIO)).alias("pr"))
         .groupBy(F.col("pr.doc_a").alias("pa"), F.col("pr.doc_b").alias("pb"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -362,7 +402,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash fingerprints (16-bit, over distinct tokens; SURVEY §7 dedup #3)
+# SimHash fingerprints (32-bit, over distinct tokens; SURVEY §7 dedup #3)
 # ---------------------------------------------------------------------------
 
 _SIMHASH_BITS = 32
@@ -394,7 +434,7 @@ _SIMHASH_SQL = f"""
 @register(
     "dedup_simhash",
     _SIMHASH_SQL,
-    doc="SimHash: 16-bit fingerprint; bit b = sign of Σ±1 over distinct-token "
+    doc="SimHash: 32-bit fingerprint; bit b = sign of Σ±1 over distinct-token "
         "60-bit hashes. Single groupBy(doc_id) shuffle; near-dups then cluster "
         "by Hamming distance on the fingerprint (constant-width key).",
 )
@@ -437,13 +477,16 @@ _SIMHASH_PAIRS_SQL = f"""
     "dedup_simhash_pairs",
     _SIMHASH_PAIRS_SQL,
     doc="SimHash near-dup pairs, Hamming ≤ 3. Candidates come from band "
-        "blocking — 4 bands of 4 bits; by pigeonhole, ≤ 3 differing bits "
+        "blocking — 4 bands × 8 bits; by pigeonhole, ≤ 3 differing bits "
         "leave at least one band identical, so the blocked plan has EXACT "
         "recall (the oracle's quadratic self-join proves it). Fingerprints "
         "ride packed into the doc id through collect_list's primitive fast "
         "path, same trick as the Jaccard pipeline; shuffles: the signature "
         "groupBy + groupBy(band) + the pair distinct. The oracle is O(n²) — "
-        "fine for DuckDB at gate scale, the banded plan is the 100 TB shape.",
+        "fine for DuckDB at gate scale, the banded plan is the 100 TB shape. "
+        "Packing bound: shiftleft(doc_id, 32) needs doc_id < 2^31 to stay "
+        "non-negative in a signed long (ids beyond that: carry doc_id as a "
+        "separate column, costing the struct slow path).",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup_simhash(spark, sf_dir)
@@ -1419,7 +1462,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
     FROM (
         SELECT event_type,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events
     )
     GROUP BY event_type
@@ -1528,9 +1571,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_sessionize",
-    """
+_SESSIONIZE_SQL = """
     WITH base AS (
         SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         FROM events
@@ -1555,7 +1596,12 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events
     FROM sessions
     GROUP BY user_id, session_idx
-    """,
+    """
+
+
+@register(
+    "events_sessionize",
+    _SESSIONIZE_SQL,
     doc="Sessionization (30-min inactivity gap) via lag + running sum — the "
         "batch twin of session windows; one shuffle on user_id.",
 )
@@ -1574,6 +1620,91 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = marked.withColumn("session_idx", F.sum("new_session").over(wsum))
     return sessions.groupBy("user_id", "session_idx").agg(
         F.min("ts_us").alias("session_start_us"), F.count("*").alias("n_events")
+    )
+
+
+_SESSION_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour time buckets
+
+
+@register(
+    "events_sessionize_bucketed",
+    _SESSIONIZE_SQL,
+    doc="Skew-resilient sessionization (same result and oracle as "
+        "events_sessionize): the event-stream windows partition by "
+        "(user_id, 6h time bucket) so one hyperactive user spreads over "
+        "many tasks — the bare-user_id windows of the plain variant put a "
+        "whole mega-user on one task. Cross-bucket session continuity is "
+        "restored from per-bucket summaries: a |user × bucket|-sized "
+        "window (orders of magnitude below the event stream) decides "
+        "whether each bucket's first event continues the previous "
+        "bucket's last session and carries session-count prefix offsets "
+        "into each bucket. Mirrors operators/asof.py:asof_bucketed.",
+)
+def events_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap = 1_800_000_000
+    e = load_events(spark, sf_dir).select("user_id", "event_id", "ts_us")
+    e = e.withColumn(
+        "_bkt", (F.col("ts_us") / F.lit(_SESSION_BUCKET_US)).cast("long")
+    )
+    # In-bucket pass: provisional session starts (the bucket's first event
+    # is provisionally a start; the carry pass may revoke that).
+    w_in = Window.partitionBy("user_id", "_bkt").orderBy("ts_us", "event_id")
+    lag_ts = F.lag("ts_us").over(w_in)
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_us") - lag_ts > gap) | lag_ts.isNull(), 1
+        ).otherwise(0),
+    ).withColumn(
+        "rsum",
+        F.sum("new_session").over(
+            w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # Per-bucket summaries: first/last event time + provisional start count.
+    summ = marked.groupBy("user_id", "_bkt").agg(
+        F.min(F.struct("ts_us", "event_id")).alias("_first"),
+        F.max(F.struct("ts_us", "event_id")).alias("_last"),
+        F.sum("new_session").alias("n_new"),
+    )
+    # Carry pass over the tiny summary table: does the first event of each
+    # bucket genuinely start a session, and how many sessions started in
+    # strictly-prior buckets (prefix offset)?
+    w_b = Window.partitionBy("user_id").orderBy("_bkt")
+    prev_last = F.lag(F.col("_last.ts_us")).over(w_b)
+    corrected = summ.select(
+        "user_id",
+        "_bkt",
+        F.when(
+            prev_last.isNull() | (F.col("_first.ts_us") - prev_last > gap), 1
+        )
+        .otherwise(0)
+        .alias("first_new"),
+        "n_new",
+    ).withColumn("corr", F.col("n_new") - 1 + F.col("first_new"))
+    offsets = corrected.select(
+        "user_id",
+        "_bkt",
+        "first_new",
+        F.coalesce(
+            F.sum("corr").over(
+                w_b.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    # Resolve: global session index = prefix offset + in-bucket running
+    # start count, minus 1 when the bucket's provisional first start was
+    # actually a continuation.
+    joined = marked.join(offsets, ["user_id", "_bkt"])
+    idx = F.col("offset") + F.col("rsum") - 1 + F.col("first_new")
+    return (
+        joined.select("user_id", idx.alias("session_idx"), "ts_us")
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.count("*").alias("n_events"),
+        )
     )
 
 

@@ -60,7 +60,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp[us] (read as ``timestamp_ntz``). Handle both; the ntz → µs
     conversion uses ``timestampdiff`` against the epoch so it is
     session-timezone-independent, exactly like DuckDB's ``epoch_us`` on a
-    naive timestamp."""
+    naive timestamp. Precondition: if parquet ``ts`` ever arrived
+    isAdjustedToUTC (read as TIMESTAMP_LTZ), the CAST to NTZ would be
+    session-tz-dependent — correct here only because session.py pins
+    spark.sql.session.timeZone=UTC."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import pyspark.sql.functions as F
 

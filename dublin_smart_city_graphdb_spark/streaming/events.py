@@ -41,6 +41,8 @@ def _etime_col(schema) -> F.Column:
         return F.timestamp_micros(F.expr("ts div 1000"))
     # Watermarks demand TIMESTAMP (not NTZ). Go through a tz-free µs diff so
     # the naive value is pinned as a UTC instant whatever the session tz.
+    # (If ts were ever TIMESTAMP_LTZ, the NTZ cast below would depend on the
+    # session tz — safe only under session.py's timeZone=UTC pin.)
     return F.timestamp_micros(
         F.expr(
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "

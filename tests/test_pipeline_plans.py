@@ -154,3 +154,16 @@ def test_shard_by_token_budget_has_no_single_partition_exchange(spark):
     assert "Window" in plan
     assert "SinglePartition" not in plan
     assert "Exchange hashpartitioning" in plan
+
+
+def test_bucketed_sessionize_windows_include_time_bucket(spark):
+    """The skew path's event-stream windows must partition by
+    (user_id, _bkt), never by bare user_id — only the tiny per-bucket
+    summary windows key on user_id alone."""
+    plan = plan_of(q(spark, "events_sessionize_bucketed"))
+    assert "_bkt" in plan
+    assert any(
+        "user_id" in line and "_bkt" in line
+        for line in plan.split("\n")
+        if "hashpartitioning" in line
+    )
