@@ -1904,6 +1904,164 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               UNNEST(string_split_regex(LOWER(text), '[^a-z]+')) AS term
+        FROM documents
+    ),
+    filtered AS (SELECT * FROM toks WHERE LENGTH(term) >= 4),
+    tf AS (
+        SELECT source, term, COUNT(*) AS tf
+        FROM filtered GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df
+        FROM filtered GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term,
+               ROUND(tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT source, term, tfidf, rk FROM (
+        SELECT source, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+    doc="TF-IDF top terms per corpus source (what distinguishes each "
+        "source, not just what is frequent — the curation complement of "
+        "text_top_terms). tf per (source, term); doc-level df; idf = "
+        "ln((N+1)/(df+1)). All aggregates are exact integers, the one "
+        "double (tf·idf) applies identical IEEE ops on both engines, "
+        "rounded to 6dp. Plan: explode → two aggregation shuffles (tf and "
+        "df reuse the same exploded scan), df side broadcast into tf, "
+        "per-source window over |vocab| rows. The corpus-size scalar is "
+        "one count job (bounded scatter-gather), never a cartesian.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    term = F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+    toks = (
+        d.select("doc_id", "source", term)
+        .filter(F.length("term") >= 4)
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "source",
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.select(
+        "source", "term", "tfidf", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 3)
+
+
+@register(
+    "corpus_mix_report",
+    """
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           SUM(n_chars) AS total_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="Training-mix dashboard: per (source, language) document counts, "
+        "token and char totals — the first table anyone pulls before "
+        "weighting a pre-training mixture. All-integer aggregates (exact "
+        "on any engine); one low-cardinality groupBy shuffle with "
+        "map-side partials; the token count never leaves the scan task.",
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source", "lang", "n_chars",
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sq
+        FROM events GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, s / n AS mean, SQRT(sq / n - (s / n) * (s / n)) AS std
+        FROM stats
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - m.mean) / m.std, 6) AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE ABS((e.value - m.mean) / m.std) > 2.5
+    """,
+    doc="Per-event-type z-score anomaly flags (|z| > 2.5): mean/std derived "
+        "from decimal-EXACT sum and sum-of-squares (distributed partial-sum "
+        "order cannot perturb them), then identical scalar IEEE ops on both "
+        "engines. Plan: one low-cardinality stats groupBy, stats broadcast "
+        "back into the stream — the event scan is read once per pass, "
+        "filter runs map-side. Rounded to 6dp for the oracle hash.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("sq"),
+    )
+    m = stats.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.col("sq") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id", "event_type", "value", F.round(z, 6).alias("z")
+        )
+    )
+
+
+@register(
     "multimodal_frames",
     """
     WITH meta AS (

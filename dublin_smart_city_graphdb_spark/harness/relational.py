@@ -121,6 +121,58 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J1×2 + A2 + M5 — TPC-H Q3 shape: selective dim filter → two big joins →
+# grouped revenue → top-k (the classic "shipping priority" plan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: the selective BUILDING-segment customer filter "
+        "broadcast-semi-joins into orders, lineitem shuffle-joins on the "
+        "order key, decimal-exact revenue per order, TakeOrderedAndProject "
+        "top-10 (never a global sort). Filters reach both parquet scans "
+        "as pushed predicates.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    revenue = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,2)")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # A2/A3/A7 — grouped aggregation (TPC-H Q1 shape; SPARQL GROUP BY analog,
 # reference facilities.ttl:190-193)
 # ---------------------------------------------------------------------------

@@ -167,3 +167,30 @@ def test_bucketed_sessionize_windows_include_time_bucket(spark):
         for line in plan.split("\n")
         if "hashpartitioning" in line
     )
+
+
+def test_q3_topk_is_take_ordered_not_global_sort(spark):
+    """TPC-H Q3's top-10 must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a full Exchange rangepartitioning sort;
+    the selective customer side must broadcast."""
+    plan = plan_of(q(spark, "q3_shipping_priority"))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "Broadcast" in plan
+
+
+def test_tfidf_broadcasts_df_side_and_windows_on_vocab(spark):
+    """The doc-frequency table must broadcast into the tf table (both are
+    |vocab|-sized; a sort-merge join would shuffle twice), and the ranking
+    window partitions by source."""
+    plan = plan_of(q(spark, "text_tfidf_top_terms"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    """The per-type stats (a handful of rows) broadcast back into the
+    event stream — the big side is never shuffled for the join."""
+    plan = plan_of(q(spark, "events_anomaly_zscore"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
