@@ -72,3 +72,40 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iterations=2)
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property check: pointer-doubling labels agree with a driver-side
+    union-find on random sparse graphs (including multi-component ones)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n // 2)
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        expected = {}
+        for v in touched:
+            expected.setdefault(find(v), []).append(v)
+        want = {
+            v: min(members)
+            for members in expected.values()
+            for v in members
+        }
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r.id: r.component for r in connected_components(df).collect()
+        }
+        assert got == want, f"trial {trial}"

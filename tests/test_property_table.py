@@ -151,3 +151,28 @@ def test_star_view_constant_object_and_fallbacks(wh_repo):
     )
     plan3 = wh_repo.sparql(q_untyped)._jdf.queryExecution().executedPlan().toString()
     assert "star_views" not in plan3
+
+
+def test_star_view_rebuilds_after_mutation(wh_repo):
+    """Views are keyed on the statement-set version: loading more triples
+    must transparently rebuild, not serve stale rows."""
+    q = (
+        f"PREFIX ex: <{EX}>\nPREFIX schema: <{SCHEMA}>\n"
+        "SELECT ?name ?type WHERE { ?f a ex:Facility ; schema:name ?name ; "
+        "ex:hasFacilityType ?type . }"
+    )
+    before = len(wh_repo.sparql_collect(q))
+    wh_repo.load_turtle(
+        f"""
+        @prefix ex: <{EX}> .
+        @prefix schema: <{SCHEMA}> .
+        ex:newFacility a ex:Facility ;
+            schema:name "Brand New Depot" ;
+            ex:hasFacilityType ex:Library .
+        """
+    )
+    rows = wh_repo.sparql_collect(q)
+    assert len(rows) == before + 1
+    assert any(r["name"].lex == "Brand New Depot" for r in rows)
+    plan = wh_repo.sparql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "star_views" in plan  # still served by the (rebuilt) view
