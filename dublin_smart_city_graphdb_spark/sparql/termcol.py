@@ -149,12 +149,16 @@ def make_string(col: Column) -> Column:
 
 
 def make_bool(col: Column) -> Column:
+    # Null input = SPARQL error: EVERY field must stay null — a bare
+    # .otherwise() would stamp lex "false" / num 0 onto error structs,
+    # which ebv() then misreads as a bound false (caught by the W3C
+    # slice's IF-error case).
     return _struct(
         F.when(col.isNull(), F.lit(None)).otherwise(F.lit(KIND_LITERAL)),
-        F.when(col, F.lit("true")).otherwise(F.lit("false")),
+        F.when(col, F.lit("true")).when(~col, F.lit("false")),
         F.when(col.isNull(), _NULL_S()).otherwise(F.lit(XSD + "boolean")),
         _NULL_S(),
-        F.when(col, F.lit(1)).otherwise(F.lit(0)).cast(_DEC),
+        F.when(col, F.lit(1)).when(~col, F.lit(0)).cast(_DEC),
         _NULL_T(), col,
     )
 
