@@ -247,6 +247,26 @@ class Repository:
             rows_to_xml,
         )
 
+        # CONSTRUCT/DESCRIBE return an RDF GRAPH, not a result set: serve
+        # N-Triples when the client asks for a graph serialization (the
+        # W3C protocol behavior; JSON stays available for tooling).
+        from dublin_smart_city_graphdb_spark.sparql import ast as _ast
+
+        form = parse_query(query_text)
+        if isinstance(form, (_ast.ConstructQuery, _ast.DescribeQuery)) and any(
+            t in accept
+            for t in ("application/n-triples", "text/turtle", "text/plain")
+        ):
+            from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                construct_to_ntriples,
+            )
+
+            lines = construct_to_ntriples(self.sparql(query_text)).collect()
+            return (
+                "\n".join(r["value"] for r in lines) + ("\n" if lines else ""),
+                "application/n-triples",
+            )
+
         df = self.sparql(query_text)
         rows = self.sparql_collect(query_text, timeout=timeout)
         if "application/sparql-results+xml" in accept or "application/xml" in accept:

@@ -207,3 +207,31 @@ def test_xml_content_negotiation(server):
     with urllib.request.urlopen(req) as r:
         root = ET.fromstring(r.read().decode())
     assert root.find("sr:boolean", ns).text == "true"
+
+
+def test_construct_served_as_ntriples(server):
+    """CONSTRUCT/DESCRIBE return an RDF graph: a graph Accept type gets
+    N-Triples that round-trip through the engine's own parser."""
+    cfg = {"id": "ntrepo", "params": {"ruleset": {"value": "none"}}}
+    _post(server, "/rest/repositories", json.dumps(cfg).encode(), "application/json")
+    ttl = """
+        @prefix ex: <http://x#> .
+        ex:a ex:knows ex:b . ex:b ex:label "B node"@en .
+    """
+    _post(server, "/repositories/ntrepo/statements", ttl.encode(), "text/turtle")
+    q = urllib.parse.quote(
+        "CONSTRUCT { ?s <http://x#linked> ?o . } WHERE { ?s <http://x#knows> ?o }"
+    )
+    req = urllib.request.Request(
+        _url(server, f"/repositories/ntrepo?query={q}"),
+        headers={"Accept": "application/n-triples"},
+    )
+    with urllib.request.urlopen(req) as r:
+        ctype, body = r.headers.get("Content-Type"), r.read().decode()
+    assert ctype == "application/n-triples"
+    assert body.strip() == "<http://x#a> <http://x#linked> <http://x#b> ."
+
+    from dublin_smart_city_graphdb_spark.sources.turtle import parse_turtle
+
+    triples = parse_turtle(body)  # N-Triples is a Turtle subset
+    assert len(triples) == 1
