@@ -74,10 +74,28 @@ class Repository:
         """Load a Turtle document (path or text) — SURVEY §2.1 S1."""
         text = open(source).read() if os.path.exists(source) else source
         rows = turtle_to_rows(text, graph)
-        self.add_quads(self.spark.createDataFrame(rows, QUAD_SCHEMA))
-        if self.config.get("ruleset", "none") != "none":
-            self.materialize_inference()
+        self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
         return len(rows)
+
+    def _ingest(self, new_df: DataFrame) -> None:
+        """Append a batch, maintaining the inference closure INCREMENTALLY
+        when the repository already holds statements: monotone RDFS-Plus
+        rules let the fixpoint run seeded by the new batch (O(|Δ| ⋈
+        schema) per append) instead of re-materializing the whole store —
+        the write path that keeps working when the store is 100 TB. First
+        load (or ruleset none) takes the plain path."""
+        ruleset = self.config.get("ruleset", "none")
+        if ruleset == "none" or self._quads is None:
+            self.add_quads(new_df)
+            if ruleset != "none":
+                self.materialize_inference()
+            return
+        from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
+            materialize_incremental,
+        )
+
+        inferred_new = materialize_incremental(self.quads, new_df)
+        self.add_quads(new_df.unionByName(inferred_new))
 
     def load_nquads(self, path: str) -> None:
         """Bulk N-Quads load: per-line graph labels land in ``g`` (named
@@ -90,9 +108,7 @@ class Repository:
 
     def load_ntriples(self, path: str, graph: str | None = None) -> None:
         """Distributed bulk load (splittable text + executor-side parse)."""
-        self.add_quads(read_ntriples_distributed(self.spark, path, graph))
-        if self.config.get("ruleset", "none") != "none":
-            self.materialize_inference()
+        self._ingest(read_ntriples_distributed(self.spark, path, graph))
 
     def materialize_inference(self) -> None:
         """Forward-chaining RDFS-Plus fixpoint → quads under urn:inferred

@@ -288,15 +288,49 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
     return out
 
 
+_SPO_COLS = [
+    "s", "p", "o_kind", "o_lex", "o_dtype", "o_lang", "o_num", "o_ts", "o_bool"
+]
+
+
 def materialize(explicit: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Run the rule batch to fixpoint; returns ONLY the inferred quads,
     tagged ``g = urn:inferred``."""
-    spo = explicit.select(
-        "s", "p", "o_kind", "o_lex", "o_dtype", "o_lang", "o_num", "o_ts", "o_bool"
-    ).distinct().localCheckpoint(eager=True)
+    spo = explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    return _fixpoint(spo, None, max_rounds)
 
-    known = spo
-    delta: DataFrame | None = None  # None = first round → full evaluation
+
+def materialize_incremental(
+    base: DataFrame, new_explicit: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Inferred quads NEWLY entailed by adding ``new_explicit`` to ``base``
+    (base = current explicit ∪ already-materialized inferred). RDFS-Plus
+    rules are monotone, so closure(base ∪ Δ) = closure(base) ∪
+    (Δ-seeded fixpoint) — the high-volume rules join only the Δ each
+    round, never re-deriving the existing closure. If Δ contains SCHEMA
+    triples (new subClassOf, domain, sameAs, property declarations …)
+    the first round falls back to a full re-evaluation via
+    ``_touches_schema``, because new rule inputs can fire on old
+    statements. Appending a data batch costs O(|Δ| ⋈ schema), not
+    O(|store|) — the difference between an ingest pipeline and a nightly
+    rebuild at 100 TB."""
+    base_spo = base.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    delta_spo = (
+        new_explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    )
+    known = base_spo.unionByName(delta_spo).distinct().localCheckpoint(
+        eager=True
+    )
+    return _fixpoint(known, delta_spo, max_rounds)
+
+
+def _fixpoint(
+    known: DataFrame, delta: DataFrame | None, max_rounds: int
+) -> DataFrame:
+    """Semi-naive driver loop shared by full and incremental
+    materialization; ``delta=None`` means round 0 evaluates every rule on
+    the full statement set."""
+    empty = known.limit(0)
     inferred_acc: DataFrame | None = None
     for _ in range(max_rounds):
         # Semi-naive: after round 0, high-volume rules join only last
@@ -323,8 +357,7 @@ def materialize(explicit: DataFrame, max_rounds: int = 20) -> DataFrame:
             fresh if inferred_acc is None else inferred_acc.unionByName(fresh)
         )
     if inferred_acc is None:
-        return explicit.limit(0)
+        inferred_acc = empty
     return inferred_acc.select(
-        F.lit(INFERRED_GRAPH).alias("g"),
-        "s", "p", "o_kind", "o_lex", "o_dtype", "o_lang", "o_num", "o_ts", "o_bool",
+        F.lit(INFERRED_GRAPH).alias("g"), *_SPO_COLS
     )

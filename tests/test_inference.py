@@ -136,3 +136,87 @@ def test_engine_load_with_ruleset_queries_inferred(spark):
         "SELECT ?f WHERE { ?f a <http://t#Facility> }"
     )
     assert sorted(r["f"].lex for r in rows) == [T + "f1", T + "f2"]
+
+
+# -- incremental maintenance (engine _ingest path) ---------------------------
+
+def _all_quads(repo):
+    return {
+        tuple(r)
+        for r in repo.quads.select(
+            "g", "s", "p", "o_kind", "o_lex", "o_dtype", "o_lang"
+        ).distinct().collect()
+    }
+
+
+ONTOLOGY_TTL = """
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix ex: <http://inc#> .
+ex:hasType rdfs:domain ex:Thing .
+ex:Special rdfs:subClassOf ex:Thing .
+"""
+
+BATCH1_TTL = """
+@prefix ex: <http://inc#> .
+ex:a ex:hasType ex:T1 .
+"""
+
+BATCH2_TTL = """
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix ex: <http://inc#> .
+ex:b ex:hasType ex:T2 .
+ex:c rdf:type ex:Special .
+"""
+
+LATE_SCHEMA_TTL = """
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix ex: <http://inc#> .
+ex:Thing rdfs:subClassOf ex:Entity .
+"""
+
+
+def test_incremental_matches_oneshot(spark):
+    """Loading in batches (incremental Δ-seeded fixpoints) must yield the
+    same closure as loading everything at once (full fixpoint)."""
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    inc = eng.create_repository("inc_batches", ruleset="rdfsplus")
+    inc.load_turtle(ONTOLOGY_TTL)
+    inc.load_turtle(BATCH1_TTL)
+    inc.load_turtle(BATCH2_TTL)
+
+    one = eng.create_repository("inc_oneshot", ruleset="rdfsplus")
+    one.load_turtle(ONTOLOGY_TTL + BATCH1_TTL + BATCH2_TTL)
+
+    assert _all_quads(inc) == _all_quads(one)
+    # sanity: the closure actually fired — domain rule typed ex:a
+    pairs = {
+        (r["s"]["lex"], r["t"]["lex"])
+        for r in inc.sparql("SELECT ?s ?t WHERE { ?s a ?t }").collect()
+    }
+    assert ("http://inc#a", "http://inc#Thing") in pairs
+    assert ("http://inc#c", "http://inc#Thing") in pairs  # subClassOf
+
+
+def test_incremental_late_schema_refires_on_old_data(spark):
+    """A Δ that adds SCHEMA (new subClassOf) must re-fire rules over OLD
+    statements (the _touches_schema full-round fallback): ex:a, typed
+    ex:Thing long before, gains ex:Entity."""
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    r = eng.create_repository("inc_late_schema", ruleset="rdfsplus")
+    r.load_turtle(ONTOLOGY_TTL)
+    r.load_turtle(BATCH1_TTL)
+    r.load_turtle(LATE_SCHEMA_TTL)
+
+    got = {
+        (row["s"]["lex"], row["t"]["lex"])
+        for row in r.sparql("SELECT ?s ?t WHERE { ?s a ?t }").collect()
+    }
+    assert ("http://inc#a", "http://inc#Entity") in got
+
+    one = eng.create_repository("inc_late_oneshot", ruleset="rdfsplus")
+    one.load_turtle(ONTOLOGY_TTL + BATCH1_TTL + LATE_SCHEMA_TTL)
+    assert _all_quads(r) == _all_quads(one)
