@@ -811,6 +811,48 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_SQL = f"""
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           COUNT(l.neighbor_id) AS n_hit,
+           ROUND(CAST(COUNT(l.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM ({_ANN_SQL}) e
+    LEFT JOIN ({_LSH_TOPK_SQL}) l
+      ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_recall_eval",
+    _RECALL_SQL,
+    doc="Recall@5 of the LSH path against the exact brute-force baseline, "
+        "per query — the evaluation loop every approximate index needs "
+        "before it replaces the exact one in production. Both sides are "
+        "the already-oracled top-k plans; the comparison is a left-semi "
+        "hit count per query (integers, then one exact IEEE division). "
+        "At 100 TB both sides are precomputed result tables and this is "
+        "a tiny join on (query, neighbor).",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return totals.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-bucketed ANN: nearest-centroid cells + nprobe=2 (SURVEY §7 similarity —
 # the partition-pruning scale path: at 100 TB the corpus is PARTITIONED BY
