@@ -36,5 +36,33 @@ def haversine_km(args: list[Column]) -> Column:
     return make_numeric(d.cast("decimal(38,10)"), XSD + "double")
 
 
+_WKT_POINT = r"^\s*POINT\s*\(\s*(-?[0-9.eE+]+)\s+(-?[0-9.eE+]+)\s*\)\s*$"
+
+
+def _wkt_coord(args: list[Column], group: int) -> Column:
+    """Extract a coordinate from a ``POINT(lon lat)`` wktLiteral (the
+    reference's geometry encoding, facilities.ttl:161-171). Non-POINT or
+    malformed input → empty extract → null cast → SPARQL error (row
+    dropped in FILTER, unbound in BIND) — never a wrong number."""
+    coord = F.regexp_extract(args[0]["lex"], _WKT_POINT, group)
+    return make_numeric(
+        F.when(coord != "", coord).cast("decimal(38,10)")
+    )
+
+
+def wkt_lon(args: list[Column]) -> Column:
+    """fn:wktLon("POINT(lon lat)") → longitude as xsd:decimal."""
+    return _wkt_coord(args, 1)
+
+
+def wkt_lat(args: list[Column]) -> Column:
+    """fn:wktLat("POINT(lon lat)") → latitude as xsd:decimal."""
+    return _wkt_coord(args, 2)
+
+
 def default_extensions() -> dict:
-    return {FN + "haversineKm": haversine_km}
+    return {
+        FN + "haversineKm": haversine_km,
+        FN + "wktLon": wkt_lon,
+        FN + "wktLat": wkt_lat,
+    }

@@ -91,3 +91,40 @@ def test_unknown_function_raises(repo):
         repo.sparql(
             P + "SELECT ?d WHERE { ?p ex:lat ?lat . BIND(<urn:nope:fn>(?lat) AS ?d) }"
         )
+
+
+def test_wkt_point_accessors(spark):
+    """fn:wktLon/fn:wktLat pull coordinates out of the reference's
+    POINT(lon lat) wktLiterals (facilities.ttl:161-171); malformed WKT is
+    a SPARQL error (unbound), never a wrong number."""
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    r = eng.create_repository("ext_wkt", ruleset="none")
+    r.load_turtle("""
+        @prefix ex: <http://x#> .
+        @prefix geo: <http://www.opengis.net/ont/geosparql#> .
+        ex:g1 geo:asWKT "POINT(-6.2603 53.3498)"^^geo:wktLiteral .
+        ex:g2 geo:asWKT "LINESTRING(0 0, 1 1)"^^geo:wktLiteral .
+    """)
+    rows = r.sparql_collect("""
+        PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+        PREFIX fn: <urn:spark-graft:fn:>
+        SELECT ?g ?lon ?lat WHERE {
+          ?g geo:asWKT ?w .
+          BIND(fn:wktLon(?w) AS ?lon) BIND(fn:wktLat(?w) AS ?lat)
+        } ORDER BY ?g
+    """)
+    assert rows[0]["lon"].lex == "-6.2603" and rows[0]["lat"].lex == "53.3498"
+    assert rows[1]["lon"] is None or rows[1]["lon"]["kind"] is None
+    # composes with haversine: distance from the point to itself is 0
+    rows2 = r.sparql_collect("""
+        PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+        PREFIX fn: <urn:spark-graft:fn:>
+        SELECT ?d WHERE {
+          ?g geo:asWKT ?w . FILTER(ISLITERAL(?w) && STRSTARTS(STR(?w), "POINT"))
+          BIND(fn:haversineKm(fn:wktLat(?w), fn:wktLon(?w),
+                              fn:wktLat(?w), fn:wktLon(?w)) AS ?d)
+        }
+    """)
+    assert float(rows2[0]["d"].lex) == 0.0
