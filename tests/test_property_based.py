@@ -381,3 +381,109 @@ def test_range_join_bucketed_rejects_zero_width(spark):
             pdf, bdf, key="user_id", probe_ts="p_ts", build_ts="b_ts",
             lo=0, hi=0, bucket_width=0,
         )
+
+
+# -- bucketed sessionize ≡ plain sessionize across bucket boundaries ---------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),            # user
+            st.integers(0, 30) ,          # hour offset (spans many 6h buckets)
+            st.integers(0, 3599),         # second within the hour
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_bucketed_sessionize_equals_plain(spark, events):
+    """Random event streams crossing 6h bucket boundaries: the skew-safe
+    (user, bucket) strategy must reproduce the bare-user_id windows
+    exactly — session indexes, starts and sizes."""
+    import pyspark.sql.functions as F2
+    from pyspark.sql import Window as W2
+    from dublin_smart_city_graphdb_spark.harness.pipeline import (
+        _SESSION_BUCKET_US,
+    )
+
+    rows = [
+        (i, u, (h * 3600 + s) * 1_000_000)
+        for i, (u, h, s) in enumerate(sorted(set(events)))
+    ]
+    e = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+
+    # plain variant (mirrors events_sessionize's window chain)
+    gap = 1_800_000_000
+    w = W2.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = e.withColumn(
+        "new_session",
+        F2.when(
+            (F2.col("ts_us") - F2.lag("ts_us").over(w) > gap)
+            | F2.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    plain = (
+        marked.withColumn(
+            "session_idx",
+            F2.sum("new_session").over(
+                w.rowsBetween(W2.unboundedPreceding, W2.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(F2.min("ts_us").alias("session_start_us"), F2.count("*").alias("n_events"))
+    )
+
+    # bucketed variant (mirrors events_sessionize_bucketed)
+    eb = e.withColumn(
+        "_bkt", (F2.col("ts_us") / F2.lit(_SESSION_BUCKET_US)).cast("long")
+    )
+    w_in = W2.partitionBy("user_id", "_bkt").orderBy("ts_us", "event_id")
+    lag_ts = F2.lag("ts_us").over(w_in)
+    m2 = eb.withColumn(
+        "new_session",
+        F2.when((F2.col("ts_us") - lag_ts > gap) | lag_ts.isNull(), 1).otherwise(0),
+    ).withColumn(
+        "rsum",
+        F2.sum("new_session").over(
+            w_in.rowsBetween(W2.unboundedPreceding, W2.currentRow)
+        ),
+    )
+    summ = m2.groupBy("user_id", "_bkt").agg(
+        F2.min(F2.struct("ts_us", "event_id")).alias("_first"),
+        F2.max(F2.struct("ts_us", "event_id")).alias("_last"),
+        F2.sum("new_session").alias("n_new"),
+    )
+    w_b = W2.partitionBy("user_id").orderBy("_bkt")
+    prev_last = F2.lag(F2.col("_last.ts_us")).over(w_b)
+    corrected = summ.select(
+        "user_id", "_bkt",
+        F2.when(
+            prev_last.isNull() | (F2.col("_first.ts_us") - prev_last > gap), 1
+        ).otherwise(0).alias("first_new"),
+        "n_new",
+    ).withColumn("corr", F2.col("n_new") - 1 + F2.col("first_new"))
+    offsets = corrected.select(
+        "user_id", "_bkt", "first_new",
+        F2.coalesce(
+            F2.sum("corr").over(w_b.rowsBetween(W2.unboundedPreceding, -1)),
+            F2.lit(0),
+        ).alias("offset"),
+    )
+    joined = m2.join(offsets, ["user_id", "_bkt"])
+    idx = F2.col("offset") + F2.col("rsum") - 1 + F2.col("first_new")
+    bucketed = (
+        joined.select("user_id", idx.alias("session_idx"), "ts_us")
+        .groupBy("user_id", "session_idx")
+        .agg(F2.min("ts_us").alias("session_start_us"), F2.count("*").alias("n_events"))
+    )
+
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bucketed.collect())
+    )
