@@ -590,3 +590,30 @@ def sparql_count_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame
 def sparql_describe_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _sparql(spark, sf_dir, "DESCRIBE <urn:nation:3>")
     return df.select("s", "p", F.col("o_lex").alias("o"))
+
+
+@register(
+    "sparql_bind_if_bands",
+    """
+    SELECT c_name AS name,
+           CASE WHEN CAST(c_acctbal AS DECIMAL(18,2)) > 5000 THEN 'high'
+                WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 0 THEN 'debt'
+                ELSE 'mid' END AS band
+    FROM customer
+    """,
+    doc="SPARQL BIND + nested IF (functional forms, SURVEY §2.7) through "
+        "the engine: account-balance banding compiled to a JVM CASE WHEN "
+        "chain over the typed shadow column — exercises the 3-valued IF "
+        "semantics the W3C slice pins (an erroring condition would yield "
+        "unbound, never a wrong branch).",
+)
+def sparql_bind_if_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT ?name ?band
+        WHERE {{
+          ?c a rel:Customer ; rel:name ?name ; rel:acctbal ?bal .
+          BIND(IF(?bal > 5000, "high", IF(?bal < 0, "debt", "mid")) AS ?band)
+        }}
+    """)
+    return df.select(_lex("name").alias("name"), _lex("band").alias("band"))
