@@ -317,6 +317,7 @@ _CLUSTERS_SQL = f"""
         "(singletons keep their own id). O(log n) min-propagation rounds, "
         "one node-id shuffle each — the distributed-CC shape that survives "
         "100 TB, oracle-checked against a recursive-CTE closure.",
+    cache_plan=False,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dublin_smart_city_graphdb_spark.graph.closure import connected_components
@@ -1057,6 +1058,7 @@ _KMEANS_SQL = f"""
         "shuffle of decimal-exact partial sums (means) — the corpus is "
         "never collected, so the same plan trains on 100 TB. Oracle mirrors "
         "both rounds via chained CTEs.",
+    cache_plan=False,
 )
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dublin_smart_city_graphdb_spark.operators.kmeans import kmeans
@@ -2164,6 +2166,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the longest document, tie-broken by lowest doc_id. One cluster_id "
         "shuffle shared by the rank and member-count windows; emits one row "
         "per surviving document.",
+    cache_plan=False,
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters(spark, sf_dir)

@@ -22,16 +22,66 @@ class HarnessQuery:
     fn: QueryFn
     oracle: str | None  # None → driver records a weaker rows-only check
     doc: str = ""
+    # Uncached constructor — plan tests use this: a cached DataFrame that
+    # some earlier caller already executed prints its FINAL adaptive plan
+    # (AQEShuffleRead / materialized query stages), not the compile-time
+    # shape the assertions pin.
+    raw_fn: QueryFn = None
 
 
 REGISTRY: dict[str, HarnessQuery] = {}
 
+# Prepared-plan cache (same rationale as Repository.sparql and the SPARQL
+# gate's _PLAN_CACHE): constructing a DataFrame plan is Py4J-chatty
+# (hundreds of gateway round trips building Column trees) and some
+# operators run bounded driver-side stages at build time (ANN query
+# collect, k-means centroid rounds, shard prefix offsets). Inputs are
+# immutable per (session, sf_dir), so identical calls reuse the compiled
+# plan — execution itself still runs fully distributed on every call.
+# shuffle.partitions rides in the key so sessions that re-tune it (the
+# partition-invariance tests) get fresh plans.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
 
-def register(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: add a harness query to the registry."""
+
+def register(
+    name: str, oracle: str | None, doc: str = "", cache_plan: bool = True
+):
+    """Decorator: add a harness query to the registry (plan-cached).
+
+    ``cache_plan=False`` for operators whose DOMINANT compute runs at
+    plan-build time (iterative fixpoints that localCheckpoint each round,
+    Lloyd iterations collecting centroids): caching those would turn a
+    repeat call into a re-count of materialized state and overstate any
+    benchmark — they rebuild, honestly re-running the work. Declarative
+    plans (construction = metadata + at most a bounded scatter-gather)
+    cache; their execution still runs fully distributed every call.
+    """
 
     def wrap(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = HarnessQuery(name=name, fn=fn, oracle=oracle, doc=doc)
+        if not cache_plan:
+            REGISTRY[name] = HarnessQuery(
+                name=name, fn=fn, oracle=oracle, doc=doc, raw_fn=fn
+            )
+            return fn
+
+        def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (
+                spark.sparkContext.applicationId,
+                sf_dir,
+                name,
+                spark.conf.get("spark.sql.shuffle.partitions", ""),
+            )
+            if key not in _PLAN_CACHE:
+                if len(_PLAN_CACHE) >= 512:
+                    _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+                _PLAN_CACHE[key] = fn(spark, sf_dir)
+            return _PLAN_CACHE[key]
+
+        cached.__name__ = fn.__name__
+        cached.__doc__ = fn.__doc__
+        REGISTRY[name] = HarnessQuery(
+            name=name, fn=cached, oracle=oracle, doc=doc, raw_fn=fn
+        )
         return fn
 
     return wrap

@@ -824,6 +824,7 @@ def geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SURVEY §2.2 P7 + §4.2(3): property path '+' → driver-side "
         "iterate-to-fixpoint frontier joins (Catalyst has no recursion); "
         "oracle uses DuckDB WITH RECURSIVE.",
+    cache_plan=False,
 )
 def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
@@ -890,6 +891,7 @@ _PAGERANK_SQL = f"""
         "aggregateMessages shape as pure DataFrame ops; decimal-exact "
         "contribution sums keep distributed partial-sum order out of the "
         "result.",
+    cache_plan=False,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")

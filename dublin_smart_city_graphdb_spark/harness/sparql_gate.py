@@ -191,6 +191,7 @@ def sparql_bgp_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region 2-hop facts (rdfs7 + transitive closure), which the query "
         "reads back ONLY from the inferred graph. Oracle reproduces the "
         "closure relationally.",
+    cache_plan=False,
 )
 def inference_transitive_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dublin_smart_city_graphdb_spark.inference.rdfsplus import materialize

@@ -14,7 +14,7 @@ def plan_of(df) -> str:
 
 
 def q(spark, name):
-    return harness.REGISTRY[name].fn(spark, SF_DIR)
+    return harness.REGISTRY[name].raw_fn(spark, SF_DIR)
 
 
 def test_jaccard_packs_sizes_below_the_explode(spark):
