@@ -618,3 +618,35 @@ def sparql_bind_if_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         }}
     """)
     return df.select(_lex("name").alias("name"), _lex("band").alias("band"))
+
+
+@register(
+    "sparql_star_view_customers",
+    """
+    SELECT c_name AS name,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+    FROM customer
+    """,
+    doc="Property-table star routing (SURVEY §1.5) under the driver gate: "
+        "the customer star BGP compiles against a materialized star view "
+        "(one columnar scan of the term-struct wide table) instead of "
+        "per-predicate quad scans — results must be indistinguishable "
+        "from the quad-scan plan, which the shared oracle enforces.",
+)
+def sparql_star_view_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.model.property_table import star_view
+
+    quads = _quads(spark, sf_dir)
+    preds = [R + "name", R + "acctbal"]
+    view = star_view(quads, preds, class_iri=R + "Customer").localCheckpoint(
+        eager=True
+    )
+    compiler = QueryCompiler(
+        spark, quads, star_views=[(set(preds), R + "Customer", view)]
+    )
+    df = compiler.compile(parse_query(f"""
+        PREFIX rel: <{R}>
+        SELECT ?name ?bal
+        WHERE {{ ?c a rel:Customer ; rel:name ?name ; rel:acctbal ?bal . }}
+    """))
+    return df.select(_lex("name").alias("name"), _money("bal").alias("bal"))
