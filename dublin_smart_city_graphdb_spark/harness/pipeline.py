@@ -812,6 +812,50 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_PAIRS_SQL = f"""
+    SELECT p.vec_a, p.vec_b, p.cosine,
+           da.source AS source_a, db.source AS source_b,
+           da.lang AS lang_a, db.lang AS lang_b
+    FROM ({_COSINE_PAIRS_SQL}) p
+    JOIN documents da ON da.doc_id = p.vec_a
+    JOIN documents db ON db.doc_id = p.vec_b
+"""
+
+
+@register(
+    "dedup_semantic_pairs",
+    _SEMANTIC_PAIRS_SQL,
+    doc="Cross-modal near-dup triage: embedding-cosine candidate pairs "
+        "(vec_id aligns with doc_id in the driver testdata) joined back to "
+        "document metadata — the table a curation reviewer actually reads "
+        "(does this near-dup cross sources? languages?). The pair side is "
+        "orders of magnitude smaller than the corpus, so the metadata "
+        "lookups are two equi-joins on doc_id that AQE broadcasts; the "
+        "corpus is never re-scored.",
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = embedding_cosine_pairs(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    da = d.select(
+        F.col("doc_id").alias("vec_a"),
+        F.col("source").alias("source_a"),
+        F.col("lang").alias("lang_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("vec_b"),
+        F.col("source").alias("source_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    return (
+        pairs.join(da, "vec_a")
+        .join(db, "vec_b")
+        .select(
+            "vec_a", "vec_b", "cosine",
+            "source_a", "source_b", "lang_a", "lang_b",
+        )
+    )
+
+
 _RECALL_SQL = f"""
     SELECT e.query_id,
            COUNT(*) AS n_exact,
