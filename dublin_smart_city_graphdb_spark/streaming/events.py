@@ -208,3 +208,22 @@ def enriched_counts_stream(
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "segment", "n_events")
     )
+
+
+def anomaly_flags_stream(
+    events: DataFrame, stats: DataFrame, threshold: float = 2.5
+) -> DataFrame:
+    """Streaming twin of the batch ``events_anomaly_zscore``: per-type
+    mean/std come from a STATIC stats table (computed over history by the
+    batch op — the deployment split every production detector uses:
+    model-fit offline, score online). The stream joins the broadcast
+    stats per micro-batch and filags |z| > threshold map-side — no
+    streaming state at all, so the operator scales with throughput, not
+    key cardinality."""
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > threshold)
+        .select("event_id", "event_type", "value", "z")
+    )

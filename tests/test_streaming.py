@@ -275,3 +275,54 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path, events_dir):
     want = {(r["p_id"], r["v_id"]) for r in want_df.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_anomaly_flags_stream_matches_batch(spark, tmp_path, events_dir):
+    """Streaming anomaly flags (static-stats broadcast join, stateless)
+    agree exactly with the batch z-score operator on the same events."""
+    import pyspark.sql.functions as F
+
+    from dublin_smart_city_graphdb_spark.streaming.events import (
+        anomaly_flags_stream,
+        batch_events_with_etime,
+        run_available_to_memory,
+        stream_events,
+    )
+    from tests.conftest import SF_DIR
+
+    batch = batch_events_with_etime(spark, events_dir)
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = (
+        batch.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec).cast("double").alias("s"),
+            F.sum(dec * dec).cast("double").alias("sq"),
+        )
+        .select(
+            "event_type",
+            (F.col("s") / F.col("n")).alias("mean"),
+            F.sqrt(
+                F.col("sq") / F.col("n")
+                - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+            ).alias("std"),
+        )
+    )
+    stream = stream_events(spark, events_dir)
+    got = run_available_to_memory(
+        spark,
+        anomaly_flags_stream(stream, stats),
+        "t_anomaly",
+        str(tmp_path / "ckpt_anomaly"),
+        output_mode="append",
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    want = (
+        batch.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "event_type", "value", "z")
+    )
+    got_rows = sorted(map(tuple, got.select("event_id", "z").collect()))
+    want_rows = sorted(map(tuple, want.select("event_id", "z").collect()))
+    assert got_rows == want_rows and len(got_rows) > 0
