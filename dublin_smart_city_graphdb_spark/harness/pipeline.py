@@ -2305,3 +2305,266 @@ def events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("approx_percentile(value, 0.95D, 10000)"), 6).alias("p95"),
         F.round(F.expr("approx_percentile(value, 0.99D, 10000)"), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: repetition signals (Gopher/C4-style quality rules — the
+# most-repeated-word fraction and the duplicate-bigram mass of a document)
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, 0 AS kind, {_hash60_duck('w[i]')} AS g
+        FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+        UNION ALL
+        SELECT doc_id, 1 AS kind, {_hash60_duck("w[i] || ' ' || w[i+1]")} AS g
+        FROM words, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    cnt AS (SELECT doc_id, kind, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3)
+    SELECT doc_id,
+           MAX(CASE WHEN kind = 0 THEN c END) AS top_word_count,
+           CAST(SUM(CASE WHEN kind = 0 THEN c END) AS BIGINT) AS n_words,
+           ROUND(CAST(MAX(CASE WHEN kind = 0 THEN c END) AS DOUBLE)
+                 / SUM(CASE WHEN kind = 0 THEN c END), 6) AS top_word_frac,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN kind = 1 AND c > 1 THEN c END), 0)
+                      AS DOUBLE)
+                 / SUM(CASE WHEN kind = 1 THEN c END), 6) AS dup_bigram_frac
+    FROM cnt GROUP BY doc_id
+"""
+
+
+@register(
+    "text_repetition",
+    _REPETITION_SQL,
+    doc="Repetition signals (Gopher/C4 quality rules): most-frequent-word "
+        "fraction and the fraction of bigram occurrences belonging to "
+        "repeated bigrams — the standard boilerplate/spam detectors of a "
+        "pretraining curation pass. One pass: words and bigrams ride one "
+        "exploded array with a kind marker (no second documents scan), "
+        "grams are 60-bit hashes so the (doc, kind, gram) shuffle key is "
+        "fixed-width, and both shuffles are doc-grain (no global state). "
+        "All aggregates are exact integers; the two fractions are single "
+        "int/int divisions, identical IEEE ops on both engines.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_parallel(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    # Array build in its own select BELOW the explode (same plan-shape rule
+    # as dedup_ngram_jaccard: fused, the Project lands above the Generate
+    # and re-evaluates per exploded row). sequence() guard: size(w)==1 must
+    # yield an empty bigram list, not sequence(1,0) == [1,0].
+    word_h = _hash60_spark("x")
+    bigram_h = _hash60_spark("concat(element_at(w, i), ' ', element_at(w, i + 1))")
+    arr = base.select(
+        "doc_id",
+        F.expr(
+            f"""concat(
+                transform(w, x -> named_struct('kind', 0, 'g', {word_h})),
+                transform(
+                    if(size(w) >= 2, sequence(1, size(w) - 1), array()),
+                    i -> named_struct('kind', 1, 'g', {bigram_h})))"""
+        ).alias("arr"),
+    )
+    g = arr.select("doc_id", F.explode("arr").alias("s")).select(
+        "doc_id", F.col("s.kind").alias("kind"), F.col("s.g").alias("g")
+    )
+    cnt = g.groupBy("doc_id", "kind", "g").agg(F.count("*").alias("c"))
+    w0 = F.when(F.col("kind") == 0, F.col("c"))
+    w1 = F.when(F.col("kind") == 1, F.col("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.max(w0).alias("top_word_count"),
+        F.sum(w0).alias("n_words"),
+        F.round(F.max(w0).cast("double") / F.sum(w0), 6).alias("top_word_frac"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when((F.col("kind") == 1) & (F.col("c") > 1), F.col("c"))),
+                F.lit(0),
+            ).cast("double")
+            / F.sum(w1),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: corpus-level unigram LM scoring (perplexity-style quality
+# signal without an external model — the corpus is its own language model)
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_SQL = """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT SUM(c) AS n FROM vocab)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 6) AS mean_logprob,
+           ROUND(-AVG(LN(CAST(c AS DOUBLE) / n)) / LN(2), 6) AS bits_per_token
+    FROM toks JOIN vocab USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "text_unigram_logprob",
+    _UNIGRAM_SQL,
+    doc="Unigram log-probability scoring: fit a unigram LM on the corpus "
+        "itself (token → count, one aggregation with map-side partials), "
+        "then score every document's mean log-prob / bits-per-token under "
+        "it — the cheap perplexity proxy used to rank documents before an "
+        "expensive model-based filter. The vocab (|distinct tokens| ≪ "
+        "|tokens|) broadcasts into the scoring join, so the corpus-side "
+        "token stream is never shuffled for the lookup; the only "
+        "corpus-scale shuffle is the per-doc aggregation. The 1-row total "
+        "is a broadcast cross join, not a collect.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_parallel(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    vocab = toks.groupBy("t").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    logprob = F.log(F.col("c").cast("double") / F.col("n"))
+    return (
+        toks.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(logprob), 6).alias("mean_logprob"),
+            F.round(-F.avg(logprob) / F.log(F.lit(2.0)), 6).alias("bits_per_token"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: rule-based quality filter (Gopher-style keep/drop with
+# per-rule flags — the auditable form: you can see WHY a doc was dropped)
+# ---------------------------------------------------------------------------
+
+_FILTER_RULES_SQL = """
+    WITH feat AS (
+        SELECT doc_id, source, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           n_tokens BETWEEN 10 AND 1000 AS pass_len,
+           CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+               BETWEEN 2.0 AND 12.0 AS pass_word_len,
+           n_stop >= 2 AS pass_stopwords,
+           CAST(n_alpha AS DOUBLE) / n_chars >= 0.55 AS pass_alpha,
+           (n_tokens BETWEEN 10 AND 1000)
+               AND (CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+                    BETWEEN 2.0 AND 12.0)
+               AND n_stop >= 2
+               AND CAST(n_alpha AS DOUBLE) / n_chars >= 0.55 AS keep
+    FROM feat
+"""
+
+
+@register(
+    "corpus_filter_rules",
+    _FILTER_RULES_SQL,
+    doc="Gopher-style rule filter with per-rule audit flags: token-count "
+        "band, mean word length band (chars net of separators / tokens — "
+        "exact integer arithmetic), minimum stopword hits, alphabetic "
+        "ratio floor, plus the conjunctive keep bit. Pure map-side — zero "
+        "shuffles, zero UDFs; at 100 TB this is a single scan whose "
+        "projections all stay in whole-stage codegen.",
+)
+def corpus_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    feat = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).alias("n_alpha"),
+        F.expr(
+            "size(filter(split(text, ' '), "
+            "t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))"
+        ).alias("n_stop"),
+    )
+    mean_wl = (F.col("n_chars") - F.col("n_tokens") + 1).cast("double") / F.col(
+        "n_tokens"
+    )
+    pass_len = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000)
+    pass_word_len = (mean_wl >= 2.0) & (mean_wl <= 12.0)
+    pass_stopwords = F.col("n_stop") >= 2
+    pass_alpha = F.col("n_alpha").cast("double") / F.col("n_chars") >= 0.55
+    return feat.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        pass_len.alias("pass_len"),
+        pass_word_len.alias("pass_word_len"),
+        pass_stopwords.alias("pass_stopwords"),
+        pass_alpha.alias("pass_alpha"),
+        (pass_len & pass_word_len & pass_stopwords & pass_alpha).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding curation: symmetric int8 quantization (the storage/serving
+# compression step of an embedding pipeline), exploded to scalar rows so
+# the oracle compares exact integers
+# ---------------------------------------------------------------------------
+
+_QUANTIZE_SQL = """
+    WITH scaled AS (
+        SELECT vec_id, embedding,
+               -- explicit DOUBLE: DuckDB types FLOAT / 127.0 as FLOAT
+               -- (decimal literal), Spark promotes to double
+               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                   / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(i AS INTEGER) AS dim,
+           CAST(round(CAST(embedding[i] AS DOUBLE) / scale) AS INTEGER) AS q,
+           CAST(round(scale * 1000000000.0) AS BIGINT) AS scale_e9
+    FROM scaled, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+"""
+
+
+@register(
+    "embed_quantize_int8",
+    _QUANTIZE_SQL,
+    doc="Symmetric per-vector int8 quantization: scale = max|x|/127, q = "
+        "round(x/scale) ∈ [-127, 127] — 4× smaller vectors for ANN serving "
+        "with ~1e-2 recall cost. Map-side only (scale and quantized values "
+        "derive from the row itself — no shuffle, no UDF; the transform/"
+        "array_max/posexplode chain is all JVM expression code). Output is "
+        "posexploded to (vec_id, dim, q) scalar rows: float32→float64 "
+        "promotion is exact on both engines, so q compares bit-identically; "
+        "the per-vector scale is surfaced as an integer nano-scale "
+        "(round(scale·1e9)) because round(double, 9) itself differs "
+        "between engines (Spark routes through BigDecimal string forms).",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    scaled = e.select(
+        "vec_id",
+        "embedding",
+        (
+            F.expr("array_max(transform(embedding, x -> abs(x)))") / F.lit(127.0)
+        ).alias("scale"),
+    )
+    return scaled.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "v"),
+        "scale",
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("v").cast("double") / F.col("scale")).cast("int").alias("q"),
+        F.round(F.col("scale") * F.lit(1_000_000_000.0))
+        .cast("bigint")
+        .alias("scale_e9"),
+    )

@@ -173,6 +173,49 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P6/A3 — selective filter + global aggregate (TPC-H Q6 shape): the pure
+# predicate-pushdown showcase — every WHERE clause reaches the parquet scan
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: scan-only revenue forecast — no join, one partial "
+        "+ final aggregate, and every predicate (shipdate range, discount "
+        "band, quantity cap) is pushed into the parquet scan where row-group "
+        "min/max stats prune IO before rows are ever decoded. Revenue is an "
+        "exact decimal product/sum (order-independent), surfaced as double.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # A2/A3/A7 — grouped aggregation (TPC-H Q1 shape; SPARQL GROUP BY analog,
 # reference facilities.ttl:190-193)
 # ---------------------------------------------------------------------------

@@ -43,7 +43,28 @@ class QuadStore:
         return os.path.join(self.path, "_predicate_stats.json")
 
     def write(self, quads: DataFrame, mode: str = "append") -> None:
-        if self.bucket_subjects:
+        if mode == "overwrite" and not self.bucket_subjects and self.exists():
+            # The overwritten plan usually READS this store (inference
+            # re-materialization, SPARQL UPDATE rewrites): a direct
+            # overwrite deletes the source files at job start and the job
+            # dies with FAILED_READ_FILE. Write aside, then swap with two
+            # renames — same crash-safe pattern as compact(); the source
+            # files stay in place until the rewrite job has finished.
+            import shutil
+
+            tmp = self.path + ".rewriting"
+            quads.write.mode("overwrite").partitionBy("p").parquet(tmp)
+            old = self.path + ".old"
+            os.rename(self.path, old)
+            os.rename(tmp, self.path)
+            shutil.rmtree(old)
+            # drop any cached file listing for the swapped path
+            self.spark.catalog.refreshByPath(self.path)
+        elif self.bucket_subjects:
+            if mode == "overwrite" and self.exists():
+                # saveAsTable(overwrite) drops the table's files before the
+                # job runs — detach a self-reading plan from them first
+                quads = quads.localCheckpoint(eager=True)
             (
                 quads.write.mode(mode)
                 .partitionBy("p")

@@ -158,3 +158,39 @@ def test_store_compaction(spark, tmp_path):
     # the swap left no temp/backup directories behind
     parent = os.path.dirname(store.path)
     assert not [e for e in os.listdir(parent) if e.endswith((".old", ".compacting"))]
+
+
+def test_store_backed_inference_and_update_rewrite(spark, tmp_path):
+    """Overwriting the quad store from a plan that READS the same store
+    (inference re-materialization, SPARQL UPDATE rewrites) must not delete
+    the source files under the running job — regression for the
+    write-aside-and-swap path in QuadStore.write(mode='overwrite')."""
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, warehouse=wh)
+    r = eng.create_repository("rw", ruleset="rdfsplus")
+    # first load: append + full materialization over the store
+    r.load_turtle(
+        "@prefix ex: <http://x#> .\n"
+        "ex:knows a <http://www.w3.org/2002/07/owl#SymmetricProperty> .\n"
+        "ex:a ex:knows ex:b .\n"
+    )
+    inferred = r.sparql_collect(
+        "SELECT ?s WHERE { <http://x#b> <http://x#knows> ?s }"
+    )
+    assert [x["s"].lex for x in inferred] == ["http://x#a"]
+    # incremental append over the store-backed repo
+    r.load_turtle("@prefix ex: <http://x#> .\nex:c ex:knows ex:a .\n")
+    assert (
+        len(r.sparql_collect("SELECT ?s ?o WHERE { ?s <http://x#knows> ?o }"))
+        == 4
+    )
+    # full re-materialization (store → plan → overwrite same store)
+    r.materialize_inference()
+    # UPDATE rewrite (anti-join over the store → overwrite same store)
+    r.update("DELETE WHERE { <http://x#c> ?p ?o }")
+    rows = r.sparql_collect("SELECT ?s ?o WHERE { ?s <http://x#knows> ?o }")
+    assert {(x["s"].lex, x["o"].lex) for x in rows} >= {
+        ("http://x#a", "http://x#b"),
+        ("http://x#b", "http://x#a"),
+    }
+    assert all(x["s"].lex != "http://x#c" for x in rows)

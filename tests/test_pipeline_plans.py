@@ -194,3 +194,56 @@ def test_anomaly_zscore_broadcasts_stats(spark):
     plan = plan_of(q(spark, "events_anomaly_zscore"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q6_pushes_every_predicate_into_the_scan(spark):
+    """TPC-H Q6 is the pushdown showcase: shipdate range, discount band and
+    quantity cap must all reach the parquet reader (row-group min/max
+    pruning), and the plan is scan → partial agg → final agg — no join."""
+    plan = plan_of(q(spark, "q6_forecast_revenue"))
+    assert "Join" not in plan
+    pushed = [l for l in plan.split("\n") if "PushedFilters" in l]
+    assert pushed, "no PushedFilters line in scan"
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in l for l in pushed), f"{col} not pushed"
+
+
+def test_filter_rules_is_pure_map_side(spark):
+    """The rule filter is one scan with zero shuffles and zero joins — at
+    100 TB it must stay embarrassingly parallel."""
+    plan = plan_of(q(spark, "corpus_filter_rules"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_quantize_is_pure_map_side(spark):
+    """int8 quantization derives scale and q from the row itself: one scan,
+    no Exchange, no Join, no Python (all JVM expressions)."""
+    plan = plan_of(q(spark, "embed_quantize_int8"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The vocab lookup must broadcast (|vocab| ≪ |tokens|): the exploded
+    corpus token stream is never shuffled for the join; the only
+    corpus-scale hash exchange is the per-doc aggregation."""
+    plan = plan_of(q(spark, "text_unigram_logprob"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_repetition_packs_grams_below_the_explode(spark):
+    """Words+bigrams ride ONE exploded array (single documents scan), the
+    gram-hash projection sits below the Generate (per-document, not
+    per-exploded-row evaluation), and the only hash exchanges are the two
+    doc-grain aggregations."""
+    plan = plan_of(q(spark, "text_repetition"))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert plan.index("Generate explode") < plan.index("conv(")
+    assert plan.count("Exchange hashpartitioning") == 2
