@@ -42,6 +42,11 @@ class Repository:
         self.name = name
         self.config = config
         self._quads: DataFrame | None = None
+        # Statement-set version: bumped on every mutation; keys the plan
+        # and star-view caches. (id(self._quads) is NOT a safe key — after
+        # GC a new DataFrame can reuse the freed address and silently
+        # serve a stale cached plan/view.)
+        self._version: int = 0
         self._pred_stats: dict[str, int] | None = None
         self._plan_cache: dict[tuple, DataFrame] = {}
         # Star-view definitions (SURVEY §1.5 fast path): name →
@@ -63,6 +68,7 @@ class Repository:
     # -- loading ------------------------------------------------------------
     def add_quads(self, df: DataFrame) -> None:
         self._pred_stats = None
+        self._version += 1
         if self._store:
             self._store.write(df, mode="append")
             self._quads = self._store.read()
@@ -120,6 +126,7 @@ class Repository:
         )
         inferred = materialize(explicit)
         self._pred_stats = None
+        self._version += 1
         base = explicit
         if self._store:
             self._store.write(
@@ -153,7 +160,7 @@ class Repository:
         )
 
         preds, cls = self._star_view_defs[name]
-        key = id(self._quads)
+        key = self._version
         built = self._star_views_built.get(name)
         if built is not None and built[0] == key:
             return built[1]
@@ -204,8 +211,8 @@ class Repository:
         # Prepared-plan cache: compiling is Py4J-chatty (thousands of
         # gateway round trips building Column trees), so identical query
         # text over an unchanged statement set reuses the compiled
-        # DataFrame — plans are immutable, and any mutation path replaces
-        # self._quads, changing the cache key.
+        # DataFrame — plans are immutable, and every mutation path bumps
+        # self._version, changing the cache key.
         # SERVICE targets: sibling repositories in this catalog, addressable
         # as <urn:repo:{name}> (SPARQL 1.1 Federated Query, engine-internal).
         services = {
@@ -215,9 +222,9 @@ class Repository:
         }
         key = (
             query_text,
-            id(self._quads),
+            self._version,
             len(self.engine.functions),
-            tuple(sorted((n, id(r._quads)) for n, r in self.engine._repos.items())),
+            tuple(sorted((n, r._version) for n, r in self.engine._repos.items())),
             tuple(sorted(self._star_view_defs)),
         )
         cached = self._plan_cache.get(key)
@@ -329,6 +336,7 @@ class Repository:
         )
         result = UpdateExecutor(self.spark, load_fn).apply(explicit, ops)
         self._pred_stats = None
+        self._version += 1
         if self._store:
             self._store.write(result, mode="overwrite")
             self._quads = self._store.read()
