@@ -109,3 +109,14 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             r.id: r.component for r in connected_components(df).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_transitive_closure_deep_chain_crosses_compaction(spark):
+    """A 20-edge chain needs 20 fixpoint rounds — crossing the every-8-round
+    union compaction twice; all n·(n+1)/2 ancestor pairs must survive."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], ["src", "dst"]
+    )
+    got = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    want = {(a, b) for a in range(21) for b in range(a + 1, 21)}
+    assert got == want
