@@ -364,17 +364,49 @@ class QueryCompiler:
                 else:
                     col = F.sum(num) if fn == "SUM" else F.avg(num)
                 agg_exprs.append(col.alias(raw))
-                # SPARQL §18.5.1: Sum({}) = 0 (and Avg({}) = 0) — an empty
-                # or all-error operand multiset yields 0, not unbound.
-                builders[id(node)] = make_numeric(
-                    F.coalesce(F.col(raw), F.lit(0)).cast("decimal(38,10)")
-                )
+                val = F.coalesce(F.col(raw), F.lit(0)).cast("decimal(38,10)")
+                if fn == "SUM":
+                    # §18.5.1 type promotion: Sum over all-integer operands
+                    # is xsd:integer ("4950", not "4950.0"); any non-integer
+                    # operand promotes the result to decimal. Sum({}) = 0 —
+                    # the empty coalesce stays integer-typed.
+                    agg_exprs.append(
+                        F.max(
+                            F.when(
+                                num.isNotNull()
+                                & (operand["dtype"] != XSD + "integer"),
+                                1,
+                            ).otherwise(0)
+                        ).alias(raw + "_ni")
+                    )
+                    builders[id(node)] = F.when(
+                        F.coalesce(F.col(raw + "_ni"), F.lit(0)) == 0,
+                        make_numeric(val, XSD + "integer"),
+                    ).otherwise(make_numeric(val))
+                else:
+                    # AVG = Sum ÷ Count; integer ÷ integer is xsd:decimal
+                    # (§17.3), so decimal is correct even for integer input.
+                    builders[id(node)] = make_numeric(val)
             elif fn in ("MIN", "MAX"):
                 f = F.min if fn == "MIN" else F.max
+                fby = F.min_by if fn == "MIN" else F.max_by
                 agg_exprs.append(f(operand["num"]).alias(raw + "_n"))
                 agg_exprs.append(f(operand["lex"]).alias(raw + "_s"))
+                # MIN/MAX return one of the operand VALUES — its datatype
+                # rides along (integer stays integer) via min_by/max_by.
+                agg_exprs.append(
+                    fby(operand["dtype"], operand["num"]).alias(raw + "_dt")
+                )
                 builders[id(node)] = (
-                    F.when(F.col(raw + "_n").isNotNull(), make_numeric(F.col(raw + "_n")))
+                    F.when(
+                        F.col(raw + "_n").isNotNull()
+                        & (F.col(raw + "_dt") == XSD + "integer"),
+                        make_numeric(F.col(raw + "_n"), XSD + "integer"),
+                    )
+                    .when(
+                        F.col(raw + "_n").isNotNull(),
+                        make_numeric(F.col(raw + "_n")),
+                    )
                     .otherwise(make_string(F.col(raw + "_s")))
                 )
             elif fn == "GROUP_CONCAT":

@@ -194,3 +194,27 @@ def test_store_backed_inference_and_update_rewrite(spark, tmp_path):
         ("http://x#b", "http://x#a"),
     }
     assert all(x["s"].lex != "http://x#c" for x in rows)
+
+
+def test_gzip_ntriples_bulk_load(spark, tmp_path):
+    """Compressed N-Triples feeds load through the same distributed reader
+    (spark.read.text decodes .gz transparently) — the common wire format
+    for bulk RDF dumps. Gzip is non-splittable, so one file = one task:
+    bulk dumps should ship as many .gz parts, each a parallel unit."""
+    import gzip
+
+    nt = tmp_path / "bulk.nt.gz"
+    lines = "".join(
+        f'<http://x#s{i}> <http://x#p> "{i}"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        for i in range(100)
+    )
+    with gzip.open(nt, "wt") as f:
+        f.write(lines)
+    eng = Engine(spark)
+    r = eng.create_repository("gz", ruleset="none")
+    r.load_ntriples(str(nt))
+    assert r.count() == 100
+    rows = r.sparql_collect(
+        "SELECT (SUM(?v) AS ?total) WHERE { ?s <http://x#p> ?v }"
+    )
+    assert rows[0]["total"].lex == "4950"

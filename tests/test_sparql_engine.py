@@ -619,8 +619,10 @@ def test_sum_avg_over_empty_is_zero(micro):
         "{ ?x ex:age ?a . FILTER(?a > 1000) }"
     )
     assert len(rows) == 1
-    assert rows[0]["s"].lex.rstrip("0").rstrip(".") == "0"
-    assert rows[0]["v"].lex.rstrip("0").rstrip(".") == "0"
+    # Sum over an (empty) integer operand is xsd:integer — canonical "0";
+    # Avg is integer ÷ integer = xsd:decimal (§17.3) — canonical "0.0".
+    assert rows[0]["s"].lex == "0"
+    assert rows[0]["v"].lex == "0.0"
 
 
 def test_values_with_undef_rows(micro):
