@@ -2096,6 +2096,49 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OVERLAP_SQL = f"""
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM ({_MINHASH_PAIRS_SQL}) p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "source_overlap_matrix",
+    _OVERLAP_SQL,
+    doc="Cross-source contamination matrix: MinHash-LSH near-dup pairs "
+        "labeled with each side's corpus source, aggregated to an "
+        "unordered (source_a, source_b) pair count — the report that says "
+        "'src3 duplicates 12% of src0' before anyone weights a training "
+        "mixture (diagonal = within-source redundancy). Plan: the pair "
+        "set (≪ corpus by LSH construction) shuffle-joins twice on doc "
+        "id to pick up sources — no new corpus-side shuffle beyond the "
+        "LSH pipeline's own — and the final aggregate is |sources|² "
+        "rows with map-side partials.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.withColumnsRenamed({"doc_id": "doc_a", "source": "src_a"}),
+            "doc_a",
+        )
+        .join(
+            src.withColumnsRenamed({"doc_id": "doc_b", "source": "src_b"}),
+            "doc_b",
+        )
+    )
+    return lab.groupBy(
+        F.least("src_a", "src_b").alias("source_a"),
+        F.greatest("src_a", "src_b").alias("source_b"),
+    ).agg(F.count("*").alias("n_pairs"))
+
+
 @register(
     "events_anomaly_zscore",
     """
