@@ -2462,7 +2462,12 @@ _UNIGRAM_SQL = """
         "|tokens|) broadcasts into the scoring join, so the corpus-side "
         "token stream is never shuffled for the lookup; the only "
         "corpus-scale shuffle is the per-doc aggregation. The 1-row total "
-        "is a broadcast cross join, not a collect.",
+        "is a broadcast cross join, not a collect. Scale ceiling: at "
+        "100 TB the raw vocab (long tail of typos) can outgrow a "
+        "broadcast — the production form truncates to the top-K tokens "
+        "by count with one OOV fallback probability (constant-size "
+        "broadcast, same plan), or drops the hint and lets AQE pick a "
+        "shuffle join.",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_parallel(spark, sf_dir)
