@@ -14,7 +14,17 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     from dublin_smart_city_graphdb_spark.session import get_spark
 
-    s = get_spark(app_name="pytest", master="local[8]", shuffle_partitions=8)
+    # 16g heap: the full suite runs ~280 tests in ONE local-mode JVM
+    # (driver = executor = block manager) and accumulates localCheckpoint
+    # blocks, cached plans and codegen classes; under the 8g default a
+    # loaded box can OOM a daemon thread (observed: dag-scheduler-event-
+    # loop dying, wedging every later job forever).
+    s = get_spark(
+        app_name="pytest",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "16g"},
+    )
     yield s
 
 
