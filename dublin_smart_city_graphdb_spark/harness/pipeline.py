@@ -2096,6 +2096,46 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_top_users_hourly",
+    """
+    WITH per AS (
+        SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT)
+                   AS hour_idx,
+               user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT hour_idx, user_id, n, rk FROM (
+        SELECT hour_idx, user_id, n,
+               ROW_NUMBER() OVER (PARTITION BY hour_idx
+                                  ORDER BY n DESC, user_id) AS rk
+        FROM per
+    ) WHERE rk <= 3
+    """,
+    doc="Windowed top-k: the 3 most active users per tumbling hour — the "
+        "leaderboard composition (time-bucketed pre-aggregation, THEN a "
+        "rank window over the |hours × active users| aggregate, never "
+        "over raw events). One event-grain shuffle on (hour, user) with "
+        "map-side partials; the rank window's input is orders of "
+        "magnitude smaller than the stream.",
+)
+def events_top_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    per = (
+        e.select(
+            # integer div — exact, no double-rounding at hour boundaries
+            F.expr("ts_us div 3600000000").alias("hour_idx"),
+            "user_id",
+        )
+        .groupBy("hour_idx", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("hour_idx").orderBy(F.desc("n"), F.asc("user_id"))
+    return per.select(
+        "hour_idx", "user_id", "n", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 3)
+
+
 _OVERLAP_SQL = f"""
     SELECT LEAST(da.source, db.source) AS source_a,
            GREATEST(da.source, db.source) AS source_b,
