@@ -326,3 +326,33 @@ def test_anomaly_flags_stream_matches_batch(spark, tmp_path, events_dir):
     got_rows = sorted(map(tuple, got.select("event_id", "z").collect()))
     want_rows = sorted(map(tuple, want.select("event_id", "z").collect()))
     assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_quality_filter_stream_matches_batch(spark, tmp_path):
+    """The streaming quality filter (stateless, per-micro-batch map-side
+    rules) emits column-for-column what the batch corpus_filter_rules
+    operator computes over the same documents."""
+    from dublin_smart_city_graphdb_spark.harness import REGISTRY
+    from dublin_smart_city_graphdb_spark.streaming.documents import (
+        quality_filter_stream,
+        stream_documents,
+    )
+    from dublin_smart_city_graphdb_spark.streaming.events import (
+        run_available_to_memory,
+    )
+    from tests.conftest import SF_DIR
+
+    feed = tmp_path / "docs_feed"
+    feed.mkdir()
+    (feed / "documents.parquet").symlink_to(f"{SF_DIR}/documents.parquet")
+
+    got = run_available_to_memory(
+        spark,
+        quality_filter_stream(stream_documents(spark, str(feed))),
+        "t_qfilter",
+        str(tmp_path / "ckpt_qfilter"),
+        output_mode="append",
+    )
+    want = REGISTRY["corpus_filter_rules"].raw_fn(spark, SF_DIR)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.columns == want.columns
