@@ -452,3 +452,19 @@ class Engine:
 
     def repository(self, name: str) -> Repository:
         return self._repos[name]
+
+    def drop_repository(self, name: str) -> bool:
+        """Delete a repository: catalog entry, bucketed table (if any) and
+        warehouse directory (config, quads, star views). The reference's
+        ``DELETE /rest/repositories/{id}`` surface. Idempotent — returns
+        False when the repository does not exist."""
+        repo = self._repos.pop(name, None)
+        if repo is None:
+            return False
+        if repo._store is not None and repo._store.bucket_subjects:
+            self.spark.sql(f"DROP TABLE IF EXISTS {repo._store._table}")
+        if self.warehouse:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.warehouse, name), ignore_errors=True)
+        return True

@@ -146,6 +146,18 @@ def _make_handler(engine: Engine):
                 return
             self._send(404, {"error": "not found"})
 
+        def do_DELETE(self):
+            # DELETE /rest/repositories/{id} — the reference REST surface's
+            # teardown path (idempotent like create)
+            parts = [p for p in urllib.parse.urlparse(self.path).path.split("/") if p]
+            if len(parts) == 3 and parts[:2] == ["rest", "repositories"]:
+                if engine.drop_repository(parts[2]):
+                    self._send(204, "")
+                else:
+                    self._send(404, {"error": f"no repository {parts[2]!r}"})
+                return
+            self._send(404, {"error": "not found"})
+
     return Handler
 
 

@@ -235,3 +235,42 @@ def test_construct_served_as_ntriples(server):
 
     triples = parse_turtle(body)  # N-Triples is a Turtle subset
     assert len(triples) == 1
+
+
+def test_delete_repository(spark, tmp_path):
+    """DELETE /rest/repositories/{id}: catalog entry and warehouse
+    directory go away, a second DELETE 404s (idempotent surface), and the
+    name is immediately reusable with fresh state."""
+    import os
+    import urllib.error
+
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, warehouse=wh)
+    srv = SparqlHttpServer(eng).start()
+    try:
+        r = eng.create_repository("todelete", ruleset="none")
+        r.load_turtle('@prefix ex: <http://x#> .\nex:a ex:p "v" .')
+        assert os.path.isdir(os.path.join(wh, "todelete"))
+
+        req = urllib.request.Request(
+            _url(srv, "/rest/repositories/todelete"), method="DELETE"
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+        assert eng.list_repositories() == []
+        assert not os.path.exists(os.path.join(wh, "todelete"))
+
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    _url(srv, "/rest/repositories/todelete"), method="DELETE"
+                )
+            )
+            raise AssertionError("second DELETE should 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        fresh = eng.create_repository("todelete", ruleset="none")
+        assert fresh.count() == 0
+    finally:
+        srv.stop()
