@@ -23,6 +23,8 @@ import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import pyspark.sql.functions as F
+
 from dublin_smart_city_graphdb_spark.engine import Engine
 
 
@@ -61,6 +63,45 @@ def _make_handler(engine: Engine):
             parts = [p for p in url.path.split("/") if p]
             if parts == ["rest", "repositories"]:
                 self._send(200, [{"id": r} for r in engine.list_repositories()])
+                return
+            if (
+                len(parts) == 3
+                and parts[0] == "repositories"
+                and parts[2] == "size"
+            ):
+                # RDF4J-protocol size resource: statement count as plain text
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                self._send(200, str(repo.count()), "text/plain")
+                return
+            if (
+                len(parts) == 3
+                and parts[0] == "repositories"
+                and parts[2] == "statements"
+            ):
+                # statements export: N-Quads keeps graph labels, N-Triples
+                # flattens; graph-scoped via ?context=<iri>
+                from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                    quads_to_nquads,
+                    quads_to_ntriples,
+                )
+
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                quads = repo.quads
+                qs = urllib.parse.parse_qs(url.query)
+                ctx = (qs.get("context") or [None])[0]
+                if ctx:
+                    quads = quads.filter(F.col("g") == ctx.strip("<>"))
+                accept = self.headers.get("Accept") or ""
+                if "n-quads" in accept:
+                    lines, ctype = quads_to_nquads(quads), "application/n-quads"
+                else:
+                    lines, ctype = quads_to_ntriples(quads), "application/n-triples"
+                body = "\n".join(r["value"] for r in lines.collect())
+                self._send(200, body + ("\n" if body else ""), ctype)
                 return
             if len(parts) == 2 and parts[0] == "repositories":
                 repo = self._repo(parts[1])
@@ -149,12 +190,34 @@ def _make_handler(engine: Engine):
         def do_DELETE(self):
             # DELETE /rest/repositories/{id} — the reference REST surface's
             # teardown path (idempotent like create)
-            parts = [p for p in urllib.parse.urlparse(self.path).path.split("/") if p]
+            url = urllib.parse.urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
             if len(parts) == 3 and parts[:2] == ["rest", "repositories"]:
                 if engine.drop_repository(parts[2]):
                     self._send(204, "")
                 else:
                     self._send(404, {"error": f"no repository {parts[2]!r}"})
+                return
+            if (
+                len(parts) == 3
+                and parts[0] == "repositories"
+                and parts[2] == "statements"
+            ):
+                # DELETE statements: clear the repository (or one named
+                # graph via ?context=<iri>) — the RDF4J-protocol clear
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                qs = urllib.parse.parse_qs(url.query)
+                ctx = (qs.get("context") or [None])[0]
+                try:
+                    if ctx:
+                        repo.update(f"CLEAR GRAPH <{ctx.strip('<>')}>")
+                    else:
+                        repo.update("CLEAR ALL")
+                    self._send(204, "")
+                except Exception as ex:  # noqa: BLE001
+                    self._send(400, {"error": str(ex)})
                 return
             self._send(404, {"error": "not found"})
 

@@ -274,3 +274,52 @@ def test_delete_repository(spark, tmp_path):
         assert fresh.count() == 0
     finally:
         srv.stop()
+
+
+def test_statements_resource_size_export_clear(spark):
+    """The RDF4J-style statements resource: GET /size (plain-text count),
+    GET /statements (N-Triples / N-Quads export, graph-scoped via
+    ?context=), DELETE /statements (clear all or one graph)."""
+    eng = Engine(spark)
+    srv = SparqlHttpServer(eng).start()
+    try:
+        r = eng.create_repository("stmts", ruleset="none")
+        r.load_turtle('@prefix ex: <http://x#> .\nex:a ex:p "v" .')
+        r.load_turtle('@prefix ex: <http://x#> .\nex:b ex:p "w" .', graph="http://g#1")
+
+        with urllib.request.urlopen(_url(srv, "/repositories/stmts/size")) as resp:
+            assert resp.read().decode() == "2"
+
+        with urllib.request.urlopen(
+            urllib.request.Request(
+                _url(srv, "/repositories/stmts/statements"),
+                headers={"Accept": "application/n-quads"},
+            )
+        ) as resp:
+            body = resp.read().decode()
+            assert resp.headers.get("Content-Type", "").startswith("application/n-quads")
+            assert '<http://x#a> <http://x#p> "v" .' in body
+            assert '<http://x#b> <http://x#p> "w" <http://g#1> .' in body
+
+        with urllib.request.urlopen(
+            _url(srv, "/repositories/stmts/statements?context=http%3A%2F%2Fg%231")
+        ) as resp:
+            body = resp.read().decode()
+            assert "x#b" in body and "x#a" not in body
+
+        req = urllib.request.Request(
+            _url(srv, "/repositories/stmts/statements?context=http%3A%2F%2Fg%231"),
+            method="DELETE",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+        assert r.count() == 1
+
+        req = urllib.request.Request(
+            _url(srv, "/repositories/stmts/statements"), method="DELETE"
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+        assert r.count() == 0
+    finally:
+        srv.stop()
