@@ -1208,7 +1208,9 @@ _QUALITY_SQL = """
         FROM documents
     )
     SELECT doc_id, n_tokens, n_alpha,
-           ROUND(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+           -- NULLIF: an empty document has n_chars = 0; the ratio is NULL,
+           -- not a divide-by-zero (Spark ANSI mode would throw)
+           ROUND(CAST(n_alpha AS DOUBLE) / NULLIF(n_chars, 0), 6) AS alpha_ratio,
            ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
            ROUND(LEAST(1.0, n_tokens / 100.0) * 0.5
                  + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5, 6) AS quality_score
@@ -1237,7 +1239,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_alpha",
-        F.round(F.col("n_alpha").cast("double") / F.col("n_chars"), 6).alias("alpha_ratio"),
+        F.round(
+            F.col("n_alpha").cast("double") / F.expr("nullif(n_chars, 0)"), 6
+        ).alias("alpha_ratio"),
         F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias("stopword_ratio"),
         F.round(
             F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * 0.5
@@ -1255,8 +1259,10 @@ _TOKENS_SQL = """
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_ws_tokens,
            len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+           -- length(), not strlen(): DuckDB strlen counts BYTES, Spark
+           -- length() counts characters (differs on non-ASCII text)
            CAST(list_sum(list_transform(string_split(text, ' '),
-                t -> CAST(ceil(strlen(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
+                t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
     FROM documents
 """
 
@@ -2546,12 +2552,15 @@ _FILTER_RULES_SQL = """
            CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
                BETWEEN 2.0 AND 12.0 AS pass_word_len,
            n_stop >= 2 AS pass_stopwords,
-           CAST(n_alpha AS DOUBLE) / n_chars >= 0.55 AS pass_alpha,
+           -- NULLIF: empty document (n_chars = 0) → NULL flag, not a
+           -- divide-by-zero under Spark ANSI; NULL AND false = false
+           -- keeps `keep` three-valued-consistent on both engines
+           CAST(n_alpha AS DOUBLE) / NULLIF(n_chars, 0) >= 0.55 AS pass_alpha,
            (n_tokens BETWEEN 10 AND 1000)
                AND (CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
                     BETWEEN 2.0 AND 12.0)
                AND n_stop >= 2
-               AND CAST(n_alpha AS DOUBLE) / n_chars >= 0.55 AS keep
+               AND CAST(n_alpha AS DOUBLE) / NULLIF(n_chars, 0) >= 0.55 AS keep
     FROM feat
 """
 
@@ -2586,7 +2595,9 @@ def corpus_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass_len = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000)
     pass_word_len = (mean_wl >= 2.0) & (mean_wl <= 12.0)
     pass_stopwords = F.col("n_stop") >= 2
-    pass_alpha = F.col("n_alpha").cast("double") / F.col("n_chars") >= 0.55
+    pass_alpha = (
+        F.col("n_alpha").cast("double") / F.expr("nullif(n_chars, 0)") >= 0.55
+    )
     return feat.select(
         "doc_id",
         "source",

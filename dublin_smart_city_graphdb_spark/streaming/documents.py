@@ -48,7 +48,11 @@ def quality_filter_stream(docs: DataFrame) -> DataFrame:
     pass_len = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000)
     pass_word_len = (mean_wl >= 2.0) & (mean_wl <= 12.0)
     pass_stopwords = F.col("n_stop") >= 2
-    pass_alpha = F.col("n_alpha").cast("double") / F.col("n_chars") >= 0.55
+    # nullif: empty documents (n_chars = 0) flag NULL instead of throwing
+    # under ANSI — mirrors the batch operator exactly
+    pass_alpha = (
+        F.col("n_alpha").cast("double") / F.expr("nullif(n_chars, 0)") >= 0.55
+    )
     return feat.select(
         "doc_id",
         "source",
