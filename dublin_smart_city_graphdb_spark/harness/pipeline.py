@@ -2626,7 +2626,10 @@ _QUANTIZE_SQL = """
         FROM embeddings
     )
     SELECT vec_id, CAST(i AS INTEGER) AS dim,
-           CAST(round(CAST(embedding[i] AS DOUBLE) / scale) AS INTEGER) AS q,
+           -- NULLIF: a zero vector has scale 0 → q is NULL (undefined),
+           -- not 0/0 (NaN→int cast throws under Spark ANSI)
+           CAST(round(CAST(embedding[i] AS DOUBLE) / NULLIF(scale, 0.0))
+                AS INTEGER) AS q,
            CAST(round(scale * 1000000000.0) AS BIGINT) AS scale_e9
     FROM scaled, UNNEST(range(1, len(embedding) + 1)) AS t(i)
 """
@@ -2662,7 +2665,9 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         (F.col("pos") + 1).cast("int").alias("dim"),
-        F.round(F.col("v").cast("double") / F.col("scale")).cast("int").alias("q"),
+        F.round(F.col("v").cast("double") / F.expr("nullif(scale, 0.0D)"))
+        .cast("int")
+        .alias("q"),
         F.round(F.col("scale") * F.lit(1_000_000_000.0))
         .cast("bigint")
         .alias("scale_e9"),

@@ -78,3 +78,60 @@ def test_edge_corpus_matches_oracle(spark, edge_sf_dir, edge_duck, name):
     # keeps the test independent of cache policy).
     ok, msg, _ = compare(name, spark, edge_duck, edge_sf_dir, q.raw_fn, q.oracle)
     assert ok, f"{name}: {msg}"
+
+
+EDGE_EMB_OPS = ["embed_quantize_int8", "embedding_cosine_pairs", "kmeans_embeddings"]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(spark, tmp_path_factory):
+    """Edge embeddings: a zero vector (scale 0 → NULL quantization), an
+    exact-duplicate pair (cosine ties at 1.0), a constant vector, and a
+    handful of regulars — 64-dim float32 like the driver testdata."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    d = tmp_path_factory.mktemp("edge_emb")
+    dim = 64
+
+    def vec(seed):
+        return [((seed * 31 + i * 7) % 13 - 6) / 7.0 for i in range(dim)]
+
+    rows = [
+        (0, [0.0] * dim, 0),            # zero vector
+        (1, vec(3), 1),
+        (2, vec(3), 1),                  # exact duplicate of 1 (cosine 1.0)
+        (3, [0.5] * dim, 2),             # constant vector
+        (4, vec(9), 0),
+        (5, [-x for x in vec(9)], 2),    # antipode of 4 (cosine -1.0)
+    ]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_emb_duck(edge_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{edge_emb_dir}/embeddings.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EDGE_EMB_OPS)
+def test_edge_embeddings_match_oracle(spark, edge_emb_dir, edge_emb_duck, name):
+    q = harness.REGISTRY[name]
+    ok, msg, _ = compare(
+        name, spark, edge_emb_duck, edge_emb_dir, q.raw_fn, q.oracle
+    )
+    assert ok, f"{name}: {msg}"
