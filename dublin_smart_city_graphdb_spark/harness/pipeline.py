@@ -1555,8 +1555,17 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
            ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
     FROM (
+        -- json_valid guard: DuckDB's extractor ERRORS on malformed JSON
+        -- where Spark's get_json_object returns NULL. The integer-format
+        -- regex mirrors Spark's strict try_cast-to-BIGINT (DuckDB's
+        -- TRY_CAST ROUNDS '1.5' to 2; Spark rejects it to NULL).
         SELECT event_type,
-               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               TRY_CAST(CASE WHEN regexp_matches(
+                                 CASE WHEN json_valid(props)
+                                      THEN json_extract_string(props, '$.k')
+                                 END, '^-?[0-9]+$')
+                             THEN json_extract_string(props, '$.k') END
+                        AS BIGINT) AS k
         FROM events
     )
     GROUP BY event_type
@@ -1570,7 +1579,11 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("long").alias("k")
+    # try_cast mirrors the oracle's TRY_CAST: a non-integral or non-numeric
+    # $.k is NULL on both engines (a plain cast throws under ANSI)
+    k = F.expr(
+        "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+    ).alias("k")
     return (
         e.select("event_type", k)
         .groupBy("event_type")
@@ -2197,13 +2210,14 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     ),
     m AS (
-        SELECT event_type, s / n AS mean, SQRT(sq / n - (s / n) * (s / n)) AS std
+        SELECT event_type, s / n AS mean,
+               SQRT(GREATEST(sq / n - (s / n) * (s / n), 0)) AS std
         FROM stats
     )
     SELECT e.event_id, e.event_type, e.value,
-           ROUND((e.value - m.mean) / m.std, 6) AS z
+           ROUND((e.value - m.mean) / NULLIF(m.std, 0), 6) AS z
     FROM events e JOIN m ON e.event_type = m.event_type
-    WHERE ABS((e.value - m.mean) / m.std) > 2.5
+    WHERE ABS((e.value - m.mean) / NULLIF(m.std, 0)) > 2.5
     """,
     doc="Per-event-type z-score anomaly flags (|z| > 2.5): mean/std derived "
         "from decimal-EXACT sum and sum-of-squares (distributed partial-sum "
@@ -2223,12 +2237,19 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = stats.select(
         "event_type",
         (F.col("s") / F.col("n")).alias("mean"),
+        # greatest(…, 0): the variance of a constant series can land at
+        # -1e-18 in floats (sqrt would NaN); nullif(std, 0) then makes z
+        # NULL for zero-variance types — dropped by the filter, never a
+        # DIVIDE_BY_ZERO under ANSI
         F.sqrt(
-            F.col("sq") / F.col("n")
-            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+            F.greatest(
+                F.col("sq") / F.col("n")
+                - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+                F.lit(0.0),
+            )
         ).alias("std"),
     )
-    z = (F.col("value") - F.col("mean")) / F.col("std")
+    z = (F.col("value") - F.col("mean")) / F.expr("nullif(std, 0.0D)")
     return (
         e.join(F.broadcast(m), "event_type")
         .filter(F.abs(z) > 2.5)

@@ -220,7 +220,9 @@ def anomaly_flags_stream(
     stats per micro-batch and filags |z| > threshold map-side — no
     streaming state at all, so the operator scales with throughput, not
     key cardinality."""
-    z = (F.col("value") - F.col("mean")) / F.col("std")
+    # nullif: a zero-variance type yields NULL z (filtered out), never a
+    # DIVIDE_BY_ZERO under ANSI — mirrors the batch operator
+    z = (F.col("value") - F.col("mean")) / F.expr("nullif(std, 0.0D)")
     return (
         events.join(F.broadcast(stats), "event_type")
         .withColumn("z", F.round(z, 6))

@@ -135,3 +135,70 @@ def test_edge_embeddings_match_oracle(spark, edge_emb_dir, edge_emb_duck, name):
         name, spark, edge_emb_duck, edge_emb_dir, q.raw_fn, q.oracle
     )
     assert ok, f"{name}: {msg}"
+
+
+EDGE_EVENT_OPS = [
+    "events_tumbling",
+    "events_sessionize",
+    "events_sessionize_bucketed",
+    "events_quantiles",
+    "events_rolling_avg",
+    "events_asof_join",
+    "events_asof_join_bucketed",
+    "events_range_join",
+    "events_anomaly_zscore",
+    "events_json_props",
+    "events_top_users_hourly",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory):
+    """Edge events: same-timestamp ties (same user), a constant-valued
+    event type (variance 0 → z-score division hazard), a single-event
+    user, non-integral and malformed JSON props, and a session exactly at
+    the 30-min gap boundary."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("edge_events")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (0, at(0), 1, "view", 10.0, '{"k": 1}'),
+        (1, at(0), 1, "view", 20.0, '{"k": 2}'),       # tie: same user+ts
+        (2, at(0), 1, "purchase", 5.0, '{"k": 3}'),    # purchase at tie ts
+        (3, at(1800), 1, "view", 30.0, '{"k": 4}'),    # exactly the 30-min gap
+        (4, at(1801), 1, "purchase", 6.0, None),       # null props
+        (5, at(3600), 2, "constant", 7.0, '{"k": 1.5}'),   # non-integral k
+        (6, at(3700), 2, "constant", 7.0, '{"k": "x"}'),   # non-numeric k
+        (7, at(3800), 2, "constant", 7.0, "not json"),     # malformed props
+        (8, at(7200), 3, "error", 100.0, '{"k": 0}'),  # single-event user
+        (9, at(7500), 3, "view", -50.0, '{}'),         # negative value, no k
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_events_duck(edge_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{edge_events_dir}/events.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EDGE_EVENT_OPS)
+def test_edge_events_match_oracle(spark, edge_events_dir, edge_events_duck, name):
+    q = harness.REGISTRY[name]
+    ok, msg, _ = compare(
+        name, spark, edge_events_duck, edge_events_dir, q.raw_fn, q.oracle
+    )
+    assert ok, f"{name}: {msg}"
