@@ -2263,28 +2263,34 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frames",
     """
     WITH meta AS (
-        SELECT doc_id, text, LENGTH(text) AS n_bytes, 1 + doc_id % 3 AS n_frames
+        -- hex(encode(...)): all slicing happens on the BYTE stream (as hex
+        -- pairs) — VARCHAR substring would slice CHARACTERS and diverge on
+        -- non-ASCII text
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n_bytes,
+               1 + doc_id % 3 AS n_frames
         FROM documents
     ),
     frames AS (
         SELECT doc_id, UNNEST(range(0, n_frames, 2)) AS frame_idx,
-               text, GREATEST(1, n_bytes // n_frames) AS step
+               hx, GREATEST(1, n_bytes // n_frames) AS step
         FROM meta
     )
     SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-           MD5(SUBSTRING(text, CAST(frame_idx * step + 1 AS BIGINT),
-                         CAST(step AS BIGINT))) AS frame_md5,
-           LENGTH(SUBSTRING(text, CAST(frame_idx * step + 1 AS BIGINT),
-                            CAST(step AS BIGINT))) AS frame_bytes
+           SUBSTRING(hx, CAST(frame_idx * step * 2 + 1 AS BIGINT),
+                     CAST(step * 2 AS BIGINT)) AS frame_hex,
+           CAST(strlen(SUBSTRING(hx, CAST(frame_idx * step * 2 + 1 AS BIGINT),
+                                 CAST(step * 2 AS BIGINT))) // 2
+                AS INT) AS frame_bytes
     FROM frames
     """,
     doc="Multimodal frame sampling under the oracle gate: the row-expanding "
         "mapInPandas plumbing (operators/multimodal.py sample_frames — one "
         "output row per kept frame, output rows ≠ input rows) with the "
-        "deterministic stub decoder, verified value-exactly by reproducing "
-        "the byte slicing in SQL (documents are ASCII, so VARCHAR substring "
-        "≡ byte slicing; frames compared by MD5 + length). A real codec "
-        "swaps into the same batch shape.",
+        "deterministic stub decoder, verified byte-exactly by reproducing "
+        "the byte slicing in SQL over the hex-encoded payload (works for "
+        "any text, not just ASCII). A real codec swaps into the same "
+        "batch shape.",
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dublin_smart_city_graphdb_spark.operators.multimodal import sample_frames
@@ -2296,7 +2302,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id",
         "frame_idx",
-        F.md5(F.col("frame")).alias("frame_md5"),
+        F.hex(F.col("frame")).alias("frame_hex"),
         F.length(F.col("frame")).alias("frame_bytes"),
     )
 
