@@ -2699,3 +2699,280 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("scale_e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus chunking + per-source quotas + product funnels / retention +
+# embedding outlier pruning (training-data curation, batch 5)
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 200
+_CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+_DOC_CHUNKS_SQL = f"""
+    SELECT doc_id,
+           chunk_idx,
+           chunk_idx * {_CHUNK_STRIDE} + 1 AS chunk_start,
+           CAST(length(substr(text, CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INT),
+                              {_CHUNK_LEN})) AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INT),
+                      {_CHUNK_LEN})) AS chunk_hash
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(coalesce(length(text), 0) / {_CHUNK_STRIDE}.0)
+                              AS BIGINT))) t(chunk_idx)
+"""
+
+
+@register(
+    "doc_chunks",
+    _DOC_CHUNKS_SQL,
+    doc=f"Context-window chunking: split every document into "
+        f"{_CHUNK_LEN}-char windows on a {_CHUNK_STRIDE}-char stride "
+        f"(50-char overlap so no sentence is lost at a boundary) — the map "
+        f"from raw corpus to training-sequence candidates. Pure narrow op: "
+        f"sequence+explode+substring are all JVM expression code evaluated "
+        f"inside the scan task, zero shuffles, so the plan is embarrassingly "
+        f"parallel at 100 TB (output ~ len/stride rows per doc). Emits a "
+        f"chunk md5 so downstream chunk-level dedup can groupBy(hash) "
+        f"without re-reading text.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n = "coalesce(length(text), 0)"
+    idx = (
+        f"explode(CASE WHEN {n} = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE sequence(CAST(0 AS BIGINT), "
+        f"CAST(ceil({n} / {_CHUNK_STRIDE}.0) AS BIGINT) - 1) END)"
+    )
+    chunk = (
+        f"substring(text, CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INT), "
+        f"{_CHUNK_LEN})"
+    )
+    return (
+        d.select("doc_id", "text", F.expr(idx).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * _CHUNK_STRIDE + 1).alias("chunk_start"),
+            F.expr(f"CAST(length({chunk}) AS BIGINT)").alias("chunk_len"),
+            F.expr(f"md5({chunk})").alias("chunk_hash"),
+        )
+    )
+
+
+_QUOTA = 10
+
+_QUOTA_SQL = f"""
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_hash60_duck("CAST(doc_id AS VARCHAR)")}
+                            ASC NULLS FIRST,
+                            doc_id ASC NULLS FIRST) AS rk
+        FROM documents
+    ) WHERE rk <= {_QUOTA}
+"""
+
+
+@register(
+    "sample_per_source_quota",
+    _QUOTA_SQL,
+    doc=f"Per-source quota sampling: keep a deterministic pseudo-random "
+        f"{_QUOTA} documents per source (rank by md5(doc_id) — a seeded "
+        f"shuffle that is reproducible across engines and runs, unlike "
+        f"rand()) — the de-biasing step that stops one crawl dump from "
+        f"dominating a training mix. One shuffle on source; at 100 TB a "
+        f"hot source makes that window skewed, so the scale path is the "
+        f"same two-phase trick as skew_salted_agg: rank within "
+        f"(source, salt), keep quota per salt-cell, then take the quota "
+        f"lowest hashes across cells — the hash ordering makes the "
+        f"two-phase result identical to the global rank.",
+)
+def sample_per_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = F.expr(_hash60_spark("CAST(doc_id AS STRING)"))
+    w = Window.partitionBy("source").orderBy(
+        h.asc_nulls_first(), F.asc_nulls_first("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _QUOTA)
+    )
+
+
+_FUNNEL_WINDOW_US = 86_400_000_000  # 24 h
+
+_FUNNEL_SQL = f"""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+        FROM events
+    ), w AS (
+        SELECT user_id, event_type, ts_us,
+               MIN(CASE WHEN event_type = 'signup' THEN ts_us END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts_us ASC NULLS FIRST, event_id ASC NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS fs
+        FROM ev
+    )
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts_us END)
+               AS first_signup_us,
+           MIN(CASE WHEN event_type = 'purchase' AND fs IS NOT NULL
+                     AND ts_us - fs <= {_FUNNEL_WINDOW_US}
+                    THEN ts_us END) AS first_conversion_us
+    FROM w
+    GROUP BY user_id
+    HAVING MIN(CASE WHEN event_type = 'signup' THEN ts_us END) IS NOT NULL
+"""
+
+
+@register(
+    "events_funnel",
+    _FUNNEL_SQL,
+    doc="Conversion funnel: per user, the first signup and the first "
+        "purchase that follows it within 24 h (order enforced by a running "
+        "min-signup window, so a purchase BEFORE any signup never counts). "
+        "Single-shuffle plan: the window hash-partitions on user_id and the "
+        "groupBy(user_id) that follows reuses that exact distribution — "
+        "Catalyst elides the second Exchange — so the whole funnel is one "
+        "pass over events however large the stream.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc_nulls_first("ts_us"), F.asc_nulls_first("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sig = F.when(F.col("event_type") == "signup", F.col("ts_us"))
+    base = e.select("user_id", "event_id", "event_type", "ts_us").withColumn(
+        "fs", F.min(sig).over(w)
+    )
+    conv = F.when(
+        (F.col("event_type") == "purchase")
+        & F.col("fs").isNotNull()
+        & (F.col("ts_us") - F.col("fs") <= _FUNNEL_WINDOW_US),
+        F.col("ts_us"),
+    )
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.min(sig).alias("first_signup_us"),
+            F.min(conv).alias("first_conversion_us"),
+        )
+        .filter(F.col("first_signup_us").isNotNull())
+    )
+
+
+_RETENTION_SQL = """
+    WITH d AS (
+        SELECT user_id,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+                   AS day
+        FROM events
+    ), c AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           d.day - c.cohort_day AS day_offset,
+           COUNT(DISTINCT d.user_id) AS n_users
+    FROM d JOIN c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_retention",
+    _RETENTION_SQL,
+    doc="Retention cohorts: users bucketed by first-seen day, counted "
+        "distinct on each later active day offset — the D1/D7/D30 grid. "
+        "Plan: the cohort aggregate and the self-join both hash on "
+        "user_id (one event-grain shuffle, join reuses it), then the "
+        "distinct-count shuffle runs on the (cohort, offset, user) "
+        "projection — days, not events, so the second stage is bounded by "
+        "|users| × active-days, far below the raw stream.",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    d = e.select("user_id", F.expr("ts_us div 86400000000").alias("day"))
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(c, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_OUTLIERS_SQL = """
+    WITH dims AS (
+        SELECT label, i,
+               CAST(embedding[i] AS DECIMAL(27,12)) AS val
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+    ), m AS (
+        SELECT label, i,
+               ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 9) AS m
+        FROM dims GROUP BY label, i
+    ), c AS (
+        SELECT label, list(m ORDER BY i) AS centroid FROM m GROUP BY label
+    ), s AS (
+        SELECT e.label, e.vec_id,
+               ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                        * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+                     6) AS sqdist
+        FROM embeddings e JOIN c USING (label)
+    )
+    SELECT label, vec_id, sqdist, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY label ORDER BY sqdist DESC, vec_id) AS rk
+        FROM s
+    ) WHERE rk <= 3
+"""
+
+
+@register(
+    "embed_label_outliers",
+    _OUTLIERS_SQL,
+    doc="Embedding-space outlier pruning: per-label centroid (decimal-exact "
+        "partial sums over a (label, dim) shuffle — same determinism "
+        "technique as kmeans_embeddings), then each vector's squared L2 "
+        "distance to its own label centroid via a sequential-fold zip_with, "
+        "top-3 farthest per label — the SemDeDup-style 'flag vectors that "
+        "do not belong to their cluster' curation signal. The k×d centroid "
+        "table is broadcast back; the corpus is scanned, never self-joined, "
+        "and the final window ranks |labels| × |vectors-per-label| locally.",
+)
+def embed_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select("label", F.posexplode("embedding").alias("dim", "val"))
+    means = dims.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(27,12)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("m")
+    )
+    cent = (
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("label", F.col("dm.m").alias("centroid"))
+    )
+    sq = F.expr(
+        "round(aggregate(zip_with(embedding, centroid, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)"
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", sq.alias("sqdist")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("sqdist"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 3
+    )

@@ -1118,3 +1118,179 @@ def intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return urgent.intersect(done)
+
+
+# ---------------------------------------------------------------------------
+# J1×3 + A2 + M5 — TPC-H Q10 shape: returned-item revenue per customer,
+# quarter-scoped, top-20 (the "who should we call" report)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: one quarter's orders (date range pushed to the "
+        "scan) joined to their returned lineitems (returnflag pushed "
+        "likewise), revenue re-aggregated per customer, nation broadcast "
+        "in for display, top-20 via TakeOrderedAndProject — the global "
+        "sort never materializes. Two fact-side shuffle joins on their "
+        "natural keys; decimal-exact revenue.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,2)"
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 + A3 — TPC-H Q14 shape: promo revenue share (conditional aggregate
+# over a broadcast part join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+           ROUND(100.0
+                 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                           AS DECIMAL(18,2))
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    doc="TPC-H Q14 shape: one month's lineitems (range pushed to the scan) "
+        "broadcast-joined to part for the type flag, then a single global "
+        "conditional aggregate — promo vs total revenue and their ratio. "
+        "Both sums are decimal-exact; the final division runs in double on "
+        "two identical operands, so the 6-dp ratio is engine-stable.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,2)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(disc).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 + J1×2 + A2 + M5 — TPC-H Q18 shape: large-volume orders (HAVING
+# subquery over the fact table feeding the display join)
+# ---------------------------------------------------------------------------
+
+_Q18_QTY = 250
+
+_Q18_SQL = f"""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@register(
+    "q18_large_volume",
+    _Q18_SQL,
+    doc=f"TPC-H Q18 shape: orders whose total quantity exceeds {_Q18_QTY} "
+        f"(a HAVING aggregate subquery over the fact table) semi-joined "
+        f"back in, then customer/order display columns re-aggregated and "
+        f"top-100'd by price. The qualifying-key set is tiny, so it "
+        f"broadcast-semi-joins into orders; lineitem is scanned twice but "
+        f"shuffled on l_orderkey both times (AQE reuses the exchange); "
+        f"quantity sums are decimal-exact.",
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("s"))
+        .filter(F.col("s") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(
+            F.broadcast(big),
+            o.o_orderkey == big.l_orderkey,
+            "left_semi",
+        )
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )

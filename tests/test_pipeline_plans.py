@@ -247,3 +247,35 @@ def test_repetition_packs_grams_below_the_explode(spark):
     assert "Join" not in plan
     assert plan.index("Generate explode") < plan.index("conv(")
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_doc_chunks_is_narrow(spark):
+    """Chunking must stay embarrassingly parallel: explode+substring inside
+    the scan stage, zero shuffles, zero joins."""
+    plan = plan_of(q(spark, "doc_chunks"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_funnel_is_single_shuffle(spark):
+    """The running-min window and the groupBy(user_id) share the same hash
+    distribution — Catalyst must elide the second Exchange so the funnel is
+    one pass over events."""
+    plan = plan_of(q(spark, "events_funnel"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_quota_sampling_is_single_shuffle(spark):
+    plan = plan_of(q(spark, "sample_per_source_quota"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_label_outliers_broadcasts_centroids(spark):
+    """The k x d centroid table must come back as a broadcast — a shuffle
+    join here would re-shuffle the 100 TB corpus on label."""
+    plan = plan_of(q(spark, "embed_label_outliers"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
