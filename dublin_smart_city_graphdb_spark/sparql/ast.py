@@ -128,15 +128,20 @@ class GraphGraphPattern:
 
 @dataclass
 class ServicePattern:
-    """SPARQL 1.1 Federated Query SERVICE clause. Engine-internal
-    federation: the target IRI names another repository in the same
-    catalog (``urn:repo:{name}``) rather than a remote HTTP endpoint —
-    the pattern evaluates against that repository's quad store and joins
-    into the outer solution."""
+    """SPARQL 1.1 Federated Query SERVICE clause. Two target spaces:
+    engine-internal federation (``urn:repo:{name}`` names a sibling
+    repository in the same catalog — the pattern evaluates against its
+    quad store, data never leaves the cluster) and wire federation
+    (``http(s)://...`` — the group is re-serialized from its captured
+    source tokens and POSTed to the remote SPARQL-protocol endpoint,
+    sparql/federation.py). ``raw_select`` is the self-contained
+    ``SELECT *`` re-serialization (prefixes replayed) the parser captures
+    for the wire path; None for programmatically built ASTs."""
 
     target: Var | IRI
     group: GroupPattern
     silent: bool = False
+    raw_select: str | None = None
 
 
 @dataclass

@@ -569,6 +569,8 @@ class QueryCompiler:
             if elem.silent:
                 return self.unit()
             raise ValueError("sparql: SERVICE with a variable target is unsupported")
+        if elem.target.value.startswith(("http://", "https://")):
+            return self._service_http(elem)
         remote = self.services.get(elem.target.value)
         if remote is None:
             if elem.silent:
@@ -578,6 +580,36 @@ class QueryCompiler:
             self.spark, remote, extensions=self.extensions, services=self.services
         )
         return sub.compile_group(elem.group, None)
+
+    def _service_http(self, elem: "A.ServicePattern") -> Compiled:
+        """Wire federation: POST the captured group text to the remote
+        SPARQL-protocol endpoint, land its results-JSON bindings as a
+        term-struct DataFrame (sparql/federation.py). The remote result is
+        driver-materialized by protocol necessity — dimension-sized by
+        design, same envelope as the reference's own federation — and then
+        joins (usually broadcast) into the outer plan. SILENT maps any
+        transport/parse failure to the unit solution (spec §2.2)."""
+        from dublin_smart_city_graphdb_spark.sparql import federation
+
+        if elem.raw_select is None:
+            if elem.silent:
+                return self.unit()
+            raise ValueError(
+                "sparql: HTTP SERVICE requires the query's source text "
+                "(programmatic ASTs carry no raw_select)"
+            )
+        try:
+            vars_, rows = federation.fetch_bindings(
+                elem.target.value, elem.raw_select
+            )
+        except Exception as exc:  # transport, HTTP status, JSON shape
+            if elem.silent:
+                return self.unit()
+            raise ValueError(
+                f"sparql: SERVICE endpoint <{elem.target.value}> failed: {exc}"
+            ) from None
+        df, order, certain = federation.solutions_df(self.spark, vars_, rows)
+        return Compiled(df, order, certain)
 
     # -- BGP -----------------------------------------------------------------
     def compile_bgp(

@@ -379,8 +379,23 @@ class SparqlParser:
                     if not isinstance(t, IRI):
                         raise ValueError("sparql: SERVICE needs var or IRI")
                     sterm = t
+                # capture the group's raw token span so an http(s) target
+                # can be re-serialized verbatim for the remote endpoint
+                # (SPARQL is whitespace-insensitive, so re-joining lexemes
+                # reproduces an equivalent query; prefixes are replayed)
+                body_start = self.i
+                sgroup = self._group_graph_pattern()
+                body = " ".join(v for _, v in self.tokens[body_start:self.i])
+                header = "".join(
+                    f"PREFIX {p}: <{iri}>\n" for p, iri in self.prefixes.items()
+                )
+                if self.base:
+                    header = f"BASE <{self.base}>\n" + header
                 group.elements.append(
-                    ServicePattern(sterm, self._group_graph_pattern(), silent)
+                    ServicePattern(
+                        sterm, sgroup, silent,
+                        raw_select=header + "SELECT * WHERE " + body,
+                    )
                 )
             elif kw == "FILTER":
                 self._next()

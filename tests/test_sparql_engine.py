@@ -639,3 +639,83 @@ def test_values_with_undef_rows(micro):
         ("http://m#a", "http://m#b"),
         ("http://m#b", "http://m#c"),
     ]
+
+
+# -- HTTP SERVICE federation (wire path, sparql/federation.py) ---------------
+
+@pytest.fixture(scope="module")
+def wire_server(spark):
+    from dublin_smart_city_graphdb_spark.protocol_http import SparqlHttpServer
+
+    eng = Engine(spark)
+    firms = eng.create_repository("wire_firms", ruleset="none")
+    firms.load_turtle(
+        "@prefix ex: <http://f#> .\n"
+        '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n'
+        'ex:acme ex:city "Dublin"@en ; ex:size 42 .\n'
+        'ex:globex ex:city "Cork" ; ex:size 7 .\n'
+    )
+    srv = SparqlHttpServer(eng).start()
+    yield srv
+    srv.stop()
+
+
+def test_service_http_joins_over_the_wire(federated, wire_server):
+    """SERVICE <http://...> POSTs the captured group to a real SPARQL
+    protocol endpoint and joins the results-JSON bindings locally."""
+    endpoint = (
+        f"http://{wire_server.host}:{wire_server.port}/repositories/wire_firms"
+    )
+    rows = federated.sparql_collect(
+        "PREFIX ex: <http://f#> SELECT ?p ?city WHERE { "
+        "?p ex:worksAt ?f . "
+        f"SERVICE <{endpoint}> {{ ?f ex:city ?city }} }}"
+    )
+    got = sorted((r[0].lex, r[1].lex) for r in rows)
+    assert got == [
+        ("http://f#alice", "Dublin"),
+        ("http://f#bob", "Cork"),
+        ("http://f#carol", "Dublin"),
+    ]
+    # language tag survives the JSON round trip
+    langs = {r[1].lex: r[1].lang for r in rows}
+    assert langs["Dublin"] == "en" and langs["Cork"] is None
+
+
+def test_service_http_numeric_shadow_filters_locally(federated, wire_server):
+    """Typed literals from the wire rebuild their numeric shadow columns,
+    so an OUTER FILTER can compare them."""
+    endpoint = (
+        f"http://{wire_server.host}:{wire_server.port}/repositories/wire_firms"
+    )
+    rows = federated.sparql_collect(
+        "PREFIX ex: <http://f#> SELECT ?p ?size WHERE { "
+        "?p ex:worksAt ?f . "
+        f"SERVICE <{endpoint}> {{ ?f ex:size ?size }} "
+        "FILTER(?size > 10) }"
+    )
+    assert sorted(r[0].lex for r in rows) == [
+        "http://f#alice",
+        "http://f#carol",
+    ]
+    assert all(r[1].lex == "42" for r in rows)
+
+
+def test_service_http_silent_down_endpoint_is_unit(federated):
+    rows = federated.sparql_collect(
+        "PREFIX ex: <http://f#> SELECT ?p WHERE { "
+        "?p ex:worksAt ?f . "
+        "SERVICE SILENT <http://127.0.0.1:9/repositories/nowhere> "
+        "{ ?f ex:city ?city } }"
+    )
+    assert len(rows) == 3
+
+
+def test_service_http_down_endpoint_raises(federated):
+    with pytest.raises(ValueError, match="SERVICE endpoint"):
+        federated.sparql(
+            "PREFIX ex: <http://f#> SELECT ?p WHERE { "
+            "?p ex:worksAt ?f . "
+            "SERVICE <http://127.0.0.1:9/repositories/nowhere> "
+            "{ ?f ex:city ?city } }"
+        )
