@@ -2976,3 +2976,68 @@ def embed_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= 3
     )
+
+
+_CHUNK_DUP_SQL = f"""
+    WITH ch AS (
+        SELECT doc_id, source,
+               md5(substr(text, CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INT),
+                          {_CHUNK_LEN})) AS h
+        FROM documents,
+             UNNEST(range(0, CAST(ceil(coalesce(length(text), 0)
+                                       / {_CHUNK_STRIDE}.0) AS BIGINT)))
+                 t(chunk_idx)
+    ), f AS (
+        SELECT doc_id, source, h,
+               COUNT(*) OVER (PARTITION BY h) AS n
+        FROM ch
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS dup_fraction
+    FROM f
+    GROUP BY source
+"""
+
+
+@register(
+    "chunk_dup_rate",
+    _CHUNK_DUP_SQL,
+    doc="Boilerplate detector: chunk every document (same 200/150 windows "
+        "as doc_chunks, source carried inline so no join back), count each "
+        "chunk hash's global frequency with a window over the hash, and "
+        "report per source what fraction of its chunks appear elsewhere — "
+        "headers/footers/navigation chrome light up as dup_fraction spikes. "
+        "Two shuffles total (hash window, then the |sources| aggregate); "
+        "the chunk explosion never leaves the scan stage.",
+)
+def chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n = "coalesce(length(text), 0)"
+    idx = (
+        f"explode(CASE WHEN {n} = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE sequence(CAST(0 AS BIGINT), "
+        f"CAST(ceil({n} / {_CHUNK_STRIDE}.0) AS BIGINT) - 1) END)"
+    )
+    chunk = (
+        f"substring(text, CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INT), "
+        f"{_CHUNK_LEN})"
+    )
+    ch = d.select(
+        "doc_id", "source", F.expr(idx).alias("chunk_idx"), "text"
+    ).select("doc_id", "source", F.expr(f"md5({chunk})").alias("h"))
+    w = Window.partitionBy("h")
+    dup = (F.count("*").over(w) > 1).cast("int")
+    return (
+        ch.withColumn("is_dup", dup)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("is_dup").alias("n_dup_chunks"),
+            F.round(F.sum("is_dup") * 1.0 / F.count("*"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )

@@ -84,3 +84,72 @@ def budget_alerts_stream(events: DataFrame, threshold: float = 100.0) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming funnel (stateful twin of harness events_funnel) ---------------
+
+FUNNEL_WINDOW_US = 86_400_000_000  # 24 h, matches the batch operator
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_signup_us", LongType()),
+        StructField("first_conversion_us", LongType()),
+    ]
+)
+
+_FUNNEL_STATE = StructType(
+    [
+        StructField("fs", LongType()),
+        StructField("conv", LongType()),
+    ]
+)
+
+
+def _funnel_fn(
+    key: tuple,
+    pdf_iter: "Iterable[pd.DataFrame]",
+    state: "GroupState",
+) -> "Iterator[pd.DataFrame]":
+    """Per-user funnel state: first signup ts and first purchase ts within
+    24 h AFTER it. Two longs per user — O(users) state however long the
+    stream runs. Emits the user's current (fs, conv) row whenever a batch
+    changes it; the LAST emission per user equals the batch operator's row.
+    Same in-batch ordering contract as ``budget_alerts_stream``."""
+    (user_id,) = key
+    fs, conv = state.get if state.exists else (None, None)
+    before = (fs, conv)
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        events = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+        for etype, ts_us in zip(events["event_type"], events["ts_us"]):
+            if etype == "signup" and fs is None:
+                fs = int(ts_us)
+            elif (
+                etype == "purchase"
+                and fs is not None
+                and conv is None
+                and int(ts_us) - fs <= FUNNEL_WINDOW_US
+            ):
+                conv = int(ts_us)
+    state.update((fs, conv))
+    if fs is not None and (fs, conv) != before:
+        yield pd.DataFrame(
+            [(user_id, fs, conv)],
+            columns=[f.name for f in FUNNEL_SCHEMA.fields],
+        )
+    else:
+        yield pd.DataFrame(columns=[f.name for f in FUNNEL_SCHEMA.fields])
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming signup→purchase funnel over (event_id, ts_us, user_id,
+    event_type); per-user state is two longs in the state store,
+    checkpoint-recoverable like the budget accumulator."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

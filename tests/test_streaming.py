@@ -356,3 +356,86 @@ def test_quality_filter_stream_matches_batch(spark, tmp_path):
     want = REGISTRY["corpus_filter_rules"].raw_fn(spark, SF_DIR)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.columns == want.columns
+
+
+def test_funnel_stream_matches_batch_semantics(spark, tmp_path):
+    """Streaming funnel: per-user (first_signup, first_conversion-within-24h)
+    state across micro-batches; the last emission per user equals the batch
+    events_funnel semantics replayed over the full series. Covers: purchase
+    BEFORE signup (ignored), purchase past the 24 h window (ignored),
+    conversion arriving in a LATER micro-batch than the signup."""
+    import pandas as pd
+
+    from dublin_smart_city_graphdb_spark.streaming.stateful import (
+        FUNNEL_SCHEMA,
+        FUNNEL_WINDOW_US,
+        funnel_stream,
+    )
+
+    H = 3_600_000_000  # 1h in us
+    rows1 = [
+        # u1: purchase before signup (must not count), then signup
+        (1, 1 * H, 1, "purchase"),
+        (2, 2 * H, 1, "signup"),
+        # u2: signup only in batch 1
+        (3, 3 * H, 2, "signup"),
+        # u3: no signup ever → excluded
+        (4, 4 * H, 3, "purchase"),
+    ]
+    rows2 = [
+        # u1: converts within 24h of its signup
+        (5, 20 * H, 1, "purchase"),
+        # u2: first purchase lands PAST the 24h window → no conversion
+        (6, (3 + 25) * H, 2, "purchase"),
+        # u3: still signup-less
+        (7, 30 * H, 3, "view"),
+    ]
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "ts_us", "user_id", "event_type"]
+        ).astype({"event_id": "int64", "ts_us": "int64", "user_id": "int64"})
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    out_dir = str(tmp_path / "funnel_out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts_us long, user_id long, event_type string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(feed))
+        q = (
+            funnel_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(FUNNEL_SCHEMA).parquet(out_dir).collect()
+
+    mk(rows1).to_parquet(feed / "b1.parquet")
+    first = drain()
+    mk(rows2).to_parquet(feed / "b2.parquet")
+    both = drain()
+
+    # most-refined emission per user: fs never changes and conv is set at
+    # most once, so the row with a conversion (if any) is the final state
+    # (collect() order over the file sink is not chronological)
+    final = {}
+    for r in both:
+        cur = final.get(r.user_id)
+        if cur is None or (cur[1] is None and r.first_conversion_us is not None):
+            final[r.user_id] = (r.first_signup_us, r.first_conversion_us)
+
+    assert final == {
+        1: (2 * H, 20 * H),  # converted within window
+        2: (3 * H, None),  # purchase too late
+        # user 3 absent: never signed up
+    }
+    # the signup-only state row was emitted in run 1, refined in run 2 —
+    # state genuinely crossed the micro-batch/restart boundary
+    assert any(r.user_id == 1 and r.first_conversion_us is None for r in first)
+    assert (20 * H - 2 * H) <= FUNNEL_WINDOW_US
