@@ -27,6 +27,12 @@ QUERIES = [
     "events_asof_join",
     "events_asof_join_bucketed",
     "events_rolling_avg",
+    # decimal-exact centroid means + double fold distances + rank ties
+    "embed_label_outliers",
+    # md5-ranked quota: hash order must not depend on partitioning
+    "sample_per_source_quota",
+    # running-min window feeding a same-key aggregate
+    "events_funnel",
 ]
 
 
@@ -36,7 +42,10 @@ def _rows(spark, name, n_shuffle):
     try:
         df = harness.REGISTRY[name].fn(spark, SF_DIR)
         cols = sorted(df.columns)
-        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+        rows = [tuple(r[c] for c in cols) for r in df.collect()]
+        # null-safe sort key (nullable result columns, e.g. unconverted
+        # funnel users)
+        return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
