@@ -67,7 +67,13 @@ def term_eq(a: Column, b: Column) -> Column:
     """SPARQL ``=``: numeric value equality when both numeric, timestamp
     equality when both temporal, else RDF term identity; errors → null."""
     return (
-        F.when(a.isNull() | b.isNull(), _null_bool())
+        # an ERROR operand is either a null struct (unbound var) or a
+        # struct whose kind is null (computed error, e.g. 1/0): both must
+        # propagate as error, not compare false via the eqNullSafe legs
+        F.when(
+            a.isNull() | b.isNull() | a["kind"].isNull() | b["kind"].isNull(),
+            _null_bool(),
+        )
         .when(_num(a).isNotNull() & _num(b).isNotNull(), _num(a) == _num(b))
         .when(a["ts"].isNotNull() & b["ts"].isNotNull(), a["ts"] == b["ts"])
         .otherwise(
@@ -86,7 +92,10 @@ def _cmp(op: str, a: Column, b: Column) -> Column:
         }[op]
 
     return (
-        F.when(a.isNull() | b.isNull(), _null_bool())
+        F.when(
+            a.isNull() | b.isNull() | a["kind"].isNull() | b["kind"].isNull(),
+            _null_bool(),
+        )
         .when(_num(a).isNotNull() & _num(b).isNotNull(), apply(_num(a), _num(b)))
         .when(a["ts"].isNotNull() & b["ts"].isNotNull(), apply(a["ts"], b["ts"]))
         .when(a["bool"].isNotNull() & b["bool"].isNotNull(),
@@ -147,10 +156,18 @@ class ExprCompiler:
                 return ~term_eq(a, b)
             return _cmp(e.op, a, b)
         if isinstance(e, A.InExpr):
+            # same 3-valued fold as the struct path: TRUE beats error,
+            # error beats FALSE (§17.4.1.9 — IN is chained = joined by ||)
             a = self.compile(e.expr)
-            hit = F.lit(False)
+            any_true = F.lit(False)
+            any_err = F.lit(False)
             for opt in e.options:
-                hit = hit | F.coalesce(term_eq(a, self.compile(opt)), F.lit(False))
+                eq = term_eq(a, self.compile(opt))
+                any_true = any_true | F.coalesce(eq, F.lit(False))
+                any_err = any_err | eq.isNull()
+            hit = F.when(any_true, F.lit(True)).when(
+                any_err, F.lit(None).cast("boolean")
+            ).otherwise(F.lit(False))
             return ~hit if e.negated else hit
         return ebv(self.compile(e))
 
@@ -202,7 +219,17 @@ class ExprCompiler:
         if isinstance(e, A.Arith):
             a, b = self.compile(e.left), self.compile(e.right)
             x, y = _num(a), _num(b)
-            out = {"+": x + y, "-": x - y, "*": x * y, "/": x / y}[e.op]
+            # try_divide: ÷0 is a SPARQL expression ERROR (null → FILTER
+            # drops the row), never a runtime crash — Spark 4 ANSI mode
+            # would otherwise abort the whole job on the first zero
+            # divisor. (Our arithmetic runs on the decimal shadow column,
+            # so decimal semantics — error, not xsd:double's INF — apply.)
+            out = {
+                "+": x + y,
+                "-": x - y,
+                "*": x * y,
+                "/": F.try_divide(x, y),
+            }[e.op]
             if e.op == "/":
                 # SPARQL §17.3: integer ÷ integer yields xsd:decimal
                 return make_numeric(out)
@@ -216,10 +243,20 @@ class ExprCompiler:
             inner = self.compile(e.inner)
             return _int_preserving(inner, -_num(inner))
         if isinstance(e, A.InExpr):
+            # IN ≡ chained = joined by || (§17.4.1.9): TRUE if any option
+            # matches, ERROR if none matches but some comparison errored,
+            # FALSE only when every comparison is cleanly false. (A plain
+            # coalesce-to-false would turn NOT IN errors into kept rows.)
             a = self.compile(e.expr)
-            hit = F.lit(False)
+            any_true = F.lit(False)
+            any_err = F.lit(False)
             for opt in e.options:
-                hit = hit | F.coalesce(term_eq(a, self.compile(opt)), F.lit(False))
+                eq = term_eq(a, self.compile(opt))
+                any_true = any_true | F.coalesce(eq, F.lit(False))
+                any_err = any_err | eq.isNull()
+            hit = F.when(any_true, F.lit(True)).when(
+                any_err, F.lit(None).cast("boolean")
+            ).otherwise(F.lit(False))
             return make_bool(~hit if e.negated else hit)
         if isinstance(e, A.ExistsExpr):
             return make_bool(self._exists_flag(e))
@@ -353,7 +390,29 @@ class ExprCompiler:
                 .otherwise(F.lit(""))
             )
         if name == "CONCAT":
-            return make_string(F.concat(*[_lex(a) for a in args]))
+            # §17.4.3.12: the result keeps a language tag shared by ALL
+            # arguments, is xsd:string when all arguments are xsd:string,
+            # and is a simple literal otherwise.
+            from dublin_smart_city_graphdb_spark.sparql.termcol import (
+                _NULL_B, _NULL_N, _NULL_T, _struct,
+            )
+
+            out = F.concat(*[_lex(a) for a in args])
+            lang0 = args[0]["lang"]
+            same_lang = lang0.isNotNull()
+            all_xsd = args[0]["dtype"].eqNullSafe(F.lit(XSD + "string"))
+            for a in args[1:]:
+                same_lang = same_lang & a["lang"].eqNullSafe(lang0)
+                all_xsd = all_xsd & a["dtype"].eqNullSafe(
+                    F.lit(XSD + "string")
+                )
+            return _struct(
+                F.when(out.isNull(), F.lit(None)).otherwise(F.lit(KIND_LITERAL)),
+                out,
+                F.when(all_xsd & out.isNotNull(), F.lit(XSD + "string")),
+                F.when(same_lang & out.isNotNull(), lang0),
+                _NULL_N(), _NULL_T(), _NULL_B(),
+            )
         if name == "ENCODE_FOR_URI":
             return make_string(F.url_encode(_lex(args[0])))
         if name == "REGEX":
