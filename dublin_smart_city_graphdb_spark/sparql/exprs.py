@@ -36,6 +36,33 @@ class ExprError(ValueError):
     pass
 
 
+def _str_like(src: Column, out: Column) -> Column:
+    """String-function result: ``out``'s lexical form carrying ``src``'s
+    language tag / xsd:string datatype (§17.4.3 'a string literal ... whose
+    language tag and datatype are those of the first argument')."""
+    from dublin_smart_city_graphdb_spark.sparql.termcol import (
+        _NULL_B, _NULL_N, _NULL_T, _struct,
+    )
+
+    return _struct(
+        F.when(out.isNull(), F.lit(None)).otherwise(F.lit(KIND_LITERAL)),
+        out,
+        F.when(
+            out.isNotNull() & src["dtype"].eqNullSafe(F.lit(XSD + "string")),
+            F.lit(XSD + "string"),
+        ),
+        F.when(out.isNotNull(), src["lang"]),
+        _NULL_N(), _NULL_T(), _NULL_B(),
+    )
+
+
+def _lang_compat(a: Column, b: Column) -> Column:
+    """§17.4.3.1.1 argument compatibility: the second argument must be a
+    simple/xsd:string literal or carry the SAME language tag as the first —
+    e.g. CONTAINS("abc"@en, "b"@cy) is an error."""
+    return b["lang"].isNull() | b["lang"].eqNullSafe(a["lang"])
+
+
 def _num(t: Column) -> Column:
     return t["num"]
 
@@ -362,33 +389,54 @@ class ExprCompiler:
                 out = s.substr(start, _num(args[2]).cast("int"))
             else:
                 out = s.substr(start, F.lit(2_000_000_000))
-            return make_string(out)
+            return _str_like(args[0], out)
         if name == "UCASE":
-            return make_string(F.upper(_lex(args[0])))
+            return _str_like(args[0], F.upper(_lex(args[0])))
         if name == "LCASE":
-            return make_string(F.lower(_lex(args[0])))
+            return _str_like(args[0], F.lower(_lex(args[0])))
         if name == "STRSTARTS":
-            return make_bool(_lex(args[0]).startswith(_lex(args[1])))
+            return make_bool(
+                F.when(
+                    _lang_compat(args[0], args[1]),
+                    _lex(args[0]).startswith(_lex(args[1])),
+                )
+            )
         if name == "STRENDS":
-            return make_bool(_lex(args[0]).endswith(_lex(args[1])))
+            return make_bool(
+                F.when(
+                    _lang_compat(args[0], args[1]),
+                    _lex(args[0]).endswith(_lex(args[1])),
+                )
+            )
         if name == "CONTAINS":
-            return make_bool(_lex(args[0]).contains(_lex(args[1])))
+            return make_bool(
+                F.when(
+                    _lang_compat(args[0], args[1]),
+                    _lex(args[0]).contains(_lex(args[1])),
+                )
+            )
         if name == "STRBEFORE":
             s, sep = _lex(args[0]), _lex(args[1])
             idx = F.instr(s, sep)
-            return make_string(
-                F.when(sep == "", F.lit(""))
-                .when(idx > 0, s.substr(F.lit(1), idx - 1))
-                .otherwise(F.lit(""))
+            # §17.4.3.4: on a match (empty sep matches at position 0) the
+            # result carries arg1's lang/datatype; NO match → simple "".
+            out = F.when(sep == "", F.lit("")).when(
+                idx > 0, s.substr(F.lit(1), idx - 1)
             )
+            matched = _str_like(args[0], F.coalesce(out, F.lit("")))
+            return F.when(~_lang_compat(args[0], args[1]), null_struct()).when(
+                (sep == "") | (idx > 0), matched
+            ).otherwise(make_string(F.when(idx == 0, F.lit(""))))
         if name == "STRAFTER":
             s, sep = _lex(args[0]), _lex(args[1])
             idx = F.instr(s, sep)
-            return make_string(
-                F.when(sep == "", s)
-                .when(idx > 0, s.substr(idx + F.length(sep), F.lit(2_000_000_000)))
-                .otherwise(F.lit(""))
+            out = F.when(sep == "", s).when(
+                idx > 0, s.substr(idx + F.length(sep), F.lit(2_000_000_000))
             )
+            matched = _str_like(args[0], F.coalesce(out, F.lit("")))
+            return F.when(~_lang_compat(args[0], args[1]), null_struct()).when(
+                (sep == "") | (idx > 0), matched
+            ).otherwise(make_string(F.when(idx == 0, F.lit(""))))
         if name == "CONCAT":
             # §17.4.3.12: the result keeps a language tag shared by ALL
             # arguments, is xsd:string when all arguments are xsd:string,
@@ -424,7 +472,7 @@ class ExprCompiler:
             s, pat, rep = _lex(args[0]), _lex(args[1]), _lex(args[2])
             if len(args) > 3:
                 pat = F.concat(F.lit("(?"), _lex(args[3]), F.lit(")"), pat)
-            return make_string(F.regexp_replace(s, pat, rep))
+            return _str_like(args[0], F.regexp_replace(s, pat, rep))
 
         if name == "ABS":
             return _int_preserving(args[0], F.abs(_num(args[0])))
