@@ -67,6 +67,83 @@ def _num(t: Column) -> Column:
     return t["num"]
 
 
+# -- XSD constructor casts (§17.5 XPath constructor functions) ---------------
+
+_XSD_CASTS = {
+    XSD + n
+    for n in ("integer", "decimal", "double", "float", "string", "boolean",
+              "dateTime")
+}
+
+_INT_RE = r"^[+-]?[0-9]+$"
+_DEC_RE = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"
+_DBL_RE = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+
+def _xsd_cast(dtype_iri: str, a: Column) -> Column:
+    """XPath casting over the term struct: numeric/boolean/temporal shadow
+    values convert directly; string sources must match the target's lexical
+    space (else error); IRIs cast only to xsd:string. Doubles ride the
+    decimal shadow column, so ±INF/NaN lexicals are unsupported (error) —
+    consistent with the engine-wide decimal numeric model."""
+    from dublin_smart_city_graphdb_spark.sparql.termcol import _struct
+
+    local = dtype_iri.rsplit("#", 1)[-1]
+    lex, num, b, ts = _lex(a), _num(a), a["bool"], a["ts"]
+    is_str = (a["kind"] == KIND_LITERAL) & (
+        a["dtype"].isNull() | (a["dtype"] == XSD + "string")
+    )
+    if local == "string":
+        ok = a["kind"].isNotNull()
+        return _struct(
+            F.when(ok, F.lit(KIND_LITERAL)),
+            F.when(ok, lex),
+            F.when(ok, F.lit(XSD + "string")),
+            F.lit(None).cast("string"),
+            F.lit(None).cast("decimal(38,10)"),
+            F.lit(None).cast("timestamp"),
+            F.lit(None).cast("boolean"),
+        )
+    if local == "integer":
+        # XPath: numeric → truncate toward zero; boolean → 1/0; string must
+        # be a valid integer lexical ("5.3" is an ERROR, not 5)
+        val = (
+            F.when(num.isNotNull(),
+                   F.when(num >= 0, F.floor(num)).otherwise(F.ceil(num)))
+            .when(b.isNotNull(), b.cast("int"))
+            .when(is_str & lex.rlike(_INT_RE), lex.cast("decimal(38,10)"))
+        )
+        return make_numeric(val, XSD + "integer")
+    if local == "decimal":
+        val = (
+            F.when(num.isNotNull(), num)
+            .when(b.isNotNull(), b.cast("int"))
+            .when(is_str & lex.rlike(_DEC_RE), lex.cast("decimal(38,10)"))
+        )
+        return make_numeric(val)
+    if local in ("double", "float"):
+        val = (
+            F.when(num.isNotNull(), num)
+            .when(b.isNotNull(), b.cast("int"))
+            .when(
+                is_str & lex.rlike(_DBL_RE),
+                lex.cast("double").cast("decimal(38,10)"),
+            )
+        )
+        return make_numeric(val, dtype_iri)
+    if local == "boolean":
+        val = (
+            F.when(b.isNotNull(), b)
+            .when(num.isNotNull(), num != 0)
+            .when(is_str & lex.isin("true", "1"), F.lit(True))
+            .when(is_str & lex.isin("false", "0"), F.lit(False))
+        )
+        return make_bool(val)
+    # dateTime
+    val = F.when(ts.isNotNull(), ts).when(is_str, lex.try_cast("timestamp"))
+    return make_ts(val)
+
+
 def _lex(t: Column) -> Column:
     return t["lex"]
 
@@ -302,7 +379,12 @@ class ExprCompiler:
             return self._ext[name](args)
 
         if name == "BOUND":
-            return make_bool(args[0].isNotNull())
+            # two unbound encodings exist: a NULL struct (join miss) and a
+            # struct literal with null kind (compile-time-unknown var /
+            # computed error) — BOUND is false for both
+            return make_bool(
+                args[0].isNotNull() & args[0]["kind"].isNotNull()
+            )
         if name == "COALESCE":
             # SPARQL COALESCE skips *erroring* arguments. Errors are term
             # structs with a null kind (the struct itself is non-null), so
@@ -518,5 +600,8 @@ class ExprCompiler:
         if name in ("SHA256", "SHA384", "SHA512"):
             bits = int(name[3:])
             return make_string(F.sha2(_lex(args[0]).cast("binary"), bits))
+
+        if name in _XSD_CASTS:
+            return _xsd_cast(name, args[0])
 
         raise ExprError(f"unsupported function {name}")
