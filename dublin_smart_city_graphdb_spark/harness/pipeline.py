@@ -3041,3 +3041,66 @@ def chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ENTROPY_SQL = """
+    WITH ch AS (
+        SELECT doc_id, u.ch
+        FROM documents, UNNEST(string_split(text, '')) u(ch)
+        WHERE len(u.ch) > 0
+    ), cnt AS (
+        SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+    ), agg AS (
+        SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY ch) AS cs,
+               SUM(c) AS n
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n AS n_chars_counted,
+           CAST(len(cs) AS BIGINT) AS n_distinct_chars,
+           ROUND(CASE WHEN n <= 1 THEN 0.0
+                      ELSE log2(CAST(n AS DOUBLE))
+                           - list_sum(list_transform(cs, c -> c * log2(c)))
+                             / CAST(n AS DOUBLE) END, 6) AS entropy_bits
+    FROM agg
+"""
+
+
+@register(
+    "text_entropy",
+    _ENTROPY_SQL,
+    doc="Character-distribution Shannon entropy per document — the "
+        "degenerate-text detector (mashed keys, base64 blobs and "
+        "repeated-char padding sit far from natural language's ~4 bits). "
+        "Computed as log2(n) - (1/n)*sum(c*log2(c)) over per-char counts "
+        "folded in sorted-char order (a FIXED fold order on both engines; "
+        "the 6-dp round absorbs last-ulp libm log differences), n<=1 "
+        "short-circuits to exactly 0.0 with no log evaluated. Two "
+        "aggregation shuffles — (doc, char) then doc — with map-side "
+        "partials; the char explosion never leaves the scan stage.",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    cnt = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ch, c))), "
+            "e -> CAST(e.c AS DOUBLE))"
+        ).alias("cs"),
+        F.sum("c").alias("n"),
+    )
+    h = F.expr(
+        "round(CASE WHEN n <= 1 THEN 0.0D "
+        "ELSE log2(CAST(n AS DOUBLE)) "
+        "- aggregate(cs, 0.0D, (acc, c) -> acc + c * log2(c)) "
+        "/ CAST(n AS DOUBLE) END, 6)"
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        F.size("cs").cast("bigint").alias("n_distinct_chars"),
+        h.alias("entropy_bits"),
+    )
