@@ -121,9 +121,11 @@ class Repository:
         (the reference's load-time materialization, init-graphdb.sh:51-55)."""
         from dublin_smart_city_graphdb_spark.inference.rdfsplus import materialize
 
-        explicit = self.quads.filter(
-            (self.quads.g.isNull()) | (self.quads.g != INFERRED_GRAPH)
-        )
+        # bind the property ONCE: on an empty repo each .quads access
+        # builds a fresh DataFrame, and mixing columns from two instances
+        # makes the filter unresolvable
+        q = self.quads
+        explicit = q.filter((q.g.isNull()) | (q.g != INFERRED_GRAPH))
         inferred = materialize(explicit)
         self._pred_stats = None
         self._version += 1
@@ -331,9 +333,8 @@ class Repository:
                 turtle_to_rows(text, graph), QUAD_SCHEMA
             )
 
-        explicit = self.quads.filter(
-            (self.quads.g.isNull()) | (self.quads.g != INFERRED_GRAPH)
-        )
+        q = self.quads  # bind once — see materialize_inference
+        explicit = q.filter((q.g.isNull()) | (q.g != INFERRED_GRAPH))
         result = UpdateExecutor(self.spark, load_fn).apply(explicit, ops)
         self._pred_stats = None
         self._version += 1

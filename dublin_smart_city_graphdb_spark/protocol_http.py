@@ -10,7 +10,12 @@ Mirrors the exact REST surface the reference deployment exercises:
 - ``GET /rest/repositories`` → repository list (``init-graphdb.sh:38``,
   ``entrypoint.sh:30``);
 - ``POST /rest/repositories`` with the reference's JSON config shape
-  → idempotent create (``init-graphdb.sh:44-72``).
+  → idempotent create (``init-graphdb.sh:44-72``);
+- ``/repositories/{r}/rdf-graphs/service?graph=<iri>`` (or ``?default``)
+  → W3C SPARQL 1.1 Graph Store HTTP Protocol (RDF4J path convention, so
+  the reference's engine serves the same URLs): GET exports the graph as
+  N-Triples, PUT replaces it with the Turtle body, POST merges, DELETE
+  drops.
 
 Serving is a stdlib ThreadingHTTPServer — the facade is NOT the engine: it
 parses/dispatches only, every query still runs as a distributed Spark job.
@@ -57,10 +62,76 @@ def _make_handler(engine: Engine):
             n = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(n) if n else b""
 
+        def _gsp_target(self, url):
+            """(repo, graph_iri|None) for a Graph Store Protocol URL, or
+            None after sending the error. graph=None means the default
+            graph (?default)."""
+            parts = [p for p in url.path.split("/") if p]
+            if not (
+                len(parts) == 4
+                and parts[0] == "repositories"
+                and parts[2:] == ["rdf-graphs", "service"]
+            ):
+                return False  # not a GSP route
+            repo = self._repo(parts[1])
+            if repo is None:
+                return None
+            qs = urllib.parse.parse_qs(url.query)
+            if "default" in qs or url.query == "default":
+                return repo, None
+            graph = (qs.get("graph") or [None])[0]
+            if graph is None:
+                self._send(400, {"error": "graph or default parameter required"})
+                return None
+            return repo, graph.strip("<>")
+
         # -- routes ----------------------------------------------------------
+        def do_PUT(self):
+            url = urllib.parse.urlparse(self.path)
+            t = self._gsp_target(url)
+            if t is None:
+                return
+            if t is False:
+                self._send(404, {"error": "not found"})
+                return
+            repo, graph = t
+            try:
+                # GSP PUT: replace the graph's content with the body
+                if graph:
+                    repo.update(f"CLEAR SILENT GRAPH <{graph}>")
+                else:
+                    repo.update("CLEAR SILENT DEFAULT")
+                repo.load_turtle(self._body().decode(), graph=graph)
+                self._send(204, "")
+            except Exception as ex:  # noqa: BLE001
+                self._send(400, {"error": str(ex)})
+
         def do_GET(self):
             url = urllib.parse.urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
+            t = self._gsp_target(url)
+            if t is None:
+                return
+            if t is not False:
+                from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                    quads_to_ntriples,
+                )
+
+                repo, graph = t
+                quads = repo.quads
+                quads = (
+                    quads.filter(F.col("g") == graph)
+                    if graph
+                    else quads.filter(F.col("g").isNull())
+                )
+                lines = quads_to_ntriples(quads)
+                body = "\n".join(r["value"] for r in lines.collect())
+                self._send(
+                    200,
+                    body + ("\n" if body else ""),
+                    "application/n-triples",
+                )
+                return
             if parts == ["rest", "repositories"]:
                 self._send(200, [{"id": r} for r in engine.list_repositories()])
                 return
@@ -128,6 +199,19 @@ def _make_handler(engine: Engine):
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]
             body = self._body()
 
+            t = self._gsp_target(url)
+            if t is None:
+                return
+            if t is not False:
+                repo, graph = t
+                try:
+                    # GSP POST: merge the body into the graph
+                    repo.load_turtle(body.decode(), graph=graph)
+                    self._send(204, "")
+                except Exception as ex:  # noqa: BLE001
+                    self._send(400, {"error": str(ex)})
+                return
+
             if parts == ["rest", "repositories"]:
                 # reference config shape: {"id": ..., "params": {...}}
                 cfg = json.loads(body or b"{}")
@@ -192,6 +276,20 @@ def _make_handler(engine: Engine):
             # teardown path (idempotent like create)
             url = urllib.parse.urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
+            t = self._gsp_target(url)
+            if t is None:
+                return
+            if t is not False:
+                repo, graph = t
+                try:
+                    if graph:
+                        repo.update(f"CLEAR SILENT GRAPH <{graph}>")
+                    else:
+                        repo.update("CLEAR SILENT DEFAULT")
+                    self._send(204, "")
+                except Exception as ex:  # noqa: BLE001
+                    self._send(400, {"error": str(ex)})
+                return
             if len(parts) == 3 and parts[:2] == ["rest", "repositories"]:
                 if engine.drop_repository(parts[2]):
                     self._send(204, "")

@@ -323,3 +323,66 @@ def test_statements_resource_size_export_clear(spark):
         assert r.count() == 0
     finally:
         srv.stop()
+
+
+def test_graph_store_protocol_lifecycle(server):
+    """W3C SPARQL 1.1 Graph Store HTTP Protocol on the RDF4J path:
+    PUT replaces a named graph, GET exports it, POST merges, DELETE drops —
+    the whole lifecycle over the wire."""
+    engine_repo = "gsp_repo"
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": engine_repo, "params": {"ruleset": {"value": "none"}}}).encode(),
+        "application/json",
+    )
+    gsp = f"/repositories/{engine_repo}/rdf-graphs/service"
+    g = urllib.parse.quote("http://g/one", safe="")
+
+    def put(ttl, q):
+        req = urllib.request.Request(
+            _url(server, f"{gsp}?{q}"), data=ttl.encode(),
+            headers={"Content-Type": "text/turtle"}, method="PUT",
+        )
+        with urllib.request.urlopen(req) as r:
+            return r.status
+
+    def get(q):
+        with urllib.request.urlopen(_url(server, f"{gsp}?{q}")) as r:
+            return r.status, r.read().decode()
+
+    # PUT: create the named graph
+    assert put("<urn:a> <urn:p> <urn:b> .", f"graph={g}") == 204
+    status, body = get(f"graph={g}")
+    assert status == 200 and "<urn:a> <urn:p> <urn:b> ." in body
+
+    # POST: merge another triple in
+    req = urllib.request.Request(
+        _url(server, f"{gsp}?graph={g}"),
+        data=b"<urn:c> <urn:p> <urn:d> .",
+        headers={"Content-Type": "text/turtle"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+    _, body = get(f"graph={g}")
+    assert "<urn:a>" in body and "<urn:c>" in body
+
+    # PUT again: REPLACES (the old triples are gone)
+    assert put("<urn:e> <urn:p> <urn:f> .", f"graph={g}") == 204
+    _, body = get(f"graph={g}")
+    assert "<urn:e>" in body and "<urn:a>" not in body
+
+    # default graph is separate
+    assert put("<urn:x> <urn:p> <urn:y> .", "default") == 204
+    _, body = get("default")
+    assert "<urn:x>" in body and "<urn:e>" not in body
+
+    # DELETE drops only the named graph
+    req = urllib.request.Request(
+        _url(server, f"{gsp}?graph={g}"), method="DELETE"
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+    _, body = get(f"graph={g}")
+    assert body.strip() == ""
+    _, body = get("default")
+    assert "<urn:x>" in body
