@@ -323,19 +323,28 @@ class Repository:
         """SPARQL 1.1 Update (SURVEY §2.1 S7): mutate the explicit statement
         set, then re-run load-time inference if the ruleset asks for it."""
         from dublin_smart_city_graphdb_spark.sparql.parser import parse_update
-        from dublin_smart_city_graphdb_spark.sparql.update import UpdateExecutor
 
-        ops = parse_update(update_text)
+        self._apply_ops(parse_update(update_text))
 
+    def _load_fn(self):
         def load_fn(path: str, graph: str | None) -> DataFrame:
             text = open(path).read()
             return self.spark.createDataFrame(
                 turtle_to_rows(text, graph), QUAD_SCHEMA
             )
 
+        return load_fn
+
+    def _apply_ops(self, ops: list) -> None:
+        """Apply parsed update operations as ONE visibility switch: the ops
+        compose lazily over the explicit statement set and a single
+        overwrite/checkpoint lands the result — this is what makes a
+        multi-op transaction commit atomic."""
+        from dublin_smart_city_graphdb_spark.sparql.update import UpdateExecutor
+
         q = self.quads  # bind once — see materialize_inference
         explicit = q.filter((q.g.isNull()) | (q.g != INFERRED_GRAPH))
-        result = UpdateExecutor(self.spark, load_fn).apply(explicit, ops)
+        result = UpdateExecutor(self.spark, self._load_fn()).apply(explicit, ops)
         self._pred_stats = None
         self._version += 1
         if self._store:
@@ -345,6 +354,12 @@ class Repository:
             self._quads = result.localCheckpoint(eager=True)
         if self.config.get("ruleset", "none") != "none":
             self.materialize_inference()
+
+    def begin(self) -> "Transaction":
+        """Open a buffered transaction (RDF4J transaction semantics at the
+        batch-analytics level): operations accumulate driver-side; nothing
+        is visible to other readers until commit applies them atomically."""
+        return Transaction(self)
 
     def sparql_collect(self, query_text: str, timeout: float | None = None):
         """Execute with the repository's query timeout (the reference's 30 s
@@ -390,6 +405,82 @@ class Repository:
         )
 
         return property_table(self.quads, columns, class_iri, collect)
+
+
+class Transaction:
+    """Buffered atomic mutation unit (the RDF4J transaction model the
+    reference's engine serves over REST). ADD/DELETE/UPDATE operations
+    accumulate as parsed update ops; ``commit()`` hands them to
+    ``Repository._apply_ops`` which lands them in ONE visibility switch,
+    so concurrent readers never observe a partial transaction. ``query()``
+    evaluates against the transaction's OWN snapshot (committed state +
+    buffered ops) without publishing anything — read-your-writes inside
+    the transaction, isolation outside it."""
+
+    def __init__(self, repo: Repository):
+        self._repo = repo
+        self._ops: list = []
+        self.open = True
+
+    def _require_open(self):
+        if not self.open:
+            raise ValueError("transaction is no longer open")
+
+    @staticmethod
+    def _data_op(cls, text: str, graph: str | None):
+        from dublin_smart_city_graphdb_spark.model.terms import IRI
+        from dublin_smart_city_graphdb_spark.sparql import ast as A
+        from dublin_smart_city_graphdb_spark.sources.turtle import parse_turtle
+
+        g = IRI(graph) if graph else None
+        return cls(
+            [(g, A.TriplePattern(s, p, o)) for s, p, o in parse_turtle(text)]
+        )
+
+    def add_turtle(self, text: str, graph: str | None = None) -> None:
+        from dublin_smart_city_graphdb_spark.sparql import ast as A
+
+        self._require_open()
+        self._ops.append(self._data_op(A.InsertDataOp, text, graph))
+
+    def delete_turtle(self, text: str, graph: str | None = None) -> None:
+        from dublin_smart_city_graphdb_spark.sparql import ast as A
+
+        self._require_open()
+        self._ops.append(self._data_op(A.DeleteDataOp, text, graph))
+
+    def update(self, update_text: str) -> None:
+        from dublin_smart_city_graphdb_spark.sparql.parser import parse_update
+
+        self._require_open()
+        self._ops.extend(parse_update(update_text))
+
+    def query(self, query_text: str) -> DataFrame:
+        """Evaluate against committed-state + this transaction's buffer."""
+        from dublin_smart_city_graphdb_spark.sparql.compiler import QueryCompiler
+        from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+        from dublin_smart_city_graphdb_spark.sparql.update import UpdateExecutor
+
+        self._require_open()
+        repo = self._repo
+        q = repo.quads
+        snapshot = UpdateExecutor(repo.spark, repo._load_fn()).apply(
+            q.filter((q.g.isNull()) | (q.g != INFERRED_GRAPH)), self._ops
+        )
+        return QueryCompiler(
+            repo.spark, snapshot, extensions=repo.engine.functions
+        ).compile(parse_query(query_text))
+
+    def commit(self) -> None:
+        self._require_open()
+        self.open = False
+        if self._ops:
+            self._repo._apply_ops(self._ops)
+
+    def rollback(self) -> None:
+        self._require_open()
+        self.open = False
+        self._ops = []
 
 
 class Engine:

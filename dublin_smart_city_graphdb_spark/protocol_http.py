@@ -11,6 +11,9 @@ Mirrors the exact REST surface the reference deployment exercises:
   ``entrypoint.sh:30``);
 - ``POST /rest/repositories`` with the reference's JSON config shape
   → idempotent create (``init-graphdb.sh:44-72``);
+- ``POST /repositories/{r}/transactions`` + ``PUT {txn}?action=ADD/
+  DELETE/UPDATE/QUERY/COMMIT`` + ``DELETE {txn}`` → RDF4J transaction
+  protocol (buffered atomic commits, read-your-writes queries);
 - ``/repositories/{r}/rdf-graphs/service?graph=<iri>`` (or ``?default``)
   → W3C SPARQL 1.1 Graph Store HTTP Protocol (RDF4J path convention, so
   the reference's engine serves the same URLs): GET exports the graph as
@@ -34,6 +37,9 @@ from dublin_smart_city_graphdb_spark.engine import Engine
 
 
 def _make_handler(engine: Engine):
+    txns: dict[str, object] = {}  # txid → engine.Transaction
+    txn_seq = iter(range(1, 1_000_000_000))
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet test output
             pass
@@ -85,9 +91,66 @@ def _make_handler(engine: Engine):
                 return None
             return repo, graph.strip("<>")
 
+        def _txn(self, parts):
+            """(txid, Transaction) for /repositories/{r}/transactions/{id},
+            else None (404 already sent)."""
+            txid = parts[3]
+            tx = txns.get(txid)
+            if tx is None:
+                self._send(404, {"error": f"unknown transaction {txid!r}"})
+                return None
+            return txid, tx
+
         # -- routes ----------------------------------------------------------
         def do_PUT(self):
             url = urllib.parse.urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            if (
+                len(parts) == 4
+                and parts[0] == "repositories"
+                and parts[2] == "transactions"
+            ):
+                # RDF4J transaction protocol: PUT {txn}?action=...
+                got = self._txn(parts)
+                if got is None:
+                    return
+                txid, tx = got
+                qs = urllib.parse.parse_qs(url.query)
+                action = (qs.get("action") or [""])[0].upper()
+                body = self._body()
+                try:
+                    if action == "ADD":
+                        ctx = (qs.get("context") or [None])[0]
+                        tx.add_turtle(body.decode(), graph=ctx and ctx.strip("<>"))
+                        self._send(200, "")
+                    elif action == "DELETE":
+                        ctx = (qs.get("context") or [None])[0]
+                        tx.delete_turtle(
+                            body.decode(), graph=ctx and ctx.strip("<>")
+                        )
+                        self._send(200, "")
+                    elif action == "UPDATE":
+                        update = (qs.get("update") or [body.decode()])[0]
+                        tx.update(update)
+                        self._send(200, "")
+                    elif action == "QUERY":
+                        query = (qs.get("query") or [body.decode()])[0]
+                        from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                            rows_to_json,
+                        )
+
+                        df = tx.query(query)
+                        doc = rows_to_json(df.columns, df.collect())
+                        self._send(200, doc)
+                    elif action == "COMMIT":
+                        tx.commit()
+                        txns.pop(txid, None)
+                        self._send(200, "")
+                    else:
+                        self._send(400, {"error": f"unknown action {action!r}"})
+                except Exception as ex:  # noqa: BLE001
+                    self._send(400, {"error": str(ex)})
+                return
             t = self._gsp_target(url)
             if t is None:
                 return
@@ -212,6 +275,27 @@ def _make_handler(engine: Engine):
                     self._send(400, {"error": str(ex)})
                 return
 
+            if (
+                len(parts) == 3
+                and parts[0] == "repositories"
+                and parts[2] == "transactions"
+            ):
+                # RDF4J: POST /repositories/{r}/transactions → new txn
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                txid = f"tx{next(txn_seq)}"
+                txns[txid] = repo.begin()
+                loc = f"/repositories/{parts[1]}/transactions/{txid}"
+                body_json = json.dumps({"id": txid}).encode()
+                self.send_response(201)
+                self.send_header("Location", loc)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body_json)))
+                self.end_headers()
+                self.wfile.write(body_json)
+                return
+
             if parts == ["rest", "repositories"]:
                 # reference config shape: {"id": ..., "params": {...}}
                 cfg = json.loads(body or b"{}")
@@ -276,6 +360,20 @@ def _make_handler(engine: Engine):
             # teardown path (idempotent like create)
             url = urllib.parse.urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
+            if (
+                len(parts) == 4
+                and parts[0] == "repositories"
+                and parts[2] == "transactions"
+            ):
+                # RDF4J: DELETE {txn} → rollback
+                got = self._txn(parts)
+                if got is None:
+                    return
+                txid, tx = got
+                tx.rollback()
+                txns.pop(txid, None)
+                self._send(204, "")
+                return
             t = self._gsp_target(url)
             if t is None:
                 return

@@ -386,3 +386,61 @@ def test_graph_store_protocol_lifecycle(server):
     assert body.strip() == ""
     _, body = get("default")
     assert "<urn:x>" in body
+
+
+def test_transaction_protocol_lifecycle(server):
+    """RDF4J transaction REST: POST creates, PUT?action=ADD/QUERY buffer
+    and read-your-writes, COMMIT publishes atomically, DELETE rolls back."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "txn_http", "params": {"ruleset": {"value": "none"}}}).encode(),
+        "application/json",
+    )
+
+    def begin():
+        req = urllib.request.Request(
+            _url(server, "/repositories/txn_http/transactions"), data=b"",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 201
+            return r.headers["Location"]
+
+    def put(loc, q, data=b""):
+        req = urllib.request.Request(
+            _url(server, f"{loc}?{q}"), data=data,
+            headers={"Content-Type": "text/turtle"}, method="PUT",
+        )
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read()
+
+    loc = begin()
+    st, _ = put(loc, "action=ADD", b"<urn:t1> <urn:p> <urn:o> .")
+    assert st == 200
+    # read-your-writes inside the txn
+    q = urllib.parse.quote("SELECT ?s WHERE { ?s <urn:p> <urn:o> }")
+    st, body = put(loc, f"action=QUERY&query={q}")
+    assert st == 200
+    assert "urn:t1" in body.decode()
+    # not visible outside yet
+    with urllib.request.urlopen(
+        _url(server, f"/repositories/txn_http?query={q}")
+    ) as r:
+        assert "urn:t1" not in r.read().decode()
+    # commit publishes
+    st, _ = put(loc, "action=COMMIT")
+    assert st == 200
+    with urllib.request.urlopen(
+        _url(server, f"/repositories/txn_http?query={q}")
+    ) as r:
+        assert "urn:t1" in r.read().decode()
+
+    # rollback path
+    loc2 = begin()
+    put(loc2, "action=ADD", b"<urn:t2> <urn:p> <urn:o> .")
+    req = urllib.request.Request(_url(server, loc2), method="DELETE")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+    with urllib.request.urlopen(
+        _url(server, f"/repositories/txn_http?query={q}")
+    ) as r:
+        assert "urn:t2" not in r.read().decode()

@@ -215,3 +215,48 @@ def test_from_named_restricts_graph(dataset_repo):
         "SELECT ?g FROM <http://u#G1> WHERE { GRAPH ?g { ?s ?p ?o } }"
     )
     assert rows2 == []
+
+
+# -- transactions (RDF4J model: buffered ops, atomic commit) -----------------
+
+def test_transaction_isolation_and_atomic_commit(spark):
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    r = eng.create_repository("txn_iso", ruleset="none")
+    r.load_turtle("@prefix ex: <http://t#> . ex:a ex:p ex:b .")
+
+    tx = r.begin()
+    tx.add_turtle("@prefix ex: <http://t#> . ex:c ex:p ex:d .")
+    tx.delete_turtle("@prefix ex: <http://t#> . ex:a ex:p ex:b .")
+
+    # read-your-writes inside the transaction ...
+    in_tx = tx.query(
+        "PREFIX ex: <http://t#> SELECT ?s WHERE { ?s ex:p ?o }"
+    ).collect()
+    assert sorted(row[0].lex for row in in_tx) == ["http://t#c"]
+    # ... but NOTHING visible outside before commit
+    outside = r.sparql_collect(
+        "PREFIX ex: <http://t#> SELECT ?s WHERE { ?s ex:p ?o }"
+    )
+    assert sorted(row[0].lex for row in outside) == ["http://t#a"]
+
+    tx.commit()
+    after = r.sparql_collect(
+        "PREFIX ex: <http://t#> SELECT ?s WHERE { ?s ex:p ?o }"
+    )
+    assert sorted(row[0].lex for row in after) == ["http://t#c"]
+    with pytest.raises(ValueError, match="no longer open"):
+        tx.add_turtle("@prefix ex: <http://t#> . ex:e ex:p ex:f .")
+
+
+def test_transaction_rollback_discards_everything(spark):
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    r = eng.create_repository("txn_rb", ruleset="none")
+    r.load_turtle("@prefix ex: <http://t#> . ex:a ex:p ex:b .")
+    tx = r.begin()
+    tx.update('INSERT DATA { <urn:x> <urn:p> "v" }')
+    tx.rollback()
+    assert r.count() == 1
