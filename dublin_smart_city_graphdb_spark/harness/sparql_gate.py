@@ -650,3 +650,38 @@ def sparql_star_view_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE {{ ?c a rel:Customer ; rel:name ?name ; rel:acctbal ?bal . }}
     """))
     return df.select(_lex("name").alias("name"), _money("bal").alias("bal"))
+
+
+@register(
+    "sparql_xsd_casts",
+    """
+    SELECT c_name AS name,
+           CAST(trunc(CAST(c_acctbal AS DECIMAL(18,2))) AS BIGINT) AS balint,
+           upper(substr(c_name, 1, 8)) AS prefix
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) < 0
+       OR CAST(c_acctbal AS DECIMAL(18,2)) > 1000
+    """,
+    doc="XSD constructor casts (§17.5) + string functions through the "
+        "engine: xsd:integer truncates the decimal balance toward zero "
+        "(negative balances exercise the ceil leg), UCASE/SUBSTR carry "
+        "the name through — all JVM Column expressions over the term "
+        "structs, verified against the SQL trunc/upper/substr oracle.",
+)
+def sparql_xsd_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?name ?balint ?prefix
+        WHERE {{
+          ?c a rel:Customer ; rel:name ?name ; rel:acctbal ?bal .
+          FILTER(?bal < 0 || ?bal > 1000)
+          BIND(xsd:integer(?bal) AS ?balint)
+          BIND(UCASE(SUBSTR(?name, 1, 8)) AS ?prefix)
+        }}
+    """)
+    return df.select(
+        _lex("name").alias("name"),
+        _long("balint").alias("balint"),
+        _lex("prefix").alias("prefix"),
+    )

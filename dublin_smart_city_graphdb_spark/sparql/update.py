@@ -186,6 +186,30 @@ class UpdateExecutor:
     # -- LOAD / CLEAR / COPY-MOVE-ADD ---------------------------------------
     def _load(self, quads: DataFrame, op: A.LoadOp) -> DataFrame:
         src = op.source
+        if src.startswith(("http://", "https://")):
+            # LOAD from a remote URL (SPARQL 1.1 Update §3.1.4): fetch the
+            # document over the wire, then parse like a local file. The
+            # document body lands on the driver (same envelope as the
+            # reference's LOAD) — bulk ingest belongs to the distributed
+            # N-Triples reader, not LOAD.
+            import tempfile
+            import urllib.request
+
+            try:
+                req = urllib.request.Request(
+                    src, headers={"Accept": "text/turtle, application/n-triples"}
+                )
+                with urllib.request.urlopen(req, timeout=30.0) as resp:
+                    body = resp.read()
+            except Exception:
+                if op.silent:
+                    return quads
+                raise ValueError(f"LOAD failed for <{op.source}>") from None
+            with tempfile.NamedTemporaryFile(
+                suffix=".ttl", delete=False
+            ) as fh:
+                fh.write(body)
+                src = fh.name
         if src.startswith("file://"):
             src = src[len("file://"):]
         if not os.path.exists(src):

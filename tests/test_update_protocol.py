@@ -260,3 +260,40 @@ def test_transaction_rollback_discards_everything(spark):
     tx.update('INSERT DATA { <urn:x> <urn:p> "v" }')
     tx.rollback()
     assert r.count() == 1
+
+
+def test_load_from_http_url(spark, tmp_path):
+    """SPARQL 1.1 LOAD with an http source fetches the remote document
+    into the target graph; SILENT on a dead endpoint is a no-op."""
+    import functools
+    import threading
+    from http.server import HTTPServer, SimpleHTTPRequestHandler
+
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    (tmp_path / "remote.ttl").write_text(
+        "@prefix ex: <http://r#> . ex:a ex:p ex:b . ex:c ex:p ex:d ."
+    )
+    handler = functools.partial(
+        SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    httpd = HTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/remote.ttl"
+        eng = Engine(spark)
+        r = eng.create_repository("load_http", ruleset="none")
+        r.update(f"LOAD <{url}> INTO GRAPH <http://g/remote>")
+        rows = r.sparql_collect(
+            "SELECT ?s WHERE { GRAPH <http://g/remote> { ?s ?p ?o } }"
+        )
+        assert len(rows) == 2
+        # SILENT failure: no-op
+        r.update("LOAD SILENT <http://127.0.0.1:9/nope.ttl>")
+        assert r.count() == 2
+        # non-SILENT failure raises
+        with pytest.raises(ValueError, match="LOAD failed"):
+            r.update("LOAD <http://127.0.0.1:9/nope.ttl>")
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
