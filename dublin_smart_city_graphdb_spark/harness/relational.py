@@ -74,8 +74,9 @@ def bgp_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -103,9 +104,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,2)"
-    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
     return (
         c.join(o, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
@@ -129,8 +130,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey AS o_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -158,9 +160,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1997-01-01"
     )
-    revenue = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    ).cast("decimal(18,2)")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1129,8 +1131,9 @@ def intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1158,9 +1161,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,2)"
-    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
     return (
         c.join(o, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
@@ -1182,20 +1185,21 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     """
     SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                         THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                   AS DECIMAL(18,2))
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                         ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
                AS promo_revenue,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS total_revenue,
            ROUND(100.0
                  * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                                 THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                           AS DECIMAL(18,2))
-                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                 AS DECIMAL(18,2))) AS DOUBLE), 6)
-               AS promo_pct
+                                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                      * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                                 ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE),
+                 6) AS promo_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
@@ -1213,11 +1217,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,2)"
-    )
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
-        F.lit(0).cast("decimal(18,2)")
+        F.lit(0).cast("decimal(22,4)")
     )
     agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
         F.sum(promo).cast("double").alias("promo_revenue"),
