@@ -685,3 +685,55 @@ def sparql_xsd_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _long("balint").alias("balint"),
         _lex("prefix").alias("prefix"),
     )
+
+
+@register(
+    "sparql_service_http_federation",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('EUROPE', 'ASIA')
+    """,
+    doc="HTTP SERVICE federation under the driver gate: the nation "
+        "patterns evaluate locally while the region patterns run via "
+        "SERVICE <http://...> against a live SPARQL-protocol endpoint "
+        "(our own server wrapping a second repository built from the "
+        "same testdata). The remote fetch happens once at plan-build "
+        "time (results-JSON bindings land as a broadcastable term-struct "
+        "DataFrame); execution is then a plain local join — the endpoint "
+        "is only needed during compilation, mirroring how dimension-"
+        "sized federated lookups behave at 100 TB.",
+)
+def sparql_service_http_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.engine import Engine
+    from dublin_smart_city_graphdb_spark.protocol_http import SparqlHttpServer
+
+    # serve ONLY the region triples remotely; nations evaluate locally
+    eng = Engine(spark)
+    name = f"gate_fed_regions_{abs(hash(sf_dir)) % 10_000}"
+    if name not in eng.list_repositories():
+        repo = eng.create_repository(name, ruleset="none")
+        region = load(spark, sf_dir, "region")
+        rows = _quad(
+            _iri("region", "r_regionkey"), R + "name", 2, F.col("r_name")
+        )
+        repo.add_quads(
+            region.select(*rows)
+        )
+    srv = SparqlHttpServer(eng).start()
+    try:
+        endpoint = f"http://{srv.host}:{srv.port}/repositories/{name}"
+        df = QueryCompiler(spark, _quads(spark, sf_dir)).compile(parse_query(f"""
+            PREFIX rel: <{R}>
+            SELECT ?nation ?region
+            WHERE {{
+              ?n a rel:Nation ; rel:name ?nation ; rel:inRegion ?r .
+              SERVICE <{endpoint}> {{ ?r rel:name ?region }}
+              FILTER(?region = "EUROPE" || ?region = "ASIA")
+            }}
+        """))
+    finally:
+        srv.stop()
+    return df.select(
+        _lex("nation").alias("nation"), _lex("region").alias("region")
+    )
