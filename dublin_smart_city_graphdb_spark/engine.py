@@ -42,6 +42,13 @@ class Repository:
         self.name = name
         self.config = config
         self._quads: DataFrame | None = None
+        # Write-path serialization: the HTTP facade is a threading server,
+        # so two concurrent commits/loads would otherwise interleave their
+        # read-modify-write of _quads (lost update). Readers stay lock-free
+        # — they see either the pre- or post-commit DataFrame, never a
+        # partial one (assignment is the single visibility switch). RLock
+        # because _apply_ops/_ingest re-enter materialize_inference.
+        self._write_lock = threading.RLock()
         # Statement-set version: bumped on every mutation; keys the plan
         # and star-view caches. (id(self._quads) is NOT a safe key — after
         # GC a new DataFrame can reuse the freed address and silently
@@ -53,6 +60,9 @@ class Repository:
         # (predicates, class_iri). Built lazily per statement-set version.
         self._star_view_defs: dict[str, tuple[tuple[str, ...], str | None]] = {}
         self._star_views_built: dict[str, tuple[int, DataFrame]] = {}
+        # Namespace registry (RDF4J /namespaces resource): prefix → IRI.
+        # Session-scoped client conveniences, not statement data.
+        self.namespaces: dict[str, str] = {}
         self._store = (
             QuadStore(
                 self.spark,
@@ -67,14 +77,19 @@ class Repository:
 
     # -- loading ------------------------------------------------------------
     def add_quads(self, df: DataFrame) -> None:
-        self._pred_stats = None
-        self._version += 1
-        if self._store:
-            self._store.write(df, mode="append")
-            self._quads = self._store.read()
-        else:
-            self._quads = df if self._quads is None else self._quads.unionByName(df)
-            self._quads = self._quads.localCheckpoint(eager=True)
+        with self._write_lock:
+            self._pred_stats = None
+            self._version += 1
+            if self._store:
+                self._store.write(df, mode="append")
+                self._quads = self._store.read()
+            else:
+                self._quads = (
+                    df
+                    if self._quads is None
+                    else self._quads.unionByName(df)
+                )
+                self._quads = self._quads.localCheckpoint(eager=True)
 
     def load_turtle(self, source: str, graph: str | None = None) -> int:
         """Load a Turtle document (path or text) — SURVEY §2.1 S1."""
@@ -90,18 +105,19 @@ class Repository:
         schema) per append) instead of re-materializing the whole store —
         the write path that keeps working when the store is 100 TB. First
         load (or ruleset none) takes the plain path."""
-        ruleset = self.config.get("ruleset", "none")
-        if ruleset == "none" or self._quads is None:
-            self.add_quads(new_df)
-            if ruleset != "none":
-                self.materialize_inference()
-            return
-        from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
-            materialize_incremental,
-        )
+        with self._write_lock:
+            ruleset = self.config.get("ruleset", "none")
+            if ruleset == "none" or self._quads is None:
+                self.add_quads(new_df)
+                if ruleset != "none":
+                    self.materialize_inference()
+                return
+            from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
+                materialize_incremental,
+            )
 
-        inferred_new = materialize_incremental(self.quads, new_df)
-        self.add_quads(new_df.unionByName(inferred_new))
+            inferred_new = materialize_incremental(self.quads, new_df)
+            self.add_quads(new_df.unionByName(inferred_new))
 
     def load_nquads(self, path: str) -> None:
         """Bulk N-Quads load: per-line graph labels land in ``g`` (named
@@ -121,6 +137,10 @@ class Repository:
         (the reference's load-time materialization, init-graphdb.sh:51-55)."""
         from dublin_smart_city_graphdb_spark.inference.rdfsplus import materialize
 
+        with self._write_lock:
+            self._materialize_inference_locked(materialize)
+
+    def _materialize_inference_locked(self, materialize) -> None:
         # bind the property ONCE: on an empty repo each .quads access
         # builds a fresh DataFrame, and mixing columns from two instances
         # makes the filter unresolvable
@@ -342,18 +362,21 @@ class Repository:
         multi-op transaction commit atomic."""
         from dublin_smart_city_graphdb_spark.sparql.update import UpdateExecutor
 
-        q = self.quads  # bind once — see materialize_inference
-        explicit = q.filter((q.g.isNull()) | (q.g != INFERRED_GRAPH))
-        result = UpdateExecutor(self.spark, self._load_fn()).apply(explicit, ops)
-        self._pred_stats = None
-        self._version += 1
-        if self._store:
-            self._store.write(result, mode="overwrite")
-            self._quads = self._store.read()
-        else:
-            self._quads = result.localCheckpoint(eager=True)
-        if self.config.get("ruleset", "none") != "none":
-            self.materialize_inference()
+        with self._write_lock:
+            q = self.quads  # bind once — see materialize_inference
+            explicit = q.filter((q.g.isNull()) | (q.g != INFERRED_GRAPH))
+            result = UpdateExecutor(self.spark, self._load_fn()).apply(
+                explicit, ops
+            )
+            self._pred_stats = None
+            self._version += 1
+            if self._store:
+                self._store.write(result, mode="overwrite")
+                self._quads = self._store.read()
+            else:
+                self._quads = result.localCheckpoint(eager=True)
+            if self.config.get("ruleset", "none") != "none":
+                self.materialize_inference()
 
     def begin(self) -> "Transaction":
         """Open a buffered transaction (RDF4J transaction semantics at the

@@ -11,6 +11,8 @@ Mirrors the exact REST surface the reference deployment exercises:
   ``entrypoint.sh:30``);
 - ``POST /rest/repositories`` with the reference's JSON config shape
   → idempotent create (``init-graphdb.sh:44-72``);
+- ``GET /protocol`` (version probe) and ``/repositories/{r}/namespaces``
+  (+``/{prefix}``) → the RDF4J client-bootstrap resources;
 - ``POST /repositories/{r}/transactions`` + ``PUT {txn}?action=ADD/
   DELETE/UPDATE/QUERY/COMMIT`` + ``DELETE {txn}`` → RDF4J transaction
   protocol (buffered atomic commits, read-your-writes queries);
@@ -108,6 +110,17 @@ def _make_handler(engine: Engine):
             if (
                 len(parts) == 4
                 and parts[0] == "repositories"
+                and parts[2] == "namespaces"
+            ):
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                repo.namespaces[parts[3]] = self._body().decode().strip()
+                self._send(204, "")
+                return
+            if (
+                len(parts) == 4
+                and parts[0] == "repositories"
                 and parts[2] == "transactions"
             ):
                 # RDF4J transaction protocol: PUT {txn}?action=...
@@ -172,6 +185,37 @@ def _make_handler(engine: Engine):
         def do_GET(self):
             url = urllib.parse.urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
+            if parts == ["protocol"]:
+                # RDF4J protocol-version resource (clients probe it first)
+                self._send(200, "12", "text/plain")
+                return
+            if (
+                len(parts) >= 3
+                and parts[0] == "repositories"
+                and parts[2] == "namespaces"
+            ):
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                if len(parts) == 4:
+                    ns = repo.namespaces.get(parts[3])
+                    if ns is None:
+                        self._send(404, {"error": f"no namespace {parts[3]!r}"})
+                    else:
+                        self._send(200, ns, "text/plain")
+                    return
+                doc = {
+                    "head": {"vars": ["prefix", "namespace"]},
+                    "results": {"bindings": [
+                        {
+                            "prefix": {"type": "literal", "value": p_},
+                            "namespace": {"type": "literal", "value": ns},
+                        }
+                        for p_, ns in sorted(repo.namespaces.items())
+                    ]},
+                }
+                self._send(200, doc, "application/sparql-results+json")
+                return
             t = self._gsp_target(url)
             if t is None:
                 return
@@ -360,6 +404,17 @@ def _make_handler(engine: Engine):
             # teardown path (idempotent like create)
             url = urllib.parse.urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
+            if (
+                len(parts) == 4
+                and parts[0] == "repositories"
+                and parts[2] == "namespaces"
+            ):
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                repo.namespaces.pop(parts[3], None)
+                self._send(204, "")
+                return
             if (
                 len(parts) == 4
                 and parts[0] == "repositories"

@@ -444,3 +444,31 @@ def test_transaction_protocol_lifecycle(server):
         _url(server, f"/repositories/txn_http?query={q}")
     ) as r:
         assert "urn:t2" not in r.read().decode()
+
+
+def test_protocol_version_and_namespaces(server):
+    """RDF4J client-bootstrap resources: GET /protocol and the per-repo
+    namespaces table (PUT/GET/LIST/DELETE)."""
+    with urllib.request.urlopen(_url(server, "/protocol")) as r:
+        assert r.read().decode() == "12"
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "ns_repo", "params": {"ruleset": {"value": "none"}}}).encode(),
+        "application/json",
+    )
+    base = "/repositories/ns_repo/namespaces"
+    req = urllib.request.Request(
+        _url(server, f"{base}/ex"), data=b"http://example.org/", method="PUT"
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+    with urllib.request.urlopen(_url(server, f"{base}/ex")) as r:
+        assert r.read().decode() == "http://example.org/"
+    status, doc = _get_json(server, base)
+    assert status == 200
+    assert doc["results"]["bindings"][0]["prefix"]["value"] == "ex"
+    req = urllib.request.Request(_url(server, f"{base}/ex"), method="DELETE")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+    status, doc = _get_json(server, base)
+    assert doc["results"]["bindings"] == []
