@@ -229,7 +229,9 @@ class Repository:
                 }
         return self._pred_stats
 
-    def sparql(self, query_text: str) -> DataFrame:
+    def sparql(
+        self, query_text: str, include_inferred: bool = True
+    ) -> DataFrame:
         # Prepared-plan cache: compiling is Py4J-chatty (thousands of
         # gateway round trips building Column trees), so identical query
         # text over an unchanged statement set reuses the compiled
@@ -244,6 +246,7 @@ class Repository:
         }
         key = (
             query_text,
+            include_inferred,
             self._version,
             len(self.engine.functions),
             tuple(sorted((n, r._version) for n, r in self.engine._repos.items())),
@@ -253,13 +256,22 @@ class Repository:
         if cached is not None:
             return cached
         ast = parse_query(query_text)
+        base = self.quads
+        if not include_inferred:
+            # GraphDB's "include inferred" toggle (RDF4J infer=false):
+            # evaluate over the EXPLICIT statements only
+            base = base.filter(
+                (base.g.isNull()) | (base.g != INFERRED_GRAPH)
+            )
         df = QueryCompiler(
             self.spark,
-            self.quads,
+            base,
             predicate_stats=self.predicate_stats(),
             extensions=self.engine.functions,
             services=services,
-            star_views=self.star_views(),
+            # star views are built over the full store; skip the fast path
+            # when inferred statements are excluded
+            star_views=self.star_views() if include_inferred else [],
         ).compile(ast)
         if len(self._plan_cache) >= 128:
             self._plan_cache.pop(next(iter(self._plan_cache)))
@@ -277,7 +289,7 @@ class Repository:
 
     def sparql_serialized(
         self, query_text: str, accept: str = "application/sparql-results+json",
-        timeout: float | None = None,
+        timeout: float | None = None, include_inferred: bool = True,
     ) -> tuple[str, str]:
         """Query → (payload, content-type) for the protocol Accept types:
         results-JSON (default), results-XML (the W3C protocol default the
@@ -306,14 +318,18 @@ class Repository:
                 construct_to_ntriples,
             )
 
-            lines = construct_to_ntriples(self.sparql(query_text)).collect()
+            lines = construct_to_ntriples(
+                self.sparql(query_text, include_inferred=include_inferred)
+            ).collect()
             return (
                 "\n".join(r["value"] for r in lines) + ("\n" if lines else ""),
                 "application/n-triples",
             )
 
-        df = self.sparql(query_text)
-        rows = self.sparql_collect(query_text, timeout=timeout)
+        df = self.sparql(query_text, include_inferred=include_inferred)
+        rows = self.sparql_collect(
+            query_text, timeout=timeout, include_inferred=include_inferred
+        )
         if "application/sparql-results+xml" in accept or "application/xml" in accept:
             return (
                 rows_to_xml(df.columns, rows),
@@ -384,11 +400,16 @@ class Repository:
         is visible to other readers until commit applies them atomically."""
         return Transaction(self)
 
-    def sparql_collect(self, query_text: str, timeout: float | None = None):
+    def sparql_collect(
+        self,
+        query_text: str,
+        timeout: float | None = None,
+        include_inferred: bool = True,
+    ):
         """Execute with the repository's query timeout (the reference's 30 s
         ``queryTimeout``, init-graphdb.sh:66-70) via job-group cancellation."""
         timeout = timeout or self.config.get("query_timeout", 30)
-        df = self.sparql(query_text)
+        df = self.sparql(query_text, include_inferred=include_inferred)
         sc = self.spark.sparkContext
         group = f"sparql-{uuid.uuid4().hex[:8]}"
         result: list = []

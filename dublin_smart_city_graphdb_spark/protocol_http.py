@@ -290,9 +290,12 @@ def _make_handler(engine: Engine):
                 if not query:
                     self._send(400, {"error": "missing query parameter"})
                     return
+                infer = (qs.get("infer") or ["true"])[0].lower() != "false"
                 try:
                     payload, ctype = repo.sparql_serialized(
-                        query, accept=self.headers.get("Accept") or ""
+                        query,
+                        accept=self.headers.get("Accept") or "",
+                        include_inferred=infer,
                     )
                     self._send(200, payload, ctype)
                 except Exception as ex:  # noqa: BLE001 — protocol boundary
@@ -387,11 +390,16 @@ def _make_handler(engine: Engine):
                 if ctype == "application/x-www-form-urlencoded":
                     form = urllib.parse.parse_qs(body.decode())
                     query = (form.get("query") or [""])[0]
+                    infer = (form.get("infer") or ["true"])[0].lower() != "false"
                 else:
                     query = body.decode()
+                    qs = urllib.parse.parse_qs(url.query)
+                    infer = (qs.get("infer") or ["true"])[0].lower() != "false"
                 try:
                     payload, out_ctype = repo.sparql_serialized(
-                        query, accept=self.headers.get("Accept") or ""
+                        query,
+                        accept=self.headers.get("Accept") or "",
+                        include_inferred=infer,
                     )
                     self._send(200, payload, out_ctype)
                 except Exception as ex:  # noqa: BLE001

@@ -472,3 +472,32 @@ def test_protocol_version_and_namespaces(server):
         assert r.status == 204
     status, doc = _get_json(server, base)
     assert doc["results"]["bindings"] == []
+
+
+def test_infer_false_excludes_inferred_statements(server):
+    """RDF4J infer=false (GraphDB's 'include inferred' toggle): the same
+    query over an rdfsplus repository drops entailed triples when the
+    client opts out."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "inf_repo", "params": {"ruleset": {"value": "rdfsplus"}}}).encode(),
+        "application/json",
+    )
+    ttl = (
+        "@prefix ex: <http://i#> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "ex:hasType rdfs:domain ex:Thing .\n"
+        "ex:a ex:hasType ex:t1 .\n"
+    )
+    _post(server, "/repositories/inf_repo/statements", ttl.encode(), "text/turtle")
+    q = urllib.parse.quote(
+        "SELECT ?s WHERE { ?s a <http://i#Thing> }"
+    )
+    with urllib.request.urlopen(
+        _url(server, f"/repositories/inf_repo?query={q}")
+    ) as r:
+        assert "http://i#a" in r.read().decode()  # rdfs2 entailment visible
+    with urllib.request.urlopen(
+        _url(server, f"/repositories/inf_repo?query={q}&infer=false")
+    ) as r:
+        assert "http://i#a" not in r.read().decode()
