@@ -33,6 +33,11 @@ QUERIES = [
     "sample_per_source_quota",
     # running-min window feeding a same-key aggregate
     "events_funnel",
+    # sorted-fold entropy: the fixed fold order must hold on any layout
+    "text_entropy",
+    # global hash-frequency window + ratio round
+    "chunk_dup_rate",
+    "events_retention",
 ]
 
 
