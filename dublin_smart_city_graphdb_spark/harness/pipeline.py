@@ -3104,3 +3104,44 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("cs").cast("bigint").alias("n_distinct_chars"),
         h.alias("entropy_bits"),
     )
+
+
+_IVF_RECALL_SQL = f"""
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           COUNT(v.neighbor_id) AS n_hit,
+           ROUND(CAST(COUNT(v.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM ({_ANN_SQL}) e
+    LEFT JOIN ({_IVF_TOPK_SQL}) v
+      ON e.query_id = v.query_id AND e.neighbor_id = v.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_ivf_recall_eval",
+    _IVF_RECALL_SQL,
+    doc="Recall@5 of the IVF path (16 cells, nprobe=2) against the exact "
+        "brute-force baseline, per query — the companion of "
+        "ann_recall_eval for the partition-pruning index, quantifying "
+        "what reading nprobe/n_cells of the corpus costs in quality. "
+        "Same tiny (query, neighbor) join over two already-oracled "
+        "result tables.",
+)
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return totals.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
