@@ -719,3 +719,46 @@ def test_service_http_down_endpoint_raises(federated):
             "SERVICE <http://127.0.0.1:9/repositories/nowhere> "
             "{ ?f ex:city ?city } }"
         )
+
+
+def test_service_http_rescopes_remote_bnodes(federated, wire_server, spark):
+    """Blank nodes arriving over the wire are re-scoped per call: they
+    bind and join *within* the remote solution set but can never equal a
+    local blank label (Federated Query §2.4)."""
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    remote = eng.create_repository("wire_bnodes", ruleset="none")
+    remote.load_turtle(
+        "@prefix ex: <http://f#> .\n"
+        'ex:acme ex:contact _:c1 . _:c1 ex:phone "123" .\n'
+    )
+    from dublin_smart_city_graphdb_spark.protocol_http import SparqlHttpServer
+
+    srv = SparqlHttpServer(eng).start()
+    try:
+        endpoint = (
+            f"http://{srv.host}:{srv.port}/repositories/wire_bnodes"
+        )
+        # local graph ALSO has a _:c1 label (in the people repo it does
+        # not, so add one joined to alice's firm)
+        federated.load_turtle(
+            "@prefix ex: <http://f#> .\n"
+            "ex:acme ex:localContact _:c1 .\n"
+        )
+        rows = federated.sparql_collect(
+            "PREFIX ex: <http://f#> SELECT ?c ?phone ?lc WHERE { "
+            f"SERVICE <{endpoint}> {{ ex:acme ex:contact ?c . "
+            "?c ex:phone ?phone } "
+            "OPTIONAL { ex:acme ex:localContact ?lc . FILTER(?lc = ?c) } }"
+        )
+        assert len(rows) == 1
+        c, phone, lc = rows[0]
+        # the remote bnode joined to its own phone...
+        assert phone.lex == "123" and c.lex.startswith("_:")
+        # ...but was renamed away from the raw remote label and never
+        # equals the local _:c1
+        assert c.lex != "_:c1"
+        assert lc is None
+    finally:
+        srv.stop()
