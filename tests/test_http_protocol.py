@@ -501,3 +501,31 @@ def test_infer_false_excludes_inferred_statements(server):
         _url(server, f"/repositories/inf_repo?query={q}&infer=false")
     ) as r:
         assert "http://i#a" not in r.read().decode()
+
+
+def test_cli_init_and_query(spark, tmp_path, capsys):
+    """The CLI replays the reference's operational flow in-process:
+    init (create + load + COUNT verification) then query."""
+    from dublin_smart_city_graphdb_spark.__main__ import main
+
+    ttl = tmp_path / "d.ttl"
+    ttl.write_text("@prefix ex: <http://c#> . ex:a ex:p ex:b . ex:b ex:p ex:c .")
+    wh = str(tmp_path / "wh")
+    rc = main([
+        "--warehouse", wh,
+        "init", "--repo", "cli_repo", "--ruleset", "none",
+        "--data", str(ttl),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "loaded 2 statements" in out
+    assert "holds 2 statements" in out
+
+    # a separate invocation finds the repository through the warehouse
+    rc = main([
+        "--warehouse", wh,
+        "query", "--repo", "cli_repo",
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }",
+    ])
+    assert rc == 0
+    assert '"2"' in capsys.readouterr().out
