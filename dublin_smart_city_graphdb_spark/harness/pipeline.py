@@ -3145,3 +3145,65 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact"), 6
         ).alias("recall"),
     )
+
+
+_DEDUP_REPORT_SQL = f"""
+    WITH eh AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents
+    ),
+    hc AS (SELECT h, COUNT(*) AS n FROM eh GROUP BY h),
+    np AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM ({_MINHASH_PAIRS_SQL}) p1
+            UNION
+            SELECT doc_b AS doc_id FROM ({_MINHASH_PAIRS_SQL}) p2
+        )
+    )
+    SELECT eh.source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN hc.n > 1 THEN 1 ELSE 0 END) AS n_exact_dup_docs,
+           SUM(CASE WHEN np.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_near_dup_docs
+    FROM eh
+    JOIN hc USING (h)
+    LEFT JOIN np ON eh.doc_id = np.doc_id
+    GROUP BY eh.source
+"""
+
+
+@register(
+    "corpus_dedup_report",
+    _DEDUP_REPORT_SQL,
+    doc="Per-source dedup dashboard: how many documents are byte-exact "
+        "copies (normalized-md5 frequency window) and how many sit in at "
+        "least one MinHash-LSH near-dup pair — the summary a curation "
+        "review reads before choosing drop thresholds. Plan: exact side "
+        "is one hash window over the corpus scan; the near-dup doc set "
+        "comes from the (pair-sized, ≪ corpus) LSH output exploded to "
+        "doc ids and semi-joined back; final aggregate is |sources| rows.",
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    eh = d.select(
+        "doc_id", "source", F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    )
+    w = Window.partitionBy("h")
+    eh = eh.withColumn("n_copies", F.count("*").over(w))
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    near = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    return (
+        eh.join(near, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_copies") > 1).cast("int")).alias(
+                "n_exact_dup_docs"
+            ),
+            F.sum(F.coalesce("is_near", F.lit(0))).alias("n_near_dup_docs"),
+        )
+    )
