@@ -28,6 +28,7 @@ from pyspark.sql.types import (
 KIND_IRI = 0
 KIND_BLANK = 1
 KIND_LITERAL = 2
+KIND_TRIPLE = 3  # RDF-star quoted triple (lex = canonical N-Triples-star text)
 
 QUAD_SCHEMA = StructType(
     [

@@ -98,14 +98,58 @@ class Literal(Term):
         return None
 
 
+@dataclass(frozen=True)
+class QuotedTriple(Term):
+    """RDF-star quoted triple (GraphDB 10.x engine surface): a statement
+    used AS a term, enabling statement-level annotation. Carried through
+    the columnar plan as kind=3 with the canonical N-Triples-star text as
+    the lexical form — identity-comparable, join-safe, and decomposable
+    (subject/predicate have no whitespace, so the object is the
+    unambiguous remainder)."""
+
+    s: Term
+    p: Term
+    o: Term
+
+    def __str__(self) -> str:
+        return f"<< {nt_text(self.s)} {nt_text(self.p)} {nt_text(self.o)} >>"
+
+
+def nt_text(t: Term) -> str:
+    """Canonical N-Triples(-star) text of a term — the serialization quoted
+    triples use for lexical identity (escaped, whitespace-normalized, so
+    equal triples always serialize equally)."""
+    if isinstance(t, IRI):
+        return f"<{t.value}>"
+    if isinstance(t, BNode):
+        return f"_:{t.label}"
+    if isinstance(t, QuotedTriple):
+        return str(t)
+    lit: Literal = t
+    lex = (
+        lit.lex.replace("\\", "\\\\").replace('"', '\\"')
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    )
+    if lit.lang:
+        return f'"{lex}"@{lit.lang}'
+    if lit.datatype:
+        return f'"{lex}"^^<{lit.datatype}>'
+    return f'"{lex}"'
+
+
 def term_to_row(g: str | None, s: Term, p: Term, o: Term) -> tuple:
     """Flatten one statement into the QUAD_SCHEMA row layout."""
-    s_lex = s.value if isinstance(s, IRI) else f"_:{s.label}"
+    if isinstance(s, QuotedTriple):
+        s_lex = str(s)
+    else:
+        s_lex = s.value if isinstance(s, IRI) else f"_:{s.label}"
     p_lex = p.value  # predicates are always IRIs
     if isinstance(o, IRI):
         return (g, s_lex, p_lex, 0, o.value, None, None, None, None, None)
     if isinstance(o, BNode):
         return (g, s_lex, p_lex, 1, f"_:{o.label}", None, None, None, None, None)
+    if isinstance(o, QuotedTriple):
+        return (g, s_lex, p_lex, 3, str(o), None, None, None, None, None)
     lit: Literal = o
     num = lit.numeric_value()
     return (

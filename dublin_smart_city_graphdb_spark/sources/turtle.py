@@ -28,6 +28,7 @@ from dublin_smart_city_graphdb_spark.model.terms import (
     BNode,
     IRI,
     Literal,
+    QuotedTriple,
     Term,
     term_to_row,
 )
@@ -50,6 +51,7 @@ _TOKEN_RE = re.compile(
     | (?P<KW_A>\ba\b)
     | (?P<BOOL>\btrue\b|\bfalse\b)
     | (?P<DTYPE>\^\^)
+    | (?P<QUOTE2><<|>>|\{\||\|\})
     | (?P<PUNCT>[;,.\[\]()])
     """,
     re.VERBOSE,
@@ -152,6 +154,14 @@ class TurtleParser:
             while True:
                 obj = self._term(position="object")
                 self.triples.append((subj, pred, obj))
+                if self._peek()[1] == "{|":
+                    # Turtle-star annotation: asserts the triple AND opens
+                    # a predicate-object list about its quoted form
+                    self._next()
+                    self._predicate_object_list(QuotedTriple(subj, pred, obj))
+                    k2, v2 = self._next()
+                    if v2 != "|}":
+                        raise ValueError(f"turtle: expected '|}}', got {v2!r}")
                 if self._peek()[1] == ",":
                     self._next()
                     continue
@@ -182,6 +192,15 @@ class TurtleParser:
 
     def _term(self, position: str) -> Term:
         kind, v = self._next()
+        if kind == "QUOTE2" and v == "<<":
+            # Turtle-star quoted triple (subject/object positions)
+            qs = self._term(position="subject")
+            qp = self._predicate()
+            qo = self._term(position="object")
+            k2, v2 = self._next()
+            if v2 != ">>":
+                raise ValueError(f"turtle: expected '>>', got {v2!r}")
+            return QuotedTriple(qs, qp, qo)
         if kind == "IRIREF":
             iri = v[1:-1]
             if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):

@@ -144,6 +144,17 @@ class ServicePattern:
     raw_select: str | None = None
 
 
+@dataclass(frozen=True)
+class QuotedPattern:
+    """SPARQL-star quoted triple pattern << s p o >> in a subject/object
+    position: components may be variables (bound by decomposing stored
+    quoted terms) or ground terms."""
+
+    s: Any
+    p: Any
+    o: Any
+
+
 @dataclass
 class BindPattern:
     expr: Any

@@ -871,6 +871,63 @@ class QueryCompiler:
             out = out.select(*names)
         return Compiled(out, names, set(names))
 
+    @staticmethod
+    def _qp_ground_term(qp: "A.QuotedPattern"):
+        """QuotedPattern → QuotedTriple when every component is ground."""
+        from dublin_smart_city_graphdb_spark.model.terms import QuotedTriple
+
+        parts = []
+        for c in (qp.s, qp.p, qp.o):
+            if isinstance(c, A.Var):
+                return None
+            if isinstance(c, A.QuotedPattern):
+                t = QueryCompiler._qp_ground_term(c)
+                if t is None:
+                    return None
+                parts.append(t)
+            else:
+                parts.append(c)
+        return QuotedTriple(*parts)
+
+    def _quoted_bindings(
+        self, text_col: Column, qp: "A.QuotedPattern",
+        filters: list, position_exprs: dict,
+    ) -> None:
+        """Decompose a stored quoted-triple term (its canonical text in
+        ``text_col``) against a SPARQL-star pattern: ground components
+        become text-equality filters, variables bind via
+        nt_text_to_struct. Nested quoted patterns with variables are
+        supported in the OBJECT component (the unambiguous remainder);
+        nested subject patterns must be ground (their text contains
+        whitespace, which would break the component split)."""
+        from dublin_smart_city_graphdb_spark.model.terms import nt_text
+        from dublin_smart_city_graphdb_spark.sparql.termcol import (
+            nt_text_to_struct,
+            quoted_component,
+        )
+
+        filters.append(text_col.startswith("<< "))
+        for k, comp in ((1, qp.s), (2, qp.p), (3, qp.o)):
+            c = quoted_component(text_col, k)
+            if isinstance(comp, A.Var):
+                position_exprs.setdefault(comp.name, []).append(
+                    nt_text_to_struct(c)
+                )
+            elif isinstance(comp, A.QuotedPattern):
+                g = self._qp_ground_term(comp)
+                if g is not None:
+                    filters.append(c == str(g))
+                elif k == 3:
+                    self._quoted_bindings(c, comp, filters, position_exprs)
+                else:
+                    raise ValueError(
+                        "sparql-star: a nested quoted pattern with "
+                        "variables is only supported in the object "
+                        "component"
+                    )
+            else:
+                filters.append(c == nt_text(comp))
+
     def scan_pattern(self, tp: A.TriplePattern, graph_ctx) -> Compiled:
         if not isinstance(tp.p, (A.Var, IRI)):
             return self._scan_path_pattern(tp, graph_ctx)
@@ -879,17 +936,41 @@ class QueryCompiler:
 
         if isinstance(tp.p, IRI):
             df = df.filter(F.col("p") == tp.p.value)
+        position_exprs = {}
+        quoted_filters: list[Column] = []
         if isinstance(tp.s, IRI):
             df = df.filter(F.col("s") == tp.s.value)
+        elif isinstance(tp.s, A.QuotedPattern):
+            g = self._qp_ground_term(tp.s)
+            if g is not None:
+                df = df.filter(F.col("s") == str(g))
+            else:
+                self._quoted_bindings(
+                    F.col("s"), tp.s, quoted_filters, position_exprs
+                )
         elif isinstance(tp.s, Literal):
             return Compiled(self.quads.limit(0).select(), [], set())
-        if isinstance(tp.o, Term) and not isinstance(tp.o, A.Var):
+        if isinstance(tp.o, A.QuotedPattern):
+            g = self._qp_ground_term(tp.o)
+            if g is not None:
+                df = df.filter(object_const_filter(g))
+            else:
+                from dublin_smart_city_graphdb_spark.model.schema import (
+                    KIND_TRIPLE,
+                )
+
+                df = df.filter(F.col("o_kind") == KIND_TRIPLE)
+                self._quoted_bindings(
+                    F.col("o_lex"), tp.o, quoted_filters, position_exprs
+                )
+        elif isinstance(tp.o, Term) and not isinstance(tp.o, A.Var):
             df = df.filter(object_const_filter(tp.o))
+        for qf in quoted_filters:
+            df = df.filter(qf)
 
         sel: list[Column] = []
         names: list[str] = []
         conds: list[Column] = []
-        position_exprs = {}
         if isinstance(tp.s, A.Var):
             position_exprs.setdefault(tp.s.name, []).append(subject_struct(F.col("s")))
         if isinstance(tp.p, A.Var):

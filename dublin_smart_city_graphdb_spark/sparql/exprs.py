@@ -604,4 +604,55 @@ class ExprCompiler:
         if name in _XSD_CASTS:
             return _xsd_cast(name, args[0])
 
+        # -- RDF-star (SPARQL-star builtins) --------------------------------
+        if name in ("SUBJECT", "PREDICATE", "OBJECT"):
+            from dublin_smart_city_graphdb_spark.model.schema import KIND_TRIPLE
+            from dublin_smart_city_graphdb_spark.sparql.termcol import (
+                nt_text_to_struct,
+                quoted_component,
+            )
+
+            t = args[0]
+            k = {"SUBJECT": 1, "PREDICATE": 2, "OBJECT": 3}[name]
+            return F.when(
+                t["kind"] == KIND_TRIPLE,
+                nt_text_to_struct(quoted_component(t["lex"], k)),
+            ).otherwise(null_struct())
+        if name == "ISTRIPLE":
+            from dublin_smart_city_graphdb_spark.model.schema import KIND_TRIPLE
+
+            t = args[0]
+            return make_bool(
+                F.when(t["kind"].isNotNull(), t["kind"] == KIND_TRIPLE)
+            )
+        if name == "TRIPLE":
+            from dublin_smart_city_graphdb_spark.model.schema import (
+                KIND_BLANK,
+                KIND_IRI,
+                KIND_TRIPLE,
+            )
+            from dublin_smart_city_graphdb_spark.sparql.protocol import _term_nt
+            from dublin_smart_city_graphdb_spark.sparql.termcol import _struct
+
+            s_, p_, o_ = args
+            valid = (
+                s_["kind"].isin(KIND_IRI, KIND_BLANK, KIND_TRIPLE)
+                & (p_["kind"] == KIND_IRI)
+                & o_["kind"].isNotNull()
+            )
+            lex = F.concat(
+                F.lit("<< "), _term_nt(s_), F.lit(" "), _term_nt(p_),
+                F.lit(" "), _term_nt(o_), F.lit(" >>"),
+            )
+            return F.when(
+                valid,
+                _struct(
+                    F.lit(KIND_TRIPLE), lex,
+                    F.lit(None).cast("string"), F.lit(None).cast("string"),
+                    F.lit(None).cast("decimal(38,10)"),
+                    F.lit(None).cast("timestamp"),
+                    F.lit(None).cast("boolean"),
+                ),
+            ).otherwise(null_struct())
+
         raise ExprError(f"unsupported function {name}")

@@ -21,6 +21,7 @@ from dublin_smart_city_graphdb_spark.model.terms import (
 )
 from dublin_smart_city_graphdb_spark.sparql.ast import (
     Aggregate, AndExpr, Arith, AskQuery, BGP, BindPattern, ClearOp, Compare,
+    QuotedPattern,
     ConstructQuery, CreateOp, DeleteDataOp, DescribeQuery, ExistsExpr,
     FuncCall, GraphCopyOp, GraphGraphPattern, GroupPattern, InExpr,
     InsertDataOp, LoadOp, MinusPattern, ModifyOp, NotExpr, OptionalPattern,
@@ -46,7 +47,7 @@ _SPARQL_TOKEN = re.compile(
     | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
     | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-]|[A-Za-z_][A-Za-z0-9_-]*:|:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-]|:)
     | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[=<>!+\-*/|^?()\[\]{},.;])
+    | (?P<OP><<|>>|\^\^|&&|\|\||!=|<=|>=|[=<>!+\-*/|^?()\[\]{},.;])
     """,
     re.VERBOSE,
 )
@@ -75,6 +76,7 @@ _BUILTINS = {
     "SHA256", "SHA384", "SHA512", "COALESCE", "IF", "STRLANG", "STRDT",
     "SAMETERM", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC",
     "REGEX", "SUBSTR", "REPLACE",
+    "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT", "ISTRIPLE",
 }
 
 
@@ -624,6 +626,18 @@ class SparqlParser:
         if kind == "VAR":
             self._next()
             return Var(v[1:])
+        if v == "<<":
+            # SPARQL-star quoted triple pattern (subject/object position)
+            self._next()
+            qs = self._graph_term(out)
+            if self._kw() == "A" and self._peek()[1] == "a":
+                self._next()
+                qp: object = IRI(RDF_TYPE)
+            else:
+                qp = self._graph_term(out)
+            qo = self._graph_term(out)
+            self._expect_op(">>")
+            return QuotedPattern(qs, qp, qo)
         if v == "[":
             self._next()
             self._bnode_n += 1

@@ -32,6 +32,8 @@ def _term_json(t) -> dict | None:
     if t["kind"] == KIND_BLANK:
         lex = t["lex"]
         return {"type": "bnode", "value": lex[2:] if lex.startswith("_:") else lex}
+    if t["kind"] == 3:  # RDF-star quoted triple (CG results-JSON shape)
+        return {"type": "triple", "value": t["lex"]}
     out: dict = {"type": "literal", "value": t["lex"]}
     if t["lang"]:
         out["xml:lang"] = t["lang"]
@@ -78,6 +80,7 @@ def _term_nt(t) -> "F.Column":
     return (
         F.when(t["kind"] == KIND_IRI, F.concat(F.lit("<"), t["lex"], F.lit(">")))
         .when(t["kind"] == KIND_BLANK, t["lex"])  # stored with _: prefix
+        .when(t["kind"] == 3, t["lex"])  # RDF-star: lex IS the << ... >> text
         .otherwise(lit)
     )
 

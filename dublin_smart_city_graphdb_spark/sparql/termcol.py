@@ -17,12 +17,14 @@ from dublin_smart_city_graphdb_spark.model.schema import (
     KIND_BLANK,
     KIND_IRI,
     KIND_LITERAL,
+    KIND_TRIPLE,
 )
 from dublin_smart_city_graphdb_spark.model.terms import (
     XSD,
     BNode,
     IRI,
     Literal,
+    QuotedTriple,
     Term,
 )
 
@@ -58,8 +60,13 @@ def _NULL_B() -> Column:
 
 
 def subject_struct(col: Column) -> Column:
-    """s/p/g positions hold IRIs or blank labels (``_:`` prefix)."""
-    kind = F.when(col.startswith("_:"), F.lit(KIND_BLANK)).otherwise(F.lit(KIND_IRI))
+    """s/p/g positions hold IRIs, blank labels (``_:``) or — RDF-star —
+    quoted-triple text (``<< ``)."""
+    kind = (
+        F.when(col.startswith("_:"), F.lit(KIND_BLANK))
+        .when(col.startswith("<< "), F.lit(KIND_TRIPLE))
+        .otherwise(F.lit(KIND_IRI))
+    )
     return _struct(kind, col, _NULL_S(), _NULL_S(), _NULL_N(), _NULL_T(), _NULL_B())
 
 
@@ -73,6 +80,9 @@ def object_struct(df_prefix: str = "") -> Column:
 
 
 def const_struct(term: Term) -> Column:
+    if isinstance(term, QuotedTriple):
+        return _struct(F.lit(KIND_TRIPLE), F.lit(str(term)), _NULL_S(),
+                       _NULL_S(), _NULL_N(), _NULL_T(), _NULL_B())
     if isinstance(term, IRI):
         return _struct(F.lit(KIND_IRI), F.lit(term.value), _NULL_S(), _NULL_S(),
                        _NULL_N(), _NULL_T(), _NULL_B())
@@ -102,6 +112,10 @@ def object_const_filter(term: Term) -> Column:
     table (term identity = kind+lex+dtype+lang). Column-wise comparisons
     reach the parquet scan as pushed filters with row-group min/max pruning;
     a whole-struct equality would not push down."""
+    if isinstance(term, QuotedTriple):
+        return (F.col("o_kind") == KIND_TRIPLE) & (
+            F.col("o_lex") == str(term)
+        )
     if isinstance(term, IRI):
         return (F.col("o_kind") == KIND_IRI) & (F.col("o_lex") == term.value)
     if isinstance(term, BNode):
@@ -207,3 +221,78 @@ def sort_keys(term: Column) -> list[Column]:
         .otherwise(3)
     )
     return [rank, term["num"], term["ts"], term["bool"].cast("int"), term["lex"]]
+
+
+# -- RDF-star (quoted triples as terms) --------------------------------------
+
+def quoted_subject_struct(col: Column) -> Column:
+    """s-position struct that also recognizes quoted-triple subjects
+    (lex starts ``<< ``) alongside IRIs and blank labels."""
+    kind = (
+        F.when(col.startswith("<< "), F.lit(KIND_TRIPLE))
+        .when(col.startswith("_:"), F.lit(KIND_BLANK))
+        .otherwise(F.lit(KIND_IRI))
+    )
+    return _struct(kind, col, _NULL_S(), _NULL_S(), _NULL_N(), _NULL_T(),
+                   _NULL_B())
+
+
+_QT_COMPONENT_RE = r"^<< (\S+) (\S+) (.+) >>$"
+
+
+def quoted_component(col: Column, k: int) -> Column:
+    """Extract component k (1=subject, 2=predicate, 3=object) of a quoted
+    triple's canonical text. Subject and predicate are IRIs/bnode labels
+    (never contain whitespace); the object is the unambiguous remainder,
+    so literals with spaces — and even a nested quoted OBJECT — survive."""
+    return F.regexp_extract(col, _QT_COMPONENT_RE, k)
+
+
+def nt_text_to_struct(col: Column) -> Column:
+    """Canonical N-Triples(-star) component text → term struct: the inverse
+    of the quoted serialization, entirely JVM expression code. Rebuilds the
+    numeric/temporal/boolean shadow fields for typed literals so extracted
+    components compare by VALUE like any loaded term."""
+    is_iri = col.startswith("<")
+    is_bn = col.startswith("_:")
+    is_qt = col.startswith("<< ")
+    is_lit = col.startswith('"')
+    lex_raw = F.regexp_extract(col, r'^"((?:[^"\\]|\\.)*)"', 1)
+    # unescape \" \n \r \t then \\ (order matters: backslash last)
+    lex = F.regexp_replace(lex_raw, r'\\"', '"')
+    lex = F.regexp_replace(lex, r"\\n", "\n")
+    lex = F.regexp_replace(lex, r"\\r", "\r")
+    lex = F.regexp_replace(lex, r"\\t", "\t")
+    lex = F.regexp_replace(lex, r"\\\\", r"\\")
+    lang = F.nullif(F.regexp_extract(col, r'"@([A-Za-z][A-Za-z0-9-]*)$', 1), F.lit(""))
+    dtype = F.nullif(F.regexp_extract(col, r"\^\^<([^>]*)>$", 1), F.lit(""))
+    num = F.when(
+        dtype.isin(
+            XSD + "integer", XSD + "decimal", XSD + "double", XSD + "float",
+            XSD + "int", XSD + "long",
+        ),
+        lex.try_cast(_DEC),
+    )
+    ts = F.when(dtype == XSD + "dateTime", lex.try_cast("timestamp"))
+    b = F.when(dtype == XSD + "boolean", lex.try_cast("boolean"))
+    kind = (
+        F.when(col.isNull() | (col == ""), F.lit(None).cast("tinyint"))
+        .when(is_qt, F.lit(KIND_TRIPLE))
+        .when(is_iri, F.lit(KIND_IRI))
+        .when(is_bn, F.lit(KIND_BLANK))
+        .otherwise(F.lit(KIND_LITERAL))
+    )
+    out_lex = (
+        F.when(is_qt, col)
+        .when(is_iri, F.regexp_replace(col, r"^<|>$", ""))
+        .when(is_bn, col)
+        .otherwise(lex)
+    )
+    return _struct(
+        kind, out_lex,
+        F.when(is_lit, dtype),
+        F.when(is_lit, lang),
+        F.when(is_lit, num).otherwise(_NULL_N()),
+        F.when(is_lit, ts).otherwise(_NULL_T()),
+        F.when(is_lit, b).otherwise(_NULL_B()),
+    )

@@ -67,13 +67,28 @@ def _add_quads(store: DataFrame, add: DataFrame) -> DataFrame:
     return store.unionByName(fresh.select(*_ALL_COLS))
 
 
+def _ground_term(t):
+    """Ground QuotedPattern (SPARQL-star data block) → QuotedTriple term."""
+    from dublin_smart_city_graphdb_spark.model.terms import QuotedTriple
+
+    if isinstance(t, A.QuotedPattern):
+        return QuotedTriple(
+            _ground_term(t.s), _ground_term(t.p), _ground_term(t.o)
+        )
+    return t
+
+
 def _ground_rows(quads: list, with_graph: str | None = None) -> list[tuple]:
     from dublin_smart_city_graphdb_spark.model.terms import term_to_row
 
     rows = []
     for g, tp in quads:
         gval = g.value if isinstance(g, IRI) else (g if isinstance(g, str) else with_graph)
-        rows.append(term_to_row(gval, tp.s, tp.p, tp.o))
+        rows.append(
+            term_to_row(
+                gval, _ground_term(tp.s), tp.p, _ground_term(tp.o)
+            )
+        )
     return rows
 
 
