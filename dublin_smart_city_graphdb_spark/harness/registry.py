@@ -72,7 +72,10 @@ def register(
                 spark.conf.get("spark.sql.shuffle.partitions", ""),
             )
             if key not in _PLAN_CACHE:
-                if len(_PLAN_CACHE) >= 512:
+                # plan objects pin JVM-side analyzed trees — keep the
+                # cache small enough that a long pytest session's
+                # accumulated plans stay a minor heap tenant
+                if len(_PLAN_CACHE) >= 192:
                     _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
                 _PLAN_CACHE[key] = fn(spark, sf_dir)
             return _PLAN_CACHE[key]

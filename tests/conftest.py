@@ -14,16 +14,18 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     from dublin_smart_city_graphdb_spark.session import get_spark
 
-    # 16g heap: the full suite runs ~280 tests in ONE local-mode JVM
+    # 28g heap: the full suite runs ~500 tests in ONE local-mode JVM
     # (driver = executor = block manager) and accumulates localCheckpoint
-    # blocks, cached plans and codegen classes; under the 8g default a
-    # loaded box can OOM a daemon thread (observed: dag-scheduler-event-
-    # loop dying, wedging every later job forever).
+    # blocks, cached plans and codegen classes; an exhausted heap kills a
+    # daemon thread, and SparkUncaughtExceptionHandler then EXITS the JVM
+    # (observed twice at ~310 tests under 16g: shutdown hooks fired
+    # mid-suite and every later test died with ConnectionRefused). The box
+    # has 125 GiB; size the heap for the suite's growth, not the margin.
     s = get_spark(
         app_name="pytest",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "16g"},
+        extra_conf={"spark.driver.memory": "28g"},
     )
     yield s
 
