@@ -1309,6 +1309,38 @@ class QueryCompiler:
             def term_col(t):
                 if isinstance(t, A.Var):
                     return F.col(t.name) if t.name in sol.vars else null_struct()
+                if isinstance(t, A.QuotedPattern):
+                    # CONSTRUCT-star: build the quoted term from the
+                    # solution's components (TRIPLE() semantics — invalid
+                    # component kinds make the whole statement drop)
+                    from dublin_smart_city_graphdb_spark.model.schema import (
+                        KIND_BLANK,
+                        KIND_TRIPLE,
+                    )
+                    from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                        _term_nt,
+                    )
+                    from dublin_smart_city_graphdb_spark.sparql.termcol import (
+                        _NULL_B, _NULL_N, _NULL_S, _NULL_T, _struct,
+                    )
+
+                    s_, p_, o_ = (
+                        term_col(t.s), term_col(t.p), term_col(t.o)
+                    )
+                    valid = (
+                        s_["kind"].isin(KIND_IRI, KIND_BLANK, KIND_TRIPLE)
+                        & (p_["kind"] == KIND_IRI)
+                        & o_["kind"].isNotNull()
+                    )
+                    lex = F.concat(
+                        F.lit("<< "), _term_nt(s_), F.lit(" "),
+                        _term_nt(p_), F.lit(" "), _term_nt(o_), F.lit(" >>"),
+                    )
+                    return F.when(
+                        valid,
+                        _struct(F.lit(KIND_TRIPLE), lex, _NULL_S(), _NULL_S(),
+                                _NULL_N(), _NULL_T(), _NULL_B()),
+                    ).otherwise(null_struct())
                 if isinstance(t, BNode):
                     # template bnodes are FRESH per solution (spec §16.2.1)
                     from dublin_smart_city_graphdb_spark.sparql.termcol import (
@@ -1327,7 +1359,9 @@ class QueryCompiler:
                 term_col(tp.p).alias("p"),
                 term_col(tp.o).alias("o"),
             ).filter(
-                F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+                F.col("s").isNotNull() & F.col("s")["kind"].isNotNull()
+                & F.col("p").isNotNull() & F.col("p")["kind"].isNotNull()
+                & F.col("o").isNotNull() & F.col("o")["kind"].isNotNull()
             )
             outs.append(one)
         out = outs[0]

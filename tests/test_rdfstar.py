@@ -135,3 +135,29 @@ def test_update_insert_quoted_data(star):
         P + "SELECT ?c WHERE { << ex:x ex:p ?o >> ex:certainty ?c }"
     ))
     assert got == [("0.7",)]
+
+
+def test_construct_star_template(star):
+    """CONSTRUCT-star: the template builds quoted terms from solution
+    components; the result round-trips through N-Triples-star export."""
+    from dublin_smart_city_graphdb_spark.sparql.protocol import (
+        construct_to_ntriples,
+    )
+
+    df = star.sparql(
+        P + "CONSTRUCT { << ?s ex:p ?o >> ex:reviewed true } "
+            "WHERE { << ?s ex:p ?o >> ex:certainty ?c . "
+            "FILTER(?c IN (0.9, 0.5)) }"  # order-independent of the
+            # 0.7-certainty annotation the update test inserts
+    )
+    lines = sorted(
+        r["value"] for r in construct_to_ntriples(df).collect()
+    )
+    assert lines == [
+        '<< <http://star#a> <http://star#p> <http://star#b> >> '
+        '<http://star#reviewed> "true"^^'
+        '<http://www.w3.org/2001/XMLSchema#boolean> .',
+        '<< <http://star#d> <http://star#p> <http://star#e> >> '
+        '<http://star#reviewed> "true"^^'
+        '<http://www.w3.org/2001/XMLSchema#boolean> .',
+    ]
