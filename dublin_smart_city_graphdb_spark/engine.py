@@ -416,7 +416,15 @@ class Repository:
         error: list = []
 
         def run():
-            sc.setJobGroup(group, "sparql query", interruptOnCancel=True)
+            # interruptOnCancel=False: cancellation uses the task-killed
+            # flag (checked at record boundaries), NOT Thread.interrupt —
+            # an interrupt landing in Parquet IO / codegen can raise a
+            # fatal error in a daemon thread, and Spark's uncaught-
+            # exception handler then EXITS the whole JVM (observed: the
+            # timeout test nondeterministically killed the suite's shared
+            # session on contended runs; Spark's own docs flag the
+            # interrupt path as unsafe for exactly this reason).
+            sc.setJobGroup(group, "sparql query", interruptOnCancel=False)
             try:
                 result.append(df.collect())
             except Exception as ex:  # noqa: BLE001
