@@ -513,7 +513,7 @@ class QueryCompiler:
                 c = self.compile_group(elem.group, ctx)
                 cur = c if cur is None else self.join(cur, c, "inner")
             elif isinstance(elem, A.ServicePattern):
-                c = self._service(elem)
+                c = self._service(elem, left=cur)
                 cur = c if cur is None else self.join(cur, c, "inner")
             elif isinstance(elem, A.BindPattern):
                 if cur is None:
@@ -553,7 +553,9 @@ class QueryCompiler:
         return cur
 
     # -- SERVICE (SPARQL 1.1 Federated Query) --------------------------------
-    def _service(self, elem: "A.ServicePattern") -> Compiled:
+    def _service(
+        self, elem: "A.ServicePattern", left: Compiled | None = None
+    ) -> Compiled:
         """Evaluate the group against the target repository's quad store
         and return its solutions for the outer join-chain. Engine-internal
         federation (the registry maps ``urn:repo:{name}`` IRIs to sibling
@@ -570,7 +572,7 @@ class QueryCompiler:
                 return self.unit()
             raise ValueError("sparql: SERVICE with a variable target is unsupported")
         if elem.target.value.startswith(("http://", "https://")):
-            return self._service_http(elem)
+            return self._service_http(elem, left)
         remote = self.services.get(elem.target.value)
         if remote is None:
             if elem.silent:
@@ -581,14 +583,25 @@ class QueryCompiler:
         )
         return sub.compile_group(elem.group, None)
 
-    def _service_http(self, elem: "A.ServicePattern") -> Compiled:
+    def _service_http(
+        self, elem: "A.ServicePattern", left: Compiled | None = None
+    ) -> Compiled:
         """Wire federation: POST the captured group text to the remote
         SPARQL-protocol endpoint, land its results-JSON bindings as a
         term-struct DataFrame (sparql/federation.py). The remote result is
         driver-materialized by protocol necessity — dimension-sized by
         design, same envelope as the reference's own federation — and then
         joins (usually broadcast) into the outer plan. SILENT maps any
-        transport/parse failure to the unit solution (spec §2.2)."""
+        transport/parse failure to the unit solution (spec §2.2).
+
+        When solutions are already bound to the left of the SERVICE
+        clause, the distinct local bindings of the shared variables are
+        injected into the remote query as a VALUES block (FedX-style
+        bound join, ``federation.values_clause``) so the endpoint only
+        ships compatible solutions — the scale lever that turns a
+        full-remote-pattern fetch into a keyed lookup. Falls back to the
+        unrestricted fetch above ``_BOUND_JOIN_MAX`` distinct keys or for
+        non-travelling terms (blank nodes)."""
         from dublin_smart_city_graphdb_spark.sparql import federation
 
         if elem.raw_select is None:
@@ -598,10 +611,21 @@ class QueryCompiler:
                 "sparql: HTTP SERVICE requires the query's source text "
                 "(programmatic ASTs carry no raw_select)"
             )
+        query = elem.raw_select
+        if left is not None and left.var_order:
+            shared = [
+                v
+                for v in left.var_order
+                if v in left.certain
+                and v in federation.binding_vars(elem.group)
+            ]
+            if shared:
+                clause = federation.values_clause(left.df, shared)
+                if clause is not None:
+                    head, sep, body = query.partition("SELECT * WHERE ")
+                    query = f"{head}{sep}{{ {body} {clause} }}"
         try:
-            vars_, rows = federation.fetch_bindings(
-                elem.target.value, elem.raw_select
-            )
+            vars_, rows = federation.fetch_bindings(elem.target.value, query)
         except Exception as exc:  # transport, HTTP status, JSON shape
             if elem.silent:
                 return self.unit()

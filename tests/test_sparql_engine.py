@@ -762,3 +762,136 @@ def test_service_http_rescopes_remote_bnodes(federated, wire_server, spark):
         assert lc is None
     finally:
         srv.stop()
+
+
+# -- HTTP SERVICE bound join (FedX-style VALUES injection) -------------------
+
+@pytest.fixture()
+def wire_spy(monkeypatch):
+    """Capture the query text each wire fetch sends and how many
+    solutions came back."""
+    from dublin_smart_city_graphdb_spark.sparql import federation
+
+    calls = []
+    real = federation.fetch_bindings
+
+    def spy(endpoint, query, timeout=15.0):
+        vars_, rows = real(endpoint, query, timeout)
+        calls.append({"query": query, "n_rows": len(rows)})
+        return vars_, rows
+
+    monkeypatch.setattr(federation, "fetch_bindings", spy)
+    return calls
+
+
+def test_service_http_bound_join_restricts_remote_fetch(
+    federated, wire_server, wire_spy
+):
+    """Bindings left of SERVICE ride to the endpoint as a VALUES block
+    (FedX bound join): the remote ships ONLY compatible solutions."""
+    endpoint = (
+        f"http://{wire_server.host}:{wire_server.port}/repositories/wire_firms"
+    )
+    rows = federated.sparql_collect(
+        "PREFIX ex: <http://f#> SELECT ?city WHERE { "
+        "ex:alice ex:worksAt ?f . "
+        f"SERVICE <{endpoint}> {{ ?f ex:city ?city }} }}"
+    )
+    assert [r[0].lex for r in rows] == ["Dublin"]
+    assert len(wire_spy) == 1
+    q = wire_spy[0]["query"]
+    assert "VALUES (?f)" in q and "<http://f#acme>" in q
+    assert "globex" not in q
+    # the endpoint evaluated the restriction: one solution shipped, not two
+    assert wire_spy[0]["n_rows"] == 1
+
+
+def test_service_http_leading_service_fetches_unrestricted(
+    federated, wire_server, wire_spy
+):
+    """SERVICE as the first group element has no left bindings — the
+    plain unrestricted fetch (spec evaluation order) still applies."""
+    endpoint = (
+        f"http://{wire_server.host}:{wire_server.port}/repositories/wire_firms"
+    )
+    rows = federated.sparql_collect(
+        "PREFIX ex: <http://f#> SELECT ?p ?city WHERE { "
+        f"SERVICE <{endpoint}> {{ ?f ex:city ?city }} "
+        "?p ex:worksAt ?f . }"
+    )
+    assert len(rows) == 3
+    assert "VALUES" not in wire_spy[0]["query"]
+    assert wire_spy[0]["n_rows"] == 2
+
+
+def test_service_http_bound_join_caps_to_unrestricted(
+    federated, wire_server, wire_spy, monkeypatch
+):
+    """Above _BOUND_JOIN_MAX distinct keys the VALUES block would bloat
+    the request — fall back to the unrestricted fetch."""
+    from dublin_smart_city_graphdb_spark.sparql import federation
+
+    monkeypatch.setattr(federation, "_BOUND_JOIN_MAX", 0)
+    endpoint = (
+        f"http://{wire_server.host}:{wire_server.port}/repositories/wire_firms"
+    )
+    rows = federated.sparql_collect(
+        "PREFIX ex: <http://f#> SELECT ?p ?city WHERE { "
+        "?p ex:worksAt ?f . "
+        f"SERVICE <{endpoint}> {{ ?f ex:city ?city }} }}"
+    )
+    assert len(rows) == 3
+    assert "VALUES" not in wire_spy[0]["query"]
+
+
+def test_service_http_bound_join_empty_local_side(
+    federated, wire_server, wire_spy
+):
+    """An empty local side sends an empty VALUES data block — the remote
+    evaluates to zero solutions and nothing meaningful is transferred."""
+    endpoint = (
+        f"http://{wire_server.host}:{wire_server.port}/repositories/wire_firms"
+    )
+    rows = federated.sparql_collect(
+        "PREFIX ex: <http://f#> SELECT ?city WHERE { "
+        "ex:nobody ex:worksAt ?f . "
+        f"SERVICE <{endpoint}> {{ ?f ex:city ?city }} }}"
+    )
+    assert rows == []
+    assert "VALUES (?f) {  }" in wire_spy[0]["query"].replace("{ }", "{  }")
+    assert wire_spy[0]["n_rows"] == 0
+
+
+def test_service_http_bound_join_lang_literal_travels(
+    federated, wire_server, wire_spy, spark
+):
+    """A language-tagged literal binding serializes into the VALUES block
+    with its tag and round-trips through the remote join."""
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    back = eng.create_repository("wire_city_back", ruleset="none")
+    back.load_turtle(
+        "@prefix ex: <http://f#> .\n"
+        'ex:dub ex:cityName "Dublin"@en ; ex:pop 588 .\n'
+        'ex:cork ex:cityName "Cork"@en ; ex:pop 222 .\n'
+    )
+    from dublin_smart_city_graphdb_spark.protocol_http import SparqlHttpServer
+
+    srv = SparqlHttpServer(eng).start()
+    try:
+        endpoint = (
+            f"http://{srv.host}:{srv.port}/repositories/wire_city_back"
+        )
+        # local side binds ?city = "Dublin"@en (from wire_firms fixture
+        # data loaded into the local people repo? no — bind via VALUES)
+        rows = federated.sparql_collect(
+            "PREFIX ex: <http://f#> SELECT ?c ?pop WHERE { "
+            'VALUES ?c { "Dublin"@en } '
+            f"SERVICE <{endpoint}> {{ ?x ex:cityName ?c ; ex:pop ?pop }} }}"
+        )
+        assert len(rows) == 1 and rows[0][1].lex == "588"
+        assert '"Dublin"@en' in wire_spy[0]["query"]
+        assert wire_spy[0]["n_rows"] == 1
+    finally:
+        srv.stop()
