@@ -364,7 +364,23 @@ class QueryCompiler:
                 else:
                     col = F.sum(num) if fn == "SUM" else F.avg(num)
                 agg_exprs.append(col.alias(raw))
-                val = F.coalesce(F.col(raw), F.lit(0)).cast("decimal(38,10)")
+                # §18.5.1: Sum/Avg fold op:numeric-add over the operand
+                # multiset — a solution whose operand evaluates to a
+                # non-number (unbound, error, or a non-numeric term) makes
+                # the whole aggregate an ERROR → unbound binding (W3C
+                # agg-err shape). The EMPTY group is NOT an error:
+                # Sum({}) = Avg({}) = 0.
+                agg_exprs.append(
+                    F.max(F.when(num.isNull(), 1).otherwise(0)).alias(
+                        raw + "_bad"
+                    )
+                )
+                bad = F.coalesce(F.col(raw + "_bad"), F.lit(0)) == 1
+                val = F.when(
+                    bad, F.lit(None).cast("decimal(38,10)")
+                ).otherwise(
+                    F.coalesce(F.col(raw), F.lit(0)).cast("decimal(38,10)")
+                )
                 if fn == "SUM":
                     # §18.5.1 type promotion: Sum over all-integer operands
                     # is xsd:integer ("4950", not "4950.0"); any non-integer
@@ -385,8 +401,14 @@ class QueryCompiler:
                     ).otherwise(make_numeric(val))
                 else:
                     # AVG = Sum ÷ Count; integer ÷ integer is xsd:decimal
-                    # (§17.3), so decimal is correct even for integer input.
-                    builders[id(node)] = make_numeric(val)
+                    # (§17.3) for non-empty input; Avg({}) = 0 stays the
+                    # plain integer zero of the spec's definition.
+                    builders[id(node)] = F.when(
+                        F.col(raw).isNull() & ~bad,
+                        make_numeric(
+                            F.lit(0).cast("decimal(38,10)"), XSD + "integer"
+                        ),
+                    ).otherwise(make_numeric(val))
             elif fn in ("MIN", "MAX"):
                 f = F.min if fn == "MIN" else F.max
                 fby = F.min_by if fn == "MIN" else F.max_by

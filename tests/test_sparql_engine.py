@@ -619,10 +619,11 @@ def test_sum_avg_over_empty_is_zero(micro):
         "{ ?x ex:age ?a . FILTER(?a > 1000) }"
     )
     assert len(rows) == 1
-    # Sum over an (empty) integer operand is xsd:integer — canonical "0";
-    # Avg is integer ÷ integer = xsd:decimal (§17.3) — canonical "0.0".
+    # Both are the spec definition's plain integer zero: Sum({}) = 0 and
+    # Avg({}) = 0 (§18.5.1.1.4 — the W3C suite's agg-avg-02 shape), not
+    # the decimal "0.0" a Sum÷Count implementation would leak.
     assert rows[0]["s"].lex == "0"
-    assert rows[0]["v"].lex == "0.0"
+    assert rows[0]["v"].lex == "0"
 
 
 def test_values_with_undef_rows(micro):
