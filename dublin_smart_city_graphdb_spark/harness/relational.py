@@ -1342,9 +1342,11 @@ _REV_DEC = (
     doc="TPC-H Q2 shape (argmin-per-group correlated subquery): the "
         "part↔supplier relation is emulated from DISTINCT lineitem pairs "
         "(no partsupp table); per-part MAX(s_acctbal) stands in for MIN("
-        "ps_supplycost). The per-group extremum joins back on (p_partkey, "
-        "extremum) — Catalyst broadcasts the tiny max side; sort keys are "
-        "a total order so the LIMIT set is deterministic.",
+        "ps_supplycost). Spark-side the correlated extremum is a window "
+        "MAX over partitionBy(p_partkey) — ONE hash exchange and one pass "
+        "over the eligible set, vs the aggregate-then-join decorrelation "
+        "that scans it twice (the oracle keeps that two-scan SQL form). "
+        "Sort keys are a total order so the LIMIT set is deterministic.",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = (
@@ -1365,15 +1367,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
     )
-    mx = eligible.groupBy(F.col("p_partkey").alias("mx_partkey")).agg(
-        F.max("s_acctbal").alias("m")
-    )
+    w = Window.partitionBy("p_partkey")
     return (
-        eligible.join(
-            F.broadcast(mx),
-            (F.col("p_partkey") == F.col("mx_partkey"))
-            & (F.col("s_acctbal") == F.col("m")),
-        )
+        eligible.withColumn("m", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("m"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)

@@ -279,3 +279,51 @@ def test_label_outliers_broadcasts_centroids(spark):
     plan = plan_of(q(spark, "embed_label_outliers"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- TPC-H parity completion (round 3): plan-shape contracts -----------------
+
+def test_q19_disjunction_pushes_into_both_scans(spark):
+    """The OR-of-ANDs predicate must split per side and reach BOTH parquet
+    scans as pushed filters (brand/size → part, quantity → lineitem) —
+    a plan that evaluates the whole disjunction post-join re-reads the
+    full fact table at 100 TB."""
+    plan = plan_of(q(spark, "q19_discounted_revenue"))
+    scans = plan.split("FileScan")
+    part_scan = next(s for s in scans if "part.parquet" in s)
+    li_scan = next(s for s in scans if "lineitem.parquet" in s)
+    assert "p_brand" in part_scan and "p_size" in part_scan
+    assert "l_quantity" in li_scan
+
+
+def test_q2_extremum_is_single_window_pass(spark):
+    """The per-part max must be a window over ONE hash exchange of the
+    eligible set — not an aggregate-then-self-join that scans lineitem
+    twice."""
+    plan = plan_of(q(spark, "q2_min_cost_supplier"))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q17_avg_join_carries_threshold_condition(spark):
+    """The decorrelated per-part AVG joins back with the 0.2x threshold
+    INSIDE the join condition (no post-join filter stage), and lineitem's
+    second read reuses the same shuffle key."""
+    plan = plan_of(q(spark, "q17_small_quantity_revenue"))
+    assert "0.2" in plan and "avg_qty" in plan
+
+
+def test_q21_self_joins_are_semi_then_anti(spark):
+    """EXISTS and NOT EXISTS compile to LeftSemi and LeftAnti against
+    lineitem — never an inner self-join plus distinct (which would blow
+    up on multi-line orders)."""
+    plan = plan_of(q(spark, "q21_waiting_suppliers"))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q11_scalar_threshold_is_broadcast(spark):
+    """The global-total scalar subquery must land as a 1-row broadcast
+    (nested-loop or broadcast join), never a shuffle."""
+    plan = plan_of(q(spark, "q11_important_parts"))
+    assert "Broadcast" in plan
