@@ -2155,6 +2155,63 @@ def events_top_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rk") <= 3)
 
 
+
+@register(
+    "events_unique_users_hourly",
+    """
+    SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT)
+               AS hour_idx,
+           event_type,
+           COUNT(DISTINCT user_id) AS unique_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Hourly distinct users per event type (exact). Spark expands "
+        "COUNT DISTINCT into a two-stage aggregate: partial "
+        "(hour, type, user) dedup map-side, then the final count — the "
+        "exact-cardinality plan whose second shuffle motivates the HLL "
+        "variant below at 100 TB.",
+)
+def events_unique_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return (
+        e.select(
+            F.expr("ts_us div 3600000000").alias("hour_idx"),
+            "event_type",
+            "user_id",
+        )
+        .groupBy("hour_idx", "event_type")
+        .agg(F.countDistinct("user_id").alias("unique_users"))
+    )
+
+
+@register(
+    "events_unique_users_approx",
+    None,  # sketch estimates are engine-specific — accuracy pinned by
+           # tests/test_quantiles_approx.py::test_hll_unique_users_accuracy
+    doc="Hourly distinct users per event type via HyperLogLog++ "
+        "(approx_count_distinct, rsd=0.02). The sketch is MERGEABLE: "
+        "partial aggregation ships one ~kB register set per "
+        "(hour, type, partition) instead of the distinct user set, so "
+        "the plan has ONE shuffle whose payload is independent of "
+        "cardinality — the 100 TB path for unique-count dashboards "
+        "(exact twin: events_unique_users_hourly).",
+)
+def events_unique_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    return (
+        e.select(
+            F.expr("ts_us div 3600000000").alias("hour_idx"),
+            "event_type",
+            "user_id",
+        )
+        .groupBy("hour_idx", "event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("unique_users")
+        )
+    )
+
+
 _OVERLAP_SQL = f"""
     SELECT LEAST(da.source, db.source) AS source_a,
            GREATEST(da.source, db.source) AS source_b,

@@ -43,3 +43,34 @@ def test_approx_quantiles_near_exact_rank(spark):
             assert lo_rank - RANK_SLACK <= p <= hi_rank + RANK_SLACK, (
                 t, colname, got, lo_rank, hi_rank,
             )
+
+
+def test_hll_unique_users_accuracy(spark):
+    """The HLL++ sketch estimate must stay within 5x its configured rsd
+    (2%) of the exact distinct count on every (hour, event_type) group,
+    and the plan must contain exactly ONE exchange (the sketch merges
+    map-side — that is its entire point at scale)."""
+    from dublin_smart_city_graphdb_spark import harness
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r["hour_idx"], r["event_type"]): r["unique_users"]
+        for r in harness.REGISTRY["events_unique_users_hourly"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    approx_df = harness.REGISTRY["events_unique_users_approx"].fn(spark, SF_DIR)
+    approx = {
+        (r["hour_idx"], r["event_type"]): r["unique_users"]
+        for r in approx_df.collect()
+    }
+    assert set(exact) == set(approx)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(1, 0.10 * ex), (k, ex, approx[k])
+    plan = (
+        approx_df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]  # AQE echoes the pre-adaptive plan
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
