@@ -235,3 +235,55 @@ def connected_components(
             "budget — raise max_iterations"
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Multi-source BFS levels → (id, hops): the minimum edge count from
+    any source node, following edges src→dst (pass a symmetrized edge set
+    for undirected graphs). GraphX/Pregel ``shortestPaths`` shape as a
+    semi-naive frontier loop: each round expands ONLY the previous
+    frontier (one keyed join), anti-joins the visited set, and
+    checkpoints just the new delta — the accumulated level table stays a
+    lazy union of already-materialized blocks, so round cost is
+    O(|frontier| ⋈ edges), not O(|visited|). Rounds = eccentricity of the
+    source set, with ``max_iterations`` as the runaway guard (raises,
+    never truncates silently).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    levels = [frontier.select("id", F.lit(0).cast("long").alias("hops"))]
+    visited = levels[0]
+    for d in range(1, max_iterations + 1):
+        nxt = (
+            e.join(frontier, e.u == frontier.id)
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return visited
+        frontier = nxt
+        levels.append(nxt.select("id", F.lit(d).cast("long").alias("hops")))
+        visited = levels[0]
+        for lvl in levels[1:]:
+            visited = visited.unionByName(lvl)
+    raise RuntimeError(
+        f"bfs_hops did not exhaust the graph within {max_iterations} "
+        "rounds; eccentricity exceeds the iteration budget — raise "
+        "max_iterations"
+    )

@@ -330,6 +330,71 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOPS_SQL = f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    lbl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+            FROM reach GROUP BY u),
+    canon AS (SELECT DISTINCT cluster_id AS node FROM lbl),
+    -- bounded BFS: components are near-dup cliques/chains, diameter far
+    -- below 16; the bound only caps the recursion, MIN(d) is exact
+    bfs(node, d) AS (
+        SELECT node, 0 FROM canon
+        UNION
+        SELECT e.v, b.d + 1 FROM bfs b JOIN edges e ON b.node = e.u
+        WHERE b.d < 16
+    )
+    SELECT l.doc_id, l.cluster_id, CAST(MIN(b.d) AS BIGINT) AS hops
+    FROM lbl l JOIN bfs b ON b.node = l.doc_id
+    GROUP BY l.doc_id, l.cluster_id
+"""
+
+
+@register(
+    "dedup_cluster_hops",
+    _HOPS_SQL,
+    doc="Near-dup neighbourhood radius: for every document in a non-"
+        "singleton LSH component, the BFS hop distance to the component's "
+        "canonical (min doc_id) — 0 for the canonical itself, 1 for its "
+        "direct near-dups, 2+ for transitive chain members (the signal a "
+        "curation pipeline uses to distrust long-chain transitive "
+        "near-dup merges). Multi-source BFS (graph/closure.py:bfs_hops): "
+        "semi-naive frontier expansion, one keyed join per level, deltas "
+        "checkpointed, O(diameter) rounds; oracle is a bounded-depth "
+        "recursive CTE over the same pair graph.",
+    cache_plan=False,
+)
+def dedup_cluster_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.graph.closure import (
+        bfs_hops,
+        connected_components,
+    )
+
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    sources = labels.select(F.col("component")).distinct()
+    hops = bfs_hops(sym, sources, src="u", dst="v")
+    return labels.join(hops, "id").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "hops",
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard dedup (3-word shingles, blocked by shared shingle)
 # ---------------------------------------------------------------------------

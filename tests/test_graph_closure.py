@@ -120,3 +120,45 @@ def test_transitive_closure_deep_chain_crosses_compaction(spark):
     got = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
     want = {(a, b) for a in range(21) for b in range(a + 1, 21)}
     assert got == want
+
+
+def test_bfs_hops_path_graph_levels(spark):
+    """BFS from node 0 over a symmetrized 10-edge path: hops = index."""
+    from dublin_smart_city_graphdb_spark.graph.closure import bfs_hops
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)] + [(i + 1, i) for i in range(10)],
+        ["src", "dst"],
+    )
+    srcs = spark.createDataFrame([(0,)], ["id"])
+    got = {r.id: r.hops for r in bfs_hops(e, srcs).collect()}
+    assert got == {i: i for i in range(11)}
+
+
+def test_bfs_hops_multi_source_takes_min(spark):
+    """Two sources at both ends of a path: hops = distance to the NEAREST
+    source, and the loop ends at the meet-in-the-middle round."""
+    from dublin_smart_city_graphdb_spark.graph.closure import bfs_hops
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(i + 1, i) for i in range(6)],
+        ["src", "dst"],
+    )
+    srcs = spark.createDataFrame([(0,), (6,)], ["id"])
+    got = {r.id: r.hops for r in bfs_hops(e, srcs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1, 6: 0}
+
+
+def test_bfs_hops_raises_instead_of_truncating(spark):
+    """A frontier still expanding at max_iterations must raise — silent
+    truncation would hand wrong radii to dedup_cluster_hops."""
+    import pytest as _pytest
+
+    from dublin_smart_city_graphdb_spark.graph.closure import bfs_hops
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([(0,)], ["id"])
+    with _pytest.raises(RuntimeError, match="did not exhaust"):
+        bfs_hops(e, srcs, max_iterations=3)
