@@ -3329,3 +3329,453 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("is_near", F.lit(0))).alias("n_near_dup_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: time-series analytics + corpus statistics
+# ---------------------------------------------------------------------------
+
+# Deterministic arg-min/arg-max tie-break key: fixed-width "(ts, event_id)"
+# string so DuckDB's arg_min(DOUBLE, VARCHAR) and Spark's min_by compare the
+# same total order (DuckDB's arg_min has no struct overload).
+_EVENT_ORDER_KEY_SPARK = "format_string('%020d:%020d', ts_us, event_id)"
+_EVENT_ORDER_KEY_DUCK = (
+    "printf('%020d:%020d', epoch_us(CAST(ts AS TIMESTAMP)), event_id)"
+)
+
+_OHLC_SQL = f"""
+    SELECT event_type,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT)
+               AS hour_idx,
+           arg_min(CAST(value AS DECIMAL(18,2)), {_EVENT_ORDER_KEY_DUCK})
+               AS open,
+           MAX(CAST(value AS DECIMAL(18,2))) AS high,
+           MIN(CAST(value AS DECIMAL(18,2))) AS low,
+           arg_max(CAST(value AS DECIMAL(18,2)), {_EVENT_ORDER_KEY_DUCK})
+               AS close,
+           SUM(CAST(value AS DECIMAL(18,2))) AS vol,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_ohlc_hourly",
+    _OHLC_SQL,
+    doc="OHLC candlestick rollup per (event_type, hour): open/close via "
+        "min_by/max_by on a fixed-width (ts, event_id) key (deterministic "
+        "under ts collisions), high/low/volume as plain aggregates, values "
+        "in DECIMAL(18,2) so sums are fold-order-exact. ONE shuffle with "
+        "map-side partials; output is |types × hours|, thousands of times "
+        "smaller than the stream — the classic pre-aggregated time-series "
+        "dashboard shape.",
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    key = F.expr(_EVENT_ORDER_KEY_SPARK)
+    return (
+        e.select(
+            "event_type",
+            F.expr("ts_us div 3600000000").alias("hour_idx"),
+            v.alias("v"),
+            key.alias("k"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(
+            F.min_by("v", "k").alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max_by("v", "k").alias("close"),
+            F.sum("v").alias("vol"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_RESAMPLE_SQL = f"""
+    WITH e2 AS (
+        SELECT user_id,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT)
+                   AS hour_idx,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               {_EVENT_ORDER_KEY_DUCK} AS k
+        FROM events
+    ),
+    pm AS (
+        SELECT user_id, hour_idx, arg_max(v, k) AS v
+        FROM e2 GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT user_id, MIN(hour_idx) AS lo, MAX(hour_idx) AS hi
+        FROM e2 GROUP BY 1
+    ),
+    g AS (
+        SELECT user_id, UNNEST(range(lo, hi + 1)) AS hour_idx FROM b
+    )
+    SELECT g.user_id, g.hour_idx,
+           last_value(pm.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_idx
+           ) AS value_ff
+    FROM g LEFT JOIN pm
+      ON g.user_id = pm.user_id AND g.hour_idx = pm.hour_idx
+"""
+
+
+@register(
+    "events_resample_hourly",
+    _RESAMPLE_SQL,
+    doc="Time-series resampling with gap fill: a dense per-user hourly grid "
+        "from each user's first to last active hour, carrying the most "
+        "recent observed value forward through silent hours (last-observation"
+        "-carried-forward). Grid built distributed — sequence()+explode of "
+        "each user's [lo, hi] hour range (one row per user in, span rows "
+        "out; never a driver loop), per-hour last value via max_by on the "
+        "deterministic (ts, event_id) key, forward fill as a running "
+        "last(ignorenulls) window. All stages hash on user_id, so the agg, "
+        "the grid join, and the fill window reuse one partitioning; grid "
+        "size is Σ active spans, bounded and known before running.",
+)
+def events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts_us div 3600000000").alias("hour_idx"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.expr(_EVENT_ORDER_KEY_SPARK).alias("k"),
+    )
+    pm = e.groupBy("user_id", "hour_idx").agg(F.max_by("v", "k").alias("v"))
+    grid = (
+        e.groupBy("user_id")
+        .agg(F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi)")).alias("hour_idx"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("hour_idx")
+    return (
+        grid.join(pm, ["user_id", "hour_idx"], "left")
+        .select(
+            "user_id",
+            "hour_idx",
+            F.last("v", ignorenulls=True).over(w).alias("value_ff"),
+        )
+    )
+
+
+_BURSTS_SQL = """
+    SELECT * FROM (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               COUNT(*) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS burst_n
+        FROM events
+    ) WHERE burst_n >= 3
+"""
+
+
+@register(
+    "events_activity_bursts",
+    _BURSTS_SQL,
+    doc="Complex-event detection: events whose trailing one-hour window "
+        "(per user) holds ≥ 3 events — the alerting primitive "
+        "(MATCH_RECOGNIZE-lite) expressed as a RANGE frame over the "
+        "microsecond event time, so no self-join and no per-event probe: "
+        "one column-pruned scan, one shuffle on user_id, a linear sliding "
+        "count per partition. Equal-timestamp peers fall in the same frame "
+        "in both engines (RANGE peer semantics).",
+)
+def events_activity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3600000000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.count("*").over(w).alias("burst_n"),
+        )
+        .filter(F.col("burst_n") >= 3)
+    )
+
+
+_ACTIVITY_SQL = """
+    WITH per AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS n_click,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS n_view,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS n_error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purchase,
+               COUNT(DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+                   AS n_active_days,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+               MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_ts_us,
+               MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_ts_us
+        FROM events GROUP BY 1
+    )
+    SELECT user_id, n_events, n_click, n_view, n_error, n_purchase,
+           n_active_days, sum_value,
+           ROUND(CAST(sum_value AS DOUBLE) / n_events, 6) AS avg_value,
+           first_ts_us, last_ts_us
+    FROM per
+"""
+
+
+@register(
+    "user_activity_features",
+    _ACTIVITY_SQL,
+    doc="Per-user ML feature vector: event counts (total + per type via "
+        "conditional sums — a pivot without a pivot operator), distinct "
+        "active days, exact decimal spend, mean value derived from the "
+        "exact sum (so the double rounds identically regardless of fold "
+        "order), first/last seen. ONE shuffle on user_id; COUNT DISTINCT "
+        "day expands to the standard two-stage partial dedup. The feature-"
+        "engineering shape feeding a training-set join at 100 TB.",
+)
+def user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+
+    def n_of(t: str):
+        return F.sum((F.col("event_type") == t).cast("int"))
+
+    per = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        n_of("click").alias("n_click"),
+        n_of("view").alias("n_view"),
+        n_of("error").alias("n_error"),
+        n_of("purchase").alias("n_purchase"),
+        F.countDistinct(F.expr("ts_us div 86400000000")).alias(
+            "n_active_days"
+        ),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.min("ts_us").alias("first_ts_us"),
+        F.max("ts_us").alias("last_ts_us"),
+    )
+    return per.withColumn(
+        "avg_value",
+        F.round(
+            F.col("sum_value").cast("double") / F.col("n_events"), 6
+        ),
+    ).select(
+        "user_id", "n_events", "n_click", "n_view", "n_error", "n_purchase",
+        "n_active_days", "sum_value", "avg_value", "first_ts_us",
+        "last_ts_us",
+    )
+
+
+_LENGTH_HIST_SQL = """
+    WITH h AS (
+        SELECT lang, LENGTH(CAST(n_chars AS VARCHAR)) AS magnitude,
+               COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, magnitude, n_docs, total_chars,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / SUM(n_docs) OVER (PARTITION BY lang), 6) AS share
+    FROM h
+"""
+
+
+@register(
+    "corpus_length_histogram",
+    _LENGTH_HIST_SQL,
+    doc="Corpus length profile: per-language order-of-magnitude histogram "
+        "of document sizes (bucket = decimal digit count of n_chars — "
+        "exact integer string length, immune to the log2 boundary "
+        "float-divergence a floor(log2(x)) bucket would risk across "
+        "engines) with each bucket's share of its language. One tiny "
+        "aggregate (|langs × ~6 buckets|) then a window over that "
+        "aggregate, never over the corpus.",
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = (
+        d.groupBy(
+            "lang",
+            F.length(F.col("n_chars").cast("string")).alias("magnitude"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    w = Window.partitionBy("lang")
+    return h.select(
+        "lang", "magnitude", "n_docs", "total_chars",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("share"),
+    )
+
+
+_BIGRAMS_SQL = """
+    WITH w AS (
+        SELECT string_split(text, ' ') AS ws FROM documents
+    ),
+    b AS (
+        SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+        FROM w, UNNEST(range(1, len(ws))) AS t(i)
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM b GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 20
+"""
+
+
+@register(
+    "text_bigrams_top20",
+    _BIGRAMS_SQL,
+    doc="Corpus-wide top-20 word bigrams (n-gram language statistics — the "
+        "input to contamination heuristics and boilerplate detection). "
+        "Bigrams come from zip_with over two shifted slices of the split "
+        "array — pure JVM array ops, no self-join, no UDF; then one "
+        "count aggregate with map-side partials and a deterministic "
+        "(count DESC, bigram) top-k. Shuffle volume is |distinct bigrams|, "
+        "not |tokens|.",
+)
+def text_bigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(text, ' '), 1, "
+                "size(split(text, ' ')) - 1), "
+                "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-text relevance search (BM25) — the GraphDB Lucene-connector surface
+# (S-class: full-text search over literals) re-expressed as pure DataFrame
+# aggregation over an inverted-index shape.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN {_BM25_TERMS} GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                   LN(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / stats.avgdl)),
+                   6) AS DECIMAL(18,6)) AS c
+        FROM tf
+        JOIN df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, score, rk FROM (
+        SELECT doc_id, SUM(c) AS score,
+               ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, doc_id) AS rk
+        FROM contrib GROUP BY 1
+    ) WHERE rk <= 10
+"""
+
+
+@register(
+    "text_bm25_search",
+    _BM25_SQL,
+    doc="BM25 full-text relevance search (k1=1.2, b=0.75) for a 3-term "
+        "query — the GraphDB Lucene-connector capability as one "
+        "aggregation pipeline: explode once, keep only postings matching "
+        "query terms (map-side IN filter on a 3-element list — the "
+        "inverted-index probe), per-doc tf + doc length, df per term, "
+        "per-(doc,term) contribution rounded to 6dp and summed as exact "
+        "DECIMAL so the fold order can never flip a rounded score, "
+        "deterministic (score DESC, doc_id) top-10. Corpus scalars "
+        "(N, avgdl) broadcast; candidate set is bounded by postings of "
+        "the query terms, not the corpus.",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (k1 + F.lit(1.0)))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        F.lit(1.0)
+                        - b
+                        + b * F.col("dl") / F.col("avgdl")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
+        .select("doc_id", "score", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+    )

@@ -327,3 +327,68 @@ def test_q11_scalar_threshold_is_broadcast(spark):
     (nested-loop or broadcast join), never a shuffle."""
     plan = plan_of(q(spark, "q11_important_parts"))
     assert "Broadcast" in plan
+
+
+def test_ohlc_is_single_aggregation_shuffle(spark):
+    """OHLC rolls up in ONE hash aggregate: a partial (map-side) and final
+    pair around a single exchange — no window, no join, no second pass for
+    the open/close extremes (min_by/max_by ride inside the same agg)."""
+    plan = plan_of(q(spark, "events_ohlc_hourly"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_resample_grid_is_distributed_and_reuses_user_hash(spark):
+    """The gap-fill grid comes from sequence()+explode (a Generate), never a
+    driver loop; no single-partition exchange anywhere — bounds agg, grid
+    join and fill window all hash on user_id."""
+    plan = plan_of(q(spark, "events_resample_hourly"))
+    assert "Generate explode" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_activity_bursts_has_no_self_join(spark):
+    """The trailing-1h count is a RANGE frame, not an event × event
+    self-join; the scan is column-pruned to the three columns the
+    operator reads."""
+    plan = plan_of(q(spark, "events_activity_bursts"))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "event_type" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_activity_features_single_shuffle_plus_distinct_expand(spark):
+    """Per-user features: everything folds into the user_id aggregate; the
+    COUNT DISTINCT day adds only the standard partial-dedup expand, no
+    join."""
+    plan = plan_of(q(spark, "user_activity_features"))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_length_histogram_windows_on_the_aggregate_not_the_corpus(spark):
+    """The share window runs over the tiny (lang, magnitude) aggregate:
+    the Window must sit ABOVE the HashAggregate in the plan tree (printed
+    top-down: Window appears before the aggregate it consumes)."""
+    plan = plan_of(q(spark, "corpus_length_histogram"))
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_bigrams_topk_is_take_ordered(spark):
+    """Top-20 bigrams ends in TakeOrderedAndProject (per-partition top-k +
+    merge), not a global Sort; bigram construction is zip_with, no join."""
+    plan = plan_of(q(spark, "text_bigrams_top20"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_bm25_broadcasts_df_and_stats_and_probes_terms_mapside(spark):
+    """BM25: the per-term df table and the (N, avgdl) scalar row broadcast
+    into the postings side, and the query-term IN list filters map-side
+    right at the explode — the candidate set is the query terms' postings,
+    never the whole corpus vocabulary."""
+    plan = plan_of(q(spark, "text_bm25_search"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "spark" in plan and "hash" in plan  # the IN-list literals
+    assert "SortMergeJoin" not in plan.split("HashAggregate")[0]
