@@ -3779,3 +3779,72 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new ingest batch probed against the historical corpus
+# (continuous-ingestion complement of dedup_minhash_pairs — at 100 TB the
+# historical side's band index is precomputed and stored; only the new
+# batch's signatures are built per run)
+# ---------------------------------------------------------------------------
+
+_INCR_DEDUP_SQL = f"""
+    WITH {_shingles_cte(5)},
+    sig AS (
+        SELECT doc_id,
+               {_minhash_mins_duck}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{_band_selects_duck}
+    )
+    SELECT DISTINCT n.doc_id AS new_doc, h.doc_id AS hist_doc
+    FROM bands n JOIN bands h
+      ON n.band_idx = h.band_idx AND n.band_val = h.band_val
+    WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+"""
+
+
+@register(
+    "dedup_incremental",
+    _INCR_DEDUP_SQL,
+    doc="Incremental near-dup detection for continuous ingestion: the new "
+        "batch (odd doc_ids stand in for today's ingest) probes the "
+        "historical corpus (even doc_ids) through the shared MinHash-LSH "
+        "band index. The new batch's band rows BROADCAST into the "
+        "historical side, so the big side streams through a broadcast "
+        "hash join with no shuffle — the probe cost is O(|hist bands|) "
+        "scan + O(|new| × bands) memory, never an all-pairs or sort-merge "
+        "of the corpus. In production the hist bands are a stored index; "
+        "cross-batch pairs then feed the same cluster/keep-best stages as "
+        "the batch pipeline.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_minhash_sig(spark, sf_dir)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                ":",
+                F.col(f"mh{2 * b}").cast("string"),
+                F.col(f"mh{2 * b + 1}").cast("string"),
+            ).alias("band_val"),
+        )
+        for b in range(_N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    hist = bands.filter(F.col("doc_id") % 2 == 0)
+    new = bands.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("new_doc"), "band_idx", "band_val"
+    )
+    return (
+        hist.join(F.broadcast(new), ["band_idx", "band_val"])
+        .select("new_doc", F.col("doc_id").alias("hist_doc"))
+        .distinct()
+    )

@@ -392,3 +392,12 @@ def test_bm25_broadcasts_df_and_stats_and_probes_terms_mapside(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "spark" in plan and "hash" in plan  # the IN-list literals
     assert "SortMergeJoin" not in plan.split("HashAggregate")[0]
+
+
+def test_incremental_dedup_broadcasts_the_new_batch(spark):
+    """The historical corpus side must stream through a broadcast hash
+    join against the (small) new-batch band rows — never a sort-merge
+    join shuffling the historical index."""
+    plan = plan_of(q(spark, "dedup_incremental"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
