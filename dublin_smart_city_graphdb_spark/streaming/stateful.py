@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -150,6 +151,68 @@ def funnel_stream(events: DataFrame) -> DataFrame:
         _funnel_fn,
         outputStructType=FUNNEL_SCHEMA,
         stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# -- streaming burst detector (stateful twin of events_activity_bursts) ------
+
+BURST_WINDOW_US = 3_600_000_000  # trailing 1 h, matches the batch operator
+BURST_MIN_EVENTS = 3
+
+BURST_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("burst_n", LongType()),
+    ]
+)
+
+_BURST_STATE = StructType(
+    [StructField("recent", ArrayType(LongType()))]
+)
+
+
+def _bursts_fn(
+    key: tuple,
+    pdf_iter: "Iterable[pd.DataFrame]",
+    state: "GroupState",
+) -> "Iterator[pd.DataFrame]":
+    """Per-user trailing-window burst detection: state is the sorted list of
+    event timestamps still inside the last BURST_WINDOW_US — pruned on every
+    arrival, so its size is bounded by the user's event rate × window, never
+    the stream length. An event whose inclusive trailing window [ts − W, ts]
+    holds ≥ BURST_MIN_EVENTS events (itself included) emits an alert —
+    exactly the batch operator's RANGE-frame count for tie-free timestamps
+    (an equal-ts peer processed later is not visible to the earlier event;
+    the batch RANGE frame counts such peers both ways)."""
+    (user_id,) = key
+    recent = list(state.get[0]) if state.exists else []
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    out: list[tuple] = []
+    if chunks:
+        events = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+        for ev_id, ts in zip(events["event_id"], events["ts_us"]):
+            ts = int(ts)
+            lo = ts - BURST_WINDOW_US
+            recent = [t for t in recent if t >= lo]
+            recent.append(ts)
+            if len(recent) >= BURST_MIN_EVENTS:
+                out.append((user_id, int(ev_id), ts, len(recent)))
+    state.update((recent,))
+    yield pd.DataFrame(out, columns=[f.name for f in BURST_SCHEMA.fields])
+
+
+def bursts_stream(events: DataFrame) -> DataFrame:
+    """Streaming activity-burst alerts over (event_id, ts_us, user_id):
+    append-mode emissions the moment the count condition is met — the
+    low-latency twin of the batch events_activity_bursts RANGE window."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _bursts_fn,
+        outputStructType=BURST_SCHEMA,
+        stateStructType=_BURST_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -439,3 +439,64 @@ def test_funnel_stream_matches_batch_semantics(spark, tmp_path):
     # state genuinely crossed the micro-batch/restart boundary
     assert any(r.user_id == 1 and r.first_conversion_us is None for r in first)
     assert (20 * H - 2 * H) <= FUNNEL_WINDOW_US
+
+
+def test_bursts_stream_matches_batch_range_frame(spark, tmp_path):
+    """Streaming burst detector: per-user trailing-1h timestamp list in the
+    state store; alerts equal the batch events_activity_bursts RANGE-frame
+    count replayed over the full (tie-free) series, including a burst whose
+    third event arrives in a LATER micro-batch than the first two."""
+    import pandas as pd
+
+    from dublin_smart_city_graphdb_spark.streaming.stateful import (
+        BURST_SCHEMA,
+        bursts_stream,
+    )
+
+    M = 60_000_000  # 1 min in us
+    rows1 = [
+        (1, 10 * M, 1),
+        (2, 30 * M, 1),
+        (3, 10 * M, 2),  # u2: lone event, never bursts
+    ]
+    rows2 = [
+        (4, 50 * M, 1),   # u1: [10,30,50] within 1h → burst_n=3
+        (5, 75 * M, 1),   # window [15,75] keeps 30,50,75 → burst_n=3
+        (6, 200 * M, 1),  # pruned window → just itself, no alert
+    ]
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "ts_us", "user_id"]
+        ).astype("int64")
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    out_dir = str(tmp_path / "bursts_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_id long, ts_us long, user_id long"
+        ).parquet(str(feed))
+        q = (
+            bursts_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(BURST_SCHEMA).parquet(out_dir).collect()
+
+    mk(rows1).to_parquet(feed / "b1.parquet")
+    first = drain()
+    assert first == []  # only two events in-window, below the threshold
+    mk(rows2).to_parquet(feed / "b2.parquet")
+    both = drain()
+
+    got = sorted((r.user_id, r.event_id, r.ts_us, r.burst_n) for r in both)
+    # replay expectation = batch RANGE-frame count on the full series
+    assert got == [(1, 4, 50 * M, 3), (1, 5, 75 * M, 3)]
