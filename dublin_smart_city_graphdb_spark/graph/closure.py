@@ -287,3 +287,61 @@ def bfs_hops(
         "rounds; eccentricity exceeds the iteration budget — raise "
         "max_iterations"
     )
+
+
+def triangle_vertex_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle participation → (id, n_triangles), undirected.
+
+    Degree-oriented enumeration (the MapReduce "node-iterator++" scheme):
+    every edge is directed from its lower-(degree, id) endpoint to the
+    higher one, wedges are generated only at each edge's *apex* (the
+    lowest-ordered vertex of the triangle), and each wedge is closed by an
+    equi-join against the canonical edge set. The orientation bounds each
+    vertex's out-degree by O(sqrt(|E|)), so the wedge intermediate is
+    O(|E|^1.5) worst-case instead of sum-of-squares-of-degrees — the
+    property that keeps hub vertices from exploding the join at 100 TB.
+    Every triangle is emitted exactly once, then exploded to its three
+    vertices for the per-vertex count (one final groupBy(id) shuffle).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("u").alias("id"))
+        .unionByName(canon.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("deg_v"))
+    with_deg = canon.join(du, "u").join(dv, "v")
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    # Wedges at the apex: two out-edges of the same (low-ordered) vertex.
+    o1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = o1.join(o2, "a").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        canon,
+        (F.least(F.col("x"), F.col("y")) == F.col("u"))
+        & (F.greatest(F.col("x"), F.col("y")) == F.col("v")),
+    ).select("a", "x", "y")
+    verts = closed.select(
+        F.explode(F.array(F.col("a"), F.col("x"), F.col("y"))).alias("id")
+    )
+    return verts.groupBy("id").agg(F.count("*").alias("n_triangles"))

@@ -3848,3 +3848,157 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_doc", F.col("doc_id").alias("hist_doc"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: graph analytics over the near-dup pair graph + event cadence +
+# embedding normalization stats
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_SQL = f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    v AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles FROM v GROUP BY doc_id
+"""
+
+
+@register(
+    "graph_triangles",
+    _TRIANGLES_SQL,
+    doc="Per-document triangle count over the MinHash-LSH near-dup pair "
+        "graph — the cluster-cohesion signal: documents whose near-dup "
+        "neighbourhood closes into triangles sit in genuine duplicate "
+        "cliques; bridge documents (chains that merge unrelated clusters "
+        "transitively) participate in none. Degree-oriented enumeration "
+        "(graph/closure.py:triangle_vertex_counts): edges directed "
+        "low→high (degree, id), wedges generated only at each triangle's "
+        "apex, closed by one equi-join against the canonical edge set — "
+        "out-degrees bounded by O(sqrt(E)) so hub vertices can't explode "
+        "the wedge intermediate at 100 TB. Oracle counts the same "
+        "triangles with a 3-way self-join (pairs are already doc_a < "
+        "doc_b oriented, so each triangle appears exactly once).",
+    cache_plan=False,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.graph.closure import (
+        triangle_vertex_counts,
+    )
+
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    return triangle_vertex_counts(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "n_triangles"
+    )
+
+
+_INTERARRIVAL_SQL = """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                         PARTITION BY user_id
+                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                     ) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us,
+           ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 6) AS avg_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+"""
+
+
+@register(
+    "events_interarrival",
+    _INTERARRIVAL_SQL,
+    doc="Per-user event cadence: inter-arrival gaps via lag() over "
+        "(ts, event_id) — the engagement-rhythm feature (bots have "
+        "near-constant gaps, humans are bursty). ONE shuffle total: the "
+        "lag window partitions by user_id and the following groupBy "
+        "(user_id) reuses the exchange — Catalyst sees the hash "
+        "distribution is already satisfied. Gaps are exact integer "
+        "microseconds; the only double is the final avg of two exact "
+        "integers. event_id tie-breaks equal timestamps so the lag is "
+        "deterministic under any partitioning.",
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    return (
+        e.select("user_id", "event_id", "ts_us")
+        .withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.round(
+                F.sum("gap_us").cast("double") / F.count("*"), 6
+            ).alias("avg_gap_us"),
+        )
+    )
+
+
+_DIM_STATS_SQL = """
+    SELECT CAST(i AS INTEGER) AS dim,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                         AS BIGINT)) AS BIGINT) AS sum_e6,
+           MIN(CAST(embedding[i] AS DOUBLE)) AS min_val,
+           MAX(CAST(embedding[i] AS DOUBLE)) AS max_val
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+    GROUP BY i
+"""
+
+
+@register(
+    "embed_dim_stats",
+    _DIM_STATS_SQL,
+    doc="Per-dimension corpus statistics (exact scaled sum / min / max / "
+        "count) \u2014 the normalization constants an embedding pipeline fits "
+        "before whitening, clipping or quantizing; mean = sum_e6/1e6/n. "
+        "posexplode keeps the explode inside the scan task; the single "
+        "shuffle carries |dims| keys with map-side partial aggregation, so "
+        "the reduce side is d rows no matter the corpus size. Each element "
+        "is quantized to integer micro-units BEFORE summing \u2014 "
+        "round-to-integer of an identical IEEE double is deterministic on "
+        "both engines (ties round away from zero on each, and k+0.5 is "
+        "exactly representable below 2^51), so the integer sum is exact "
+        "under any partitioning \u2014 unlike float\u2192decimal casts or "
+        "ROUND(double, d), which differ between engines at representation "
+        "boundaries. min/max of float32 promoted to double are exact.",
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(F.posexplode("embedding").alias("pos", "val"))
+    v6 = F.round(F.col("val").cast("double") * F.lit(1_000_000.0)).cast(
+        "bigint"
+    )
+    return (
+        dims.select(
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            v6.alias("v6"),
+            "val",
+        )
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v6").cast("bigint").alias("sum_e6"),
+            F.min(F.col("val").cast("double")).alias("min_val"),
+            F.max(F.col("val").cast("double")).alias("max_val"),
+        )
+    )

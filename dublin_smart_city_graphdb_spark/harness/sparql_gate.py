@@ -737,3 +737,74 @@ def sparql_service_http_federation(spark: SparkSession, sf_dir: str) -> DataFram
     return df.select(
         _lex("nation").alias("nation"), _lex("region").alias("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# Workbench catalog queries: the class-hierarchy and predicate-list panels
+# every GraphDB workbench session opens with (reference exposes them through
+# the same SPARQL endpoint; README.md:63-65)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sparql_class_counts",
+    """
+    SELECT cls, n FROM (
+        SELECT 'urn:rel:Region'   AS cls, COUNT(*) AS n FROM region
+        UNION ALL
+        SELECT 'urn:rel:Nation'   AS cls, COUNT(*) AS n FROM nation
+        UNION ALL
+        SELECT 'urn:rel:Supplier' AS cls, COUNT(*) AS n FROM supplier
+        UNION ALL
+        SELECT 'urn:rel:Customer' AS cls, COUNT(*) AS n FROM customer
+    )
+    """,
+    doc="Workbench class-hierarchy panel: instance count per rdf:type — "
+        "`SELECT ?cls (COUNT(?s) AS ?n) { ?s a ?cls } GROUP BY ?cls` through "
+        "the engine. One predicate-pruned scan of the type partition, one "
+        "low-cardinality groupBy; at 100 TB this is a metadata-sized "
+        "aggregate over a single predicate partition (SURVEY §1.5 layout).",
+)
+def sparql_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        SELECT ?cls (COUNT(?s) AS ?n)
+        WHERE {{ ?s a ?cls }}
+        GROUP BY ?cls
+    """)
+    return df.select(_lex("cls").alias("cls"), _long("n").alias("n"))
+
+
+@register(
+    "sparql_predicate_stats",
+    """
+    WITH c AS (
+        SELECT (SELECT COUNT(*) FROM region)   AS r,
+               (SELECT COUNT(*) FROM nation)   AS n,
+               (SELECT COUNT(*) FROM supplier) AS s,
+               (SELECT COUNT(*) FROM customer) AS cu
+    )
+    SELECT p, n_stmts FROM (
+        SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+               r + n + s + cu AS n_stmts FROM c
+        UNION ALL
+        SELECT 'urn:rel:name', r + n + s + cu FROM c
+        UNION ALL
+        SELECT 'urn:rel:inRegion', n FROM c
+        UNION ALL
+        SELECT 'urn:rel:inNation', s + cu FROM c
+        UNION ALL
+        SELECT 'urn:rel:acctbal', cu FROM c
+    )
+    """,
+    doc="Workbench predicate-list panel: statement count per predicate — a "
+        "fully variable triple pattern `?s ?p ?o` grouped by ?p. The one "
+        "query shape that cannot predicate-prune (it must see every "
+        "partition), but the aggregate is map-side partial over the "
+        "predicate column so the shuffle carries |predicates| rows.",
+)
+def sparql_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, """
+        SELECT ?p (COUNT(*) AS ?n)
+        WHERE { ?s ?p ?o }
+        GROUP BY ?p
+    """)
+    return df.select(_lex("p").alias("p"), _long("n").alias("n_stmts"))

@@ -162,3 +162,34 @@ def test_bfs_hops_raises_instead_of_truncating(spark):
     srcs = spark.createDataFrame([(0,)], ["id"])
     with _pytest.raises(RuntimeError, match="did not exhaust"):
         bfs_hops(e, srcs, max_iterations=3)
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (every vertex in C(3,2)=3 triangles), a square with one diagonal
+    (diagonal endpoints in 2, the others in 1), and a star (no triangles);
+    input arrives unordered/duplicated to prove canonicalization."""
+    from dublin_smart_city_graphdb_spark.graph.closure import (
+        triangle_vertex_counts,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    square_diag = [(10, 11), (11, 12), (12, 13), (13, 10), (10, 12)]
+    star = [(20, 21), (20, 22), (20, 23), (20, 24)]
+    edges = k4 + square_diag + star
+    # reversed duplicates must not double-count
+    edges += [(b, a) for a, b in edges[:5]]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.n_triangles for r in triangle_vertex_counts(e).collect()}
+    assert got == {
+        0: 3, 1: 3, 2: 3, 3: 3,
+        10: 2, 12: 2, 11: 1, 13: 1,
+    }
+
+
+def test_triangle_counts_empty_edge_set(spark):
+    from dublin_smart_city_graphdb_spark.graph.closure import (
+        triangle_vertex_counts,
+    )
+
+    e = spark.createDataFrame([(1, 1)], ["src", "dst"])  # self-loop only
+    assert triangle_vertex_counts(e).count() == 0

@@ -401,3 +401,31 @@ def test_incremental_dedup_broadcasts_the_new_batch(spark):
     plan = plan_of(q(spark, "dedup_incremental"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interarrival_window_and_groupby_share_one_exchange(spark):
+    """lag() partitions by user_id and the aggregate groups by user_id —
+    Catalyst must see the hash distribution is already satisfied and plan
+    exactly one exchange."""
+    plan = plan_of(q(spark, "events_interarrival"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_dim_stats_single_shuffle_no_udf(spark):
+    """posexplode stays in the scan task; the only exchange carries |dims|
+    keys with map-side partial aggregation; everything is JVM expression
+    code."""
+    plan = plan_of(q(spark, "embed_dim_stats"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    scan = next(l for l in plan.split("\n") if "FileScan" in l)
+    assert "vec_id" not in scan and "label" not in scan
+
+
+def test_triangles_have_no_cartesian(spark):
+    """Degree-oriented triangle enumeration: wedges close via equi-joins
+    only — a cartesian or broadcast nested loop is the all-pairs trap."""
+    plan = plan_of(q(spark, "graph_triangles"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
