@@ -98,6 +98,19 @@ class Repository:
         self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
         return len(rows)
 
+    def load_jsonld(self, source: str, graph: str | None = None) -> int:
+        """Load a JSON-LD document (path or text) — the RDF4J endpoint's
+        ``application/ld+json`` import surface (S1). Expanded / flattened /
+        simple-compact forms; see sources/jsonld.py for the exact subset."""
+        from dublin_smart_city_graphdb_spark.sources.jsonld import (
+            jsonld_to_rows,
+        )
+
+        text = open(source).read() if os.path.exists(source) else source
+        rows = jsonld_to_rows(text, graph, bnode_prefix=f"j{self._version}b")
+        self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+        return len(rows)
+
     def _ingest(self, new_df: DataFrame) -> None:
         """Append a batch, maintaining the inference closure INCREMENTALLY
         when the repository already holds statements: monotone RDFS-Plus

@@ -177,7 +177,11 @@ def _make_handler(engine: Engine):
                     repo.update(f"CLEAR SILENT GRAPH <{graph}>")
                 else:
                     repo.update("CLEAR SILENT DEFAULT")
-                repo.load_turtle(self._body().decode(), graph=graph)
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                if ctype == "application/ld+json":
+                    repo.load_jsonld(self._body().decode(), graph=graph)
+                else:
+                    repo.load_turtle(self._body().decode(), graph=graph)
                 self._send(204, "")
             except Exception as ex:  # noqa: BLE001
                 self._send(400, {"error": str(ex)})
@@ -316,7 +320,10 @@ def _make_handler(engine: Engine):
                 repo, graph = t
                 try:
                     # GSP POST: merge the body into the graph
-                    repo.load_turtle(body.decode(), graph=graph)
+                    if ctype == "application/ld+json":
+                        repo.load_jsonld(body.decode(), graph=graph)
+                    else:
+                        repo.load_turtle(body.decode(), graph=graph)
                     self._send(204, "")
                 except Exception as ex:  # noqa: BLE001
                     self._send(400, {"error": str(ex)})
@@ -366,10 +373,13 @@ def _make_handler(engine: Engine):
                 if repo is None:
                     return
                 try:
-                    if ctype == "text/turtle":
+                    if ctype in ("text/turtle", "application/ld+json"):
                         qs = urllib.parse.parse_qs(url.query)
                         graph = (qs.get("context") or [None])[0]
-                        repo.load_turtle(body.decode(), graph=graph)
+                        if ctype == "application/ld+json":
+                            repo.load_jsonld(body.decode(), graph=graph)
+                        else:
+                            repo.load_turtle(body.decode(), graph=graph)
                         self._send(204, "")
                     else:  # SPARQL update: form-encoded or raw body
                         if ctype == "application/x-www-form-urlencoded":
