@@ -15,6 +15,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..plans.ckpt import CheckpointTracker
+
 
 def transitive_closure(
     edges: DataFrame,
@@ -27,11 +29,15 @@ def transitive_closure(
     Semi-naive: delta ⋈ edges per round, de-duplicated against the
     accumulated path set before the next round.
     """
+    tr = CheckpointTracker(edges)
     base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    base = base.localCheckpoint(eager=True)
+    base, base_ids = tr.checkpoint(base)
 
     paths = base
     delta = base
+    # checkpoint generations currently referenced by the lazy `paths`
+    # union (deltas since the last compaction + the last compaction)
+    union_ids: set = set()
     rounds_since_compact = 0
     for _ in range(max_iterations):
         grown = (
@@ -46,17 +52,16 @@ def transitive_closure(
         # eqNullSafe keys: correct for struct-typed node ids with null
         # fields, and generates no IsNotNull constraints (plain equi-keys
         # trip Catalyst's Union constraint rewrite on checkpointed plans).
-        new_delta = (
-            grown.alias("g")
-            .join(
+        new_delta, new_delta_ids = tr.checkpoint(
+            grown.alias("g").join(
                 paths.alias("p"),
                 F.col("g.src").eqNullSafe(F.col("p.src"))
                 & F.col("g.dst").eqNullSafe(F.col("p.dst")),
                 "left_anti",
             )
-            .localCheckpoint(eager=True)
         )
         if new_delta.isEmpty():
+            tr.free(new_delta_ids)  # dead end: nothing references it
             break
         # The accumulated path set stays a lazy union of the (already
         # checkpointed) deltas — materializing the whole union again every
@@ -70,9 +75,14 @@ def transitive_closure(
         # (NoSuchElementException: key not found) when a later round
         # checkpoints a struct-keyed anti-join against this union.
         paths = paths.unionByName(new_delta.dropDuplicates())
+        union_ids |= new_delta_ids
         rounds_since_compact += 1
         if rounds_since_compact >= 8:
-            paths = paths.localCheckpoint(eager=True)
+            paths, compact_ids = tr.checkpoint(paths)
+            # every generation the compacted union subsumed is now garbage
+            # — except the current delta, which still feeds the next round
+            tr.free(union_ids - new_delta_ids)
+            union_ids = compact_ids | new_delta_ids
             rounds_since_compact = 0
         delta = new_delta
     return paths
@@ -108,18 +118,20 @@ def pagerank(
     deterministic (and SQL-oracle-expressible); ranks are decimal-exact
     summed then rounded to 9dp so distributed partial-sum order can't
     perturb the value."""
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
-    e = e.localCheckpoint(eager=True)
-    nodes = (
+    tr = CheckpointTracker(edges)
+    e, e_ids = tr.checkpoint(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    )
+    nodes, node_ids = tr.checkpoint(
         e.select(F.col("e_src").alias("id"))
         .unionByName(e.select(F.col("e_dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     degrees = e.groupBy(F.col("e_src").alias("id")).agg(
         F.count("*").alias("out_deg")
     )
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    rank_ids: set = set()
     for _ in range(iterations):
         contribs = (
             e.join(ranks, e.e_src == ranks.id)
@@ -134,16 +146,19 @@ def pagerank(
                 F.sum(F.col("c").cast("decimal(27,12)")).cast("double"), 9
             ).alias("in_sum")
         )
-        ranks = (
-            nodes.join(summed, "id", "left")
-            .select(
+        ranks, new_rank_ids = tr.checkpoint(
+            nodes.join(summed, "id", "left").select(
                 "id",
                 F.round(
                     (1 - damping) + damping * F.coalesce("in_sum", F.lit(0.0)), 9
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        tr.free(rank_ids)  # previous generation fully superseded
+        rank_ids = new_rank_ids
+    if rank_ids:
+        # final ranks are materialized: the edge/node scaffolding is garbage
+        tr.free(e_ids | node_ids)
     return ranks
 
 
@@ -168,17 +183,16 @@ def connected_components(
     Raises ``RuntimeError`` if ``max_iterations`` rounds pass without
     reaching a fixpoint, rather than returning silently wrong labels.
     """
-    sym = (
+    tr = CheckpointTracker(edges)
+    sym, sym_ids = tr.checkpoint(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels, label_ids = tr.checkpoint(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .select(F.col("id"), F.col("id").alias("component"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iterations):
@@ -213,7 +227,7 @@ def connected_components(
         prev = labels.select(
             F.col("id"), F.col("component").alias("prev_component")
         )
-        updated = (
+        updated, new_label_ids = tr.checkpoint(
             cand.join(hop, cand.component == F.col("h_id"), "left")
             .join(prev, "id")
             .select(
@@ -221,13 +235,16 @@ def connected_components(
                 new_comp.alias("component"),
                 (new_comp < F.col("prev_component")).alias("moved"),
             )
-            .localCheckpoint(eager=True)
         )
+        tr.free(label_ids)  # previous label generation fully superseded
+        label_ids = new_label_ids
         stable = updated.filter(F.col("moved")).isEmpty()
         labels = updated.select("id", "component")
         if stable:
             converged = True
             break
+    if converged:
+        tr.free(sym_ids)  # final labels are materialized; edges scaffold dead
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
@@ -255,27 +272,24 @@ def bfs_hops(
     source set, with ``max_iterations`` as the runaway guard (raises,
     never truncates silently).
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    tr = CheckpointTracker(edges)
+    e, _ = tr.checkpoint(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     )
-    frontier = (
-        sources.select(F.col(sources.columns[0]).alias("id"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    frontier, _ = tr.checkpoint(
+        sources.select(F.col(sources.columns[0]).alias("id")).distinct()
     )
     levels = [frontier.select("id", F.lit(0).cast("long").alias("hops"))]
     visited = levels[0]
     for d in range(1, max_iterations + 1):
-        nxt = (
+        nxt, nxt_ids = tr.checkpoint(
             e.join(frontier, e.u == frontier.id)
             .select(F.col("v").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
-            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
+            tr.free(nxt_ids)  # dead end: nothing references it
             return visited
         frontier = nxt
         levels.append(nxt.select("id", F.lit(d).cast("long").alias("hops")))

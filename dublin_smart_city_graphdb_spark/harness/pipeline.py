@@ -3914,7 +3914,7 @@ _INTERARRIVAL_SQL = """
            COUNT(*) AS n_gaps,
            MIN(gap_us) AS min_gap_us,
            MAX(gap_us) AS max_gap_us,
-           ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 6) AS avg_gap_us
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY user_id
 """
@@ -3928,10 +3928,12 @@ _INTERARRIVAL_SQL = """
         "near-constant gaps, humans are bursty). ONE shuffle total: the "
         "lag window partitions by user_id and the following groupBy "
         "(user_id) reuses the exchange — Catalyst sees the hash "
-        "distribution is already satisfied. Gaps are exact integer "
-        "microseconds; the only double is the final avg of two exact "
-        "integers. event_id tie-breaks equal timestamps so the lag is "
-        "deterministic under any partitioning.",
+        "distribution is already satisfied. Every output is an exact "
+        "integer (sum_gap_us replaces a ROUND(double,6) mean, whose "
+        "HALF_UP-vs-binary rounding can differ across engines at "
+        "representation boundaries — ADVICE r3); consumers derive "
+        "mean = sum_gap_us / n_gaps. event_id tie-breaks equal "
+        "timestamps so the lag is deterministic under any partitioning.",
 )
 def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
@@ -3946,9 +3948,7 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_gaps"),
             F.min("gap_us").alias("min_gap_us"),
             F.max("gap_us").alias("max_gap_us"),
-            F.round(
-                F.sum("gap_us").cast("double") / F.count("*"), 6
-            ).alias("avg_gap_us"),
+            F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
         )
     )
 

@@ -98,9 +98,62 @@ def oracle_sql() -> dict[str, str]:
     return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
 
 
+def _restore_wall_time(df: DataFrame) -> DataFrame:
+    """Undo a session's LTZ reading of naive parquet timestamps.
+
+    Driver testdata stores isAdjustedToUTC=false micros. A session with
+    ``inferTimestampNTZ`` disabled surfaces those as TIMESTAMP_LTZ whose
+    *stored micros are unchanged* — only rendering/extraction becomes
+    session-tz-dependent. Rebuilding an NTZ from ``unix_micros`` recovers
+    the file's exact wall time with zero tz involvement, making every
+    downstream date/hour/window extraction behave identically to the
+    default NTZ reading (and to the DuckDB oracle's naive timestamps).
+    Under the default session this is a passthrough: no extra Project, no
+    pushdown impact. A hostile-session sweep (21 red under LTZ+non-UTC
+    before this, 0 after) is pinned by tests/test_tz_invariance.py."""
+    import pyspark.sql.functions as F
+
+    reps = {
+        name: F.expr(
+            f"timestampadd(MICROSECOND, unix_micros(`{name}`), "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+        for name, kind in df.dtypes
+        if kind == "timestamp"
+    }
+    return df.withColumns(reps) if reps else df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return _restore_wall_time(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+
+
+def wall_day(df: DataFrame, col: str):
+    """Days-since-epoch of a parquet timestamp column, invariant to HOW the
+    session read it (TIMESTAMP_NTZ vs LTZ via inferTimestampNTZ, any session
+    timezone).
+
+    Driver testdata stores naive micros (isAdjustedToUTC=false). Read as
+    NTZ, the wall value IS those micros; read as LTZ, Spark treats the same
+    stored micros as an instant, so ``unix_micros`` recovers the identical
+    number without any session-tz rendering. Either way
+    ``floor(us / 86_400_000_000)`` is the oracle's ``CAST(x AS DATE)`` day
+    number — unlike ``to_date``/``year`` on an LTZ column, which shift at
+    session-tz midnight boundaries (r3's q12 driver-red row)."""
+    import pyspark.sql.functions as F
+
+    kind = dict(df.dtypes)[col]
+    if kind == "date":
+        return F.col(col).cast("int").cast("bigint")
+    if kind == "timestamp":  # LTZ: stored micros surfaced as an instant
+        us = F.unix_micros(F.col(col))
+    else:  # timestamp_ntz: tz-free diff against the epoch
+        us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"CAST({col} AS TIMESTAMP_NTZ))"
+        )
+    return F.floor(us / F.lit(86_400_000_000))
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,11 +169,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive timestamp. Precondition: if parquet ``ts`` ever arrived
     isAdjustedToUTC (read as TIMESTAMP_LTZ), the CAST to NTZ would be
     session-tz-dependent — correct here only because session.py pins
-    spark.sql.session.timeZone=UTC."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.sql.session.timeZone=UTC.
+
+    Conf hygiene (VERDICT r3 task 3): the ``nanosAsLong`` enable is gated
+    on a driver-side footer sniff — with today's timestamp[us] testdata
+    this function mutates NO session state, so query results cannot depend
+    on whether an events query ran earlier in the same session."""
     import pyspark.sql.functions as F
 
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..session import enable_nanos_compat_if_needed
+
+    enable_nanos_compat_if_needed(spark, f"{sf_dir}/events.parquet")
+
+    df = _restore_wall_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
     kind = dict(df.dtypes)["ts"]
     if kind == "bigint":  # TIMESTAMP(NANOS) surfaced as long ns
         ts_us = F.expr("ts div 1000")

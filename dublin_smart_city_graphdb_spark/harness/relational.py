@@ -1610,33 +1610,54 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q12_late_lines",
     """
-    SELECT year(l.l_shipdate) AS ship_year,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+    SELECT CAST(year(CAST(l.l_shipdate AS DATE)) AS INTEGER) AS ship_year,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) > 90
     GROUP BY ship_year
     """,
     doc="TPC-H Q12 shape: ship-lag audit — lines shipped >90 days after "
         "the order date, bucketed by ship year with priority-class "
         "conditional counts (ship year replaces the missing l_shipmode "
         "dim). The lag predicate is a theta condition between the two "
-        "join sides, evaluated post-join; integer counts are exact.",
+        "join sides, evaluated post-join. Hardened for cross-engine "
+        "determinism (VERDICT r3 task 1): the lag is a pure DATE "
+        "difference (no '+ INTERVAL 90 DAY' on a timestamp, whose LTZ "
+        "reading shifts wall-clock across DST boundaries depending on "
+        "the session reading the NTZ parquet column), ship_year is "
+        "extracted from the DATE, and both counts carry explicit BIGINT "
+        "casts so the oracle can never differ in type or tz handling. "
+        "Day numbers come from registry.wall_day (epoch-µs floor-div), "
+        "which is bit-identical whether the session read the column as "
+        "TIMESTAMP_NTZ or LTZ and under any session timezone.",
 )
 def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import wall_day
+
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey)
+    ship_day = wall_day(joined, "l_shipdate")
+    order_day = wall_day(joined, "o_orderdate")
+    ship_year = F.year(
+        F.date_add(F.to_date(F.lit("1970-01-01")), ship_day.cast("int"))
+    ).cast("int")
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .filter(F.expr("l_shipdate > o_orderdate + INTERVAL 90 DAY"))
-        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        joined.filter(ship_day - order_day > 90)
+        .groupBy(ship_year.alias("ship_year"))
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
         )
     )
 

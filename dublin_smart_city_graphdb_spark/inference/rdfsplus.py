@@ -330,6 +330,13 @@ def _fixpoint(
     """Semi-naive driver loop shared by full and incremental
     materialization; ``delta=None`` means round 0 evaluates every rule on
     the full statement set."""
+    from ..plans.ckpt import CheckpointTracker
+
+    tr = CheckpointTracker(known)
+    # ids of the CURRENT known generation's checkpoint blocks — only
+    # generations this loop itself created are ever freed (gen 0 belongs
+    # to the caller and backs `empty`)
+    known_ids: set = set()
     empty = known.limit(0)
     inferred_acc: DataFrame | None = None
     for _ in range(max_rounds):
@@ -348,14 +355,24 @@ def _fixpoint(
         for col in _ID_COLS:
             clause = F.col(f"c.{col}").eqNullSafe(F.col(f"k.{col}"))
             cond = clause if cond is None else (cond & clause)
-        fresh = cand.join(kn, on=cond, how="left_anti").localCheckpoint(eager=True)
+        fresh, fresh_ids = tr.checkpoint(cand.join(kn, on=cond, how="left_anti"))
         if fresh.isEmpty():
+            tr.free(fresh_ids)  # dead end: nothing references it
             break
-        known = known.unionByName(fresh).localCheckpoint(eager=True)
+        known, new_known_ids = tr.checkpoint(known.unionByName(fresh))
+        # the superseded known generation (if loop-created) is garbage the
+        # moment its successor materializes — without this, a 20-round
+        # materialization pins 20 copies of the full statement set in the
+        # block manager for the driver JVM's lifetime
+        tr.free(known_ids)
+        known_ids = new_known_ids
         delta = fresh
         inferred_acc = (
             fresh if inferred_acc is None else inferred_acc.unionByName(fresh)
         )
+    # the returned union references only the `fresh` checkpoints — the
+    # loop's final known generation is scaffolding
+    tr.free(known_ids)
     if inferred_acc is None:
         inferred_acc = empty
     return inferred_acc.select(

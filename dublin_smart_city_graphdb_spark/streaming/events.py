@@ -29,7 +29,9 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     batch footer read of the same directory, which also tells us whether
     ``ts`` arrived as long-ns (legacy TIMESTAMP(NANOS) testdata) or as a
     native timestamp column."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..session import enable_nanos_compat_if_needed
+
+    enable_nanos_compat_if_needed(spark, path)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(path)
     return raw.withColumn("etime", _etime_col(schema))
@@ -54,7 +56,9 @@ def _etime_col(schema) -> F.Column:
 def batch_events_with_etime(spark: SparkSession, path: str) -> DataFrame:
     """Batch read of the same events feed with the identical ``etime``
     derivation — the oracle side for stream-vs-batch equivalence tests."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..session import enable_nanos_compat_if_needed
+
+    enable_nanos_compat_if_needed(spark, path)
     df = spark.read.parquet(path)
     return df.withColumn("etime", _etime_col(df.schema))
 

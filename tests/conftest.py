@@ -35,3 +35,35 @@ def duck():
     from tools.check_oracle import duck_connection
 
     return duck_connection(SF_DIR)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _reclaim_driver_heap():
+    """Between test modules, drop every plan cache and nudge the JVM to
+    reclaim dead checkpoint blocks and codegen classes.
+
+    The full suite runs ~600 tests in ONE local-mode JVM. Python-side plan
+    caches pin JVM analyzed trees; superseded localCheckpoint blocks (now
+    mostly freed eagerly by plans/ckpt.CheckpointTracker, but engine-level
+    quads generations still rely on GC) and per-query codegen classes are
+    only reclaimed when the JVM collects — which an idle-heap JVM may defer
+    past the OOM threshold (r3: suite died at ~34% with 28g). Clearing the
+    caches releases the py4j refs; gc.collect() runs their finalizers so
+    the JVM objects become unreachable; System.gc() lets ContextCleaner
+    unpersist + class-unload before the next module allocates."""
+    yield
+    import gc
+
+    from dublin_smart_city_graphdb_spark.harness import registry, sparql_gate
+
+    registry._PLAN_CACHE.clear()
+    sparql_gate._PLAN_CACHE.clear()
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        gc.collect()
+        try:
+            active.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
