@@ -91,25 +91,60 @@ class Repository:
                 )
                 self._quads = self._quads.localCheckpoint(eager=True)
 
-    def load_turtle(self, source: str, graph: str | None = None) -> int:
-        """Load a Turtle document (path or text) — SURVEY §2.1 S1."""
-        text = open(source).read() if os.path.exists(source) else source
+    def load_turtle_text(self, text: str, graph: str | None = None) -> int:
+        """Load a Turtle document given as TEXT — the entry point network
+        handlers must use. Never touches the filesystem, so a request body
+        that happens to equal a server-side path cannot trigger a local
+        file read (ADVICE r3 LFI surface)."""
         rows = turtle_to_rows(text, graph)
+        self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+        return len(rows)
+
+    def load_turtle(self, source: str, graph: str | None = None) -> int:
+        """Load a Turtle document (path or text) — SURVEY §2.1 S1.
+        Path resolution is for trusted driver-side callers only; HTTP
+        handlers go through :meth:`load_turtle_text`."""
+        text = open(source).read() if os.path.exists(source) else source
+        return self.load_turtle_text(text, graph)
+
+    def load_jsonld_text(self, text: str, graph: str | None = None) -> int:
+        """Load a JSON-LD document given as TEXT (network-safe twin of
+        :meth:`load_jsonld` — see :meth:`load_turtle_text`)."""
+        from dublin_smart_city_graphdb_spark.sources.jsonld import (
+            jsonld_to_rows,
+        )
+
+        rows = jsonld_to_rows(text, graph, bnode_prefix=f"j{self._version}b")
         self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
         return len(rows)
 
     def load_jsonld(self, source: str, graph: str | None = None) -> int:
         """Load a JSON-LD document (path or text) — the RDF4J endpoint's
         ``application/ld+json`` import surface (S1). Expanded / flattened /
-        simple-compact forms; see sources/jsonld.py for the exact subset."""
-        from dublin_smart_city_graphdb_spark.sources.jsonld import (
-            jsonld_to_rows,
+        simple-compact forms; see sources/jsonld.py for the exact subset.
+        Path resolution is for trusted driver-side callers only; HTTP
+        handlers go through :meth:`load_jsonld_text`."""
+        text = open(source).read() if os.path.exists(source) else source
+        return self.load_jsonld_text(text, graph)
+
+    def load_rdfxml_text(self, text: str, graph: str | None = None) -> int:
+        """Load an RDF/XML document given as TEXT — the
+        ``application/rdf+xml`` import surface of the GraphDB/RDF4J REST
+        endpoint (S1; the wire format the reference's engine accepts on
+        ``/statements`` beyond the Turtle its own scripts post,
+        init-graphdb.sh:91). See sources/rdfxml.py for the grammar subset."""
+        from dublin_smart_city_graphdb_spark.sources.rdfxml import (
+            rdfxml_to_rows,
         )
 
-        text = open(source).read() if os.path.exists(source) else source
-        rows = jsonld_to_rows(text, graph, bnode_prefix=f"j{self._version}b")
+        rows = rdfxml_to_rows(text, graph, bnode_prefix=f"r{self._version}b")
         self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
         return len(rows)
+
+    def load_rdfxml(self, source: str, graph: str | None = None) -> int:
+        """Load an RDF/XML document (path or text; trusted driver-side)."""
+        text = open(source).read() if os.path.exists(source) else source
+        return self.load_rdfxml_text(text, graph)
 
     def _ingest(self, new_df: DataFrame) -> None:
         """Append a batch, maintaining the inference closure INCREMENTALLY

@@ -70,6 +70,24 @@ def _make_handler(engine: Engine):
             n = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(n) if n else b""
 
+        # RDF payload content types → TEXT-ONLY repository loaders. Network
+        # bodies must never reach the path-or-text loaders: a body equal to
+        # a server-side path would read local file contents (LFI).
+        _RDF_LOADERS = {
+            "text/turtle": "load_turtle_text",
+            "application/x-turtle": "load_turtle_text",
+            # Turtle is a superset of N-Triples, so the same parser serves
+            "application/n-triples": "load_turtle_text",
+            "application/ld+json": "load_jsonld_text",
+            "application/rdf+xml": "load_rdfxml_text",
+        }
+
+        def _ingest_rdf_body(self, repo, ctype: str, body: bytes, graph):
+            """Dispatch an RDF request body by content type (Turtle default,
+            matching RDF4J's behaviour for untyped uploads)."""
+            loader = self._RDF_LOADERS.get(ctype or "text/turtle", "load_turtle_text")
+            getattr(repo, loader)(body.decode(), graph=graph)
+
         def _gsp_target(self, url):
             """(repo, graph_iri|None) for a Graph Store Protocol URL, or
             None after sending the error. graph=None means the default
@@ -178,10 +196,7 @@ def _make_handler(engine: Engine):
                 else:
                     repo.update("CLEAR SILENT DEFAULT")
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
-                if ctype == "application/ld+json":
-                    repo.load_jsonld(self._body().decode(), graph=graph)
-                else:
-                    repo.load_turtle(self._body().decode(), graph=graph)
+                self._ingest_rdf_body(repo, ctype, self._body(), graph)
                 self._send(204, "")
             except Exception as ex:  # noqa: BLE001
                 self._send(400, {"error": str(ex)})
@@ -320,10 +335,7 @@ def _make_handler(engine: Engine):
                 repo, graph = t
                 try:
                     # GSP POST: merge the body into the graph
-                    if ctype == "application/ld+json":
-                        repo.load_jsonld(body.decode(), graph=graph)
-                    else:
-                        repo.load_turtle(body.decode(), graph=graph)
+                    self._ingest_rdf_body(repo, ctype, body, graph)
                     self._send(204, "")
                 except Exception as ex:  # noqa: BLE001
                     self._send(400, {"error": str(ex)})
@@ -373,13 +385,10 @@ def _make_handler(engine: Engine):
                 if repo is None:
                     return
                 try:
-                    if ctype in ("text/turtle", "application/ld+json"):
+                    if ctype in self._RDF_LOADERS:
                         qs = urllib.parse.parse_qs(url.query)
                         graph = (qs.get("context") or [None])[0]
-                        if ctype == "application/ld+json":
-                            repo.load_jsonld(body.decode(), graph=graph)
-                        else:
-                            repo.load_turtle(body.decode(), graph=graph)
+                        self._ingest_rdf_body(repo, ctype, body, graph)
                         self._send(204, "")
                     else:  # SPARQL update: form-encoded or raw body
                         if ctype == "application/x-www-form-urlencoded":

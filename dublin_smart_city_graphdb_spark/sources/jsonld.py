@@ -135,10 +135,20 @@ class _State:
         self.triples: list[tuple[str | None, Term, Term, Term]] = []
         self._bnode_prefix = bnode_prefix
         self._bnode_n = 0
+        self._label_map: dict[str, BNode] = {}
 
     def fresh_bnode(self) -> BNode:
         self._bnode_n += 1
         return BNode(f"{self._bnode_prefix}{self._bnode_n}")
+
+    def labeled_bnode(self, label: str) -> BNode:
+        """Document-supplied labels (``_:b0``) go through the same scope as
+        fresh ones: two NDJSON lines — or two REST uploads — each saying
+        ``_:b0`` must NOT merge into one node (RDF4J remaps bnode ids per
+        upload the same way). ADVICE r3."""
+        if label not in self._label_map:
+            self._label_map[label] = BNode(f"{self._bnode_prefix}x{label}")
+        return self._label_map[label]
 
 
 def _node_id(obj: dict, ctx: _Context, st: _State) -> Term:
@@ -148,8 +158,19 @@ def _node_id(obj: dict, ctx: _Context, st: _State) -> Term:
     if not isinstance(nid, str):
         raise JsonLdError(f"@id must be a string, got {type(nid).__name__}")
     if nid.startswith("_:"):
-        return BNode(nid[2:])
+        return st.labeled_bnode(nid[2:])
     return IRI(ctx.expand_iri(nid, vocab=False))
+
+
+def _canonical_double(v: float) -> str:
+    """XSD canonical mapping for xsd:double: mantissa with no trailing
+    zeros (but at least one fraction digit), 'E', exponent with no sign-+
+    or leading zeros. E.g. 2.5 → '2.5E0', 100.0 → '1.0E2'."""
+    mant, exp = f"{v:.15E}".split("E")
+    mant = mant.rstrip("0")
+    if mant.endswith("."):
+        mant += "0"
+    return f"{mant}E{int(exp)}"
 
 
 def _native_literal(v: Any, ctx: _Context, dt: str | None) -> Literal:
@@ -158,9 +179,11 @@ def _native_literal(v: Any, ctx: _Context, dt: str | None) -> Literal:
     if isinstance(v, int):
         return Literal(str(v), dt or XSD + "integer")
     if isinstance(v, float):
-        # JSON-LD value-to-RDF: numbers with a fraction → xsd:double with
-        # canonical exponent lexical form
-        return Literal(f"{v:.15E}", dt or XSD + "double")
+        # JSON-LD value-to-RDF: numbers with a fraction → xsd:double in the
+        # XSD *canonical* lexical form ('2.5E0', not '2.500000000000000E+00')
+        # — what RDF4J/jsonld-java emit, so lexical joins/round-trips against
+        # reference-produced data agree (ADVICE r3)
+        return Literal(_canonical_double(v), dt or XSD + "double")
     if isinstance(v, str):
         if dt:
             return Literal(v, dt)
@@ -203,7 +226,7 @@ def _object_term(
         return node
     if isinstance(v, str) and type_coercion == "@id":
         if v.startswith("_:"):
-            return BNode(v[2:])
+            return st.labeled_bnode(v[2:])
         return IRI(ctx.expand_iri(v, vocab=False))
     if isinstance(v, str) and type_coercion:
         return Literal(v, ctx.expand_iri(type_coercion, vocab=True))
@@ -324,12 +347,18 @@ def parse_jsonld(
 def jsonld_to_rows(
     text: str, graph: str | None = None, bnode_prefix: str = "jb"
 ) -> list[tuple]:
-    """Parse JSON-LD → QUAD_SCHEMA rows (driver-side path). ``graph``
-    overrides the default graph for statements not inside a named
-    ``@graph``."""
+    """Parse JSON-LD → QUAD_SCHEMA rows (driver-side path).
+
+    An explicit ``graph`` forces EVERY statement into that graph —
+    including statements the document placed in its own named ``@graph``
+    blocks. This matches RDF4J's ``RepositoryConnection.add(..., context)``
+    (an explicit context overrides parsed contexts), so a graph-scoped GSP
+    PUT (CLEAR + load) is a true replace: nothing can escape into other
+    graphs and survive the next PUT (ADVICE r3). ``graph=None`` keeps the
+    document's own graph placement."""
     rows = []
     for g, s, p, o in parse_jsonld(text, bnode_prefix):
-        rows.append(term_to_row(g if g is not None else graph, s, p, o))
+        rows.append(term_to_row(graph if graph is not None else g, s, p, o))
     return rows
 
 

@@ -186,3 +186,68 @@ def test_engine_jsonld_roundtrip_and_http_upload(spark):
         f"SELECT ?s WHERE {{ ?s <{EX}name> \"Cork\" }}"
     ).collect()
     assert [r[0]["lex"] for r in got] == [EX + "d2"]
+
+
+def test_explicit_graph_overrides_embedded_named_graphs():
+    """RDF4J semantics: an explicit target context overrides parsed
+    contexts, so graph-scoped uploads are true replaces (ADVICE r3)."""
+    from dublin_smart_city_graphdb_spark.sources.jsonld import jsonld_to_rows
+
+    doc = json.dumps({
+        "@graph": [
+            {
+                "@id": EX + "g1",
+                "@graph": [
+                    {"@id": EX + "a", EX + "p": [{"@value": "v"}]}
+                ],
+            }
+        ]
+    })
+    # no target: the document's own named graph wins
+    free = jsonld_to_rows(doc)
+    assert {r[0] for r in free} == {EX + "g1"}
+    # explicit target: EVERY statement lands in the target graph
+    forced = jsonld_to_rows(doc, graph=EX + "target")
+    assert {r[0] for r in forced} == {EX + "target"}
+
+
+def test_explicit_bnode_labels_scoped_per_parse():
+    from dublin_smart_city_graphdb_spark.sources.jsonld import jsonld_to_rows
+
+    doc = json.dumps({"@id": "_:b0", EX + "p": [{"@value": "v"}]})
+    a = jsonld_to_rows(doc, bnode_prefix="l1")
+    b = jsonld_to_rows(doc, bnode_prefix="l2")
+    assert a[0][1] != b[0][1], "explicit _:b0 from two parses must not merge"
+
+
+def test_http_body_never_resolved_as_server_path(spark, tmp_path):
+    """A request body equal to an existing server-side path must be parsed
+    as CONTENT (and rejected as malformed), never opened and imported
+    (ADVICE r3 LFI surface)."""
+    import urllib.error
+    import urllib.request
+
+    from dublin_smart_city_graphdb_spark.engine import Engine
+    from dublin_smart_city_graphdb_spark.protocol_http import SparqlHttpServer
+
+    secret = tmp_path / "secret.ttl"
+    secret.write_text(f'<{EX}leak> <{EX}p> "leaked" .')
+
+    eng = Engine(spark)
+    repo = eng.create_repository("lfi_guard", ruleset="none")
+    srv = SparqlHttpServer(eng).start()
+    try:
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/repositories/lfi_guard/statements",
+            data=str(secret).encode(),  # body IS a real local path
+            headers={"Content-Type": "text/turtle"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(req)
+    finally:
+        srv.stop()
+    assert repo.sparql(
+        f"SELECT ?s WHERE {{ ?s <{EX}p> \"leaked\" }}"
+    ).collect() == []
+    eng.drop_repository("lfi_guard")
