@@ -136,7 +136,16 @@ class QueryCompiler:
         # Per-predicate row counts collected at load time (the reference's
         # statistics-driven pattern reordering, SURVEY §4.1/§4.2 item 2).
         self.predicate_stats = predicate_stats or {}
-        self.extensions = extensions or {}
+        if extensions is None:
+            # built-in extension functions (fn:haversineKm, geof:sfWithin,
+            # …) are part of the engine surface — available from every
+            # compiler, not only Engine-managed repositories
+            from dublin_smart_city_graphdb_spark.sparql.extensions import (
+                default_extensions,
+            )
+
+            extensions = default_extensions()
+        self.extensions = extensions
         # Federated SERVICE targets (SPARQL 1.1 Federated Query): IRI →
         # quads DataFrame of another repository in the same catalog.
         self.services = services or {}
@@ -682,6 +691,12 @@ class QueryCompiler:
             ]
         )
 
+        # FTS magic predicates (GraphDB Lucene-connector surface): pull
+        # fts:match / fts:score patterns out of the BGP and join their
+        # BM25 bindings back in. Done before star compaction so an entity
+        # star + FTS restriction still compacts normally.
+        fts_parts, bgp = self._extract_fts(bgp)
+
         # Star compaction: patterns sharing a subject VAR with bound
         # predicates collapse into ONE groupBy(s) shuffle (collect_list per
         # pattern + sequential explodes reproduce exact join multiplicity)
@@ -698,7 +713,7 @@ class QueryCompiler:
                 star_groups.setdefault(tp.s.name, []).append(tp)
             else:
                 rest.append(tp)
-        star_parts: list[Compiled] = []
+        star_parts: list[Compiled] = list(fts_parts)
         for svar, tps in star_groups.items():
             if len(tps) >= 2:
                 via_view = self._compile_star_via_view(svar, tps, graph_ctx)
@@ -973,6 +988,64 @@ class QueryCompiler:
                     )
             else:
                 filters.append(c == nt_text(comp))
+
+    # -- full-text search (magic predicates) ---------------------------------
+    FTS_MATCH = "urn:spark-graft:fts:match"
+    FTS_SCORE = "urn:spark-graft:fts:score"
+
+    def _extract_fts(self, bgp: "A.BGP"):
+        """Pull ``?s fts:match "query"`` (and optional ``?s fts:score
+        ?score``) patterns out of a BGP; return ([Compiled bindings], BGP
+        of the remaining patterns).
+
+        The GraphDB Lucene-connector surface from SPARQL text: subjects are
+        scored by BM25 over the bag of tokens of ALL their literal objects
+        (molecule-style default index). The bindings DataFrame joins into
+        the rest of the BGP on the subject variable like any other pattern;
+        scores surface as xsd:decimal literals for ORDER BY / FILTER."""
+        matches: dict[str, str] = {}
+        score_vars: dict[str, str] = {}
+        rest: list[A.TriplePattern] = []
+        for tp in bgp.triples:
+            p_iri = tp.p.value if isinstance(tp.p, IRI) else None
+            if p_iri == self.FTS_MATCH:
+                if not isinstance(tp.s, A.Var):
+                    raise ValueError("fts:match subject must be a variable")
+                if not isinstance(tp.o, Literal):
+                    raise ValueError("fts:match object must be a plain literal query string")
+                matches[tp.s.name] = tp.o.lex
+            elif p_iri == self.FTS_SCORE:
+                if not (isinstance(tp.s, A.Var) and isinstance(tp.o, A.Var)):
+                    raise ValueError("fts:score takes a subject variable and an object variable")
+                score_vars[tp.s.name] = tp.o.name
+            else:
+                rest.append(tp)
+        for svar in score_vars:
+            if svar not in matches:
+                raise ValueError(
+                    f"fts:score on ?{svar} requires a matching fts:match pattern"
+                )
+        parts: list[Compiled] = []
+        for svar, query in matches.items():
+            from dublin_smart_city_graphdb_spark.operators.fts import (
+                bm25_subject_scores,
+            )
+            from dublin_smart_city_graphdb_spark.sparql.termcol import (
+                make_numeric,
+            )
+
+            scored = bm25_subject_scores(self.quads, query)
+            sel = [subject_struct(F.col("s")).alias(svar)]
+            names = [svar]
+            if svar in score_vars:
+                sel.append(
+                    make_numeric(
+                        F.col("score").cast("decimal(38,10)")
+                    ).alias(score_vars[svar])
+                )
+                names.append(score_vars[svar])
+            parts.append(Compiled(scored.select(*sel), names, set(names)))
+        return parts, A.BGP(rest)
 
     def scan_pattern(self, tp: A.TriplePattern, graph_ctx) -> Compiled:
         if not isinstance(tp.p, (A.Var, IRI)):

@@ -15,7 +15,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 from dublin_smart_city_graphdb_spark.model.terms import XSD
-from dublin_smart_city_graphdb_spark.sparql.termcol import make_numeric
+from dublin_smart_city_graphdb_spark.sparql.termcol import (
+    make_bool,
+    make_numeric,
+)
 
 FN = "urn:spark-graft:fn:"
 
@@ -60,9 +63,83 @@ def wkt_lat(args: list[Column]) -> Column:
     return _wkt_coord(args, 2)
 
 
+GEOF = "http://www.opengis.net/def/function/geosparql/"
+
+# all coordinate pairs inside any WKT geometry body: "lon lat"
+_WKT_PAIR = r"(-?[0-9.eE+]+)\s+(-?[0-9.eE+]+)"
+
+
+def _geom_lons(col: Column) -> Column:
+    return F.transform(
+        F.regexp_extract_all(col, F.lit(_WKT_PAIR), 1),
+        lambda s: s.cast("double"),
+    )
+
+
+def _geom_lats(col: Column) -> Column:
+    return F.transform(
+        F.regexp_extract_all(col, F.lit(_WKT_PAIR), 2),
+        lambda s: s.cast("double"),
+    )
+
+
+def wkt_within_bbox(args: list[Column]) -> Column:
+    """fn:wktWithinBBox(wkt, minLon, minLat, maxLon, maxLat) → xsd:boolean.
+
+    True iff the POINT wktLiteral lies inside the closed bounding box —
+    the WKT-native form of the reference's own spatial idiom (a lat/lon
+    range FILTER, facilities.ttl:211-218) applied to its ``geo:asWKT``
+    POINT geometries (facilities.ttl:161-171). Pure JVM regexp + compare;
+    malformed/non-POINT input → null → SPARQL error semantics (row drops
+    in FILTER), never a wrong answer."""
+    lon = F.regexp_extract(args[0]["lex"], _WKT_POINT, 1)
+    lat = F.regexp_extract(args[0]["lex"], _WKT_POINT, 2)
+    lon_d = F.when(lon != "", lon).cast("double")
+    lat_d = F.when(lat != "", lat).cast("double")
+    bounds = [a["num"].cast("double") for a in args[1:5]]
+    inside = (
+        (lon_d >= bounds[0])
+        & (lat_d >= bounds[1])
+        & (lon_d <= bounds[2])
+        & (lat_d <= bounds[3])
+    )
+    return make_bool(inside)
+
+
+def geof_sf_within(args: list[Column]) -> Column:
+    """geof:sfWithin(geomA, geomB) → xsd:boolean — GeoSPARQL simple-features
+    containment for the shapes the reference's data actually uses: geomA a
+    POINT, geomB an axis-aligned rectangle POLYGON (or any geometry, tested
+    against its bounding box).
+
+    Semantics: point ∈ [min lon, max lon] × [min lat, max lat] of geomB's
+    coordinate list — exact for axis-aligned rectangles (the bbox idiom of
+    facilities.ttl:211-218); for non-rectangular polygons this is the
+    bounding-box approximation, documented as such. Vertex extraction is
+    ``regexp_extract_all`` + higher-order ``transform``/``array_min`` — all
+    JVM, codegen-friendly, no UDF. Non-POINT geomA → null (SPARQL error)."""
+    a_lex, b_lex = args[0]["lex"], args[1]["lex"]
+    lon = F.regexp_extract(a_lex, _WKT_POINT, 1)
+    lat = F.regexp_extract(a_lex, _WKT_POINT, 2)
+    lon_d = F.when(lon != "", lon).cast("double")
+    lat_d = F.when(lat != "", lat).cast("double")
+    b_lons = _geom_lons(b_lex)
+    b_lats = _geom_lats(b_lex)
+    nonempty = F.size(b_lons) > 0
+    inside = (
+        (lon_d >= F.array_min(b_lons))
+        & (lon_d <= F.array_max(b_lons))
+        & (lat_d >= F.array_min(b_lats))
+        & (lat_d <= F.array_max(b_lats))
+    )
+    return make_bool(F.when(nonempty, inside))
+
+
 def default_extensions() -> dict:
     return {
         FN + "haversineKm": haversine_km,
         FN + "wktLon": wkt_lon,
         FN + "wktLat": wkt_lat,
+        FN + "wktWithinBBox": wkt_within_bbox,
+        GEOF + "sfWithin": geof_sf_within,
     }
