@@ -68,19 +68,28 @@ def main() -> None:
 
     _quads(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = harness.REGISTRY[name].fn
-        # best of 2: measures the plan, not a transient GC/load blip
-        best, n = None, 0
-        for _ in range(2):
+    # Best-of-3 across INTERLEAVED passes (VERDICT r3 task 8): a transient
+    # load spike on the box hits one pass, not one query's only samples —
+    # per-query min over three full sweeps is what the plan actually costs.
+    # (The driver's r03 file showed 3× phantom regressions on two dedup
+    # queries that a back-to-back idle re-run couldn't reproduce.)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    rows: dict[str, int] = {}
+    for _ in range(3):
+        for name in HEADLINE:
+            fn = harness.REGISTRY[name].fn
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr, flush=True)
+            rows[name] = df.count()
+            samples[name].append(time.time() - t0)
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(min(samples[name]), 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s ({rows[name]} rows, "
+            f"samples {['%.3f' % s for s in samples[name]]})",
+            file=sys.stderr, flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -28,3 +28,25 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+# sf0.01 replica of the driver's gate (VERDICT r3 task 9): sf-dependent
+# divergence is real (r1's scalar_numeric), so the driver-scale data gets
+# its own marker-gated sweep. Excluded from the default suite (pytest.ini
+# addopts '-m "not slow"'); run with `pytest -m slow -q`.
+SF_001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck_sf001():
+    from tools.check_oracle import duck_connection
+
+    return duck_connection(SF_001)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(harness.REGISTRY))
+def test_query_matches_oracle_sf001(spark, duck_sf001, name):
+    q = harness.REGISTRY[name]
+    ok, msg, _ = compare(name, spark, duck_sf001, SF_001, q.fn, q.oracle)
+    assert ok, f"{name}: {msg}"
