@@ -934,6 +934,8 @@ def sparql_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'urn:rel:inNation', s + cu FROM c
         UNION ALL
         SELECT 'urn:rel:acctbal', cu FROM c
+        UNION ALL
+        SELECT 'http://www.opengis.net/ont/geosparql#asWKT', cu FROM c
     )
     """,
     doc="Workbench predicate-list panel: statement count per predicate — a "
