@@ -127,6 +127,24 @@ class Repository:
         text = open(source).read() if os.path.exists(source) else source
         return self.load_jsonld_text(text, graph)
 
+    def load_trig_text(self, text: str, graph: str | None = None) -> int:
+        """Load a TriG document given as TEXT — the ``application/trig``
+        import surface of the GraphDB/RDF4J REST endpoint (S1). Named-graph
+        blocks land in their own graphs; an explicit ``graph`` forces every
+        statement into that graph (RDF4J explicit-context override)."""
+        from dublin_smart_city_graphdb_spark.sources.turtle import (
+            trig_to_rows,
+        )
+
+        rows = trig_to_rows(text, graph)
+        self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+        return len(rows)
+
+    def load_trig(self, source: str, graph: str | None = None) -> int:
+        """Load a TriG document (path or text; trusted driver-side)."""
+        text = open(source).read() if os.path.exists(source) else source
+        return self.load_trig_text(text, graph)
+
     def load_rdfxml_text(self, text: str, graph: str | None = None) -> int:
         """Load an RDF/XML document given as TEXT — the
         ``application/rdf+xml`` import surface of the GraphDB/RDF4J REST

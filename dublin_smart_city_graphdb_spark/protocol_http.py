@@ -80,6 +80,7 @@ def _make_handler(engine: Engine):
             "application/n-triples": "load_turtle_text",
             "application/ld+json": "load_jsonld_text",
             "application/rdf+xml": "load_rdfxml_text",
+            "application/trig": "load_trig_text",
         }
 
         def _ingest_rdf_body(self, repo, ctype: str, body: bytes, graph):

@@ -49,10 +49,11 @@ _TOKEN_RE = re.compile(
     | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
     | (?P<PNAME>[A-Za-z0-9_-]*:[A-Za-z0-9_.%\\:-]*[A-Za-z0-9_%\\:-]|[A-Za-z0-9_-]*:)
     | (?P<KW_A>\ba\b)
+    | (?P<KW_GRAPH>\bGRAPH\b|\bgraph\b|\bGraph\b)
     | (?P<BOOL>\btrue\b|\bfalse\b)
     | (?P<DTYPE>\^\^)
     | (?P<QUOTE2><<|>>|\{\||\|\})
-    | (?P<PUNCT>[;,.\[\]()])
+    | (?P<PUNCT>[;,.\[\](){}])
     """,
     re.VERBOSE,
 )
@@ -256,6 +257,91 @@ class TurtleParser:
         if kind == "BOOL":
             return Literal(v, datatype=XSD + "boolean")
         raise ValueError(f"turtle: unexpected token {v!r} in {position}")
+
+
+class TrigParser(TurtleParser):
+    """TriG 1.1 (W3C): Turtle plus named-graph blocks.
+
+    Grammar extensions over the inherited Turtle parser:
+    ``GRAPH <label> { ... }``, the keyword-less ``<label> { ... }`` sugar,
+    an anonymous ``{ ... }`` default-graph block, and plain Turtle triples
+    at the top level (default graph). The engine-surface twin of the
+    reference image's ``application/trig`` import route — GraphDB's
+    ``/statements`` accepts TriG alongside Turtle/RDF-XML/JSON-LD."""
+
+    def __init__(self, text: str):
+        super().__init__(text)
+        self.quads: list[tuple[str | None, Term, Term, Term]] = []
+
+    def parse_quads(self) -> list[tuple[str | None, Term, Term, Term]]:
+        while self._peek()[0] != "EOF":
+            kind, v = self._peek()
+            if kind == "PREFIX_KW":
+                self._directive()
+            elif kind == "KW_GRAPH":
+                self._next()
+                label = self._term(position="subject")
+                self._graph_block(label)
+            elif v == "{":
+                self._graph_block(None)
+            elif (
+                kind in ("IRIREF", "PNAME", "BNODE")
+                and self.i + 1 < len(self.tokens)
+                and self.tokens[self.i + 1][1] == "{"
+            ):
+                # labelled block without the GRAPH keyword — the label is a
+                # single simple term, so the one-token lookahead is exact
+                label = self._term(position="subject")
+                self._graph_block(label)
+            else:
+                before = len(self.triples)
+                self._triples_block()
+                self._expect(".")
+                self._route(None, before)
+        return self.quads
+
+    def _graph_block(self, label: Term | None):
+        self._expect("{")
+        before = len(self.triples)
+        while self._peek()[1] != "}":
+            self._triples_block()
+            nxt = self._peek()[1]
+            if nxt == ".":
+                self._next()
+            elif nxt != "}":
+                raise ValueError(
+                    f"trig: expected '.' or '}}' in graph block, got {nxt!r}"
+                )
+        self._expect("}")
+        self._route(label, before)
+
+    def _route(self, label: Term | None, start: int):
+        if label is None:
+            g = None
+        elif isinstance(label, IRI):
+            g = label.value
+        elif isinstance(label, BNode):
+            g = f"_:{label.label}"
+        else:
+            raise ValueError(f"trig: graph label must be an IRI or blank node, got {label!r}")
+        for s, p, o in self.triples[start:]:
+            self.quads.append((g, s, p, o))
+
+
+def parse_trig(text: str) -> list[tuple[str | None, Term, Term, Term]]:
+    return TrigParser(text).parse_quads()
+
+
+def trig_to_rows(text: str, graph: str | None = None) -> list[tuple]:
+    """Parse TriG → QUAD_SCHEMA rows. An explicit ``graph`` forces EVERY
+    statement into that graph — including statements the document placed in
+    its own named-graph blocks (RDF4J explicit-context override semantics,
+    same contract as ``jsonld_to_rows``); ``graph=None`` keeps the
+    document's own graph placement."""
+    return [
+        term_to_row(graph if graph is not None else g, s, p, o)
+        for g, s, p, o in parse_trig(text)
+    ]
 
 
 def parse_turtle(text: str) -> list[tuple[Term, Term, Term]]:
