@@ -44,6 +44,18 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Long-session driver-heap hygiene: the SQL status store retains a
+        # full physical-plan description STRING per execution (default cap
+        # 1000) even with the UI disabled. Our analytic plans are huge
+        # (pre-checkpoint fixpoint unions, 100+-column pivots), so a
+        # long-lived driver — a 600-test suite, a notebook, a server — can
+        # pin many GiB of dead plan text until the heap GC-spirals. Keep a
+        # handful for debugging; same numbers are the right call on a real
+        # cluster driver.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -81,13 +81,34 @@ def compare(name: str, spark, con, sf_dir: str, fn, sql: str | None) -> tuple[bo
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from dublin_smart_city_graphdb_spark import harness
-    from dublin_smart_city_graphdb_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    if vanilla:
+        # Replicate the DRIVER's conditions: a bare SparkSession without any
+        # of session.py's confs (no UTC pin, no Arrow, no AQE tuning) — the
+        # r3 q12 driver-red row did not reproduce under our tuned session,
+        # so the gate must also be green under an untuned one.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.driver.memory", "12g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from dublin_smart_city_graphdb_spark.session import get_spark
+
+        spark = get_spark(app_name="oracle-check")
     con = duck_connection(sf_dir)
     failures = []
     attempted = 0
