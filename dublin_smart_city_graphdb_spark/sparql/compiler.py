@@ -691,11 +691,15 @@ class QueryCompiler:
             ]
         )
 
-        # FTS magic predicates (GraphDB Lucene-connector surface): pull
-        # fts:match / fts:score patterns out of the BGP and join their
-        # BM25 bindings back in. Done before star compaction so an entity
-        # star + FTS restriction still compacts normally.
+        # Magic predicates (GraphDB plugin surfaces): pull fts:match /
+        # fts:score (Lucene connector), rank:hasRDFRank (RDF Rank plugin)
+        # and auto:query (Autocomplete plugin) patterns out of the BGP and
+        # join their bindings back in. Done before star compaction so an
+        # entity star + a plugin restriction still compacts normally.
         fts_parts, bgp = self._extract_fts(bgp)
+        rank_parts, bgp = self._extract_rank(bgp)
+        auto_parts, bgp = self._extract_autocomplete(bgp)
+        fts_parts = fts_parts + rank_parts + auto_parts
 
         # Star compaction: patterns sharing a subject VAR with bound
         # predicates collapse into ONE groupBy(s) shuffle (collect_list per
@@ -1045,6 +1049,107 @@ class QueryCompiler:
                 )
                 names.append(score_vars[svar])
             parts.append(Compiled(scored.select(*sel), names, set(names)))
+        return parts, A.BGP(rest)
+
+    # -- RDF Rank (magic predicate) ------------------------------------------
+    RANK_HAS = "urn:spark-graft:rank:hasRDFRank"
+
+    def _rdf_rank_table(self) -> DataFrame:
+        """(id, rank) for every node of the store's IRI-object graph.
+
+        The GraphDB RDF Rank plugin surface (``rank:hasRDFRank``): nodes are
+        subjects and IRI objects, edges every ``s → o`` statement whose
+        object is an IRI (literals are attributes, not graph structure —
+        the plugin's default). Rank is the engine's power-iteration
+        PageRank (graph/closure.py) at a FIXED 2 iterations, d=0.85, so
+        the value is deterministic and SQL-oracle-expressible; GraphDB's
+        epsilon-converged variant differs only in iteration count. One
+        distinct + the per-round groupBy(dst) shuffles — never an
+        all-pairs shape, so the computation holds at full-store scale."""
+        if getattr(self, "_rank_cache", None) is None:
+            from dublin_smart_city_graphdb_spark.graph.closure import pagerank
+
+            edges = (
+                self.quads.filter(F.col("o_kind") == KIND_IRI)
+                .select(F.col("s").alias("src"), F.col("o_lex").alias("dst"))
+                .distinct()
+            )
+            self._rank_cache = pagerank(edges, iterations=2, damping=0.85)
+        return self._rank_cache
+
+    def _extract_rank(self, bgp: "A.BGP"):
+        """Pull ``?node rank:hasRDFRank ?rank`` patterns out of a BGP;
+        return ([Compiled bindings], BGP of the remaining patterns). The
+        bindings join into the rest of the BGP on the node variable; ranks
+        surface as xsd:decimal literals for ORDER BY / FILTER."""
+        parts: list[Compiled] = []
+        rest: list[A.TriplePattern] = []
+        for tp in bgp.triples:
+            p_iri = tp.p.value if isinstance(tp.p, IRI) else None
+            if p_iri != self.RANK_HAS:
+                rest.append(tp)
+                continue
+            if not (isinstance(tp.s, A.Var) and isinstance(tp.o, A.Var)):
+                raise ValueError(
+                    "rank:hasRDFRank takes a subject variable and an "
+                    "object variable"
+                )
+            ranks = self._rdf_rank_table()
+            sel = [
+                subject_struct(F.col("id")).alias(tp.s.name),
+                make_numeric(F.col("rank").cast("decimal(38,10)")).alias(
+                    tp.o.name
+                ),
+            ]
+            names = [tp.s.name, tp.o.name]
+            parts.append(Compiled(ranks.select(*sel), names, set(names)))
+        return parts, A.BGP(rest)
+
+    # -- Autocomplete (magic predicate) --------------------------------------
+    AUTO_QUERY = "urn:spark-graft:auto:query"
+
+    def _extract_autocomplete(self, bgp: "A.BGP"):
+        """Pull ``?s auto:query "prefix"`` patterns out of a BGP; return
+        ([Compiled bindings], BGP of the remaining patterns).
+
+        The GraphDB Autocomplete plugin surface: suggest subjects whose
+        IRI local name (text after the last ``/``, ``#`` or ``:``) or any
+        literal object starts with the prefix, case-insensitively. Pure
+        map-side filters over the quad scan + one distinct — the predicate
+        pushes to the store scan, no join carries the store against
+        anything."""
+        from dublin_smart_city_graphdb_spark.model.schema import KIND_LITERAL
+
+        parts: list[Compiled] = []
+        rest: list[A.TriplePattern] = []
+        for tp in bgp.triples:
+            p_iri = tp.p.value if isinstance(tp.p, IRI) else None
+            if p_iri != self.AUTO_QUERY:
+                rest.append(tp)
+                continue
+            if not isinstance(tp.s, A.Var):
+                raise ValueError("auto:query subject must be a variable")
+            if not isinstance(tp.o, Literal):
+                raise ValueError(
+                    "auto:query object must be a plain literal prefix string"
+                )
+            q = tp.o.lex.lower()
+            local = F.element_at(F.split(F.col("s"), "[/#:]"), -1)
+            matches = (
+                self.quads.filter(
+                    (
+                        (F.col("o_kind") == KIND_LITERAL)
+                        & F.lower(F.col("o_lex")).startswith(q)
+                    )
+                    | F.lower(local).startswith(q)
+                )
+                .select("s")
+                .distinct()
+            )
+            sel = [subject_struct(F.col("s")).alias(tp.s.name)]
+            parts.append(
+                Compiled(matches.select(*sel), [tp.s.name], {tp.s.name})
+            )
         return parts, A.BGP(rest)
 
     def scan_pattern(self, tp: A.TriplePattern, graph_ctx) -> Compiled:
