@@ -1305,6 +1305,18 @@ class QueryCompiler:
         raise ValueError(f"unsupported path {type(path).__name__}")
 
     # -- joins ---------------------------------------------------------------
+    def _cross_partition_cap(self) -> int:
+        """Per-side partition cap ahead of a cartesian-style join (the
+        product of the two sides' counts bounds the result's partition
+        count). Tracks the session's shuffle parallelism so a cluster-tuned
+        config scales the cap with it."""
+        try:
+            return max(
+                1, int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            )
+        except Exception:
+            return 32
+
     def join(
         self, a: Compiled, b: Compiled, how: str, filter_asts: list | None = None
     ) -> Compiled:
@@ -1312,7 +1324,21 @@ class QueryCompiler:
         b_df = b.df
         for v in shared:
             b_df = b_df.withColumnRenamed(v, v + "__r")
-        L, R = a.df.alias("L"), b_df.alias("R")
+        a_df = a.df
+        # Cartesian-style physical joins (CartesianProduct / nested loop —
+        # no shared var, or every shared var maybe-unbound so the condition
+        # is an OR no hash join can use) multiply partition counts: the
+        # result has |L| × |R| partitions, and a CHAIN of them grows the
+        # count exponentially (10 unbound patterns over an 8-partition
+        # store = 8^9 ≈ 10^8 Partition objects — gigabytes of driver heap
+        # and a task set no cluster schedules). Parallelism of a cartesian
+        # is already bounded by its O(n·m) row work, not its partition
+        # product: cap both sides with a narrow coalesce so the product
+        # stays ≤ cap² regardless of chain depth.
+        if not any(v in a.certain and v in b.certain for v in shared):
+            cap = self._cross_partition_cap()
+            a_df, b_df = a_df.coalesce(cap), b_df.coalesce(cap)
+        L, R = a_df.alias("L"), b_df.alias("R")
         cond = F.lit(True)
         for v in shared:
             l, r = F.col(f"L.{v}"), F.col(f"R.{v}__r")

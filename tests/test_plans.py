@@ -117,3 +117,22 @@ def test_projection_prunes_read_schema(store_repo):
     plan = plan_of(df)
     scan = next(l for l in plan.split("\n") if "FileScan" in l)
     assert "o_bool" not in scan and "o_ts" not in scan and "o_lang" not in scan
+
+
+def test_cartesian_chain_partition_product_is_capped(spark, store_repo):
+    """A chain of fully-unbound patterns compiles to chained cartesians
+    whose partition count would otherwise MULTIPLY (store-partitions ^
+    patterns — 10 patterns over an 8-partition store once built a ~10^8-
+    entry CartesianRDD partition array that pinned gigabytes of driver
+    heap after the job was cancelled). The compiler caps each side with a
+    narrow coalesce, so the product stays ≤ cap² however deep the chain
+    and however many partitions the store scan has."""
+    from dublin_smart_city_graphdb_spark.sparql.compiler import QueryCompiler
+    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+    quads = store_repo.quads.repartition(64)
+    df = QueryCompiler(spark, quads).compile(parse_query(
+        "SELECT ?a ?c ?e WHERE { ?a ?p1 ?b . ?c ?p2 ?d . ?e ?p3 ?f }"
+    ))
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert df.rdd.getNumPartitions() <= cap * cap
