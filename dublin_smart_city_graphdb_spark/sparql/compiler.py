@@ -172,6 +172,9 @@ class QueryCompiler:
 
     # ------------------------------------------------------------------ API
     def compile(self, query) -> DataFrame:
+        # query BASE: IRI()/URI() resolve runtime relative references
+        # against it (parser attaches it to the AST root)
+        self._base = getattr(query, "base", "") or ""
         if getattr(query, "from_graphs", None):
             self.default_graphs = list(query.from_graphs)
         if getattr(query, "from_named", None):
@@ -247,7 +250,7 @@ class QueryCompiler:
                 cur = Compiled(proj_df, cur.var_order, cur.certain)
                 ec = ExprCompiler(
                     lambda n: F.col(n), cur.vars, self.extensions,
-                    exists_cols=ecols,
+                    exists_cols=ecols, base=getattr(self, "_base", ""),
                 )
             else:
                 ec = self._expr_compiler(cur)
@@ -310,7 +313,7 @@ class QueryCompiler:
         return out
 
     def _expr_compiler(self, c: Compiled) -> ExprCompiler:
-        return ExprCompiler(lambda n: F.col(n), c.vars, self.extensions)
+        return ExprCompiler(lambda n: F.col(n), c.vars, self.extensions, base=getattr(self, "_base", ""))
 
     def _order(
         self,
@@ -324,6 +327,7 @@ class QueryCompiler:
             lambda n: alias_map[n] if n in alias_map else F.col(n),
             cur.vars | set(alias_map),
             self.extensions,
+            base=getattr(self, "_base", ""),
         )
         keys: list[Column] = []
         for expr, asc in order_by:
@@ -558,6 +562,7 @@ class QueryCompiler:
                     ec = ExprCompiler(
                         lambda n: F.col(n), cur.vars, self.extensions,
                         exists_cols=ecols,
+                        base=getattr(self, "_base", ""),
                     )
                     bound = df.withColumn(name, ec.compile(elem.expr)).select(
                         *cur.var_order, name
@@ -1357,7 +1362,7 @@ class QueryCompiler:
                     return F.col(f"L.{name}")
                 return F.col(f"R.{name}")
 
-            ec = ExprCompiler(resolve, a.vars | b.vars, self.extensions)
+            ec = ExprCompiler(resolve, a.vars | b.vars, self.extensions, base=getattr(self, "_base", ""))
             for fa in filter_asts:
                 cond = cond & F.coalesce(ec.compile_bool(fa), F.lit(False))
         if not shared and how == "inner" and not filter_asts:
@@ -1464,7 +1469,8 @@ class QueryCompiler:
         (e.g. ``FILTER(EXISTS {...} || ?v = 3)``)."""
         df, exists_cols = self._exists_flags(cur, _collect_exists(flt), graph_ctx)
         ec = ExprCompiler(
-            lambda n: F.col(n), cur.vars, self.extensions, exists_cols=exists_cols
+            lambda n: F.col(n), cur.vars, self.extensions,
+            exists_cols=exists_cols, base=getattr(self, "_base", ""),
         )
         out = df.filter(ec.compile_bool(flt)).select(*cur.var_order)
         return Compiled(out, cur.var_order, cur.certain)

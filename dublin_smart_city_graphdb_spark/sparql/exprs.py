@@ -217,10 +217,13 @@ class ExprCompiler:
     query compiler before reaching here (they need plan context)."""
 
     def __init__(
-        self, var_resolver, in_scope: set[str], extensions=None, exists_cols=None
+        self, var_resolver, in_scope: set[str], extensions=None,
+        exists_cols=None, base: str = "",
     ):
         self._resolve = var_resolver  # name -> Column (term struct)
         self._scope = in_scope
+        # query BASE for IRI()/URI() relative-reference resolution
+        self._base = base or ""
         # extension-function registry: IRI -> callable(list[Column]) -> Column
         # (term struct). SURVEY §2.9: gaps get vectorized impls, never
         # row-at-a-time Python in the hot path.
@@ -426,7 +429,15 @@ class ExprCompiler:
                 .otherwise(F.lit(XSD + "string"))
             )
         if name in ("IRI", "URI"):
-            return make_iri(_lex(args[0]))
+            lex = _lex(args[0])
+            if self._base:
+                # relative reference (no scheme) resolves against the
+                # query BASE (spec §17.4.2.8)
+                lex = F.when(
+                    F.regexp_like(lex, F.lit(r"^[A-Za-z][A-Za-z0-9+.-]*:")),
+                    lex,
+                ).otherwise(F.concat(F.lit(self._base), lex))
+            return make_iri(lex)
         if name == "BNODE":
             lbl = F.concat(F.lit("_:gen"), F.abs(F.hash(F.rand())).cast("string"))
             return F.struct(
@@ -465,12 +476,22 @@ class ExprCompiler:
         if name == "STRLEN":
             return make_numeric(F.length(_lex(args[0])), XSD + "integer")
         if name == "SUBSTR":
+            # XPath fn:substring position semantics (spec §17.4.3.3): keep
+            # the 1-based positions p with round(start) ≤ p < round(start)+
+            # len — zero/negative starts clamp to 1 and CONSUME length
+            # (SUBSTR("hello",0,3)="he", (-1,3)="h"); they are NOT
+            # from-the-end indexing (Spark's native substr convention).
             s = _lex(args[0])
-            start = _num(args[1]).cast("int")
+            start = F.round(_num(args[1]), 0).cast("long")
+            st = F.greatest(start, F.lit(1).cast("long"))
             if len(args) > 2:
-                out = s.substr(start, _num(args[2]).cast("int"))
+                length = F.round(_num(args[2]), 0).cast("long")
+                ln = F.greatest(start + length - st, F.lit(0).cast("long"))
+                out = s.substr(
+                    st.cast("int"), F.least(ln, F.lit(2_000_000_000)).cast("int")
+                )
             else:
-                out = s.substr(start, F.lit(2_000_000_000))
+                out = s.substr(st.cast("int"), F.lit(2_000_000_000))
             return _str_like(args[0], out)
         if name == "UCASE":
             return _str_like(args[0], F.upper(_lex(args[0])))
@@ -544,7 +565,14 @@ class ExprCompiler:
                 _NULL_N(), _NULL_T(), _NULL_B(),
             )
         if name == "ENCODE_FOR_URI":
-            return make_string(F.url_encode(_lex(args[0])))
+            # RFC 3986 percent-encoding, not form-encoding: space is %20
+            # (never '+'), '*' is reserved, '~' is unreserved. url_encode
+            # (java.net.URLEncoder) differs on exactly those three.
+            e = F.url_encode(_lex(args[0]))
+            e = F.replace(e, F.lit("+"), F.lit("%20"))
+            e = F.replace(e, F.lit("*"), F.lit("%2A"))
+            e = F.replace(e, F.lit("%7E"), F.lit("~"))
+            return make_string(e)
         if name == "REGEX":
             s, pat = _lex(args[0]), _lex(args[1])
             if len(args) > 2:
@@ -573,16 +601,28 @@ class ExprCompiler:
 
         if name == "NOW":
             return make_ts(F.current_timestamp())
-        if name == "YEAR":
-            return make_numeric(F.year(args[0]["ts"]), XSD + "integer")
-        if name == "MONTH":
-            return make_numeric(F.month(args[0]["ts"]), XSD + "integer")
-        if name == "DAY":
-            return make_numeric(F.dayofmonth(args[0]["ts"]), XSD + "integer")
-        if name == "HOURS":
-            return make_numeric(F.hour(args[0]["ts"]), XSD + "integer")
-        if name == "MINUTES":
-            return make_numeric(F.minute(args[0]["ts"]), XSD + "integer")
+        # Date component accessors read the literal's OWN timezone (spec
+        # §17.4.5: HOURS("…T14:45:13-05:00") = 14), while the stored ts is
+        # normalized to the session zone — so extract from the lexical form
+        # when it parses as xsd:dateTime/date, falling back to the ts for
+        # computed timestamps with no lexical form. regexp_extract returns
+        # '' on no match, and ''.cast(int) is null, so coalesce works.
+        if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES"):
+            pat = {
+                "YEAR": r"^(-?\d{4,})-\d\d-\d\d",
+                "MONTH": r"^-?\d{4,}-(\d\d)-\d\d",
+                "DAY": r"^-?\d{4,}-\d\d-(\d\d)",
+                "HOURS": r"^-?\d{4,}-\d\d-\d\dT(\d\d):",
+                "MINUTES": r"^-?\d{4,}-\d\d-\d\dT\d\d:(\d\d):",
+            }[name]
+            fallback = {
+                "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+                "HOURS": F.hour, "MINUTES": F.minute,
+            }[name]
+            from_lex = F.regexp_extract(args[0]["lex"], pat, 1).cast("int")
+            return make_numeric(
+                F.coalesce(from_lex, fallback(args[0]["ts"])), XSD + "integer"
+            )
         if name == "SECONDS":
             return make_numeric(F.second(args[0]["ts"]), XSD + "integer")
         if name in ("TIMEZONE", "TZ"):

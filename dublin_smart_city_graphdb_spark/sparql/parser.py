@@ -148,6 +148,9 @@ class SparqlParser:
             raise ValueError(f"sparql: expected query form, got {self._peek()[1]!r}")
         if self._peek()[0] != "EOF":
             raise ValueError(f"sparql: trailing tokens at {self._peek()[1]!r}")
+        # The query BASE travels with the AST: IRI()/URI() resolve runtime
+        # relative references against it (spec §17.4.2.8).
+        q.base = self.base
         return q
 
     def _prologue(self):
