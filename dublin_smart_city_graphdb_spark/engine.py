@@ -173,7 +173,11 @@ class Repository:
         load (or ruleset none) takes the plain path."""
         with self._write_lock:
             ruleset = self.config.get("ruleset", "none")
-            if ruleset == "none" or self._quads is None:
+            if ruleset == "none" or ruleset == "custom" or self._quads is None:
+                # custom rulesets re-run the full fixpoint on every append:
+                # an arbitrary CONSTRUCT body doesn't expose a Δ-seeded
+                # evaluation, so only the built-in batch gets the
+                # incremental path below
                 self.add_quads(new_df)
                 if ruleset != "none":
                     self.materialize_inference()
@@ -199,9 +203,25 @@ class Repository:
         self._ingest(read_ntriples_distributed(self.spark, path, graph))
 
     def materialize_inference(self) -> None:
-        """Forward-chaining RDFS-Plus fixpoint → quads under urn:inferred
-        (the reference's load-time materialization, init-graphdb.sh:51-55)."""
-        from dublin_smart_city_graphdb_spark.inference.rdfsplus import materialize
+        """Forward-chaining fixpoint → quads under urn:inferred (the
+        reference's load-time materialization, init-graphdb.sh:51-55).
+        Ruleset ``rdfsplus`` runs the built-in batch; ``custom`` runs the
+        repository's CONSTRUCT rules (config ``rules``, GraphDB custom-
+        .pie-ruleset analog) through the same fixpoint scaffolding."""
+        if self.config.get("ruleset") == "custom":
+            from dublin_smart_city_graphdb_spark.inference.custom import (
+                materialize_rules,
+            )
+
+            rules = self.config.get("rules") or []
+            spark = self.engine.spark
+
+            def materialize(explicit):
+                return materialize_rules(spark, explicit, rules)
+        else:
+            from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
+                materialize,
+            )
 
         with self._write_lock:
             self._materialize_inference_locked(materialize)
@@ -630,18 +650,26 @@ class Engine:
         query_timeout: float = 30.0,
         context_index: bool = True,
         bucket_subjects: int = 0,
+        rules: list[str] | None = None,
     ) -> Repository:
         """Idempotent create (matches init-graphdb.sh:36-82 + :145-154).
         ``bucket_subjects=N`` co-locates quads by subject hash (N buckets):
-        star-compacted BGPs then aggregate with no shuffle at all."""
+        star-compacted BGPs then aggregate with no shuffle at all.
+        ``ruleset="custom"`` takes ``rules`` — SPARQL CONSTRUCT texts run
+        to fixpoint at load time (the GraphDB custom-.pie-ruleset analog);
+        the rule texts persist in config.json like every other setting."""
         if name in self._repos:
             return self._repos[name]
+        if ruleset == "custom" and not rules:
+            raise ValueError('ruleset="custom" requires a non-empty rules list')
         config = {
             "ruleset": ruleset,
             "query_timeout": query_timeout,
             "context_index": context_index,
             "bucket_subjects": bucket_subjects,
         }
+        if rules is not None:
+            config["rules"] = list(rules)
         repo = Repository(self, name, config)
         self._repos[name] = repo
         if self.warehouse:

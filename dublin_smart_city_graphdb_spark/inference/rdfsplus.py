@@ -325,11 +325,14 @@ def materialize_incremental(
 
 
 def _fixpoint(
-    known: DataFrame, delta: DataFrame | None, max_rounds: int
+    known: DataFrame, delta: DataFrame | None, max_rounds: int,
+    round_fn=None,
 ) -> DataFrame:
     """Semi-naive driver loop shared by full and incremental
     materialization; ``delta=None`` means round 0 evaluates every rule on
-    the full statement set."""
+    the full statement set. ``round_fn(known, inst) -> candidates`` defaults
+    to the built-in RDFS-Plus rule batch; inference/custom.py plugs in a
+    CONSTRUCT-rule batch for user-defined rulesets."""
     from ..plans.ckpt import CheckpointTracker
 
     tr = CheckpointTracker(known)
@@ -344,7 +347,7 @@ def _fixpoint(
         # round's delta — unless that delta added schema facts, which force
         # a full re-evaluation (new rule inputs can fire on OLD statements).
         inst = None if delta is None or _touches_schema(delta) else delta
-        candidates = _round(known, inst)
+        candidates = (round_fn or _round)(known, inst)
         # Null-safe anti-join: o_dtype/o_lang are NULL on most inferred
         # triples, and plain equi-join keys treat NULL != NULL — which would
         # re-derive every triple forever. eqNullSafe keeps the hash-join
