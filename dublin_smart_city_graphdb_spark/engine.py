@@ -35,6 +35,20 @@ from dublin_smart_city_graphdb_spark.sparql.compiler import QueryCompiler
 from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
 
 
+def _norm_ruleset(name: str | None) -> str:
+    """Normalize GraphDB ruleset names (init-graphdb.sh posts
+    ``rdfsplus-optimized``; the workbench offers ``-optimized`` variants
+    and ``empty``) to the engine's four execution families. Unknown names
+    fail loudly at create time, matching GraphDB's behavior."""
+    n = (name or "none").lower()
+    if n.endswith("-optimized"):
+        n = n[: -len("-optimized")]
+    n = {"empty": "none", "rdfs-plus": "rdfsplus"}.get(n, n)
+    if n not in ("none", "rdfsplus", "owl-horst", "custom"):
+        raise ValueError(f"unknown ruleset {name!r}")
+    return n
+
+
 class Repository:
     def __init__(self, engine: Engine, name: str, config: dict):
         self.engine = engine
@@ -172,12 +186,13 @@ class Repository:
         the write path that keeps working when the store is 100 TB. First
         load (or ruleset none) takes the plain path."""
         with self._write_lock:
-            ruleset = self.config.get("ruleset", "none")
-            if ruleset == "none" or ruleset == "custom" or self._quads is None:
-                # custom rulesets re-run the full fixpoint on every append:
-                # an arbitrary CONSTRUCT body doesn't expose a Δ-seeded
-                # evaluation, so only the built-in batch gets the
-                # incremental path below
+            ruleset = _norm_ruleset(self.config.get("ruleset", "none"))
+            if ruleset != "rdfsplus" or self._quads is None:
+                # only the built-in RDFS-Plus batch has the Δ-seeded
+                # incremental path below; custom CONSTRUCT bodies don't
+                # expose which pattern a delta feeds, and owl-horst's
+                # restriction rules ride the same machinery — both re-run
+                # the full fixpoint on append
                 self.add_quads(new_df)
                 if ruleset != "none":
                     self.materialize_inference()
@@ -208,16 +223,24 @@ class Repository:
         Ruleset ``rdfsplus`` runs the built-in batch; ``custom`` runs the
         repository's CONSTRUCT rules (config ``rules``, GraphDB custom-
         .pie-ruleset analog) through the same fixpoint scaffolding."""
-        if self.config.get("ruleset") == "custom":
+        ruleset = _norm_ruleset(self.config.get("ruleset"))
+        if ruleset == "custom":
             from dublin_smart_city_graphdb_spark.inference.custom import (
                 materialize_rules,
             )
 
             rules = self.config.get("rules") or []
-            spark = self.engine.spark
+            spark = self.spark
 
             def materialize(explicit):
                 return materialize_rules(spark, explicit, rules)
+        elif ruleset == "owl-horst":
+            from dublin_smart_city_graphdb_spark.inference import horst
+
+            spark = self.spark
+
+            def materialize(explicit):
+                return horst.materialize(spark, explicit)
         else:
             from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
                 materialize,
@@ -660,7 +683,7 @@ class Engine:
         the rule texts persist in config.json like every other setting."""
         if name in self._repos:
             return self._repos[name]
-        if ruleset == "custom" and not rules:
+        if _norm_ruleset(ruleset) == "custom" and not rules:
             raise ValueError('ruleset="custom" requires a non-empty rules list')
         config = {
             "ruleset": ruleset,

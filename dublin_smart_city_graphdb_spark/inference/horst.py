@@ -1,0 +1,89 @@
+"""OWL-Horst (pD*) ruleset: RDFS-Plus plus the owl:Restriction rules.
+
+GraphDB's ``owl-horst(-optimized)`` ruleset implements ter Horst's pD*
+entailment (H. J. ter Horst, "Completeness, decidability and complexity of
+entailment for RDF Schema and a semantic extension involving the OWL
+vocabulary", J. Web Semantics 3(2-3), 2005 — public). The engine's
+RDFS-Plus batch (rdfsplus.py) already covers the property-semantics rules
+(inverseOf, Transitive/SymmetricProperty, sameAs, equivalence,
+(Inverse)FunctionalProperty); what pD* adds on top is the restriction
+vocabulary:
+
+  rdfp14a  ?c owl:hasValue ?v; owl:onProperty ?p.  ?x ?p ?v   ⇒ ?x a ?c
+  rdfp14b  ?c owl:hasValue ?v; owl:onProperty ?p.  ?x a ?c    ⇒ ?x ?p ?v
+  rdfp15   ?c owl:someValuesFrom ?d; owl:onProperty ?p.
+           ?x ?p ?y. ?y a ?d                                  ⇒ ?x a ?c
+  rdfp16   ?c owl:allValuesFrom ?d; owl:onProperty ?p.
+           ?x a ?c. ?x ?p ?y                                  ⇒ ?y a ?d
+
+These four are expressed as CONSTRUCT rules and evaluated by the same
+compiled-BGP machinery as custom rulesets, unioned into the built-in
+batch's candidate set each fixpoint round — one shared driver loop, one
+shared dedup/checkpoint lifecycle. Restriction schemas are tiny (they
+broadcast); the instance-side patterns are ordinary pruned scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
+    _fixpoint,
+    _round,
+    _SPO_COLS,
+)
+
+_PROLOG = (
+    "PREFIX owl: <http://www.w3.org/2002/07/owl#> "
+    "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+)
+
+RESTRICTION_RULES = [
+    # rdfp14a (hasValue, property → type)
+    _PROLOG + "CONSTRUCT { ?x rdf:type ?c } WHERE "
+    "{ ?c owl:hasValue ?v . ?c owl:onProperty ?p . ?x ?p ?v }",
+    # rdfp14b (hasValue, type → property)
+    _PROLOG + "CONSTRUCT { ?x ?p ?v } WHERE "
+    "{ ?c owl:hasValue ?v . ?c owl:onProperty ?p . ?x rdf:type ?c }",
+    # rdfp15 (someValuesFrom)
+    _PROLOG + "CONSTRUCT { ?x rdf:type ?c } WHERE "
+    "{ ?c owl:someValuesFrom ?d . ?c owl:onProperty ?p . "
+    "?x ?p ?y . ?y rdf:type ?d }",
+    # rdfp16 (allValuesFrom)
+    _PROLOG + "CONSTRUCT { ?y rdf:type ?d } WHERE "
+    "{ ?c owl:allValuesFrom ?d . ?c owl:onProperty ?p . "
+    "?x rdf:type ?c . ?x ?p ?y }",
+]
+
+
+def materialize(
+    spark: SparkSession, explicit: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Run RDFS-Plus ∪ restriction rules to fixpoint; returns ONLY the
+    inferred quads, tagged ``g = urn:inferred`` (same contract as
+    rdfsplus.materialize)."""
+    import pyspark.sql.functions as F
+
+    from dublin_smart_city_graphdb_spark.inference.custom import (
+        _construct_to_spo,
+    )
+    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+    parsed = [parse_query(r) for r in RESTRICTION_RULES]
+    spo = explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+
+    def round_fn(known: DataFrame, inst) -> DataFrame:
+        from dublin_smart_city_graphdb_spark.sparql.compiler import (
+            QueryCompiler,
+        )
+
+        out = _round(known, inst)
+        quads_view = known.select(
+            F.lit(None).cast("string").alias("g"), *_SPO_COLS
+        )
+        comp = QueryCompiler(spark, quads_view)
+        for ast in parsed:
+            out = out.unionByName(_construct_to_spo(comp.compile(ast)))
+        return out
+
+    return _fixpoint(spo, None, max_rounds, round_fn=round_fn)
