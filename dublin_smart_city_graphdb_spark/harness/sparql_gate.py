@@ -1110,3 +1110,93 @@ def sparql_custom_ruleset(spark: SparkSession, sf_dir: str) -> DataFrame:
         }} GROUP BY ?r ORDER BY ?r
     """)
     return df.select(_lex("r").alias("r"), _long("n").alias("n"))
+
+
+_SIM_DOCS_SQL = """
+    pts AS (
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+               CAST(CAST(-6.45 + (c_custkey % 80) * 0.005 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS lon,
+               CAST(CAST(53.20 + (c_custkey % 100) * 0.002 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS lat
+        FROM customer
+    ),
+    docs AS (
+        SELECT 'urn:region:' || r_regionkey AS s, LOWER(r_name) AS text
+        FROM region
+        UNION ALL
+        SELECT 'urn:nation:' || n_nationkey, LOWER(n_name) FROM nation
+        UNION ALL
+        SELECT 'urn:supplier:' || s_suppkey, LOWER(s_name) FROM supplier
+        UNION ALL
+        SELECT 'urn:customer:' || c_custkey,
+               LOWER(c_name || ' ' || CAST(bal AS VARCHAR) || ' ' ||
+                     'POINT(' || CAST(lon AS VARCHAR) || ' ' ||
+                     CAST(lat AS VARCHAR) || ')')
+        FROM pts
+    )
+"""
+
+
+@register(
+    "sparql_similarity",
+    f"""
+    WITH {_SIM_DOCS_SQL},
+    toks AS (
+        SELECT s, t.term FROM docs, UNNEST(string_split(text, ' ')) t(term)
+        WHERE t.term <> ''
+    ),
+    tf AS (SELECT s, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    nd AS (SELECT COUNT(DISTINCT s) AS n FROM tf),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    w AS (
+        SELECT tf.s, tf.term,
+               CAST(tf.tf AS DOUBLE)
+               * LN(CAST(nd.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS w
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
+    ),
+    norms AS (
+        SELECT s,
+               SQRT(CAST(SUM(CAST(w * w AS DECIMAL(27,12))) AS DOUBLE)) AS norm
+        FROM w GROUP BY 1
+    ),
+    aw AS (SELECT term, w FROM w WHERE s = 'urn:customer:5'),
+    an AS (SELECT norm AS a_norm FROM norms WHERE s = 'urn:customer:5'),
+    dots AS (
+        SELECT w.s,
+               CAST(SUM(CAST(w.w * aw.w AS DECIMAL(27,12))) AS DOUBLE) AS dot
+        FROM w JOIN aw ON w.term = aw.term
+        WHERE w.s <> 'urn:customer:5' GROUP BY 1
+    ),
+    scored AS (
+        SELECT d.s,
+               CAST(ROUND(d.dot / (n.norm * an.a_norm), 6)
+                    AS DECIMAL(18,6)) AS sc
+        FROM dots d JOIN norms n ON d.s = n.s CROSS JOIN an
+    )
+    SELECT s, CAST(sc AS DOUBLE) AS score FROM scored
+    WHERE sc > 0 ORDER BY s
+    """,
+    doc="GraphDB similarity-plugin surface: ?x sim:similarTo <anchor> "
+        "ranks subjects by TF-IDF cosine of their literal-token bags "
+        "against a bound anchor subject; ?x sim:score ?s binds the score. "
+        "Anchor-broadcast execution (operators/similarity.py): the corpus "
+        "tokenizes once, the anchor's sparse vector broadcasts, candidates "
+        "are exactly the subjects sharing ≥1 anchor term — never "
+        "all-pairs; decimal partial sums + round(6) keep fold order out "
+        "of the score. Customers share WKT-coordinate tokens on the "
+        "custkey %80 / %100 lattices, so the similar set is structured "
+        "and scale-stable.",
+)
+def sparql_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, """
+        PREFIX sim: <urn:spark-graft:sim:>
+        SELECT ?x ?sc WHERE {
+          ?x sim:similarTo <urn:customer:5> .
+          ?x sim:score ?sc .
+        } ORDER BY ?x
+    """)
+    return df.select(
+        _lex("x").alias("s"),
+        F.col("sc")["num"].cast("double").alias("score"),
+    )

@@ -704,7 +704,8 @@ class QueryCompiler:
         fts_parts, bgp = self._extract_fts(bgp)
         rank_parts, bgp = self._extract_rank(bgp)
         auto_parts, bgp = self._extract_autocomplete(bgp)
-        fts_parts = fts_parts + rank_parts + auto_parts
+        sim_parts, bgp = self._extract_similarity(bgp)
+        fts_parts = fts_parts + rank_parts + auto_parts + sim_parts
 
         # Star compaction: patterns sharing a subject VAR with bound
         # predicates collapse into ONE groupBy(s) shuffle (collect_list per
@@ -1044,6 +1045,70 @@ class QueryCompiler:
             )
 
             scored = bm25_subject_scores(self.quads, query)
+            sel = [subject_struct(F.col("s")).alias(svar)]
+            names = [svar]
+            if svar in score_vars:
+                sel.append(
+                    make_numeric(
+                        F.col("score").cast("decimal(38,10)")
+                    ).alias(score_vars[svar])
+                )
+                names.append(score_vars[svar])
+            parts.append(Compiled(scored.select(*sel), names, set(names)))
+        return parts, A.BGP(rest)
+
+    # -- Similarity search (magic predicates) --------------------------------
+    SIM_SIMILAR = "urn:spark-graft:sim:similarTo"
+    SIM_SCORE = "urn:spark-graft:sim:score"
+
+    def _extract_similarity(self, bgp: "A.BGP"):
+        """Pull ``?x sim:similarTo <anchor>`` (and optional ``?x sim:score
+        ?s``) patterns out of a BGP; return ([Compiled bindings], BGP of
+        the remaining patterns).
+
+        The GraphDB similarity-plugin surface: subjects ranked by TF-IDF
+        cosine of their literal-token bags against a BOUND anchor subject
+        (operators/similarity.py — anchor vector broadcast, candidates =
+        subjects sharing ≥1 anchor term, never all-pairs). Scores surface
+        as xsd:decimal literals for ORDER BY / FILTER."""
+        anchors: dict[str, str] = {}
+        score_vars: dict[str, str] = {}
+        rest: list[A.TriplePattern] = []
+        for tp in bgp.triples:
+            p_iri = tp.p.value if isinstance(tp.p, IRI) else None
+            if p_iri == self.SIM_SIMILAR:
+                if not isinstance(tp.s, A.Var):
+                    raise ValueError("sim:similarTo subject must be a variable")
+                if not isinstance(tp.o, IRI):
+                    raise ValueError(
+                        "sim:similarTo object must be a bound anchor IRI"
+                    )
+                anchors[tp.s.name] = tp.o.value
+            elif p_iri == self.SIM_SCORE:
+                if not (isinstance(tp.s, A.Var) and isinstance(tp.o, A.Var)):
+                    raise ValueError(
+                        "sim:score takes a subject variable and an object "
+                        "variable"
+                    )
+                score_vars[tp.s.name] = tp.o.name
+            else:
+                rest.append(tp)
+        for svar in score_vars:
+            if svar not in anchors:
+                raise ValueError(
+                    f"sim:score on ?{svar} requires a matching sim:similarTo "
+                    "pattern"
+                )
+        parts: list[Compiled] = []
+        for svar, anchor in anchors.items():
+            from dublin_smart_city_graphdb_spark.operators.similarity import (
+                tfidf_cosine_to_anchor,
+            )
+            from dublin_smart_city_graphdb_spark.sparql.termcol import (
+                make_numeric,
+            )
+
+            scored = tfidf_cosine_to_anchor(self.quads, anchor)
             sel = [subject_struct(F.col("s")).alias(svar)]
             names = [svar]
             if svar in score_vars:

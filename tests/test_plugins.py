@@ -108,3 +108,55 @@ def test_autocomplete_requires_literal_prefix(repo):
             PREFIX auto: <urn:spark-graft:auto:>
             SELECT ?s WHERE { ?s auto:query ?q }
         """)
+
+
+@pytest.fixture()
+def sim_repo(spark):
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    name = "plugins_sim"
+    if name in eng.list_repositories():
+        eng.drop_repository(name)
+    r = eng.create_repository(name, ruleset="none")
+    r.load_turtle("""
+        @prefix ex: <http://x#> .
+        ex:a ex:text "red green blue" .
+        ex:b ex:text "red green yellow" .
+        ex:c ex:text "purple orange teal" .
+    """)
+    return r
+
+
+def test_similarity_tfidf_cosine_hand_computed(sim_repo):
+    """anchor a shares {red, green} with b (cos = 2·ln(3/2)² / (2·ln(3/2)²
+    + ln(3)²) ≈ 0.214098) and nothing with c; the anchor itself is
+    excluded."""
+    rows = sim_repo.sparql_collect("""
+        PREFIX sim: <urn:spark-graft:sim:>
+        SELECT ?x ?sc WHERE {
+          ?x sim:similarTo <http://x#a> .
+          ?x sim:score ?sc .
+        } ORDER BY ?x
+    """)
+    assert [r["x"].lex for r in rows] == ["http://x#b"]
+    assert abs(float(rows[0]["sc"].lex) - 0.214098) < 1e-5
+
+
+def test_similarity_composes_with_bgp(sim_repo):
+    rows = sim_repo.sparql_collect("""
+        PREFIX ex: <http://x#>
+        PREFIX sim: <urn:spark-graft:sim:>
+        SELECT ?t WHERE {
+          ?x sim:similarTo <http://x#a> ; ex:text ?t .
+        }
+    """)
+    assert [r["t"].lex for r in rows] == ["red green yellow"]
+
+
+def test_similarity_requires_bound_anchor(sim_repo):
+    with pytest.raises(Exception, match="sim:similarTo"):
+        sim_repo.sparql("""
+            PREFIX sim: <urn:spark-graft:sim:>
+            SELECT ?x WHERE { ?x sim:similarTo ?y }
+        """)
