@@ -236,6 +236,34 @@ def _make_handler(engine: Engine):
                 }
                 self._send(200, doc, "application/sparql-results+json")
                 return
+            if (
+                len(parts) == 3
+                and parts[0] == "repositories"
+                and parts[2] == "contexts"
+            ):
+                # RDF4J context listing: the distinct named graphs, as a
+                # one-var result set (the workbench's graph dropdown)
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                from dublin_smart_city_graphdb_spark.model.schema import (
+                    INFERRED_GRAPH,
+                )
+
+                ctxs = sorted(
+                    r["g"]
+                    for r in repo.quads.select("g").distinct().collect()
+                    if r["g"] is not None and r["g"] != INFERRED_GRAPH
+                )
+                doc = {
+                    "head": {"vars": ["contextID"]},
+                    "results": {"bindings": [
+                        {"contextID": {"type": "uri", "value": g}}
+                        for g in ctxs
+                    ]},
+                }
+                self._send(200, doc, "application/sparql-results+json")
+                return
             t = self._gsp_target(url)
             if t is None:
                 return

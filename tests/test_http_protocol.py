@@ -529,3 +529,30 @@ def test_cli_init_and_query(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert '"2"' in capsys.readouterr().out
+
+
+def test_contexts_listing(server):
+    """RDF4J GET /repositories/{r}/contexts: distinct named graphs as a
+    one-var result set; the default graph and urn:inferred are not
+    contexts."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "ctx_repo", "params": {}}).encode(),
+        "application/json",
+    )
+    trig = b"""
+        @prefix ex: <http://x#> .
+        ex:a ex:p ex:b .
+        GRAPH ex:g1 { ex:c ex:p ex:d . }
+        GRAPH ex:g2 { ex:e ex:p ex:f . }
+    """
+    _post(server, "/repositories/ctx_repo/statements", trig,
+          "application/trig")
+    status, doc = _get_json(server, "/repositories/ctx_repo/contexts")
+    assert status == 200
+    assert doc["head"]["vars"] == ["contextID"]
+    got = [b["contextID"]["value"] for b in doc["results"]["bindings"]]
+    assert got == ["http://x#g1", "http://x#g2"]
+    assert all(
+        b["contextID"]["type"] == "uri" for b in doc["results"]["bindings"]
+    )
