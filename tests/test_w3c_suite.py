@@ -56,6 +56,31 @@ def _load_manifest() -> list[tuple[str, str, str, str]]:
     return tests
 
 
+def _load_syntax_manifest() -> list[tuple[str, str, bool]]:
+    """manifest.ttl → [(test_id, query_path, must_parse)] for the
+    Positive/NegativeSyntaxTest11 entries (mf:action is the query IRI
+    directly, per the W3C syntax-test manifests)."""
+    triples = parse_turtle((W3C / "manifest.ttl").read_text())
+    by_sp: dict = {}
+    for s, p, o in triples:
+        by_sp.setdefault(s, {})[p.value] = o
+    tests = []
+    for s, props in sorted(by_sp.items(), key=lambda kv: str(kv[0])):
+        t = props.get(RDF_TYPE)
+        if t is None:
+            continue
+        if t.value == MF + "PositiveSyntaxTest11":
+            ok = True
+        elif t.value == MF + "NegativeSyntaxTest11":
+            ok = False
+        else:
+            continue
+        tests.append((
+            str(s).rsplit("/", 1)[-1], props[MF + "action"].value, ok,
+        ))
+    return tests
+
+
 def _rel(iri: str) -> Path:
     # manifest-relative IRIs resolve against the manifest directory
     return W3C / iri.rsplit("w3c/", 1)[-1].lstrip("/")
@@ -137,3 +162,24 @@ def test_w3c_case(w3c_engine, test_id, query_iri, data_iri, result_iri):
         assert got == want
     else:
         assert Counter(got) == Counter(want)
+
+
+SYNTAX_TESTS = _load_syntax_manifest()
+
+
+@pytest.mark.parametrize(
+    "test_id,query_iri,must_parse",
+    SYNTAX_TESTS,
+    ids=[t[0] for t in SYNTAX_TESTS],
+)
+def test_w3c_syntax_case(test_id, query_iri, must_parse):
+    """Grammar strictness slice: PositiveSyntaxTest11 queries must parse,
+    NegativeSyntaxTest11 queries must be rejected (no engine needed)."""
+    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+    text = _rel(query_iri).read_text()
+    if must_parse:
+        parse_query(text)
+    else:
+        with pytest.raises(Exception):
+            parse_query(text)
