@@ -269,7 +269,11 @@ def _make_handler(engine: Engine):
                 return
             if t is not False:
                 from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                    RDFXML_FOOTER,
+                    RDFXML_HEADER,
                     quads_to_ntriples,
+                    quads_to_rdfxml_fragments,
+                    quads_to_trig_lines,
                 )
 
                 repo, graph = t
@@ -279,6 +283,29 @@ def _make_handler(engine: Engine):
                     if graph
                     else quads.filter(F.col("g").isNull())
                 )
+                accept = self.headers.get("Accept", "") or ""
+                if "application/rdf+xml" in accept:
+                    frags = [
+                        r["value"]
+                        for r in quads_to_rdfxml_fragments(quads).collect()
+                    ]
+                    if any(f is None for f in frags):
+                        self._send(406, {
+                            "error": "a predicate IRI has no XML-expressible"
+                                     " local name; request N-Triples"
+                        })
+                        return
+                    body = "\n".join([RDFXML_HEADER, *frags, RDFXML_FOOTER])
+                    self._send(200, body + "\n", "application/rdf+xml")
+                    return
+                if "application/trig" in accept:
+                    lines = quads_to_trig_lines(quads)
+                    body = "\n".join(r["value"] for r in lines.collect())
+                    self._send(
+                        200, body + ("\n" if body else ""),
+                        "application/trig",
+                    )
+                    return
                 lines = quads_to_ntriples(quads)
                 body = "\n".join(r["value"] for r in lines.collect())
                 self._send(
@@ -306,11 +333,16 @@ def _make_handler(engine: Engine):
                 and parts[0] == "repositories"
                 and parts[2] == "statements"
             ):
-                # statements export: N-Quads keeps graph labels, N-Triples
-                # flattens; graph-scoped via ?context=<iri>
+                # statements export: N-Quads and TriG keep graph labels,
+                # N-Triples flattens, RDF/XML covers the typed-literal
+                # surface; graph-scoped via ?context=<iri>
                 from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                    RDFXML_FOOTER,
+                    RDFXML_HEADER,
                     quads_to_nquads,
                     quads_to_ntriples,
+                    quads_to_rdfxml_fragments,
+                    quads_to_trig_lines,
                 )
 
                 repo = self._repo(parts[1])
@@ -322,7 +354,24 @@ def _make_handler(engine: Engine):
                 if ctx:
                     quads = quads.filter(F.col("g") == ctx.strip("<>"))
                 accept = self.headers.get("Accept") or ""
-                if "n-quads" in accept:
+                if "application/rdf+xml" in accept:
+                    frags = [
+                        r["value"]
+                        for r in quads_to_rdfxml_fragments(quads).collect()
+                    ]
+                    if any(f is None for f in frags):
+                        self._send(406, {
+                            "error": "a predicate IRI has no XML-"
+                                     "expressible local name; request "
+                                     "N-Triples"
+                        })
+                        return
+                    body = "\n".join([RDFXML_HEADER, *frags, RDFXML_FOOTER])
+                    self._send(200, body + "\n", "application/rdf+xml")
+                    return
+                if "application/trig" in accept:
+                    lines, ctype = quads_to_trig_lines(quads), "application/trig"
+                elif "n-quads" in accept:
                     lines, ctype = quads_to_nquads(quads), "application/n-quads"
                 else:
                     lines, ctype = quads_to_ntriples(quads), "application/n-triples"

@@ -300,3 +300,101 @@ def rows_to_xml(columns: list[str], rows: list) -> str:
         out.append("".join(parts))
     out += ["</results>", "</sparql>"]
     return "\n".join(out) + "\n"
+
+
+# -- RDF/XML + TriG export (GSP GET content negotiation) ---------------------
+
+def _xml_escape(col) -> "F.Column":
+    """XML content/attribute escaping, executor-side."""
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    out = F.regexp_replace(out, '"', "&quot;")
+    return out
+
+
+RDFXML_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+)
+RDFXML_FOOTER = "</rdf:RDF>"
+
+
+def quads_to_rdfxml_fragments(quads: DataFrame) -> DataFrame:
+    """Quads-table rows → one ``<rdf:Description …>…</rdf:Description>``
+    fragment per statement, serialized on executors. Each property element
+    declares its namespace inline (``xmlns:ns0``), so no global prefix
+    table is needed and the writer stays a single distributed map; the
+    predicate splits at the longest trailing NCName run — statements whose
+    predicate has no XML-expressible local name produce NULL fragments the
+    caller must check (RDF/XML genuinely cannot express them; the
+    N-Triples route always can). Wrap with RDFXML_HEADER/FOOTER."""
+    local = F.regexp_extract(F.col("p"), r"([A-Za-z_][A-Za-z0-9_.\-]*)$", 1)
+    ns = F.col("p").substr(F.lit(1), F.length(F.col("p")) - F.length(local))
+    subj_attr = F.when(
+        F.col("s").startswith("_:"),
+        F.concat(F.lit('rdf:nodeID="'),
+                 _xml_escape(F.col("s").substr(F.lit(3), F.length("s"))),
+                 F.lit('"')),
+    ).otherwise(
+        F.concat(F.lit('rdf:about="'), _xml_escape(F.col("s")), F.lit('"'))
+    )
+    open_tag = F.concat(
+        F.lit("ns0:"), local, F.lit(' xmlns:ns0="'), _xml_escape(ns),
+        F.lit('"'),
+    )
+    obj = (
+        F.when(
+            F.col("o_kind") == 0,
+            F.concat(F.lit('<'), open_tag, F.lit(' rdf:resource="'),
+                     _xml_escape(F.col("o_lex")), F.lit('"/>')),
+        )
+        .when(
+            F.col("o_kind") == 1,
+            F.concat(F.lit('<'), open_tag, F.lit(' rdf:nodeID="'),
+                     _xml_escape(F.col("o_lex").substr(F.lit(3),
+                                                       F.length("o_lex"))),
+                     F.lit('"/>')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<'), open_tag,
+                F.when(
+                    F.col("o_lang").isNotNull(),
+                    F.concat(F.lit(' xml:lang="'), F.col("o_lang"),
+                             F.lit('"')),
+                ).when(
+                    F.col("o_dtype").isNotNull(),
+                    F.concat(F.lit(' rdf:datatype="'),
+                             _xml_escape(F.col("o_dtype")), F.lit('"')),
+                ).otherwise(F.lit("")),
+                F.lit('>'), _xml_escape(F.col("o_lex")),
+                F.lit('</ns0:'), local, F.lit('>'),
+            )
+        )
+    )
+    frag = F.concat(
+        F.lit('  <rdf:Description '), subj_attr, F.lit('>'),
+        obj, F.lit('</rdf:Description>'),
+    )
+    return quads.select(
+        F.when(local != "", frag).alias("value")
+    )
+
+
+def quads_to_trig_lines(quads: DataFrame) -> DataFrame:
+    """Quads-table rows → TriG lines: default-graph statements serialize
+    bare, named-graph statements as single-statement ``GRAPH <g> { … }``
+    blocks — TriG allows a label to recur across blocks, so the export
+    stays one distributed map with no grouping shuffle (round-trips
+    through the TriG reader)."""
+    subj, pred, obj = _quad_spo_cols()
+    stmt = F.concat_ws(" ", subj, pred, obj, F.lit("."))
+    return quads.select(
+        F.when(
+            F.col("g").isNull(), stmt
+        ).otherwise(
+            F.concat(F.lit("GRAPH <"), F.col("g"), F.lit("> { "), stmt,
+                     F.lit(" }"))
+        ).alias("value")
+    )

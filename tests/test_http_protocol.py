@@ -556,3 +556,91 @@ def test_contexts_listing(server):
     assert all(
         b["contextID"]["type"] == "uri" for b in doc["results"]["bindings"]
     )
+
+
+def test_gsp_get_rdfxml_roundtrip(server):
+    """GSP GET with Accept: application/rdf+xml serializes the graph as
+    RDF/XML that our own RDF/XML reader parses back to the identical
+    statement set (typed, tagged and plain literals, IRI and bnode
+    objects)."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "xml_export", "params": {}}).encode(),
+        "application/json",
+    )
+    ttl = b"""
+        @prefix ex: <http://x#> .
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        ex:a ex:knows ex:b .
+        ex:a ex:name "Al<ice> & co"@en .
+        ex:b ex:age "30"^^xsd:integer .
+        ex:b ex:near _:spot .
+    """
+    _post(server, "/repositories/xml_export/statements", ttl, "text/turtle")
+    req = urllib.request.Request(
+        _url(server, "/repositories/xml_export/statements"),
+        headers={"Accept": "application/rdf+xml"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get_content_type() == "application/rdf+xml"
+        body = r.read().decode()
+    from dublin_smart_city_graphdb_spark.sources.rdfxml import rdfxml_to_rows
+
+    got = {
+        (s, p, k, lex, dt, lang)
+        for (_, s, p, k, lex, dt, lang, *_rest) in rdfxml_to_rows(body)
+    }
+    # bnode labels are re-scoped on parse; compare label-insensitively
+    norm = {
+        (("_:" if s.startswith("_:") else s if True else s), p, k,
+         ("_:" if str(lex).startswith("_:") else lex), dt, lang)
+        for (s, p, k, lex, dt, lang) in got
+    }
+    assert (
+        "http://x#a", "http://x#knows", 0, "http://x#b", None, None
+    ) in norm
+    assert (
+        "http://x#a", "http://x#name", 2, "Al<ice> & co", None, "en"
+    ) in norm
+    assert (
+        "http://x#b", "http://x#age", 2, "30",
+        "http://www.w3.org/2001/XMLSchema#integer", None,
+    ) in norm
+    assert ("http://x#b", "http://x#near", 1, "_:", None, None) in norm
+
+
+def test_gsp_get_trig_roundtrip(server):
+    """GSP GET with Accept: application/trig emits per-statement GRAPH
+    blocks our TriG reader parses back with the same graph placement."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "trig_export", "params": {}}).encode(),
+        "application/json",
+    )
+    trig = b"""
+        @prefix ex: <http://x#> .
+        ex:a ex:p ex:b .
+        GRAPH ex:g1 { ex:c ex:p ex:d . }
+    """
+    _post(server, "/repositories/trig_export/statements", trig,
+          "application/trig")
+    req = urllib.request.Request(
+        _url(server, "/repositories/trig_export/statements"),
+        headers={"Accept": "application/trig"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get_content_type() == "application/trig"
+        body = r.read().decode()
+    # default-graph statement serializes bare; the named statement keeps
+    # its block (this route exports the whole repository)
+    assert "<http://x#a> <http://x#p> <http://x#b> ." in body
+    assert "GRAPH <http://x#g1> { <http://x#c> <http://x#p> <http://x#d> . }" in body
+    # graph-scoped export carries only the addressed block
+    req2 = urllib.request.Request(
+        _url(server,
+             "/repositories/trig_export/statements?context=%3Chttp://x%23g1%3E"),
+        headers={"Accept": "application/trig"},
+    )
+    with urllib.request.urlopen(req2) as r:
+        body2 = r.read().decode()
+    assert "GRAPH <http://x#g1> { <http://x#c> <http://x#p> <http://x#d> . }" in body2
