@@ -4002,3 +4002,54 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("val").cast("double")).alias("max_val"),
         )
     )
+
+
+@register(
+    "corpus_split_assign",
+    """
+    WITH h AS (
+        SELECT doc_id, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS hx
+        FROM documents
+    ),
+    a AS (
+        SELECT doc_id, lang,
+               CASE WHEN hx < 'ccd' THEN 'train'
+                    WHEN hx < 'e66' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc
+    FROM a GROUP BY split ORDER BY split
+    """,
+    doc="Deterministic train/val/test assignment (~80/10/10): bucket = "
+        "first 3 hex chars of md5(doc_id) compared lexicographically "
+        "(lowercase hex compare == numeric compare, identical on both "
+        "engines). Membership depends ONLY on doc_id — rerun-stable, "
+        "join-free, leakage-proof across pipeline versions; pure map + "
+        "one aggregation shuffle, so it holds at any corpus size. The "
+        "summary returns per-split counts; the per-doc assignment is the "
+        "CTE shape a pipeline materializes.",
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hx = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 3
+    )
+    split = (
+        F.when(hx < "ccd", F.lit("train"))
+        .when(hx < "e66", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("split")
+    )
