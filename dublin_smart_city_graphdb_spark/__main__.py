@@ -36,8 +36,15 @@ def _engine(args):
 
 def cmd_init(args) -> int:
     eng = _engine(args)
+    rules = None
+    if args.rules_file:
+        # custom-ruleset file (GraphDB .pie analog): CONSTRUCT rules
+        # separated by blank lines
+        with open(args.rules_file, encoding="utf-8") as f:
+            rules = [r.strip() for r in f.read().split("\n\n") if r.strip()]
     repo = eng.create_repository(
-        args.repo, ruleset=args.ruleset, query_timeout=args.timeout
+        args.repo, ruleset=args.ruleset, query_timeout=args.timeout,
+        rules=rules,
     )
     for path in args.data:
         n = repo.load_turtle(path)
@@ -81,6 +88,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("init", help="create repository + bulk load + verify")
     p.add_argument("--repo", required=True)
     p.add_argument("--ruleset", default="rdfsplus")
+    p.add_argument(
+        "--rules-file", default=None,
+        help="custom ruleset: file of CONSTRUCT rules separated by blank "
+             "lines (use with --ruleset custom)",
+    )
     p.add_argument("--timeout", type=float, default=30.0)
     p.add_argument("--data", action="append", default=[])
     p.set_defaults(fn=cmd_init)

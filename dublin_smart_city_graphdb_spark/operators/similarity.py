@@ -39,15 +39,19 @@ def tfidf_cosine_to_anchor(quads: DataFrame, anchor_iri: str) -> DataFrame:
         .filter(F.col("term") != "")
     )
     tf = toks.groupBy("s", "term").agg(F.count("*").alias("tf"))
-    n_docs = tf.select("s").distinct().count()
+    # N as a broadcast 1-row aggregate, not a driver-side count(): keeps
+    # the whole operator lazy (no job at plan-build time) and the corpus
+    # tokenization single-pass
+    nd = tf.agg(F.countDistinct("s").cast("double").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     # ln(N/df) idf; a term in every document contributes 0 and drops out
     w = (
         tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
         .withColumn(
             "w",
             F.col("tf").cast("double")
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            * F.log(F.col("n_docs") / F.col("df").cast("double")),
         )
         .select("s", "term", "w")
     )

@@ -644,3 +644,38 @@ def test_gsp_get_trig_roundtrip(server):
     with urllib.request.urlopen(req2) as r:
         body2 = r.read().decode()
     assert "GRAPH <http://x#g1> { <http://x#c> <http://x#p> <http://x#d> . }" in body2
+
+
+def test_cli_init_with_custom_rules_file(spark, tmp_path, capsys):
+    """--ruleset custom --rules-file loads blank-line-separated CONSTRUCT
+    rules (the .pie-file operational flow) and materializes at init."""
+    from dublin_smart_city_graphdb_spark.__main__ import main
+
+    ttl = tmp_path / "d.ttl"
+    ttl.write_text(
+        "@prefix ex: <http://c#> . ex:n ex:parent ex:p . ex:p ex:brother ex:u ."
+    )
+    rules = tmp_path / "rules.pie.rq"
+    rules.write_text(
+        "PREFIX ex: <http://c#>\n"
+        "CONSTRUCT { ?n ex:uncle ?u } WHERE "
+        "{ ?n ex:parent ?p . ?p ex:brother ?u }\n"
+        "\n"
+        "PREFIX ex: <http://c#>\n"
+        "CONSTRUCT { ?u ex:nephew ?n } WHERE { ?n ex:uncle ?u }\n"
+    )
+    wh = str(tmp_path / "wh")
+    rc = main([
+        "--warehouse", wh,
+        "init", "--repo", "cli_rules", "--ruleset", "custom",
+        "--rules-file", str(rules), "--data", str(ttl),
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "--warehouse", wh,
+        "query", "--repo", "cli_rules",
+        "PREFIX ex: <http://c#> SELECT ?n WHERE { ?u ex:nephew ?n }",
+    ])
+    assert rc == 0
+    assert "http://c#n" in capsys.readouterr().out
