@@ -419,21 +419,51 @@ class Repository:
         from dublin_smart_city_graphdb_spark.sparql import ast as _ast
 
         form = parse_query(query_text)
-        if isinstance(form, (_ast.ConstructQuery, _ast.DescribeQuery)) and any(
-            t in accept
-            for t in ("application/n-triples", "text/turtle", "text/plain")
-        ):
-            from dublin_smart_city_graphdb_spark.sparql.protocol import (
-                construct_to_ntriples,
-            )
+        if isinstance(form, (_ast.ConstructQuery, _ast.DescribeQuery)):
+            if "application/rdf+xml" in accept:
+                import pyspark.sql.functions as F
 
-            lines = construct_to_ntriples(
-                self.sparql(query_text, include_inferred=include_inferred)
-            ).collect()
-            return (
-                "\n".join(r["value"] for r in lines) + ("\n" if lines else ""),
-                "application/n-triples",
-            )
+                from dublin_smart_city_graphdb_spark.inference.custom import (
+                    _construct_to_spo,
+                )
+                from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                    RDFXML_FOOTER,
+                    RDFXML_HEADER,
+                    quads_to_rdfxml_fragments,
+                )
+
+                spo = _construct_to_spo(
+                    self.sparql(query_text, include_inferred=include_inferred)
+                ).withColumn("g", F.lit(None).cast("string"))
+                frags = [
+                    r["value"]
+                    for r in quads_to_rdfxml_fragments(spo).collect()
+                ]
+                if any(f is None for f in frags):
+                    raise ValueError(
+                        "a predicate IRI has no XML-expressible local "
+                        "name; request N-Triples"
+                    )
+                return (
+                    "\n".join([RDFXML_HEADER, *frags, RDFXML_FOOTER]) + "\n",
+                    "application/rdf+xml",
+                )
+            if any(
+                t in accept
+                for t in ("application/n-triples", "text/turtle", "text/plain")
+            ):
+                from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                    construct_to_ntriples,
+                )
+
+                lines = construct_to_ntriples(
+                    self.sparql(query_text, include_inferred=include_inferred)
+                ).collect()
+                return (
+                    "\n".join(r["value"] for r in lines)
+                    + ("\n" if lines else ""),
+                    "application/n-triples",
+                )
 
         df = self.sparql(query_text, include_inferred=include_inferred)
         rows = self.sparql_collect(

@@ -679,3 +679,30 @@ def test_cli_init_with_custom_rules_file(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert "http://c#n" in capsys.readouterr().out
+
+
+def test_construct_served_as_rdfxml(server):
+    """CONSTRUCT results honor Accept: application/rdf+xml; the emitted
+    document re-parses with the engine's RDF/XML reader."""
+    cfg = {"id": "cx_xml", "params": {"ruleset": {"value": "none"}}}
+    _post(server, "/rest/repositories", json.dumps(cfg).encode(),
+          "application/json")
+    _post(server, "/repositories/cx_xml/statements",
+          b"@prefix ex: <http://x#> . ex:a ex:knows ex:b .", "text/turtle")
+    q = urllib.parse.quote(
+        "PREFIX ex: <http://x#> CONSTRUCT { ?x ex:linked ?y } "
+        "WHERE { ?x ex:knows ?y }"
+    )
+    req = urllib.request.Request(
+        _url(server, f"/repositories/cx_xml?query={q}"),
+        headers={"Accept": "application/rdf+xml"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get_content_type() == "application/rdf+xml"
+        body = r.read().decode()
+    from dublin_smart_city_graphdb_spark.sources.rdfxml import rdfxml_to_rows
+
+    rows = rdfxml_to_rows(body)
+    assert [(s, p, lex) for (_, s, p, _k, lex, *_r) in rows] == [
+        ("http://x#a", "http://x#linked", "http://x#b")
+    ]
