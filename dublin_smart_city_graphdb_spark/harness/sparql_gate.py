@@ -1200,3 +1200,69 @@ def sparql_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lex("x").alias("s"),
         F.col("sc")["num"].cast("double").alias("score"),
     )
+
+
+@register(
+    "sparql_owl_horst",
+    """
+    SELECT 'urn:customer:' || c_custkey AS c, c_name AS name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    ORDER BY c
+    """,
+    doc="owl-horst ruleset under the driver gate: a someValuesFrom "
+        "restriction (ex:EuropeanCustomer ≡ ∃rel:inNation.ex:"
+        "EuropeanNation) materializes at load over the RDF-ized store — "
+        "nations typed ex:EuropeanNation via their rel:inRegion link to "
+        "EUROPE feed rule rdfp15, so European customers acquire the "
+        "restriction class without it appearing in any explicit "
+        "statement. The SQL oracle is the plain 3-way join the "
+        "entailment encodes.",
+    cache_plan=False,
+)
+def sparql_owl_horst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.engine import Engine
+    from dublin_smart_city_graphdb_spark.model.terms import OWL, RDF_TYPE
+
+    EX = "urn:ex:"
+    eng = Engine(spark)
+    name = f"gate_owl_horst_{abs(hash(sf_dir)) % 10_000}"
+    if name in eng.list_repositories():
+        repo = eng._repos[name]
+    else:
+        repo = eng.create_repository(name, ruleset="owl-horst")
+        base = _quads(spark, sf_dir)
+        # restriction schema: EuropeanCustomer ≡ ∃inNation.EuropeanNation
+        schema_rows = [
+            (EX + "EuropeanCustomer", OWL + "onProperty", 0, R + "inNation"),
+            (EX + "EuropeanCustomer", OWL + "someValuesFrom", 0,
+             EX + "EuropeanNation"),
+        ]
+        schema = spark.createDataFrame(
+            [(None, s, p, k, o, None, None, None, None, None)
+             for s, p, k, o in schema_rows],
+            base.schema,
+        )
+        # type the European nations from the data itself (region EUROPE)
+        nation = load(spark, sf_dir, "nation")
+        region = load(spark, sf_dir, "region")
+        euro = (
+            nation.join(region, nation.n_regionkey == region.r_regionkey)
+            .filter(F.col("r_name") == "EUROPE")
+            .select(*_quad(
+                _iri("nation", "n_nationkey"), RDF_TYPE, 0,
+                F.lit(EX + "EuropeanNation"),
+            ))
+        )
+        repo.add_quads(base.unionByName(schema).unionByName(euro))
+        repo.materialize_inference()
+    df = repo.sparql(f"""
+        PREFIX rel: <{R}>
+        PREFIX ex: <{EX}>
+        SELECT ?c ?name WHERE {{
+          ?c a ex:EuropeanCustomer ; a rel:Customer ; rel:name ?name .
+        }} ORDER BY ?c
+    """)
+    return df.select(_lex("c").alias("c"), _lex("name").alias("name"))

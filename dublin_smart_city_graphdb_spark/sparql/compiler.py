@@ -882,14 +882,49 @@ class QueryCompiler:
         # purely a row-reduction ahead of the shuffle.
         ops = {"<": Column.__lt__, ">": Column.__gt__,
                "<=": Column.__le__, ">=": Column.__ge__, "=": Column.__eq__}
+        # A predicate's pre-filter must keep every row ANY of its patterns
+        # can match: two constant-object patterns on the SAME predicate
+        # (``?c a :T1 ; a :T2``) OR together — per-pattern AND filters
+        # would delete each other's rows and return nothing — and a
+        # predicate shared with a var-object pattern gets no constant/range
+        # pre-filter at all (the var pattern needs the full object list;
+        # the per-group flag/equality logic below still enforces matches).
+        from collections import defaultdict
+
+        consts_by_pred: dict[str, list] = defaultdict(list)
+        var_preds: set[str] = set()
         for tp in tps:
-            pred_is = F.col("p") == tp.p.value
-            if not isinstance(tp.o, A.Var):
-                df = df.filter(~pred_is | object_const_filter(tp.o))
-            elif pushdown and tp.o.name in pushdown:
+            if isinstance(tp.o, A.Var):
+                var_preds.add(tp.p.value)
+            else:
+                consts_by_pred[tp.p.value].append(tp.o)
+        for pred, consts in consts_by_pred.items():
+            if pred in var_preds:
+                continue
+            cond = object_const_filter(consts[0])
+            for c in consts[1:]:
+                cond = cond | object_const_filter(c)
+            df = df.filter(~(F.col("p") == pred) | cond)
+        if pushdown:
+            var_pred_counts: dict[str, int] = {}
+            for tp in tps:
+                if isinstance(tp.o, A.Var):
+                    var_pred_counts[tp.p.value] = (
+                        var_pred_counts.get(tp.p.value, 0) + 1
+                    )
+            for tp in tps:
+                if not isinstance(tp.o, A.Var) or tp.o.name not in pushdown:
+                    continue
+                # range pre-filter only when this pattern is the sole
+                # reader of its predicate
+                if var_pred_counts.get(tp.p.value, 0) != 1 or (
+                    tp.p.value in consts_by_pred
+                ):
+                    continue
                 for op, const in pushdown[tp.o.name]:
                     df = df.filter(
-                        ~pred_is | ops[op](F.col("o_num"), F.lit(const))
+                        ~(F.col("p") == tp.p.value)
+                        | ops[op](F.col("o_num"), F.lit(const))
                     )
 
         group_cols = ["s"]

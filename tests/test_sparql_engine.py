@@ -896,3 +896,38 @@ def test_service_http_bound_join_lang_literal_travels(
         assert wire_spy[0]["n_rows"] == 1
     finally:
         srv.stop()
+
+
+def test_same_predicate_star_patterns(spark):
+    """Two patterns on the SAME predicate within one star (``?c a :T1 ;
+    a :T2``) must intersect, not annihilate: the star compaction's
+    pre-shuffle constant filters OR together per predicate (per-pattern
+    AND deleted each other's rows and returned nothing), and a predicate
+    shared with a var-object pattern keeps its full object list."""
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    r = eng.create_repository("same_pred_star", ruleset="none")
+    r.load_turtle("""
+        @prefix ex: <http://x#> .
+        ex:a a ex:T1 . ex:a a ex:T2 . ex:a ex:name "n1" .
+        ex:b a ex:T1 . ex:b ex:name "n2" .
+    """)
+    both = r.sparql_collect(
+        "PREFIX ex: <http://x#> SELECT ?c WHERE { ?c a ex:T1 ; a ex:T2 }"
+    )
+    assert [x["c"].lex for x in both] == ["http://x#a"]
+    with_name = r.sparql_collect(
+        "PREFIX ex: <http://x#> SELECT ?n WHERE "
+        "{ ?c a ex:T1 ; a ex:T2 ; ex:name ?n }"
+    )
+    assert [x["n"].lex for x in with_name] == ["n1"]
+    mixed = r.sparql_collect(
+        "PREFIX ex: <http://x#> SELECT ?c ?t WHERE { ?c a ex:T1 ; a ?t } "
+        "ORDER BY ?c ?t"
+    )
+    assert [(x["c"].lex, x["t"].lex) for x in mixed] == [
+        ("http://x#a", "http://x#T1"),
+        ("http://x#a", "http://x#T2"),
+        ("http://x#b", "http://x#T1"),
+    ]
