@@ -204,6 +204,23 @@ class Repository:
             inferred_new = materialize_incremental(self.quads, new_df)
             self.add_quads(new_df.unionByName(inferred_new))
 
+    def load_nquads_text(self, text: str, graph: str | None = None) -> int:
+        """Load an N-Quads document given as TEXT — the
+        ``application/n-quads`` import surface of the RDF4J REST endpoint.
+        Per-line graph labels land in ``g``; an explicit ``graph``
+        overrides them (RDF4J explicit-context override)."""
+        from dublin_smart_city_graphdb_spark.sources.turtle import (
+            parse_ntriples_lines,
+        )
+
+        rows = list(
+            parse_ntriples_lines(iter(text.splitlines()), allow_graph=True)
+        )
+        if graph is not None:
+            rows = [(graph, *r[1:]) for r in rows]
+        self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+        return len(rows)
+
     def load_nquads(self, path: str) -> None:
         """Bulk N-Quads load: per-line graph labels land in ``g`` (named
         graphs queryable via GRAPH/FROM NAMED)."""

@@ -20,6 +20,76 @@ XSD = "http://www.w3.org/2001/XMLSchema#"
 
 RDF_TYPE = RDF + "type"
 
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 over a path string (exact stack algorithm)."""
+    out: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = path[2:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = path[3:]
+            if out:
+                out.pop()
+        elif path == "/..":
+            path = "/"
+            if out:
+                out.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            i = path.find("/", 1)
+            seg, path = (path, "") if i < 0 else (path[:i], path[i:])
+            out.append(seg)
+    return "".join(out)
+
+
+def resolve_iri(base: str, ref: str) -> str:
+    """RFC 3986 §5.2.2 reference resolution (scheme-agnostic, unlike
+    ``urllib.parse.urljoin`` which special-cases known schemes). Used by
+    the SPARQL/Turtle parsers for relative IRIREFs against BASE; the
+    column-valued twin for IRI()/URI() lives in ``sparql/exprs.py``."""
+    import re as _re
+
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", ref):
+        return ref
+    m = _re.match(
+        r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*):"
+        r"(?P<auth>//[^/?#]*)?(?P<path>[^?#]*)"
+        r"(?:\?(?P<query>[^#]*))?(?:#.*)?$",
+        base,
+    )
+    if m is None:
+        return base + ref  # base not absolute: legacy concat
+    scheme, auth, bpath = m["scheme"], m["auth"] or "", m["path"]
+    bquery = m["query"]
+    pre = scheme + ":" + auth
+    if ref.startswith("//"):
+        return scheme + ":" + ref
+    if ref == "":
+        return pre + bpath + ("?" + bquery if bquery is not None else "")
+    if ref.startswith("#"):
+        return pre + bpath + ("?" + bquery if bquery is not None else "") + ref
+    if ref.startswith("?"):
+        return pre + bpath + ref
+    rm = _re.match(r"^(?P<path>[^?#]*)(?P<tail>.*)$", ref)
+    rpath, tail = rm["path"], rm["tail"]
+    if rpath.startswith("/"):
+        return pre + remove_dot_segments(rpath) + tail
+    if auth and not bpath:
+        merged = "/" + rpath
+    elif "/" in bpath:
+        merged = bpath[: bpath.rfind("/") + 1] + rpath
+    else:
+        merged = rpath
+    return pre + remove_dot_segments(merged) + tail
+
 NUMERIC_DATATYPES = frozenset(
     XSD + t
     for t in (

@@ -12,13 +12,21 @@ difference between a green suite and a mid-suite ``OutOfMemoryError``
 the shuffle needs.
 
 ``CheckpointTracker`` makes the hand-off explicit: ``checkpoint(df)``
-records which persistent-RDD ids the materialization created (diffing
-``getPersistentRDDs`` around the call — fixpoint loops are single-threaded
-per query, so the diff is exact), and ``free(ids)`` unpersists a superseded
-generation the moment its successor is safely materialized. Freeing is
-strictly for generations no live DataFrame references: a localCheckpoint
-has no lineage to recompute from, so unpersisting a still-referenced one
-would fail later jobs loudly (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+records which persistent-RDD id the materialization created, and
+``free(ids)`` unpersists a superseded generation the moment its successor
+is safely materialized. Freeing is strictly for generations no live
+DataFrame references: a localCheckpoint has no lineage to recompute from,
+so unpersisting a still-referenced one would fail later jobs loudly
+(CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+
+Ownership is derived from the checkpointed DataFrame itself, not by
+diffing the process-global ``getPersistentRDDs`` set: ``Dataset
+.localCheckpoint`` returns a plan whose root is a ``LogicalRDD`` wrapping
+the very RDD that was persisted, so that RDD's id IS the generation. A
+global before/after diff would race — fixpoints run concurrently across
+server threads (HTTP queries with property paths, per-repo write-path
+materialization), and a tracker in thread A could capture ids checkpointed
+by thread B and later free them out from under B's still-live plan.
 """
 
 from __future__ import annotations
@@ -35,15 +43,24 @@ class CheckpointTracker:
         spark = getattr(df_or_spark, "sparkSession", df_or_spark)
         self._jsc = spark.sparkContext._jsc
 
-    def _ids(self) -> set:
-        return {int(k) for k in self._jsc.getPersistentRDDs().keySet().toArray()}
+    @staticmethod
+    def _owned_ids(df: DataFrame) -> set:
+        """The persistent-RDD id backing a just-localCheckpointed frame:
+        the analyzed plan's root is a ``LogicalRDD`` whose ``rdd`` field is
+        the RDD ``localCheckpoint`` persisted. Thread-safe by construction
+        (reads only the frame's own plan, no global state)."""
+        try:
+            return {int(df._jdf.queryExecution().analyzed().rdd().id())}
+        except Exception:
+            # Unexpected plan shape: claim nothing rather than risk freeing
+            # a generation some other plan still references.
+            return set()
 
     def checkpoint(self, df: DataFrame) -> tuple[DataFrame, set]:
         """Eagerly localCheckpoint ``df``; returns (checkpointed_df, the
         persistent-RDD ids the materialization created)."""
-        before = self._ids()
         out = df.localCheckpoint(eager=True)
-        return out, self._ids() - before
+        return out, self._owned_ids(out)
 
     def free(self, ids: set) -> None:
         """Unpersist a superseded generation's blocks. Only call with ids

@@ -81,12 +81,24 @@ def _make_handler(engine: Engine):
             "application/ld+json": "load_jsonld_text",
             "application/rdf+xml": "load_rdfxml_text",
             "application/trig": "load_trig_text",
+            "application/n-quads": "load_nquads_text",
         }
 
+        class _UnsupportedRdfType(ValueError):
+            pass
+
         def _ingest_rdf_body(self, repo, ctype: str, body: bytes, graph):
-            """Dispatch an RDF request body by content type (Turtle default,
-            matching RDF4J's behaviour for untyped uploads)."""
-            loader = self._RDF_LOADERS.get(ctype or "text/turtle", "load_turtle_text")
+            """Dispatch an RDF request body by content type. Missing/empty
+            Content-Type defaults to Turtle (matching RDF4J's behaviour
+            for untyped uploads); a PRESENT but unrecognized RDF type is
+            415 Unsupported Media Type (RDF4J parity), not a confusing
+            Turtle parse error (ADVICE r4)."""
+            if not ctype:
+                loader = "load_turtle_text"
+            else:
+                loader = self._RDF_LOADERS.get(ctype)
+                if loader is None:
+                    raise self._UnsupportedRdfType(ctype)
             getattr(repo, loader)(body.decode(), graph=graph)
 
         def _gsp_target(self, url):
@@ -199,6 +211,8 @@ def _make_handler(engine: Engine):
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                 self._ingest_rdf_body(repo, ctype, self._body(), graph)
                 self._send(204, "")
+            except self._UnsupportedRdfType as ex:
+                self._send(415, {"error": f"unsupported RDF content type: {ex}"})
             except Exception as ex:  # noqa: BLE001
                 self._send(400, {"error": str(ex)})
 
@@ -415,6 +429,8 @@ def _make_handler(engine: Engine):
                     # GSP POST: merge the body into the graph
                     self._ingest_rdf_body(repo, ctype, body, graph)
                     self._send(204, "")
+                except self._UnsupportedRdfType as ex:
+                    self._send(415, {"error": f"unsupported RDF content type: {ex}"})
                 except Exception as ex:  # noqa: BLE001
                     self._send(400, {"error": str(ex)})
                 return

@@ -165,12 +165,30 @@ def _node_id(obj: dict, ctx: _Context, st: _State) -> Term:
 def _canonical_double(v: float) -> str:
     """XSD canonical mapping for xsd:double: mantissa with no trailing
     zeros (but at least one fraction digit), 'E', exponent with no sign-+
-    or leading zeros. E.g. 2.5 → '2.5E0', 100.0 → '1.0E2'."""
-    mant, exp = f"{v:.15E}".split("E")
-    mant = mant.rstrip("0")
-    if mant.endswith("."):
-        mant += "0"
-    return f"{mant}E{int(exp)}"
+    or leading zeros. E.g. 2.5 → '2.5E0', 100.0 → '1.0E2'.
+
+    Built from ``repr`` (shortest round-trip digits — a fixed %.15E loses
+    values needing 16-17 significant digits) and handles the non-finite
+    floats Python's json parser admits (Infinity/NaN) with their XSD
+    lexical forms (ADVICE r4)."""
+    import math
+    from decimal import Decimal
+
+    if math.isinf(v):
+        return "INF" if v > 0 else "-INF"
+    if math.isnan(v):
+        return "NaN"
+    sign, digits, exp = Decimal(repr(v)).as_tuple()
+    mant_digits = "".join(map(str, digits)).rstrip("0")
+    if not mant_digits:
+        return "-0.0E0" if sign else "0.0E0"
+    e = exp + len(digits) - 1
+    mant = (
+        mant_digits + ".0"
+        if len(mant_digits) == 1
+        else mant_digits[0] + "." + mant_digits[1:]
+    )
+    return ("-" if sign else "") + mant + "E" + str(e)
 
 
 def _native_literal(v: Any, ctx: _Context, dt: str | None) -> Literal:

@@ -36,6 +36,85 @@ class ExprError(ValueError):
     pass
 
 
+# Matches the dot-segment depth RFC 3986 resolution handles JVM-side; a
+# relative reference nesting more than this many ``..`` levels is not
+# fully normalized (documented bound — real queries use 1-2).
+_DOT_SEGMENT_PASSES = 8
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments as iterated JVM regexp passes
+    (bounded at ``_DOT_SEGMENT_PASSES`` nesting levels, no Python UDF)."""
+    # "." segments: interior "/./" collapses, trailing "/." keeps the slash
+    path = F.regexp_replace(path, r"/\.(?=/)", "")
+    path = F.regexp_replace(path, r"/\.$", "/")
+    # "seg/.." pairs, innermost-first, one nesting level per pass; the
+    # consumed segment must not itself be ".."
+    for _ in range(_DOT_SEGMENT_PASSES):
+        path = F.regexp_replace(path, r"/(?!\.\.(?:/|$))[^/]+/\.\.(?=/)", "")
+        path = F.regexp_replace(path, r"/(?!\.\.(?:/|$))[^/]+/\.\.$", "/")
+    # leading "../" segments that climb past the root are dropped (§5.2.4
+    # step 2C pops an empty output stack)
+    path = F.regexp_replace(path, r"^(/\.\.)+(?=/|$)", "")
+    path = F.regexp_replace(path, r"^(\.\./|\./)+", "")
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def _resolve_against_base(ref: Column, base: str) -> Column:
+    """RFC 3986 §5.2.2 reference resolution of a (column-valued) relative
+    reference against the compile-time-constant query BASE. All JVM-side:
+    the base's components are Python-precomputed, the reference is
+    classified with cheap prefix tests, and merge + dot-segment removal
+    run as regexp passes. Mirrors the reference engine's RDF4J
+    ``ParsedIRI.resolve`` for the cases a bounded regex pipeline can
+    express (ADVICE r4)."""
+    import re as _re
+
+    m = _re.match(
+        r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*):"
+        r"(?P<auth>//[^/?#]*)?(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?",
+        base,
+    )
+    if m is None:
+        # base itself is not an absolute IRI: keep the legacy concat
+        # behavior rather than guessing components
+        return F.when(
+            F.regexp_like(ref, F.lit(r"^[A-Za-z][A-Za-z0-9+.-]*:")), ref
+        ).otherwise(F.concat(F.lit(base), ref))
+    scheme, auth, path = m["scheme"], m["auth"] or "", m["path"]
+    query = m["query"]
+    pre = scheme + ":" + auth
+    base_no_frag = pre + path + ("?" + query if query is not None else "")
+    # §5.2.3 merge: base-with-authority-and-empty-path ⇒ "/" + ref, else
+    # base path up to (and including) its last "/"
+    if auth and not path:
+        base_dir = "/"
+    else:
+        base_dir = path[: path.rfind("/") + 1] if "/" in path else ""
+    ref_path = F.element_at(F.split(ref, r"[?#]", 2), 1)
+    ref_tail = F.substring(ref, F.length(ref_path) + 1, F.lit(1 << 20))
+    return (
+        F.when(F.regexp_like(ref, F.lit(r"^[A-Za-z][A-Za-z0-9+.-]*:")), ref)
+        .when(ref.startswith("//"), F.concat(F.lit(scheme + ":"), ref))
+        .when(ref == "", F.lit(base_no_frag))
+        .when(ref.startswith("#"), F.concat(F.lit(base_no_frag), ref))
+        .when(ref.startswith("?"), F.concat(F.lit(pre + path), ref))
+        .when(
+            ref.startswith("/"),
+            F.concat(F.lit(pre), _remove_dot_segments(ref_path), ref_tail),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(pre),
+                _remove_dot_segments(
+                    F.concat(F.lit(base_dir), ref_path)
+                ),
+                ref_tail,
+            )
+        )
+    )
+
+
 def _str_like(src: Column, out: Column) -> Column:
     """String-function result: ``out``'s lexical form carrying ``src``'s
     language tag / xsd:string datatype (§17.4.3 'a string literal ... whose
@@ -432,11 +511,8 @@ class ExprCompiler:
             lex = _lex(args[0])
             if self._base:
                 # relative reference (no scheme) resolves against the
-                # query BASE (spec §17.4.2.8)
-                lex = F.when(
-                    F.regexp_like(lex, F.lit(r"^[A-Za-z][A-Za-z0-9+.-]*:")),
-                    lex,
-                ).otherwise(F.concat(F.lit(self._base), lex))
+                # query BASE per RFC 3986 §5.2 (spec §17.4.2.8)
+                lex = _resolve_against_base(lex, self._base)
             return make_iri(lex)
         if name == "BNODE":
             lbl = F.concat(F.lit("_:gen"), F.abs(F.hash(F.rand())).cast("string"))

@@ -676,7 +676,9 @@ class SparqlParser:
         if kind == "IRIREF":
             iri = v[1:-1]
             if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
-                iri = self.base + iri
+                from dublin_smart_city_graphdb_spark.model.terms import resolve_iri
+
+                iri = resolve_iri(self.base, iri)
             return IRI(iri)
         if kind == "PNAME":
             ns, _, local = v.partition(":")

@@ -390,11 +390,16 @@ def quads_to_trig_lines(quads: DataFrame) -> DataFrame:
     through the TriG reader)."""
     subj, pred, obj = _quad_spo_cols()
     stmt = F.concat_ws(" ", subj, pred, obj, F.lit("."))
+    # graph labels imported from TriG can be blank nodes (stored as
+    # '_:label'): emit the bare label — GRAPH <_:x> is not a valid IRIREF
+    label = F.when(
+        F.col("g").startswith("_:"), F.col("g")
+    ).otherwise(F.concat(F.lit("<"), F.col("g"), F.lit(">")))
     return quads.select(
         F.when(
             F.col("g").isNull(), stmt
         ).otherwise(
-            F.concat(F.lit("GRAPH <"), F.col("g"), F.lit("> { "), stmt,
+            F.concat(F.lit("GRAPH "), label, F.lit(" { "), stmt,
                      F.lit(" }"))
         ).alias("value")
     )

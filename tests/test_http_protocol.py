@@ -706,3 +706,70 @@ def test_construct_served_as_rdfxml(server):
     assert [(s, p, lex) for (_, s, p, _k, lex, *_r) in rows] == [
         ("http://x#a", "http://x#linked", "http://x#b")
     ]
+
+
+def test_unknown_rdf_content_type_is_415(server):
+    """A PRESENT but unrecognized Content-Type on a GSP upload answers
+    415 Unsupported Media Type (RDF4J parity), not a Turtle parse 400
+    (ADVICE r4). Missing Content-Type still defaults to Turtle."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "ct415", "params": {"ruleset": {"value": "none"}}}).encode(),
+        "application/json",
+    )
+    gsp = "/repositories/ct415/rdf-graphs/service"
+    g = urllib.parse.quote("http://g/ct", safe="")
+
+    def post_ct(data: bytes, ctype: str | None, method="POST"):
+        headers = {"Content-Type": ctype} if ctype else {}
+        req = urllib.request.Request(
+            _url(server, f"{gsp}?graph={g}"), data=data, headers=headers,
+            method=method,
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert post_ct(b"<urn:a> <urn:p> <urn:b> .", "application/octet-stream") == 415
+    assert post_ct(b"<urn:a> <urn:p> <urn:b> .", "application/octet-stream", "PUT") == 415
+    # untyped upload still defaults to Turtle (RDF4J behaviour);
+    # urllib injects a default Content-Type, so go down to http.client
+    import http.client
+
+    conn = http.client.HTTPConnection(server.host, server.port)
+    conn.putrequest("POST", f"{gsp}?graph={g}")
+    body = b"<urn:a> <urn:p> <urn:b> ."
+    conn.putheader("Content-Length", str(len(body)))
+    conn.endheaders()
+    conn.send(body)
+    assert conn.getresponse().status == 204
+    conn.close()
+
+
+def test_nquads_upload_roundtrip(server):
+    """application/n-quads on /statements: per-line graph labels land as
+    named graphs."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "nqrepo", "params": {"ruleset": {"value": "none"}}}).encode(),
+        "application/json",
+    )
+    nq = (
+        b"<urn:s1> <urn:p> <urn:o1> <urn:graph:one> .\n"
+        b"<urn:s2> <urn:p> \"lit\" .\n"
+    )
+    status, _ = _post(
+        server, "/repositories/nqrepo/statements", nq, "application/n-quads"
+    )
+    assert status == 204
+    q = urllib.parse.quote(
+        "SELECT ?s WHERE { GRAPH <urn:graph:one> { ?s ?p ?o } }"
+    )
+    status, doc = _get_json(server, f"/repositories/nqrepo?query={q}")
+    assert status == 200
+    assert [b["s"]["value"] for b in doc["results"]["bindings"]] == ["urn:s1"]
+    q2 = urllib.parse.quote('SELECT ?s WHERE { ?s ?p "lit" }')
+    status, doc2 = _get_json(server, f"/repositories/nqrepo?query={q2}")
+    assert [b["s"]["value"] for b in doc2["results"]["bindings"]] == ["urn:s2"]

@@ -251,3 +251,22 @@ def test_http_body_never_resolved_as_server_path(spark, tmp_path):
         f"SELECT ?s WHERE {{ ?s <{EX}p> \"leaked\" }}"
     ).collect() == []
     eng.drop_repository("lfi_guard")
+
+
+def test_canonical_double_shortest_roundtrip_and_nonfinite():
+    """XSD canonical doubles from repr-shortest digits: 17-significant-
+    digit values survive, non-finite floats map to XSD lexical forms
+    (ADVICE r4)."""
+    from dublin_smart_city_graphdb_spark.sources.jsonld import (
+        _canonical_double,
+    )
+
+    assert _canonical_double(2.5) == "2.5E0"
+    assert _canonical_double(100.0) == "1.0E2"
+    assert _canonical_double(0.0) == "0.0E0"
+    # needs 17 significant digits — %.15E would collapse it
+    v = 1.2345678901234567
+    assert float(_canonical_double(v).replace("E", "e")) == v
+    assert _canonical_double(float("inf")) == "INF"
+    assert _canonical_double(float("-inf")) == "-INF"
+    assert _canonical_double(float("nan")) == "NaN"

@@ -94,3 +94,27 @@ def test_engine_and_http_trig_upload(spark):
     ).collect()
     assert [r[0]["lex"] for r in got] == [EX + "s9"]
     eng.drop_repository("trig_rt")
+
+
+def test_bnode_graph_label_export_roundtrip(spark):
+    """TriG export of a bnode-labelled graph emits ``GRAPH _:label``
+    (bare label, not an invalid ``<_:label>`` IRIREF) and round-trips
+    through our own TriG reader (ADVICE r4)."""
+    from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
+    from dublin_smart_city_graphdb_spark.model.terms import term_to_row
+    from dublin_smart_city_graphdb_spark.sparql.protocol import (
+        quads_to_trig_lines,
+    )
+
+    rows = [
+        term_to_row("_:bg", IRI(EX + "s"), IRI(EX + "p"), Literal("v")),
+        term_to_row(EX + "g1", IRI(EX + "s"), IRI(EX + "p"), IRI(EX + "o")),
+        term_to_row(None, IRI(EX + "s2"), IRI(EX + "p"), Literal("w")),
+    ]
+    quads = spark.createDataFrame(rows, QUAD_SCHEMA)
+    lines = [r["value"] for r in quads_to_trig_lines(quads).collect()]
+    bnode_line = next(l for l in lines if "_:bg" in l)
+    assert bnode_line.startswith("GRAPH _:bg {")
+    assert "<_:" not in " ".join(lines)
+    back = parse_trig("\n".join(lines))
+    assert {q[0] for q in back} == {"_:bg", EX + "g1", None}
