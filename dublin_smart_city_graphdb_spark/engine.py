@@ -330,6 +330,27 @@ class Repository:
             for n, (preds, cls) in self._star_view_defs.items()
         ]
 
+    def validate_shacl(
+        self, shapes_text: str, include_inferred: bool = True
+    ) -> DataFrame:
+        """SHACL core validation of this repository against a shapes
+        document (Turtle text) — the GraphDB/RDF4J SHACL engine surface
+        (enabled by repo config in the reference deployment model, like
+        the ruleset at init-graphdb.sh:51-55). Returns the validation
+        report as a DataFrame (one row per sh:ValidationResult; empty ⇔
+        conforms). Validates the store view including materialized
+        inference by default, matching how queries see the data."""
+        import pyspark.sql.functions as F
+
+        from dublin_smart_city_graphdb_spark.shacl import parse_shapes, validate
+
+        data = self.quads
+        if not include_inferred:
+            data = data.filter(
+                F.col("g").isNull() | (F.col("g") != INFERRED_GRAPH)
+            )
+        return validate(data, parse_shapes(shapes_text))
+
     # -- query --------------------------------------------------------------
     @property
     def quads(self) -> DataFrame:

@@ -1266,3 +1266,56 @@ def sparql_owl_horst(spark: SparkSession, sf_dir: str) -> DataFrame:
         }} ORDER BY ?c
     """)
     return df.select(_lex("c").alias("c"), _lex("name").alias("name"))
+
+
+# ---------------------------------------------------------------------------
+# SHACL validation report (VERDICT r4 task 2: the GraphDB/RDF4J SHACL
+# engine surface, batch-validated as DataFrame checks — shacl.py)
+# ---------------------------------------------------------------------------
+
+_SHACL_SHAPES = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rel: <{R}> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+rel:CustomerShape a sh:NodeShape ; sh:targetClass rel:Customer ;
+  sh:property [ sh:path rel:acctbal ; sh:minInclusive 0 ] ;
+  sh:property [ sh:path rel:acctbal ; sh:maxInclusive 9000 ] ;
+  sh:property [ sh:path rel:name ; sh:minCount 1 ;
+                sh:pattern "^Customer#" ] ;
+  sh:property [ sh:path rel:inNation ; sh:class rel:Nation ] .
+"""
+
+_SHACL_ORACLE = """
+    WITH bal AS (
+        SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS focus,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS b
+        FROM customer
+    )
+    SELECT focus, 'urn:rel:acctbal' AS path, value,
+           'MinInclusiveConstraintComponent' AS component
+    FROM bal WHERE b < 0
+    UNION ALL
+    SELECT focus, 'urn:rel:acctbal' AS path, value,
+           'MaxInclusiveConstraintComponent' AS component
+    FROM bal WHERE b > 9000
+"""
+
+
+@register(
+    "sparql_shacl_report",
+    _SHACL_ORACLE,
+    doc="SHACL core validation of the RDF-ized store: targetClass Customer; "
+        "numeric-range violations on acctbal (minInclusive/maxInclusive), "
+        "plus passing minCount/pattern/class checks exercising the "
+        "cardinality join and instance anti-join. Every constraint is a "
+        "JVM-side DataFrame check; the report is the relational face of "
+        "sh:ValidationReport.",
+)
+def sparql_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.shacl import parse_shapes, validate
+
+    report = validate(_quads(spark, sf_dir), parse_shapes(_SHACL_SHAPES))
+    return report.select(
+        "focus", "path", "value", F.col("constraint").alias("component")
+    )

@@ -474,6 +474,27 @@ def _make_handler(engine: Engine):
                 self._send(201, {"id": name})
                 return
 
+            if len(parts) == 3 and parts[0] == "repositories" and parts[2] == "shacl":
+                # SHACL validation: POST a shapes document (text/turtle),
+                # get the validation report back as JSON — the batch face
+                # of the GraphDB/RDF4J SHACL engine surface.
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                try:
+                    report = repo.validate_shacl(body.decode())
+                    rows = report.limit(1001).collect()
+                    truncated = len(rows) > 1000
+                    payload = {
+                        "conforms": not rows,
+                        "truncated": truncated,
+                        "violations": [r.asDict() for r in rows[:1000]],
+                    }
+                    self._send(200, payload)
+                except Exception as ex:  # noqa: BLE001
+                    self._send(400, {"error": str(ex)})
+                return
+
             if len(parts) == 3 and parts[0] == "repositories" and parts[2] == "statements":
                 repo = self._repo(parts[1])
                 if repo is None:

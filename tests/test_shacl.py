@@ -1,0 +1,239 @@
+"""SHACL core validation (VERDICT r4 task 2): per-constraint unit tests
+over hand-built graphs, engine wiring, and the REST surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from dublin_smart_city_graphdb_spark.engine import Engine
+from dublin_smart_city_graphdb_spark.shacl import (
+    ShaclError,
+    parse_shapes,
+    report_conforms,
+)
+
+EX = "http://ex.org/"
+
+DATA = f"""
+@prefix ex: <{EX}> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:alice a ex:Person ; ex:name "Alice" ; ex:age "30"^^xsd:integer ;
+         ex:knows ex:bob ; ex:email "alice@ex.org" .
+ex:bob   a ex:Person ; ex:age "-5"^^xsd:integer ;
+         ex:knows ex:ghost ; ex:email "not-an-email" ;
+         ex:email "bob@ex.org" .
+ex:carol a ex:Person ; ex:name "Carol" ; ex:name "Caroline" ;
+         ex:age "nan" ; ex:status ex:retired .
+ex:ghost ex:name "Ghost" .
+"""
+
+
+@pytest.fixture(scope="module")
+def repo(spark):
+    eng = Engine(spark)
+    r = eng.create_repository("shacl_t", ruleset="none")
+    r.load_turtle_text(DATA)
+    yield r
+    eng.drop_repository("shacl_t")
+
+
+def _viol(repo, shapes_ttl):
+    rows = repo.validate_shacl(shapes_ttl).collect()
+    return [(r["focus"], r["constraint"], r["value"]) for r in rows]
+
+
+def _shape(body: str) -> str:
+    return f"""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <{EX}> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+      {body} .
+    """
+
+
+def test_min_count(repo):
+    v = _viol(repo, _shape(
+        "sh:property [ sh:path ex:name ; sh:minCount 1 ]"))
+    assert v == [(EX + "bob", "MinCountConstraintComponent", None)]
+
+
+def test_max_count(repo):
+    v = _viol(repo, _shape(
+        "sh:property [ sh:path ex:name ; sh:maxCount 1 ]"))
+    assert v == [(EX + "carol", "MaxCountConstraintComponent", None)]
+
+
+def test_datatype(repo):
+    v = sorted(_viol(repo, _shape(
+        "sh:property [ sh:path ex:age ; sh:datatype xsd:integer ]")))
+    assert v == [(EX + "carol", "DatatypeConstraintComponent", "nan")]
+
+
+def test_class(repo):
+    v = _viol(repo, _shape(
+        "sh:property [ sh:path ex:knows ; sh:class ex:Person ]"))
+    assert v == [(EX + "bob", "ClassConstraintComponent", EX + "ghost")]
+
+
+def test_pattern(repo):
+    v = _viol(repo, _shape(
+        'sh:property [ sh:path ex:email ; sh:pattern "^[^@]+@[^@]+$" ]'))
+    assert v == [(EX + "bob", "PatternConstraintComponent", "not-an-email")]
+
+
+def test_numeric_range(repo):
+    v = sorted(_viol(repo, _shape(
+        "sh:property [ sh:path ex:age ; sh:minInclusive 0 ]")))
+    # bob's -5 is below the bound; carol's "nan" isn't numeric at all
+    assert v == [
+        (EX + "bob", "MinInclusiveConstraintComponent", "-5"),
+        (EX + "carol", "MinInclusiveConstraintComponent", "nan"),
+    ]
+
+
+def test_node_kind(repo):
+    v = _viol(repo, _shape(
+        "sh:property [ sh:path ex:status ; sh:nodeKind sh:Literal ]"))
+    assert v == [(EX + "carol", "NodeKindConstraintComponent", EX + "retired")]
+
+
+def test_length(repo):
+    v = _viol(repo, _shape(
+        "sh:property [ sh:path ex:name ; sh:maxLength 5 ]"))
+    assert v == [(EX + "carol", "MaxLengthConstraintComponent", "Caroline")]
+
+
+def test_in_enumeration(repo):
+    v = _viol(repo, _shape(
+        "sh:property [ sh:path ex:status ; sh:in (ex:active ex:inactive) ]"))
+    assert v == [(EX + "carol", "InConstraintComponent", EX + "retired")]
+
+
+def test_has_value(repo):
+    v = sorted(_viol(repo, _shape(
+        "sh:property [ sh:path ex:knows ; sh:hasValue ex:bob ]")))
+    assert v == [
+        (EX + "bob", "HasValueConstraintComponent", None),
+        (EX + "carol", "HasValueConstraintComponent", None),
+    ]
+
+
+def test_inverse_path(repo):
+    # everyone known by someone: values of ^ex:knows at each Person
+    v = sorted(_viol(repo, _shape(
+        "sh:property [ sh:path [ sh:inversePath ex:knows ] ; sh:minCount 1 ]"
+    )))
+    # alice and carol are known by nobody; bob is known by alice
+    assert v == [
+        (EX + "alice", "MinCountConstraintComponent", None),
+        (EX + "carol", "MinCountConstraintComponent", None),
+    ]
+
+
+def test_target_subjects_of_and_conforms(repo):
+    shapes = f"""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:knows ;
+      sh:property [ sh:path ex:knows ; sh:minCount 1 ] .
+    """
+    rep = repo.validate_shacl(shapes)
+    assert report_conforms(rep)
+
+
+def test_target_node(repo):
+    shapes = f"""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetNode ex:ghost ;
+      sh:property [ sh:path ex:age ; sh:minCount 1 ] .
+    """
+    rows = repo.validate_shacl(shapes).collect()
+    assert [(r["focus"], r["constraint"]) for r in rows] == [
+        (EX + "ghost", "MinCountConstraintComponent")
+    ]
+
+
+def test_severity_and_report_columns(repo):
+    shapes = f"""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <{EX}> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:Person ; sh:severity sh:Warning ;
+      sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+    """
+    rows = repo.validate_shacl(shapes).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["severity"] == "http://www.w3.org/ns/shacl#Warning"
+    assert r["shape"] == EX + "S"
+    assert r["path"] == EX + "name"
+    assert "minCount 1" in r["message"]
+
+
+def test_malformed_shapes_raise(repo):
+    with pytest.raises(ShaclError):
+        parse_shapes("@prefix ex: <http://e/> . ex:a ex:b ex:c .")
+    with pytest.raises(ShaclError):
+        repo.validate_shacl("""
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <http://e/> .
+        ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+          sh:property [ sh:minCount 1 ] .
+        """)
+
+
+def test_validates_inferred_view(spark):
+    """With RDFS-Plus on, a type inferred via rdfs:domain counts for
+    sh:targetClass — validation sees the same view queries do."""
+    eng = Engine(spark)
+    r = eng.create_repository("shacl_inf", ruleset="rdfsplus")
+    r.load_turtle_text(f"""
+    @prefix ex: <{EX}> .
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    ex:worksFor rdfs:domain ex:Person .
+    ex:dave ex:worksFor ex:acme .
+    """)
+    shapes = _shape("sh:property [ sh:path ex:name ; sh:minCount 1 ]")
+    rows = r.validate_shacl(shapes).collect()
+    assert [(x["focus"], x["constraint"]) for x in rows] == [
+        (EX + "dave", "MinCountConstraintComponent")
+    ]
+    # explicit-only view: dave is not (explicitly) a Person
+    assert report_conforms(r.validate_shacl(shapes, include_inferred=False))
+    eng.drop_repository("shacl_inf")
+
+
+def test_shacl_rest_route(spark):
+    import json
+    import urllib.request
+
+    from dublin_smart_city_graphdb_spark.protocol_http import SparqlHttpServer
+
+    eng = Engine(spark)
+    r = eng.create_repository("shacl_http", ruleset="none")
+    r.load_turtle_text(DATA)
+    srv = SparqlHttpServer(eng).start()
+    try:
+        shapes = _shape("sh:property [ sh:path ex:name ; sh:minCount 1 ]")
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/repositories/shacl_http/shacl",
+            data=shapes.encode(), headers={"Content-Type": "text/turtle"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            doc = json.loads(resp.read())
+        assert doc["conforms"] is False
+        assert doc["violations"][0]["focus"] == EX + "bob"
+        assert doc["violations"][0]["constraint"] == "MinCountConstraintComponent"
+        # conforming shapes → conforms: true
+        ok = _shape("sh:property [ sh:path ex:age ; sh:maxCount 5 ]")
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/repositories/shacl_http/shacl",
+            data=ok.encode(), headers={"Content-Type": "text/turtle"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            doc = json.loads(resp.read())
+        assert doc["conforms"] is True and doc["violations"] == []
+    finally:
+        srv.stop()
+        eng.drop_repository("shacl_http")

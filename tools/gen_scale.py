@@ -12,13 +12,16 @@ test needs to expose super-linear operators.
 
 Per-replica perturbations keep pipeline workloads realistic instead of
 pathological:
- - ``documents.text`` gets a replica-salt token appended — otherwise every
-   doc would have K exact copies and dedup ops would measure a degenerate
-   corpus (constant near-dup structure within each replica is preserved).
+ - ``documents.text`` (mode="distinct", default): every other word gains a
+   replica tag, so cross-replica Jaccard ≈ 0 and near-dup cluster sizes
+   stay CONSTANT as data scales — the linear-scaling model. mode="dupes"
+   appends only a trailing salt token: every doc gains K near-copies — a
+   duplicate-heavy stress variant whose pair output grows quadratically
+   in K (the mega-cluster / boilerplate workload).
  - ``embeddings.embedding`` gets a tiny deterministic per-replica rotation
    of the first component — otherwise ANN top-k is K-way tied.
 
-Usage:  python tools/gen_scale.py SRC_DIR OUT_DIR K
+Usage:  python tools/gen_scale.py SRC_DIR OUT_DIR K [distinct|dupes]
         python tools/gen_scale.py /root/testdata/sf0.1 .scaledata/sf1 10
 """
 
@@ -35,7 +38,7 @@ import pyspark.sql.functions as F
 OFF = 10_000_000
 
 
-def scale_tables(spark, src: str, out: str, k: int) -> None:
+def scale_tables(spark, src: str, out: str, k: int, mode: str = "distinct") -> None:
     tables = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
@@ -58,10 +61,37 @@ def scale_tables(spark, src: str, out: str, k: int) -> None:
                             col, (F.col(col) + F.lit(i * OFF)).cast("bigint")
                         )
                 if name == "documents":
-                    r = r.withColumn(
-                        "text",
-                        F.concat(F.col("text"), F.lit(f" replica{i}")),
-                    ).withColumn("n_chars", F.length("text").cast("bigint"))
+                    # Replica 0 keeps the original text. Later replicas
+                    # suffix every other word with a replica tag: every
+                    # 3-word shingle contains a tagged word, so cross-
+                    # replica Jaccard ≈ 0 and near-dup CLUSTER SIZES stay
+                    # constant as data scales (the linear-scaling model).
+                    # mode="dupes" keeps a weak perturbation instead: every
+                    # doc gains K near-copies — a duplicate-heavy stress
+                    # variant (mega-cluster workload for the dedup family).
+                    if mode == "dupes":
+                        r = r.withColumn(
+                            "text",
+                            F.concat(F.col("text"), F.lit(f" replica{i}")),
+                        ).withColumn(
+                            "n_chars", F.length("text").cast("bigint")
+                        )
+                    elif i > 0:
+                        r = r.withColumn(
+                            "text",
+                            F.array_join(
+                                F.transform(
+                                    F.split(F.col("text"), " "),
+                                    lambda w, idx: F.when(
+                                        idx % 2 == 0,
+                                        F.concat(w, F.lit(f"~{i}")),
+                                    ).otherwise(w),
+                                ),
+                                " ",
+                            ),
+                        ).withColumn(
+                            "n_chars", F.length("text").cast("bigint")
+                        )
                 if name == "embeddings":
                     r = r.withColumn(
                         "embedding",
@@ -83,11 +113,15 @@ def scale_tables(spark, src: str, out: str, k: int) -> None:
 
 def main() -> None:
     src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "distinct"
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from dublin_smart_city_graphdb_spark.session import get_spark
 
     spark = get_spark(app_name="gen_scale", master="local[16]",
                       shuffle_partitions=32)
-    scale_tables(spark, src, out, k)
+    scale_tables(spark, src, out, k, mode)
 
 
 if __name__ == "__main__":
