@@ -55,29 +55,40 @@ def _norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def compare(name: str, spark, con, sf_dir: str, fn, sql: str | None) -> tuple[bool, str, float]:
+def compare(
+    name: str, spark, con, sf_dir: str, fn, sql: str | None
+) -> tuple[bool, str, float, dict]:
     t0 = time.time()
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     dt = time.time() - t0
+    rec = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": len(s_rows), "oracle_rows": None, "err": None,
+    }
     if sql is None:
-        return True, f"rows-only ({len(s_rows)} rows)", dt
+        rec["err"] = "rows-only (no oracle)"
+        return True, f"rows-only ({len(s_rows)} rows)", dt, rec
     d = con.sql(sql)
     d_cols = d.columns
     d_rows = d.fetchall()
-    if sorted(s_cols) != sorted(c.lower() for c in d_cols) and sorted(
-        c.lower() for c in s_cols
-    ) != sorted(c.lower() for c in d_cols):
-        return False, f"column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}", dt
-    if len(s_rows) != len(d_rows):
-        return False, f"row count spark={len(s_rows)} duck={len(d_rows)}", dt
+    rec["oracle_rows"] = len(d_rows)
+    rec["schema_match"] = sorted(c.lower() for c in s_cols) == sorted(
+        c.lower() for c in d_cols
+    )
+    if not rec["schema_match"]:
+        return False, f"column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}", dt, rec
+    rec["rows_match"] = len(s_rows) == len(d_rows)
+    if not rec["rows_match"]:
+        return False, f"row count spark={len(s_rows)} duck={len(d_rows)}", dt, rec
     _, sn = _norm_rows([c.lower() for c in s_cols], s_rows)
     _, dn = _norm_rows([c.lower() for c in d_cols], d_rows)
-    if sn != dn:
+    rec["hash_match"] = sn == dn
+    if not rec["hash_match"]:
         diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-        return False, f"value mismatch, first diffs: {diff}", dt
-    return True, f"match ({len(s_rows)} rows)", dt
+        return False, f"value mismatch, first diffs: {diff}", dt, rec
+    return True, f"match ({len(s_rows)} rows)", dt, rec
 
 
 def main() -> int:
@@ -85,6 +96,11 @@ def main() -> int:
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i:i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -112,19 +128,32 @@ def main() -> int:
     con = duck_connection(sf_dir)
     failures = []
     attempted = 0
+    records: dict[str, dict] = {}
     for name, q in harness.REGISTRY.items():
         if only and name not in only:
             continue
         attempted += 1
         try:
-            ok, msg, dt = compare(name, spark, con, sf_dir, q.fn, q.oracle)
+            ok, msg, dt, rec = compare(name, spark, con, sf_dir, q.fn, q.oracle)
         except Exception as ex:  # noqa: BLE001
             ok, msg, dt = False, f"EXCEPTION {type(ex).__name__}: {ex}", 0.0
+            rec = {
+                "rows_match": False, "schema_match": None,
+                "hash_match": None, "spark_rows": None, "oracle_rows": None,
+                "err": f"{type(ex).__name__}: {ex}",
+            }
+        records[name] = rec
         status = "OK " if ok else "FAIL"
         print(f"[{status}] {name:32s} {dt:6.2f}s  {msg}", flush=True)
         if not ok:
             failures.append(name)
     print(f"\n{attempted - len(failures)}/{attempted} passed")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump(records, f, indent=2)
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 
