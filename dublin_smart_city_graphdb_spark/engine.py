@@ -49,6 +49,11 @@ def _norm_ruleset(name: str | None) -> str:
     return n
 
 
+class QueryAbortedError(RuntimeError):
+    """Raised to the caller of a query that was aborted via the monitor
+    (``Engine.abort_query`` / ``DELETE /rest/monitor/query/{id}``)."""
+
+
 class Repository:
     def __init__(self, engine: Engine, name: str, config: dict):
         self.engine = engine
@@ -584,7 +589,11 @@ class Repository:
         include_inferred: bool = True,
     ):
         """Execute with the repository's query timeout (the reference's 30 s
-        ``queryTimeout``, init-graphdb.sh:66-70) via job-group cancellation."""
+        ``queryTimeout``, init-graphdb.sh:66-70) via job-group cancellation.
+        Registers the run in the engine's query monitor (GraphDB's running-
+        queries REST surface): it can be listed and aborted concurrently."""
+        import time as _time
+
         timeout = timeout or self.config.get("query_timeout", 30)
         df = self.sparql(query_text, include_inferred=include_inferred)
         sc = self.spark.sparkContext
@@ -607,12 +616,23 @@ class Repository:
             except Exception as ex:  # noqa: BLE001
                 error.append(ex)
 
+        entry = self.engine._register_query(self.name, query_text, group)
         t = threading.Thread(target=run, daemon=True)
         t.start()
-        t.join(timeout)
-        if t.is_alive():
-            sc.cancelJobGroup(group)
-            raise TimeoutError(f"query exceeded {timeout}s timeout")
+        try:
+            deadline = _time.time() + timeout
+            while t.is_alive() and _time.time() < deadline:
+                if entry["aborted"]:
+                    sc.cancelJobGroup(group)
+                    raise QueryAbortedError(
+                        f"query {entry['id']} aborted via monitor"
+                    )
+                t.join(0.05)
+            if t.is_alive():
+                sc.cancelJobGroup(group)
+                raise TimeoutError(f"query exceeded {timeout}s timeout")
+        finally:
+            self.engine._unregister_query(entry["id"])
         if error:
             raise error[0]
         return result[0]
@@ -719,6 +739,11 @@ class Engine:
         self.spark = spark
         self.warehouse = warehouse
         self._repos: dict[str, Repository] = {}
+        # query monitor (GraphDB's running-queries REST surface): track id
+        # → {id, repository, query, start, group, aborted}
+        self._running: dict[str, dict] = {}
+        self._monitor_lock = threading.Lock()
+        self._query_seq = 0
         from dublin_smart_city_graphdb_spark.sparql.extensions import (
             default_extensions,
         )
@@ -768,6 +793,65 @@ class Engine:
             with open(os.path.join(self.warehouse, name, "config.json"), "w") as f:
                 json.dump(config, f)
         return repo
+
+    # -- query monitor (GraphDB running-queries surface) --------------------
+    def _register_query(self, repo: str, query: str, group: str) -> dict:
+        import time as _time
+
+        with self._monitor_lock:
+            self._query_seq += 1
+            entry = {
+                "id": f"q{self._query_seq}",
+                "repository": repo,
+                "query": query,
+                "start": _time.time(),
+                "group": group,
+                "aborted": False,
+            }
+            self._running[entry["id"]] = entry
+        return entry
+
+    def _unregister_query(self, track_id: str) -> None:
+        with self._monitor_lock:
+            self._running.pop(track_id, None)
+
+    def running_queries(self) -> list[dict]:
+        """Currently-executing queries: [{id, repository, query,
+        elapsed_s}] — the ``GET /rest/monitor/query`` listing."""
+        import time as _time
+
+        now = _time.time()
+        with self._monitor_lock:
+            return [
+                {
+                    "id": e["id"],
+                    "repository": e["repository"],
+                    "query": e["query"],
+                    "elapsed_s": round(now - e["start"], 3),
+                }
+                for e in self._running.values()
+            ]
+
+    def abort_query(self, track_id: str) -> bool:
+        """Abort a running query by track id: cancels its Spark job group
+        and flags the waiting collector, which raises QueryAbortedError to
+        its caller. Returns False for an unknown/finished id.
+
+        The caller gets its error immediately; the killed tasks drain
+        asynchronously — cancellation uses the task-killed flag, checked at
+        record boundaries, NOT Thread.interrupt (an interrupt landing in
+        Parquet IO can fatally exit the JVM — see sparql_collect). A
+        long-running codegen'd loop (e.g. a cartesian COUNT) can hold its
+        task slots for tens of seconds after the abort; schedule follow-up
+        work accordingly (cluster deployments put queries in a FAIR pool
+        so fresh jobs get slots while zombies drain)."""
+        with self._monitor_lock:
+            entry = self._running.get(track_id)
+            if entry is None:
+                return False
+            entry["aborted"] = True
+        self.spark.sparkContext.cancelJobGroup(entry["group"])
+        return True
 
     def register_function(self, iri: str, fn) -> None:
         """Register a SPARQL extension function: ``fn(args: list[Column

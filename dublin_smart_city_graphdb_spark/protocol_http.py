@@ -219,6 +219,11 @@ def _make_handler(engine: Engine):
         def do_GET(self):
             url = urllib.parse.urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
+            if parts == ["rest", "monitor", "query"]:
+                # running-query listing (GraphDB query monitor surface):
+                # [{id, repository, query, elapsed_s}]
+                self._send(200, engine.running_queries())
+                return
             if parts == ["protocol"]:
                 # RDF4J protocol-version resource (clients probe it first)
                 self._send(200, "12", "text/plain")
@@ -546,6 +551,13 @@ def _make_handler(engine: Engine):
             # teardown path (idempotent like create)
             url = urllib.parse.urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
+            if len(parts) == 4 and parts[:3] == ["rest", "monitor", "query"]:
+                # abort a running query by track id (GraphDB query monitor)
+                if engine.abort_query(parts[3]):
+                    self._send(200, {"aborted": parts[3]})
+                else:
+                    self._send(404, {"error": f"no running query {parts[3]!r}"})
+                return
             if (
                 len(parts) == 4
                 and parts[0] == "repositories"
