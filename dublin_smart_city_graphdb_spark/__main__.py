@@ -80,6 +80,22 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_dump(args) -> int:
+    eng = _engine(args)
+    info = eng.dump_repository(args.repo, args.dest)
+    print(f"dumped {info['statements']} statements of {args.repo!r} "
+          f"to {args.dest}")
+    return 0
+
+
+def cmd_restore(args) -> int:
+    eng = _engine(args)
+    repo = eng.restore_repository(args.repo, args.src)
+    print(f"restored {args.repo!r} from {args.src}: "
+          f"{repo.count()} statements")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dublin_smart_city_graphdb_spark")
     ap.add_argument("--warehouse", default=None, help="persistent store dir")
@@ -109,6 +125,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("query")
     p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser(
+        "dump", help="export a repository (N-Quads + config)"
+    )
+    p.add_argument("--repo", required=True)
+    p.add_argument("--dest", required=True)
+    p.set_defaults(fn=cmd_dump)
+
+    p = sub.add_parser(
+        "restore", help="recreate a repository from a dump directory"
+    )
+    p.add_argument("--repo", required=True)
+    p.add_argument("--src", required=True)
+    p.set_defaults(fn=cmd_restore)
 
     args = ap.parse_args(argv)
     return args.fn(args)
