@@ -1319,3 +1319,59 @@ def sparql_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.select(
         "focus", "path", "value", F.col("constraint").alias("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Polygon containment (VERDICT r4 task 6: geof:sfWithin beyond rectangles)
+# ---------------------------------------------------------------------------
+
+# CCW triangle over the customer coordinate grid; vertices offset off the
+# grid (lon step 0.005, lat step 0.002) so no point lies exactly on an
+# edge — the engine ray-casts, the oracle half-plane-tests, and the two
+# agree everywhere except exact-boundary ties, which this rules out.
+_TRI = ((-6.4007, 53.2103), (-6.1003, 53.2501), (-6.3001, 53.3899))
+
+
+def _tri_halfplanes_sql() -> str:
+    (xa, ya), (xb, yb), (xc, yc) = _TRI
+    def edge(x1, y1, x2, y2):
+        return (f"(({x2} - {x1}) * (y - {y1}) - "
+                f"({y2} - {y1}) * (x - {x1})) > 0")
+    return " AND ".join([
+        edge(xa, ya, xb, yb), edge(xb, yb, xc, yc), edge(xc, yc, xa, ya),
+    ])
+
+
+@register(
+    "sparql_geo_polygon",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(CAST(CAST(-6.45 + (c_custkey % 80) * 0.005 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS x,
+               CAST(CAST(CAST(53.20 + (c_custkey % 100) * 0.002 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS y
+        FROM customer
+    )
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c
+    FROM pts WHERE {_tri_halfplanes_sql()}
+    """,
+    doc="geof:sfWithin with a NON-rectangular polygon: even-odd ray "
+        "casting over the outer ring (JVM higher-order functions, no "
+        "UDF). The oracle proves the ray-cast against an independent "
+        "half-plane formulation of the same CCW triangle.",
+)
+def sparql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geof = "http://www.opengis.net/def/function/geosparql/"
+    ring = ", ".join(f"{x} {y}" for x, y in (*_TRI, _TRI[0]))
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+        PREFIX geof: <{geof}>
+        SELECT ?cust
+        WHERE {{
+          ?cust a rel:Customer ; geo:asWKT ?wkt .
+          FILTER(geof:sfWithin(?wkt, "POLYGON(({ring}))"^^geo:wktLiteral))
+        }}
+    """)
+    return df.select(_lex("cust").alias("c"))

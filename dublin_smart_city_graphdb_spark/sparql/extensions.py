@@ -106,32 +106,71 @@ def wkt_within_bbox(args: list[Column]) -> Column:
     return make_bool(inside)
 
 
+# POLYGON outer ring: the first "( ... )" group inside the body — holes
+# (subsequent rings) are deliberately excluded from vertex extraction
+_WKT_POLY_RING = r"^\s*POLYGON\s*\(\s*\(([^)]+)\)"
+
+
 def geof_sf_within(args: list[Column]) -> Column:
     """geof:sfWithin(geomA, geomB) → xsd:boolean — GeoSPARQL simple-features
-    containment for the shapes the reference's data actually uses: geomA a
-    POINT, geomB an axis-aligned rectangle POLYGON (or any geometry, tested
-    against its bounding box).
+    containment: geomA a POINT, geomB a POLYGON (general rings via
+    ray-casting) or any other geometry (tested against its bounding box).
 
-    Semantics: point ∈ [min lon, max lon] × [min lat, max lat] of geomB's
-    coordinate list — exact for axis-aligned rectangles (the bbox idiom of
-    facilities.ttl:211-218); for non-rectangular polygons this is the
-    bounding-box approximation, documented as such. Vertex extraction is
-    ``regexp_extract_all`` + higher-order ``transform``/``array_min`` — all
-    JVM, codegen-friendly, no UDF. Non-POINT geomA → null (SPARQL error)."""
+    Three JVM-only paths, no UDF anywhere:
+    - geomB an axis-aligned rectangle POLYGON (every vertex lon ∈ {min,
+      max} and lat ∈ {min,max}): CLOSED bbox compare — exact, boundary
+      inclusive, the reference's own spatial idiom
+      (facilities.ttl:211-218) and bit-compatible with the r4 behavior.
+    - geomB any other POLYGON: even-odd ray casting over the OUTER ring
+      (``F.filter`` over the edge index sequence counting upward/downward
+      crossings left of the point) — exact for simple polygons' strict
+      interior; points exactly ON a non-axis-aligned edge follow the
+      even-odd tie-break (not specified by us). Holes are not subtracted
+      (outer-ring containment), documented restriction.
+    - non-POLYGON geomB: bounding box of all coordinate pairs (unchanged).
+    Non-POINT geomA or empty geomB → null (SPARQL error → row drops)."""
     a_lex, b_lex = args[0]["lex"], args[1]["lex"]
     lon = F.regexp_extract(a_lex, _WKT_POINT, 1)
     lat = F.regexp_extract(a_lex, _WKT_POINT, 2)
-    lon_d = F.when(lon != "", lon).cast("double")
-    lat_d = F.when(lat != "", lat).cast("double")
-    b_lons = _geom_lons(b_lex)
-    b_lats = _geom_lats(b_lex)
-    nonempty = F.size(b_lons) > 0
-    inside = (
-        (lon_d >= F.array_min(b_lons))
-        & (lon_d <= F.array_max(b_lons))
-        & (lat_d >= F.array_min(b_lats))
-        & (lat_d <= F.array_max(b_lats))
+    x = F.when(lon != "", lon).cast("double")
+    y = F.when(lat != "", lat).cast("double")
+
+    ring = F.regexp_extract(b_lex, _WKT_POLY_RING, 1)
+    is_poly = ring != ""
+    src = F.when(is_poly, ring).otherwise(b_lex)
+    xs = _geom_lons(src)
+    ys = _geom_lats(src)
+    nonempty = F.size(xs) > 0
+
+    xmin, xmax = F.array_min(xs), F.array_max(xs)
+    ymin, ymax = F.array_min(ys), F.array_max(ys)
+    bbox_inside = (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax)
+
+    is_rect = F.forall(
+        xs, lambda v: (v == xmin) | (v == xmax)
+    ) & F.forall(ys, lambda v: (v == ymin) | (v == ymax))
+
+    # even-odd ray casting: count ring edges (i, i+1) that straddle the
+    # horizontal line through y with their crossing strictly left of x
+    idx = F.sequence(F.lit(0), F.size(xs) - 2)
+    crossings = F.size(
+        F.filter(
+            idx,
+            lambda i: (
+                ((F.get(ys, i) > y) != (F.get(ys, i + 1) > y))
+                & (
+                    x
+                    < (F.get(xs, i + 1) - F.get(xs, i))
+                    * (y - F.get(ys, i))
+                    / (F.get(ys, i + 1) - F.get(ys, i))
+                    + F.get(xs, i)
+                )
+            ),
+        )
     )
+    ray_inside = crossings % 2 == 1
+
+    inside = F.when(is_rect | ~is_poly, bbox_inside).otherwise(ray_inside)
     return make_bool(F.when(nonempty, inside))
 
 

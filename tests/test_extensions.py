@@ -128,3 +128,54 @@ def test_wkt_point_accessors(spark):
         }
     """)
     assert float(rows2[0]["d"].lex) == 0.0
+
+
+def test_sf_within_polygon_shapes(spark):
+    """geof:sfWithin: ray-cast point-in-polygon for general rings,
+    closed-bbox exactness for axis-aligned rectangles, bbox fallback for
+    non-polygons (VERDICT r4 task 6)."""
+    eng = Engine(spark)
+    r = eng.create_repository("geo_poly", ruleset="none")
+    r.load_turtle("""
+    @prefix ex: <http://g#> .
+    @prefix geo: <http://www.opengis.net/ont/geosparql#> .
+    ex:inTri   geo:asWKT "POINT(1.0 1.0)"^^geo:wktLiteral .
+    ex:concave geo:asWKT "POINT(4.9 2.5)"^^geo:wktLiteral .
+    ex:edgeRect geo:asWKT "POINT(0.0 1.0)"^^geo:wktLiteral .
+    ex:outside geo:asWKT "POINT(9.0 9.0)"^^geo:wktLiteral .
+    """)
+
+    def within(poly):
+        got = r.sparql(f"""
+            PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+            PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+            SELECT ?s WHERE {{
+              ?s geo:asWKT ?w .
+              FILTER(geof:sfWithin(?w, "{poly}"^^geo:wktLiteral))
+            }} ORDER BY ?s
+        """).collect()
+        return [x[0]["lex"].rsplit("#", 1)[1] for x in got]
+
+    # triangle (0,0)-(4,0)-(0,4): (1,1) strictly inside; (4.9,2.5) and
+    # (9,9) outside; (0,1) lies ON the vertical edge x=0 — even-odd
+    # counts the edge crossing at x=0 left-inclusive, point included here
+    tri = "POLYGON((0 0, 4 0, 0 4, 0 0))"
+    assert within(tri) == ["edgeRect", "inTri"]
+
+    # concave "C" shape: bbox is [0,6]x[0,5]; (4.9,2.5) is inside the
+    # bbox but inside the NOTCH — a bbox approximation would wrongly
+    # include it, ray casting excludes it. (0,1) sits ON the left edge:
+    # even-odd's tie-break includes it here (documented boundary
+    # ambiguity for non-rectangles); (1,1) is strictly inside.
+    concave = "POLYGON((0 0, 6 0, 6 1, 2 1, 2 4, 6 4, 6 5, 0 5, 0 0))"
+    assert within(concave) == ["edgeRect", "inTri"]
+
+    # axis-aligned rectangle: closed boundary (edge point included),
+    # bit-compatible with the r4 bbox behavior
+    rect = "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"
+    assert within(rect) == ["edgeRect", "inTri"]
+
+    # non-polygon geomB falls back to bbox of its coordinate pairs
+    line = "LINESTRING(0 0, 2 2)"
+    assert within(line) == ["edgeRect", "inTri"]
+    eng.drop_repository("geo_poly")
