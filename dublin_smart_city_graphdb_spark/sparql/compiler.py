@@ -432,8 +432,28 @@ class QueryCompiler:
                 agg_exprs.append(
                     fby(operand["dtype"], operand["num"]).alias(raw + "_dt")
                 )
+                # §18.5.1.7/8 use op:< — comparing a numeric with a
+                # non-numeric term is a type error, so a group holding
+                # BOTH kinds makes the aggregate error → unbound (W3C
+                # case minmax-mixed-kinds)
+                agg_exprs.append(
+                    F.max(
+                        F.when(operand["num"].isNotNull(), 1).otherwise(0)
+                    ).alias(raw + "_hn")
+                )
+                agg_exprs.append(
+                    F.max(
+                        F.when(
+                            operand["num"].isNull()
+                            & operand["lex"].isNotNull(),
+                            1,
+                        ).otherwise(0)
+                    ).alias(raw + "_hs")
+                )
+                mixed = (F.col(raw + "_hn") == 1) & (F.col(raw + "_hs") == 1)
                 builders[id(node)] = (
-                    F.when(
+                    F.when(mixed, null_struct())
+                    .when(
                         F.col(raw + "_n").isNotNull()
                         & (F.col(raw + "_dt") == XSD + "integer"),
                         make_numeric(F.col(raw + "_n"), XSD + "integer"),

@@ -663,7 +663,15 @@ class ExprCompiler:
         if name == "ABS":
             return _int_preserving(args[0], F.abs(_num(args[0])))
         if name == "ROUND":
-            return _int_preserving(args[0], F.round(_num(args[0]), 0))
+            # XPath fn:round: ties go toward POSITIVE INFINITY —
+            # round(2.5)=3 but round(-2.5)=-2. Spark's round() is
+            # HALF_UP (away from zero: -2.5 → -3), so use floor(x+0.5)
+            # (W3C case round-half-negative).
+            return _int_preserving(
+                args[0],
+                F.floor(_num(args[0]) + F.lit("0.5").cast("decimal(38,10)"))
+                .cast("decimal(38,10)"),
+            )
         if name == "CEIL":
             return _int_preserving(
                 args[0], F.ceil(_num(args[0])).cast("decimal(38,10)")
@@ -701,13 +709,48 @@ class ExprCompiler:
             )
         if name == "SECONDS":
             return make_numeric(F.second(args[0]["ts"]), XSD + "integer")
-        if name in ("TIMEZONE", "TZ"):
-            # Stored lexical form carries the zone; engine normalizes to UTC.
+        if name == "TZ":
+            # §17.4.5.9: the zone as a simple literal — "Z", "+02:30", or
+            # "" when the literal carries no timezone. Stored lexical form
+            # carries the zone; the ts shadow is normalized.
             lex = _lex(args[0])
             tz = F.when(lex.endswith("Z"), F.lit("Z")).otherwise(
                 F.regexp_extract(lex, r"([+-]\d\d:\d\d)$", 1)
             )
             return make_string(tz)
+        if name == "TIMEZONE":
+            # §17.4.5.8: the zone as xsd:dayTimeDuration ("-PT5H",
+            # "PT2H30M", Z → "PT0S"); NO timezone is an error (unbound),
+            # unlike TZ's empty string (W3C case tz-functions).
+            from dublin_smart_city_graphdb_spark.sparql.termcol import (
+                _NULL_B, _NULL_N, _NULL_T, _struct,
+            )
+
+            lex = _lex(args[0])
+            sign = F.regexp_extract(lex, r"([+-])\d\d:\d\d$", 1)
+            hh = F.regexp_extract(lex, r"[+-](\d\d):\d\d$", 1).cast("int")
+            mm = F.regexp_extract(lex, r"[+-]\d\d:(\d\d)$", 1).cast("int")
+            dur = (
+                F.when(lex.endswith("Z"), F.lit("PT0S"))
+                .when(
+                    sign != "",
+                    F.when(
+                        (hh == 0) & (mm == 0), F.lit("PT0S")
+                    ).otherwise(
+                        F.concat(
+                            F.when(sign == "-", F.lit("-")).otherwise(F.lit("")),
+                            F.lit("PT"),
+                            F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H"))).otherwise(F.lit("")),
+                            F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M"))).otherwise(F.lit("")),
+                        )
+                    ),
+                )
+            )
+            return _struct(
+                F.when(dur.isNull(), F.lit(None)).otherwise(F.lit(KIND_LITERAL)),
+                dur, F.when(dur.isNotNull(), F.lit(XSD + "dayTimeDuration")),
+                F.lit(None).cast("string"), _NULL_N(), _NULL_T(), _NULL_B(),
+            )
 
         if name == "MD5":
             return make_string(F.md5(_lex(args[0]).cast("binary")))

@@ -129,7 +129,12 @@ def geof_sf_within(args: list[Column]) -> Column:
       (outer-ring containment), documented restriction.
     - non-POLYGON geomB: bounding box of all coordinate pairs (unchanged).
     Non-POINT geomA or empty geomB → null (SPARQL error → row drops)."""
-    a_lex, b_lex = args[0]["lex"], args[1]["lex"]
+    return make_bool(_point_in_geom(args[0]["lex"], args[1]["lex"]))
+
+
+def _point_in_geom(a_lex: Column, b_lex: Column) -> Column:
+    """Nullable boolean: the POINT ``a_lex`` lies in geometry ``b_lex``
+    (see geof_sf_within for path semantics)."""
     lon = F.regexp_extract(a_lex, _WKT_POINT, 1)
     lat = F.regexp_extract(a_lex, _WKT_POINT, 2)
     x = F.when(lon != "", lon).cast("double")
@@ -171,7 +176,59 @@ def geof_sf_within(args: list[Column]) -> Column:
     ray_inside = crossings % 2 == 1
 
     inside = F.when(is_rect | ~is_poly, bbox_inside).otherwise(ray_inside)
-    return make_bool(F.when(nonempty, inside))
+    return F.when(nonempty, inside)
+
+
+def _is_point(lex: Column) -> Column:
+    return F.regexp_extract(lex, _WKT_POINT, 1) != ""
+
+
+def _bbox_overlap(a_lex: Column, b_lex: Column) -> Column:
+    """Nullable boolean: the bounding boxes of two geometries intersect
+    (closed compare). Exact for axis-aligned rectangles, the standard
+    coarse filter otherwise."""
+    axs, ays = _geom_lons(a_lex), _geom_lats(a_lex)
+    bxs, bys = _geom_lons(b_lex), _geom_lats(b_lex)
+    nonempty = (F.size(axs) > 0) & (F.size(bxs) > 0)
+    overlap = (
+        (F.array_min(axs) <= F.array_max(bxs))
+        & (F.array_min(bxs) <= F.array_max(axs))
+        & (F.array_min(ays) <= F.array_max(bys))
+        & (F.array_min(bys) <= F.array_max(ays))
+    )
+    return F.when(nonempty, overlap)
+
+
+def geof_sf_contains(args: list[Column]) -> Column:
+    """geof:sfContains(geomA, geomB) ≡ sfWithin(geomB, geomA) for the
+    POINT-in-polygon shapes this engine evaluates exactly."""
+    return make_bool(_point_in_geom(args[1]["lex"], args[0]["lex"]))
+
+
+def geof_sf_intersects(args: list[Column]) -> Column:
+    """geof:sfIntersects(geomA, geomB): exact when either side is a
+    POINT (point-in-geometry, ray cast for general polygons); two
+    non-point geometries use the closed bounding-box overlap (exact for
+    axis-aligned rectangles, the standard coarse filter otherwise —
+    documented approximation)."""
+    a_lex, b_lex = args[0]["lex"], args[1]["lex"]
+    return make_bool(
+        F.when(_is_point(a_lex), _point_in_geom(a_lex, b_lex))
+        .when(_is_point(b_lex), _point_in_geom(b_lex, a_lex))
+        .otherwise(_bbox_overlap(a_lex, b_lex))
+    )
+
+
+def geof_sf_disjoint(args: list[Column]) -> Column:
+    """geof:sfDisjoint(geomA, geomB) = NOT sfIntersects — same exactness
+    envelope as sfIntersects."""
+    a_lex, b_lex = args[0]["lex"], args[1]["lex"]
+    inter = (
+        F.when(_is_point(a_lex), _point_in_geom(a_lex, b_lex))
+        .when(_is_point(b_lex), _point_in_geom(b_lex, a_lex))
+        .otherwise(_bbox_overlap(a_lex, b_lex))
+    )
+    return make_bool(~inter)
 
 
 def default_extensions() -> dict:
@@ -181,4 +238,7 @@ def default_extensions() -> dict:
         FN + "wktLat": wkt_lat,
         FN + "wktWithinBBox": wkt_within_bbox,
         GEOF + "sfWithin": geof_sf_within,
+        GEOF + "sfContains": geof_sf_contains,
+        GEOF + "sfIntersects": geof_sf_intersects,
+        GEOF + "sfDisjoint": geof_sf_disjoint,
     }

@@ -179,3 +179,40 @@ def test_sf_within_polygon_shapes(spark):
     line = "LINESTRING(0 0, 2 2)"
     assert within(line) == ["edgeRect", "inTri"]
     eng.drop_repository("geo_poly")
+
+
+def test_sf_contains_intersects_disjoint(spark):
+    """The remaining simple-features predicates: sfContains (within
+    swapped), sfIntersects (point exact / bbox coarse), sfDisjoint."""
+    eng = Engine(spark)
+    r = eng.create_repository("geo_sf", ruleset="none")
+    r.load_turtle("""
+    @prefix ex: <http://g#> .
+    @prefix geo: <http://www.opengis.net/ont/geosparql#> .
+    ex:p1 geo:asWKT "POINT(1 1)"^^geo:wktLiteral .
+    ex:p2 geo:asWKT "POINT(9 9)"^^geo:wktLiteral .
+    """)
+
+    def ask(fn, a, b):
+        got = r.sparql(f"""
+            PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+            PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+            ASK {{ FILTER(geof:{fn}("{a}"^^geo:wktLiteral,
+                                    "{b}"^^geo:wktLiteral)) }}
+        """).collect()
+        return got[0][0]
+
+    tri = "POLYGON((0 0, 4 0, 0 4, 0 0))"
+    assert ask("sfContains", tri, "POINT(1 1)") is True
+    assert ask("sfContains", tri, "POINT(9 9)") is False
+    assert ask("sfIntersects", "POINT(1 1)", tri) is True
+    assert ask("sfIntersects", tri, "POINT(9 9)") is False
+    # two rectangles: overlap vs apart (bbox compare, exact for rects)
+    r1 = "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"
+    r2 = "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))"
+    r3 = "POLYGON((5 5, 6 5, 6 6, 5 6, 5 5))"
+    assert ask("sfIntersects", r1, r2) is True
+    assert ask("sfIntersects", r1, r3) is False
+    assert ask("sfDisjoint", r1, r3) is True
+    assert ask("sfDisjoint", r1, r2) is False
+    eng.drop_repository("geo_sf")
