@@ -307,26 +307,7 @@ def validate(quads: DataFrame, shapes: list[NodeShape]) -> DataFrame:
 def _check_property(quads: DataFrame, focus: DataFrame, ns: NodeShape,
                     ps: PropertyShape) -> list[DataFrame]:
     shape = ns.iri
-    scan = quads.filter(F.col("p") == ps.path)
-    if ps.inverse:
-        vals = scan.select(
-            F.col("o_lex").alias("focus"),
-            F.lit(0).cast("tinyint").alias("v_kind"),
-            F.col("s").alias("v_lex"),
-            F.lit(None).cast("string").alias("v_dtype"),
-            F.lit(None).cast("string").alias("v_lang"),
-            F.lit(None).cast("decimal(38,10)").alias("v_num"),
-        ).filter(F.col("v_lex").isNotNull())
-    else:
-        vals = scan.select(
-            F.col("s").alias("focus"),
-            F.col("o_kind").alias("v_kind"),
-            F.col("o_lex").alias("v_lex"),
-            F.col("o_dtype").alias("v_dtype"),
-            F.col("o_lang").alias("v_lang"),
-            F.col("o_num").alias("v_num"),
-        )
-    vals = vals.join(focus, "focus")
+    vals = property_values(quads, ps).join(focus, "focus")
     out: list[DataFrame] = []
     fcol = F.col("focus")
     vcol = F.col("v_lex")
@@ -355,6 +336,37 @@ def _check_property(quads: DataFrame, focus: DataFrame, ns: NodeShape,
                 )
             ))
 
+    out.extend(_value_checks(vals, ns, ps))
+    if ps.class_ is not None:
+        out.append(_class_check(vals, quads, ns, ps))
+
+    if ps.has_value is not None:
+        k, lex = ps.has_value
+        holders = vals.filter(
+            (F.col("v_kind") == k) & (vcol == lex)
+        ).select("focus").distinct()
+        out.append(focus.join(holders, "focus", "left_anti").select(
+            *_report_row(
+                ps, shape, "HasValueConstraintComponent", fcol,
+                F.lit(None).cast("string"),
+                F.lit(f"missing required value {lex}"),
+            )
+        ))
+
+    return out
+
+
+def _value_checks(vals: DataFrame, ns: NodeShape,
+                  ps: PropertyShape) -> list[DataFrame]:
+    """Pure ROW-LEVEL constraint checks (datatype, nodeKind, pattern,
+    numeric ranges, lengths, sh:in): each is a filter over the value rows
+    with no join and no aggregation — reusable verbatim by the streaming
+    validator (stateless per micro-batch)."""
+    shape = ns.iri
+    fcol = F.col("focus")
+    vcol = F.col("v_lex")
+    out: list[DataFrame] = []
+
     if ps.datatype is not None:
         eff = F.when(
             F.col("v_kind") != 2, F.lit(None)
@@ -368,22 +380,6 @@ def _check_property(quads: DataFrame, focus: DataFrame, ns: NodeShape,
         ).select(*_report_row(
             ps, shape, "DatatypeConstraintComponent", fcol, vcol,
             F.lit(f"expected datatype {ps.datatype}"),
-        )))
-
-    if ps.class_ is not None:
-        instances = quads.filter(
-            (F.col("p") == RDF_TYPE) & (F.col("o_lex") == ps.class_)
-        ).select(F.col("s").alias("v_lex")).distinct()
-        # no explicit broadcast hint: the instance set of a class can be
-        # huge at scale — AQE picks broadcast when it actually fits
-        bad = vals.filter(F.col("v_kind") == 2).unionByName(
-            vals.filter(F.col("v_kind") != 2).join(
-                instances, "v_lex", "left_anti"
-            )
-        )
-        out.append(bad.select(*_report_row(
-            ps, shape, "ClassConstraintComponent", fcol, vcol,
-            F.lit(f"value is not an instance of {ps.class_}"),
         )))
 
     if ps.node_kind is not None:
@@ -438,21 +434,49 @@ def _check_property(quads: DataFrame, focus: DataFrame, ns: NodeShape,
             ps, shape, "InConstraintComponent", fcol, vcol,
             F.lit("value not in sh:in enumeration"),
         )))
-
-    if ps.has_value is not None:
-        k, lex = ps.has_value
-        holders = vals.filter(
-            (F.col("v_kind") == k) & (vcol == lex)
-        ).select("focus").distinct()
-        out.append(focus.join(holders, "focus", "left_anti").select(
-            *_report_row(
-                ps, shape, "HasValueConstraintComponent", fcol,
-                F.lit(None).cast("string"),
-                F.lit(f"missing required value {lex}"),
-            )
-        ))
-
     return out
+
+
+def _class_check(vals: DataFrame, type_source: DataFrame, ns: NodeShape,
+                 ps: PropertyShape) -> DataFrame:
+    """sh:class: values that are not (IRI/bnode) instances of the class.
+    Left-outer join + null-marker filter instead of anti-join so the SAME
+    shape works when ``vals`` is a stream (stream-static left outer is
+    supported; anti is not). No broadcast hint: the instance set of a
+    class can be huge at scale — AQE picks broadcast when it fits."""
+    instances = type_source.filter(
+        (F.col("p") == RDF_TYPE) & (F.col("o_lex") == ps.class_)
+    ).select(F.col("s").alias("v_lex"),
+             F.lit(True).alias("_is_inst")).distinct()
+    joined = vals.join(instances, "v_lex", "left")
+    bad = (F.col("v_kind") == 2) | F.col("_is_inst").isNull()
+    return joined.filter(bad).select(*_report_row(
+        ps, ns.iri, "ClassConstraintComponent", F.col("focus"),
+        F.col("v_lex"), F.lit(f"value is not an instance of {ps.class_}"),
+    ))
+
+
+def property_values(quads: DataFrame, ps: PropertyShape) -> DataFrame:
+    """The (focus, value-term) rows a property shape constrains — the
+    predicate-filtered scan both validators share."""
+    scan = quads.filter(F.col("p") == ps.path)
+    if ps.inverse:
+        return scan.select(
+            F.col("o_lex").alias("focus"),
+            F.lit(0).cast("tinyint").alias("v_kind"),
+            F.col("s").alias("v_lex"),
+            F.lit(None).cast("string").alias("v_dtype"),
+            F.lit(None).cast("string").alias("v_lang"),
+            F.lit(None).cast("decimal(38,10)").alias("v_num"),
+        )
+    return scan.select(
+        F.col("s").alias("focus"),
+        F.col("o_kind").alias("v_kind"),
+        F.col("o_lex").alias("v_lex"),
+        F.col("o_dtype").alias("v_dtype"),
+        F.col("o_lang").alias("v_lang"),
+        F.col("o_num").alias("v_num"),
+    )
 
 
 def report_conforms(report: DataFrame) -> bool:

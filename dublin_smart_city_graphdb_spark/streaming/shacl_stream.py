@@ -1,0 +1,70 @@
+"""Streaming SHACL validation — the CDC-gate twin of ``shacl.py``.
+
+Scenario: a repository holds the known graph (types, existing
+statements); NEW statements arrive as a quad stream (the same shape the
+exactly-once ingest feed uses). Each micro-batch is validated against
+the shapes BEFORE it lands, so constraint-violating statements can be
+quarantined at the door — RDF4J's transactional-SHACL behavior
+re-expressed for continuous ingestion.
+
+Constraint envelope (documented, enforced at build time):
+ - all ROW-LEVEL components (datatype, nodeKind, pattern, numeric
+   ranges, lengths, sh:in) — stateless filters, shared verbatim with the
+   batch validator (``shacl._value_checks``);
+ - sh:class — a stream-static LEFT OUTER join against the repository's
+   instance set (``shacl._class_check``; left-outer is on Structured
+   Streaming's supported stream-static list, anti is not — which is why
+   the batch validator uses the same null-marker formulation);
+ - focus scoping by sh:targetClass / sh:targetSubjectsOf resolves
+   against the STATIC graph (stream-static inner join): a streamed
+   statement is validated when its subject is already a known instance.
+ - sh:minCount / sh:maxCount / sh:hasValue are CARDINALITY constraints
+   over the whole graph — meaningless per micro-batch — and raise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from dublin_smart_city_graphdb_spark.shacl import (
+    NodeShape,
+    ShaclError,
+    _class_check,
+    _focus_nodes,
+    _value_checks,
+    property_values,
+)
+
+
+def validate_statements_stream(
+    stream_quads: DataFrame, static_quads: DataFrame,
+    shapes: list[NodeShape],
+) -> DataFrame:
+    """Violation stream for a quad feed, scoped and class-checked against
+    the static repository graph. Returns a streaming DataFrame with the
+    batch validator's report columns."""
+    reports: list[DataFrame] = []
+    for ns in shapes:
+        focus = _focus_nodes(static_quads, ns)
+        for ps in ns.properties:
+            if (
+                ps.min_count is not None
+                or ps.max_count is not None
+                or ps.has_value is not None
+            ):
+                raise ShaclError(
+                    "shacl-stream: cardinality constraints (minCount/"
+                    "maxCount/hasValue) are whole-graph properties — "
+                    "validate them with Repository.validate_shacl"
+                )
+            vals = property_values(stream_quads, ps).join(focus, "focus")
+            reports.extend(_value_checks(vals, ns, ps))
+            if ps.class_ is not None:
+                reports.append(_class_check(vals, static_quads, ns, ps))
+    if not reports:
+        raise ShaclError("shacl-stream: no streamable constraints in shapes")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

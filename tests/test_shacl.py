@@ -237,3 +237,89 @@ def test_shacl_rest_route(spark):
     finally:
         srv.stop()
         eng.drop_repository("shacl_http")
+
+
+def test_streaming_validation_matches_batch(spark, tmp_path):
+    """Streaming SHACL twin: a quad feed validated per micro-batch against
+    the static repository (row-level constraints + stream-static class
+    check) emits exactly the violations the batch validator reports for
+    the same statements."""
+    from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
+    from dublin_smart_city_graphdb_spark.shacl import (
+        ShaclError as SErr,
+        parse_shapes,
+        validate,
+    )
+    from dublin_smart_city_graphdb_spark.sources.turtle import turtle_to_rows
+    from dublin_smart_city_graphdb_spark.streaming.events import (
+        run_available_to_memory,
+    )
+    from dublin_smart_city_graphdb_spark.streaming.shacl_stream import (
+        validate_statements_stream,
+    )
+
+    eng = Engine(spark)
+    static = eng.create_repository("shacl_static", ruleset="none")
+    static.load_turtle_text(DATA)  # alice/bob/carol are known Persons
+
+    # the incoming feed: new statements about KNOWN subjects
+    feed_ttl = f"""
+    @prefix ex: <{EX}> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:alice ex:age "31"^^xsd:integer .
+    ex:bob ex:age "-7"^^xsd:integer .
+    ex:carol ex:email "carol@ex.org" .
+    ex:carol ex:email "broken-address" .
+    ex:bob ex:knows ex:stranger .
+    """
+    # the file stream source lists files at the TOP level of the feed dir
+    # (it does not descend into a batch0.parquet subdirectory): stage the
+    # batch, then move its part files up into the feed
+    import shutil
+
+    feed = tmp_path / "quads_feed"
+    feed.mkdir()
+    staging = tmp_path / "staging"
+    spark.createDataFrame(
+        turtle_to_rows(feed_ttl), QUAD_SCHEMA
+    ).coalesce(1).write.parquet(str(staging))
+    for i, part in enumerate(sorted(staging.glob("part-*.parquet"))):
+        shutil.move(str(part), str(feed / f"batch{i}.parquet"))
+
+    shapes_ttl = _shape(
+        "sh:property [ sh:path ex:age ; sh:minInclusive 0 ] ;\n"
+        '      sh:property [ sh:path ex:email ; sh:pattern "^[^@]+@[^@]+$" ] ;\n'
+        "      sh:property [ sh:path ex:knows ; sh:class ex:Person ]"
+    )
+    shapes = parse_shapes(shapes_ttl)
+
+    schema = spark.read.parquet(str(feed)).schema
+    stream = spark.readStream.schema(schema).parquet(str(feed))
+    got = run_available_to_memory(
+        spark,
+        validate_statements_stream(stream, static.quads, shapes),
+        "t_shacl_stream",
+        str(tmp_path / "ckpt_shacl"),
+        output_mode="append",
+    )
+    want = validate(
+        spark.createDataFrame(turtle_to_rows(feed_ttl), QUAD_SCHEMA)
+        .unionByName(static.quads.filter("p like '%type'")),
+        shapes,
+    )
+    key = lambda r: (r["focus"], r["constraint"], r["value"] or "")
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # the three expected violations, for the record
+    assert sorted(map(key, got.collect())) == [
+        (EX + "bob", "ClassConstraintComponent", EX + "stranger"),
+        (EX + "bob", "MinInclusiveConstraintComponent", "-7"),
+        (EX + "carol", "PatternConstraintComponent", "broken-address"),
+    ]
+    # cardinality constraints refuse loudly
+    with pytest.raises(SErr):
+        validate_statements_stream(
+            stream, static.quads,
+            parse_shapes(_shape(
+                "sh:property [ sh:path ex:age ; sh:minCount 1 ]")),
+        )
+    eng.drop_repository("shacl_static")
