@@ -115,9 +115,19 @@ def pagerank(
     out-degree side is computed once and re-joined (broadcast when small).
     Dangling mass follows the common simplification of redistributing only
     through the damping constant. Fixed iteration count keeps the result
-    deterministic (and SQL-oracle-expressible); ranks are decimal-exact
-    summed then rounded to 9dp so distributed partial-sum order can't
-    perturb the value."""
+    deterministic (and SQL-oracle-expressible); the rank pipeline is pure
+    FIXED-POINT INTEGER arithmetic — ranks in nano-units (1e9 per unit of
+    rank), contributions via truncating integer division, damping applied
+    as (d_num * sum) div d_den — because both double-rounding and
+    double→decimal casts are tie-sensitive across engines (1-ulp oracle
+    drifts surfaced at sf1 in both variants); integer ops are bit-exact
+    everywhere. Sums ride in decimal(38,0) so ~1e11-node graphs can't
+    overflow the 64-bit range mid-aggregate. Only the returned column
+    converts to double (exact: nano-unit counts < 2^53)."""
+    from fractions import Fraction
+
+    frac = Fraction(str(damping)).limit_denominator(10**6)
+    d_num, d_den = frac.numerator, frac.denominator
     tr = CheckpointTracker(edges)
     e, e_ids = tr.checkpoint(
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
@@ -130,7 +140,9 @@ def pagerank(
     degrees = e.groupBy(F.col("e_src").alias("id")).agg(
         F.count("*").alias("out_deg")
     )
-    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    unit = 10**9  # rank 1.0 == 1e9 nano-units
+    base_units = (unit * (d_den - d_num)) // d_den
+    ranks = nodes.select("id", F.lit(unit).cast("long").alias("rank"))
     rank_ids: set = set()
     for _ in range(iterations):
         contribs = (
@@ -138,20 +150,23 @@ def pagerank(
             .join(degrees, "id")
             .select(
                 F.col("e_dst").alias("id"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
+                F.expr("rank div out_deg").alias("c"),
             )
         )
         summed = contribs.groupBy("id").agg(
-            F.round(
-                F.sum(F.col("c").cast("decimal(27,12)")).cast("double"), 9
-            ).alias("in_sum")
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("in_sum")
         )
         ranks, new_rank_ids = tr.checkpoint(
             nodes.join(summed, "id", "left").select(
                 "id",
-                F.round(
-                    (1 - damping) + damping * F.coalesce("in_sum", F.lit(0.0)), 9
-                ).alias("rank"),
+                (
+                    F.lit(base_units).cast("decimal(38,0)")
+                    + F.expr(
+                        f"(cast({d_num} as decimal(38,0)) *"
+                        f" coalesce(in_sum, cast(0 as decimal(38,0))))"
+                        f" div {d_den}"
+                    ).cast("decimal(38,0)")
+                ).cast("long").alias("rank"),
             )
         )
         tr.free(rank_ids)  # previous generation fully superseded
@@ -159,7 +174,9 @@ def pagerank(
     if rank_ids:
         # final ranks are materialized: the edge/node scaffolding is garbage
         tr.free(e_ids | node_ids)
-    return ranks
+    return ranks.select(
+        "id", (F.col("rank").cast("double") / F.lit(float(unit))).alias("rank")
+    )
 
 
 def connected_components(

@@ -937,22 +937,32 @@ def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PageRank over the who-buys-from-whom graph
 # ---------------------------------------------------------------------------
 
-_PR_DAMP = 0.85
-_PR_BASE = repr(1.0 - _PR_DAMP)  # embed the exact double Spark computes
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+_PR_UNIT = 10**9  # rank 1.0 == 1e9 nano-units (fixed-point)
+_PR_BASE_UNITS = (_PR_UNIT * (_PR_DAMP_DEN - _PR_DAMP_NUM)) // _PR_DAMP_DEN
 
 
 def _pr_round_sql(k: int) -> str:
+    # The rank pipeline is pure fixed-point INTEGER arithmetic (nano-units,
+    # truncating division) — bit-exact in any engine. Both a 9-dp DOUBLE
+    # round and a double→DECIMAL cast proved tie-sensitive across engines
+    # (1-ulp oracle drifts at sf1); integer ops cannot drift. DuckDB `//`
+    # on BIGINT/HUGEINT truncates toward zero like Spark's `div`; all
+    # values here are positive so floor==trunc anyway. SUM(BIGINT) rides
+    # in HUGEINT so the damping product can't overflow mid-expression.
     return f"""
     c{k} AS (
-        SELECT e.dst AS id, r.rank / d.out_deg AS c
+        SELECT e.dst AS id, r.rank // d.out_deg AS c
         FROM edges e JOIN r{k - 1} r ON e.src = r.id JOIN deg d ON e.src = d.id
     ),
     s{k} AS (
-        SELECT id, ROUND(CAST(SUM(CAST(c AS DECIMAL(27,12))) AS DOUBLE), 9) AS in_sum
-        FROM c{k} GROUP BY id
+        SELECT id, SUM(c) AS in_sum FROM c{k} GROUP BY id
     ),
     r{k} AS (
-        SELECT n.id, ROUND({_PR_BASE} + {_PR_DAMP} * COALESCE(s{k}.in_sum, 0.0), 9) AS rank
+        SELECT n.id,
+               CAST({_PR_BASE_UNITS} + ({_PR_DAMP_NUM} *
+                    COALESCE(s{k}.in_sum, 0)) // {_PR_DAMP_DEN}
+                    AS BIGINT) AS rank
         FROM nodes n LEFT JOIN s{k} ON n.id = s{k}.id
     )"""
 
@@ -964,10 +974,10 @@ _PAGERANK_SQL = f"""
     ),
     nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
     deg AS (SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src),
-    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    r0 AS (SELECT id, CAST({_PR_UNIT} AS BIGINT) AS rank FROM nodes),
     {_pr_round_sql(1)},
     {_pr_round_sql(2)}
-    SELECT id, rank FROM r2
+    SELECT id, CAST(rank AS DOUBLE) / {float(_PR_UNIT)} AS rank FROM r2
 """
 
 
@@ -995,7 +1005,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dublin_smart_city_graphdb_spark.graph.closure import pagerank
 
-    return pagerank(edges, iterations=2, damping=_PR_DAMP).select(
+    return pagerank(
+        edges, iterations=2, damping=_PR_DAMP_NUM / _PR_DAMP_DEN
+    ).select(
         "id", "rank"
     )
 

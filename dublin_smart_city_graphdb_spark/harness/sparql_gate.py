@@ -984,6 +984,7 @@ def _rdf_edges_sql() -> str:
 
 def _rank_oracle_sql() -> str:
     from dublin_smart_city_graphdb_spark.harness.relational import (
+        _PR_UNIT,
         _pr_round_sql,
     )
 
@@ -991,10 +992,11 @@ def _rank_oracle_sql() -> str:
     WITH edges AS ({_rdf_edges_sql()}),
     nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
     deg AS (SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src),
-    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    r0 AS (SELECT id, CAST({_PR_UNIT} AS BIGINT) AS rank FROM nodes),
     {_pr_round_sql(1)},
     {_pr_round_sql(2)}
-    SELECT r2.id AS s, nat.n_name AS name, r2.rank AS r
+    SELECT r2.id AS s, nat.n_name AS name,
+           CAST(r2.rank AS DOUBLE) / {float(_PR_UNIT)} AS r
     FROM r2 JOIN nation nat ON r2.id = 'urn:nation:' || nat.n_nationkey
     ORDER BY s
     """
