@@ -1377,3 +1377,136 @@ def sparql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         }}
     """)
     return df.select(_lex("cust").alias("c"))
+
+
+# ---------------------------------------------------------------------------
+# Path search plugin (GraphDB graph-path-search twin, round 5)
+# ---------------------------------------------------------------------------
+
+def _path_bfs_oracle_sql(src: str, dst: str) -> str:
+    """Recursive-CTE BFS + min-predecessor backtrack — an independent
+    formulation of graph/paths.py's deterministic shortest path. ``pred``
+    picks the MIN in-neighbour one BFS level up, exactly the engine's
+    tie-break, so the hop list is unique in both engines."""
+    return f"""
+    WITH RECURSIVE
+    edges AS ({_rdf_edges_sql()}),
+    bfs(node, d) AS (
+        SELECT '{src}', 0
+        UNION
+        SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.d < 10
+    ),
+    dist AS (SELECT node, MIN(d) AS dist FROM bfs GROUP BY node),
+    pred AS (
+        SELECT dd.node AS node, MIN(e.src) AS pred
+        FROM edges e
+        JOIN dist ds ON ds.node = e.src
+        JOIN dist dd ON dd.node = e.dst
+        WHERE dd.dist = ds.dist + 1
+        GROUP BY dd.node
+    ),
+    walk(idx, node) AS (
+        SELECT (SELECT dist FROM dist WHERE node = '{dst}'), '{dst}'
+        UNION ALL
+        SELECT w.idx - 1, p.pred FROM walk w JOIN pred p ON p.node = w.node
+        WHERE w.idx > 0
+    )
+    """
+
+
+@register(
+    "sparql_path_shortest",
+    _path_bfs_oracle_sql("urn:customer:7", "urn:rel:Region") + """
+    SELECT a.node AS s, b.node AS e, CAST(a.idx AS BIGINT) AS i
+    FROM walk a JOIN walk b ON b.idx = a.idx + 1
+    ORDER BY i
+    """,
+    doc="GraphDB path plugin twin: path:findPath path:shortestPath over "
+        "the store's IRI-object graph (customer -> nation -> region -> "
+        "class node). Engine: Pregel-shaped BFS, frontier-only joins, "
+        "O(path length) driver traffic, min-predecessor determinism "
+        "(graph/paths.py). Oracle: recursive-CTE BFS + the same min-pred "
+        "backtrack.",
+)
+def sparql_path_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, """
+        PREFIX path: <urn:spark-graft:path:>
+        SELECT ?s ?e ?i WHERE {
+          [] path:findPath path:shortestPath ;
+             path:sourceNode <urn:customer:7> ;
+             path:destinationNode <urn:rel:Region> ;
+             path:startNode ?s ; path:endNode ?e ;
+             path:resultBindingIndex ?i .
+        } ORDER BY ?i
+    """)
+    return df.select(
+        _lex("s").alias("s"), _lex("e").alias("e"), _long("i").alias("i")
+    )
+
+
+@register(
+    "sparql_path_distance",
+    _path_bfs_oracle_sql("urn:customer:7", "urn:rel:Region") + """
+    SELECT CAST(dist AS BIGINT) AS d FROM dist WHERE node = 'urn:rel:Region'
+    """,
+    doc="path:findPath path:distance: BFS hop count to the destination "
+        "(empty result when unreachable, matching the plugin).",
+)
+def sparql_path_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, """
+        PREFIX path: <urn:spark-graft:path:>
+        SELECT ?d WHERE {
+          [] path:findPath path:distance ;
+             path:sourceNode <urn:customer:7> ;
+             path:destinationNode <urn:rel:Region> ;
+             path:distanceBinding ?d .
+        }
+    """)
+    return df.select(_long("d").alias("d"))
+
+
+@register(
+    "sparql_path_allpaths",
+    f"""
+    WITH RECURSIVE
+    edges AS ({_rdf_edges_sql()}),
+    p(path, last, len) AS (
+        SELECT ['urn:customer:3']::VARCHAR[], 'urn:customer:3', 0
+        UNION ALL
+        SELECT list_append(p.path, e.dst), e.dst, p.len + 1
+        FROM p JOIN edges e ON e.src = p.last
+        WHERE p.len < 4 AND p.last <> 'urn:rel:Region'
+          AND NOT list_contains(p.path, e.dst)
+    ),
+    hits AS (SELECT path, len FROM p WHERE last = 'urn:rel:Region'),
+    hops AS (
+        SELECT array_to_string(path, '->') AS ps,
+               unnest(generate_series(1, len)) AS k, path
+        FROM hits
+    )
+    SELECT ps, path[k] AS s, path[k+1] AS e, CAST(k - 1 AS BIGINT) AS i
+    FROM hops ORDER BY ps, i
+    """,
+    doc="path:findPath path:allPaths with path:maxPathLength and "
+        "path:pathString: bounded simple-path enumeration (array-carried "
+        "path, cycle filter; graph/paths.py all_simple_paths). Oracle: "
+        "recursive CTE carrying the path as a list with the same bound "
+        "and cycle check.",
+)
+def sparql_path_allpaths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, """
+        PREFIX path: <urn:spark-graft:path:>
+        SELECT ?ps ?s ?e ?i WHERE {
+          [] path:findPath path:allPaths ;
+             path:sourceNode <urn:customer:3> ;
+             path:destinationNode <urn:rel:Region> ;
+             path:maxPathLength 4 ;
+             path:startNode ?s ; path:endNode ?e ;
+             path:resultBindingIndex ?i ; path:pathString ?ps .
+        } ORDER BY ?ps ?i
+    """)
+    return df.select(
+        _lex("ps").alias("ps"), _lex("s").alias("s"),
+        _lex("e").alias("e"), _long("i").alias("i"),
+    )

@@ -725,7 +725,8 @@ class QueryCompiler:
         rank_parts, bgp = self._extract_rank(bgp)
         auto_parts, bgp = self._extract_autocomplete(bgp)
         sim_parts, bgp = self._extract_similarity(bgp)
-        fts_parts = fts_parts + rank_parts + auto_parts + sim_parts
+        path_parts, bgp = self._extract_pathsearch(bgp)
+        fts_parts = fts_parts + rank_parts + auto_parts + sim_parts + path_parts
 
         # Star compaction: patterns sharing a subject VAR with bound
         # predicates collapse into ONE groupBy(s) shuffle (collect_list per
@@ -1275,6 +1276,150 @@ class QueryCompiler:
             parts.append(
                 Compiled(matches.select(*sel), [tp.s.name], {tp.s.name})
             )
+        return parts, A.BGP(rest)
+
+    # -- Path search (magic predicates) ---------------------------------------
+    PATH_NS = "urn:spark-graft:path:"
+
+    def _extract_pathsearch(self, bgp: "A.BGP"):
+        """Pull a GraphDB-path-plugin-style search group out of a BGP;
+        return ([Compiled bindings], BGP of the remaining patterns).
+
+        Surface (one group per search subject, usually a ``[]`` bnode):
+
+        .. code-block:: sparql
+
+            PREFIX path: <urn:spark-graft:path:>
+            SELECT ?s ?e ?i WHERE {
+              [] path:findPath path:shortestPath ;   # | allPaths | distance
+                 path:sourceNode <urn:a> ;
+                 path:destinationNode <urn:z> ;
+                 path:propertyPath <urn:p> ;          # optional edge filter
+                 path:maxPathLength 6 ;               # allPaths bound
+                 path:startNode ?s ; path:endNode ?e ;
+                 path:resultBindingIndex ?i ;
+                 path:pathString ?ps ;                # allPaths/shortest
+                 path:distanceBinding ?d .            # distance mode
+            }
+
+        Mirrors the GraphDB graph-path-search plugin (shipped in the
+        reference's engine image, Dockerfile:2) with two documented
+        deviations: source/destination must be BOUND IRIs (the plugin also
+        accepts upstream bindings), and paths are identified by their node
+        string (``pathString``) rather than a numeric path index, which
+        keeps the result set-deterministic under distribution. Edges are
+        the store's s→o statements with IRI objects (optionally one
+        predicate); hop/distance semantics come from graph/paths.py —
+        Pregel-shaped BFS, O(path length) driver traffic, bounded
+        simple-path enumeration."""
+        NS = self.PATH_NS
+        groups: dict[str, dict[str, object]] = {}
+        rest: list[A.TriplePattern] = []
+        for tp in bgp.triples:
+            p_iri = tp.p.value if isinstance(tp.p, IRI) else None
+            if p_iri and p_iri.startswith(NS):
+                if not isinstance(tp.s, A.Var):
+                    raise ValueError(
+                        "path-search patterns need a variable/bnode subject"
+                    )
+                groups.setdefault(tp.s.name, {})[p_iri[len(NS):]] = tp.o
+            else:
+                rest.append(tp)
+
+        def need_iri(cfg, key):
+            t = cfg.get(key)
+            if not isinstance(t, IRI):
+                raise ValueError(f"path:{key} must be a bound IRI")
+            return t.value
+
+        def need_var(cfg, key):
+            t = cfg.get(key)
+            if not isinstance(t, A.Var):
+                raise ValueError(f"path:{key} must be a variable")
+            return t.name
+
+        parts: list[Compiled] = []
+        for cfg in groups.values():
+            from dublin_smart_city_graphdb_spark.graph.paths import (
+                all_simple_paths,
+                shortest_path,
+            )
+
+            mode = need_iri(cfg, "findPath")
+            if not mode.startswith(NS):
+                raise ValueError(f"unknown path:findPath mode <{mode}>")
+            mode = mode[len(NS):]
+            src = need_iri(cfg, "sourceNode")
+            dst = need_iri(cfg, "destinationNode")
+            edges = self.quads.filter(F.col("o_kind") == KIND_IRI)
+            if "propertyPath" in cfg:
+                edges = edges.filter(
+                    F.col("p") == need_iri(cfg, "propertyPath")
+                )
+            edges = edges.select(
+                F.col("s").alias("src"), F.col("o_lex").alias("dst")
+            )
+            spark = self.quads.sparkSession
+
+            if mode == "distance":
+                dvar = need_var(cfg, "distanceBinding")
+                nodes = shortest_path(edges, src, dst)
+                rows = [(len(nodes) - 1,)] if nodes else []
+                df = spark.createDataFrame(rows, "d long").select(
+                    make_numeric(
+                        F.col("d"), XSD + "integer"
+                    ).alias(dvar)
+                )
+                parts.append(Compiled(df, [dvar], {dvar}))
+                continue
+
+            svar = need_var(cfg, "startNode")
+            evar = need_var(cfg, "endNode")
+            ivar = need_var(cfg, "resultBindingIndex")
+            names = [svar, evar, ivar]
+            if mode == "shortestPath":
+                nodes = shortest_path(edges, src, dst)
+                rows = [
+                    (nodes[i], nodes[i + 1], i, "->".join(nodes))
+                    for i in range(len(nodes) - 1)
+                ]
+                hops = spark.createDataFrame(
+                    rows, "h_s string, h_e string, h_i long, h_p string"
+                )
+            elif mode == "allPaths":
+                max_len = 8
+                if "maxPathLength" in cfg:
+                    t = cfg["maxPathLength"]
+                    if not isinstance(t, Literal):
+                        raise ValueError(
+                            "path:maxPathLength must be an integer literal"
+                        )
+                    max_len = int(t.lex)
+                done = all_simple_paths(edges, src, dst, max_len)
+                hops = done.select(
+                    F.col("path"),
+                    F.posexplode(
+                        F.slice(F.col("path"), 1, F.col("hops"))
+                    ).alias("h_i", "h_s"),
+                ).select(
+                    "h_i",
+                    "h_s",
+                    # [] indexing is 0-based: hop i runs path[i] → path[i+1]
+                    F.col("path")[F.col("h_i") + 1].alias("h_e"),
+                    F.concat_ws("->", F.col("path")).alias("h_p"),
+                )
+            else:
+                raise ValueError(f"unknown path:findPath mode '{mode}'")
+            sel = [
+                subject_struct(F.col("h_s")).alias(svar),
+                subject_struct(F.col("h_e")).alias(evar),
+                make_numeric(F.col("h_i"), XSD + "integer").alias(ivar),
+            ]
+            if "pathString" in cfg:
+                pvar = need_var(cfg, "pathString")
+                sel.append(make_string(F.col("h_p")).alias(pvar))
+                names.append(pvar)
+            parts.append(Compiled(hops.select(*sel), names, set(names)))
         return parts, A.BGP(rest)
 
     def scan_pattern(self, tp: A.TriplePattern, graph_ctx) -> Compiled:
