@@ -1510,3 +1510,85 @@ def sparql_path_allpaths(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lex("ps").alias("ps"), _lex("s").alias("s"),
         _lex("e").alias("e"), _long("i").alias("i"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SHACL round-5 breadth: logical constraints and sh:closed under the gate
+# ---------------------------------------------------------------------------
+
+_SHACL_LOGIC_SHAPES = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rel: <{R}> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+rel:CustLogicShape a sh:NodeShape ; sh:targetClass rel:Customer ;
+  sh:property [ sh:path rel:acctbal ; sh:or (
+      [ sh:maxInclusive 1000 ] [ sh:minInclusive 5000 ] ) ] ;
+  sh:property [ sh:path rel:name ;
+      sh:not [ sh:pattern "^Customer#0*1[0-9]$" ] ] .
+"""
+
+
+@register(
+    "sparql_shacl_logic",
+    """
+    WITH bal AS (
+        SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS focus,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS b
+        FROM customer
+    )
+    SELECT focus, 'urn:rel:acctbal' AS path, value,
+           'OrConstraintComponent' AS component
+    FROM bal WHERE b > 1000 AND b < 5000
+    UNION ALL
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR), 'urn:rel:name',
+           c_name, 'NotConstraintComponent'
+    FROM customer WHERE regexp_matches(c_name, '^Customer#0*1[0-9]$')
+    """,
+    doc="SHACL logical constraints (round 5): sh:or of numeric-range "
+        "alternatives (value conforms to neither branch -> violation) and "
+        "sh:not of a pattern bundle (value matches the negated shape -> "
+        "violation). Branch conditions are pure column expressions "
+        "composed from the same _row_conditions the direct checks use.",
+)
+def sparql_shacl_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.shacl import parse_shapes, validate
+
+    report = validate(_quads(spark, sf_dir), parse_shapes(_SHACL_LOGIC_SHAPES))
+    return report.select(
+        "focus", "path", "value", F.col("constraint").alias("component")
+    )
+
+
+_SHACL_CLOSED_SHAPES = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rel: <{R}> .
+rel:ClosedCustomer a sh:NodeShape ; sh:targetClass rel:Customer ;
+  sh:closed true ;
+  sh:ignoredProperties ( <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ) ;
+  sh:property [ sh:path rel:name ] ;
+  sh:property [ sh:path rel:inNation ] ;
+  sh:property [ sh:path rel:acctbal ] .
+"""
+
+
+@register(
+    "sparql_shacl_closed",
+    """
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS focus,
+           'http://www.opengis.net/ont/geosparql#asWKT' AS path,
+           'ClosedConstraintComponent' AS component
+    FROM customer
+    """,
+    doc="sh:closed + sh:ignoredProperties: customers declare name/"
+        "inNation/acctbal and ignore rdf:type, so every geo:asWKT "
+        "statement is flagged. One semi-join of the store against the "
+        "focus set with a map-side predicate NOT-IN filter.",
+)
+def sparql_shacl_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.shacl import parse_shapes, validate
+
+    report = validate(
+        _quads(spark, sf_dir), parse_shapes(_SHACL_CLOSED_SHAPES)
+    )
+    return report.select("focus", "path", F.col("constraint").alias("component"))

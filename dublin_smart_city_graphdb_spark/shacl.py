@@ -18,8 +18,28 @@ Supported (the RDF4J ShaclSail core most deployments use):
   property   sh:minCount, sh:maxCount, sh:datatype, sh:class, sh:nodeKind,
              sh:pattern (+sh:flags), sh:minLength/sh:maxLength,
              sh:minInclusive/sh:maxInclusive/sh:minExclusive/
-             sh:maxExclusive, sh:in, sh:hasValue
+             sh:maxExclusive, sh:in, sh:hasValue, sh:uniqueLang,
+             sh:languageIn (basic BCP47 range match)
+  pairs      sh:equals, sh:disjoint, sh:lessThan, sh:lessThanOrEquals
+             (numeric compare when both values are numeric, lexical when
+             both are plain literals, else a violation — the SPARQL `<`
+             type-error outcome)
+  logic      sh:or / sh:and / sh:not over ROW-LEVEL constraint bundles
+             (datatype, nodeKind, pattern, lengths, ranges, in,
+             languageIn; bundles needing joins or aggregation —
+             sh:class, sh:hasValue, counts — raise ShaclError so
+             unsupported shapes fail loudly, never silently pass)
+  node       sh:node referencing another sh:NodeShape (value nodes must
+             conform to its property constraints; cycle-guarded)
+  closed     sh:closed + sh:ignoredProperties (node level)
   severity   sh:severity (default sh:Violation)
+
+Scale notes for the additions: uniqueLang is one groupBy(focus, lang)
+shuffle; the pair components are equi-joins on focus (lessThan's per-focus
+value cross product is the constraint's own semantics); sh:closed is a
+semi-join of the store against the focus set with a predicate NOT IN
+filter; sh:node re-runs the referenced shape's checks with the value set
+as the focus frame — each constraint still at most one shuffle.
 
 The validation report is a DataFrame with the W3C report vocabulary as
 columns (focus, path, value, constraint, shape, severity, message) — the
@@ -81,6 +101,16 @@ class PropertyShape:
     max_length: int | None = None
     in_values: list[tuple[int, str]] | None = None
     has_value: tuple[int, str] | None = None
+    unique_lang: bool = False
+    language_in: list[str] | None = None
+    equals: str | None = None
+    disjoint: str | None = None
+    less_than: str | None = None
+    less_than_or_equals: str | None = None
+    node: str | None = None
+    or_branches: list["PropertyShape"] | None = None
+    and_branches: list["PropertyShape"] | None = None
+    not_branch: "PropertyShape | None" = None
     severity: str = SH + "Violation"
 
 
@@ -92,6 +122,8 @@ class NodeShape:
     target_subjects_of: list[str] = field(default_factory=list)
     target_objects_of: list[str] = field(default_factory=list)
     properties: list[PropertyShape] = field(default_factory=list)
+    closed: bool = False
+    ignored_properties: list[str] = field(default_factory=list)
     severity: str = SH + "Violation"
 
 
@@ -161,6 +193,10 @@ def parse_shapes(text: str) -> list[NodeShape]:
             elif p == SH + "property":
                 ns.properties.append(_parse_property(node_id(o), props,
                                                      rdf_list))
+            elif p == SH + "closed":
+                ns.closed = o.lex == "true"
+            elif p == SH + "ignoredProperties":
+                ns.ignored_properties = [t.value for t in rdf_list(o)]
             elif p == SH + "severity":
                 ns.severity = o.value
         for ps in ns.properties:
@@ -172,7 +208,9 @@ def parse_shapes(text: str) -> list[NodeShape]:
     return shapes
 
 
-def _parse_property(pid: str, props, rdf_list) -> PropertyShape:
+def _parse_property(
+    pid: str, props, rdf_list, require_path: bool = True
+) -> PropertyShape:
     entries = props(pid)
     path = None
     inverse = False
@@ -192,7 +230,9 @@ def _parse_property(pid: str, props, rdf_list) -> PropertyShape:
                     )
                 path, inverse = inv.value, True
     if path is None:
-        raise ShaclError(f"shacl: property shape {pid} has no sh:path")
+        if require_path:
+            raise ShaclError(f"shacl: property shape {pid} has no sh:path")
+        path = ""  # constraint bundle inside sh:or / sh:and / sh:not
     ps = PropertyShape(path=path, inverse=inverse, shape_id=pid)
 
     def ival(o: Term) -> int:
@@ -234,9 +274,45 @@ def _parse_property(pid: str, props, rdf_list) -> PropertyShape:
             ps.in_values = [_term_key(t) for t in rdf_list(o)]
         elif p == SH + "hasValue":
             ps.has_value = _term_key(o)
+        elif p == SH + "uniqueLang":
+            ps.unique_lang = o.lex == "true"
+        elif p == SH + "languageIn":
+            ps.language_in = [t.lex for t in rdf_list(o)]
+        elif p == SH + "equals":
+            ps.equals = o.value
+        elif p == SH + "disjoint":
+            ps.disjoint = o.value
+        elif p == SH + "lessThan":
+            ps.less_than = o.value
+        elif p == SH + "lessThanOrEquals":
+            ps.less_than_or_equals = o.value
+        elif p == SH + "node":
+            ps.node = o.value if isinstance(o, IRI) else "_:" + o.label
+        elif p == SH + "or":
+            ps.or_branches = [
+                _parse_property(
+                    _bundle_id(t), props, rdf_list, require_path=False
+                )
+                for t in rdf_list(o)
+            ]
+        elif p == SH + "and":
+            ps.and_branches = [
+                _parse_property(
+                    _bundle_id(t), props, rdf_list, require_path=False
+                )
+                for t in rdf_list(o)
+            ]
+        elif p == SH + "not":
+            ps.not_branch = _parse_property(
+                _bundle_id(o), props, rdf_list, require_path=False
+            )
         elif p == SH + "severity":
             ps.severity = o.value
     return ps
+
+
+def _bundle_id(t: Term) -> str:
+    return t.value if isinstance(t, IRI) else "_:" + getattr(t, "label", "")
 
 
 def _focus_nodes(quads: DataFrame, ns: NodeShape) -> DataFrame:
@@ -288,11 +364,16 @@ def validate(quads: DataFrame, shapes: list[NodeShape]) -> DataFrame:
     """Validation report: one row per violation (sh:ValidationResult).
     Empty report ⇔ conforms."""
     spark = quads.sparkSession
+    shapes_map = {ns.iri: ns for ns in shapes}
     reports: list[DataFrame] = []
     for ns in shapes:
         focus = _focus_nodes(quads, ns)
         for ps in ns.properties:
-            reports.extend(_check_property(quads, focus, ns, ps))
+            reports.extend(
+                _check_property(quads, focus, ns, ps, shapes_map)
+            )
+        if ns.closed:
+            reports.append(_closed_check(quads, focus, ns))
     if not reports:
         return spark.createDataFrame(
             [], "focus string, path string, value string, constraint string,"
@@ -304,8 +385,36 @@ def validate(quads: DataFrame, shapes: list[NodeShape]) -> DataFrame:
     return out
 
 
+def _closed_check(quads: DataFrame, focus: DataFrame,
+                  ns: NodeShape) -> DataFrame:
+    """sh:closed: focus nodes may only use the predicates declared by the
+    shape's property shapes (direct paths) plus sh:ignoredProperties.
+    One semi-join of the store against the focus set; the predicate NOT-IN
+    filter is map-side."""
+    allowed = sorted(
+        {ps.path for ps in ns.properties if not ps.inverse}
+        | set(ns.ignored_properties)
+    )
+    stmts = quads.join(
+        focus.withColumnRenamed("focus", "s"), "s"
+    )
+    if allowed:
+        stmts = stmts.filter(~F.col("p").isin(*allowed))
+    return stmts.select(
+        F.col("s").alias("focus"),
+        F.col("p").alias("path"),
+        F.col("o_lex").alias("value"),
+        F.lit("ClosedConstraintComponent").alias("constraint"),
+        F.lit(ns.iri).alias("shape"),
+        F.lit(ns.severity).alias("severity"),
+        F.lit("predicate not allowed on a closed shape").alias("message"),
+    )
+
+
 def _check_property(quads: DataFrame, focus: DataFrame, ns: NodeShape,
-                    ps: PropertyShape) -> list[DataFrame]:
+                    ps: PropertyShape,
+                    shapes_map: dict[str, NodeShape] | None = None,
+                    depth: int = 5) -> list[DataFrame]:
     shape = ns.iri
     vals = property_values(quads, ps).join(focus, "focus")
     out: list[DataFrame] = []
@@ -353,19 +462,168 @@ def _check_property(quads: DataFrame, focus: DataFrame, ns: NodeShape,
             )
         ))
 
+    if ps.unique_lang:
+        out.append(
+            vals.filter(F.col("v_lang").isNotNull())
+            .groupBy("focus", "v_lang")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .select(*_report_row(
+                ps, shape, "UniqueLangConstraintComponent", fcol,
+                F.col("v_lang"),
+                F.lit("language tag used more than once"),
+            ))
+        )
+
+    for other, kind in (
+        (ps.equals, "Equals"), (ps.disjoint, "Disjoint"),
+        (ps.less_than, "LessThan"),
+        (ps.less_than_or_equals, "LessThanOrEquals"),
+    ):
+        if other is not None:
+            out.extend(_pair_check(quads, vals, ns, ps, other, kind))
+
+    if ps.node is not None:
+        out.append(_node_check(quads, vals, ns, ps, shapes_map, depth))
+
     return out
 
 
-def _value_checks(vals: DataFrame, ns: NodeShape,
-                  ps: PropertyShape) -> list[DataFrame]:
-    """Pure ROW-LEVEL constraint checks (datatype, nodeKind, pattern,
-    numeric ranges, lengths, sh:in): each is a filter over the value rows
-    with no join and no aggregation — reusable verbatim by the streaming
-    validator (stateless per micro-batch)."""
-    shape = ns.iri
+def _other_values(quads: DataFrame, pred: str) -> DataFrame:
+    """(focus, o_kind/o_lex/o_num) rows of the comparison predicate for
+    the property-pair components."""
+    return quads.filter(F.col("p") == pred).select(
+        F.col("s").alias("focus"),
+        F.col("o_kind").alias("w_kind"),
+        F.col("o_lex").alias("w_lex"),
+        F.col("o_num").alias("w_num"),
+    )
+
+
+def _pair_check(quads: DataFrame, vals: DataFrame, ns: NodeShape,
+                ps: PropertyShape, other: str,
+                kind: str) -> list[DataFrame]:
+    """sh:equals / sh:disjoint / sh:lessThan / sh:lessThanOrEquals.
+    Set components are (focus, kind, lex) anti-/semi-joins; the order
+    components join on focus and compare numerically when both sides are
+    numeric, lexically when both are plain literals, else flag (the SPARQL
+    `<` type-error outcome)."""
+    w = _other_values(quads, other)
     fcol = F.col("focus")
+    msg = f"sh:{kind[0].lower()}{kind[1:]} <{other}>"
+    if kind == "Equals":
+        w_as_v = w.select(
+            "focus", F.col("w_kind").alias("v_kind"),
+            F.col("w_lex").alias("v_lex"),
+        )
+        missing_there = vals.join(
+            w_as_v, ["focus", "v_kind", "v_lex"], "left_anti"
+        ).select(*_report_row(
+            ps, ns.iri, "EqualsConstraintComponent", fcol,
+            F.col("v_lex"), F.lit(msg + ": value missing on the pair"),
+        ))
+        v_as_w = vals.select(
+            "focus", F.col("v_kind").alias("w_kind"),
+            F.col("v_lex").alias("w_lex"),
+        )
+        missing_here = w.join(
+            vals.select("focus").distinct(), "focus"
+        ).join(
+            v_as_w, ["focus", "w_kind", "w_lex"], "left_anti"
+        ).select(*_report_row(
+            ps, ns.iri, "EqualsConstraintComponent", fcol,
+            F.col("w_lex"), F.lit(msg + ": pair value missing on the path"),
+        ))
+        return [missing_there, missing_here]
+    if kind == "Disjoint":
+        w_as_v = w.select(
+            "focus", F.col("w_kind").alias("v_kind"),
+            F.col("w_lex").alias("v_lex"),
+        )
+        return [vals.join(
+            w_as_v, ["focus", "v_kind", "v_lex"], "left_semi"
+        ).select(*_report_row(
+            ps, ns.iri, "DisjointConstraintComponent", fcol,
+            F.col("v_lex"), F.lit(msg + ": value shared with the pair"),
+        ))]
+    strict = kind == "LessThan"
+    num_ok = (
+        (F.col("v_num") < F.col("w_num")) if strict
+        else (F.col("v_num") <= F.col("w_num"))
+    )
+    lex_ok = (
+        (F.col("v_lex") < F.col("w_lex")) if strict
+        else (F.col("v_lex") <= F.col("w_lex"))
+    )
+    cmp_ok = (
+        F.when(F.col("v_num").isNotNull() & F.col("w_num").isNotNull(),
+               num_ok)
+        .when((F.col("v_kind") == 2) & (F.col("w_kind") == 2), lex_ok)
+        .otherwise(F.lit(False))
+    )
+    joined = vals.join(w, "focus")
+    return [joined.filter(~cmp_ok).select(*_report_row(
+        ps, ns.iri, f"{kind}ConstraintComponent", fcol,
+        F.col("v_lex"), F.lit(msg + " violated"),
+    ))]
+
+
+def _node_check(quads: DataFrame, vals: DataFrame, ns: NodeShape,
+                ps: PropertyShape,
+                shapes_map: dict[str, NodeShape] | None,
+                depth: int) -> DataFrame:
+    """sh:node: every value node must conform to the referenced node
+    shape's property constraints. Re-runs the referenced shape's checks
+    with the VALUE SET as the focus frame (distributed end to end), then
+    semi-joins the offenders back to (focus, value). Depth-guarded against
+    sh:node cycles."""
+    if depth <= 0:
+        raise ShaclError("shacl: sh:node nesting exceeds the depth guard")
+    target = (shapes_map or {}).get(ps.node)
+    if target is None:
+        raise ShaclError(f"shacl: sh:node references unknown shape {ps.node}")
+    value_focus = (
+        vals.filter(F.col("v_kind").isin(0, 1))
+        .select(F.col("v_lex").alias("focus"))
+        .distinct()
+    )
+    sub: list[DataFrame] = []
+    for sub_ps in target.properties:
+        sub.extend(
+            _check_property(quads, value_focus, target, sub_ps,
+                            shapes_map, depth - 1)
+        )
+    literal_bad = vals.filter(F.col("v_kind") == 2).select(
+        *_report_row(
+            ps, ns.iri, "NodeConstraintComponent", F.col("focus"),
+            F.col("v_lex"),
+            F.lit(f"literal cannot conform to node shape {ps.node}"),
+        )
+    )
+    if not sub:
+        return literal_bad
+    bad = sub[0]
+    for r in sub[1:]:
+        bad = bad.unionByName(r)
+    offenders = bad.select(F.col("focus").alias("v_lex")).distinct()
+    return vals.join(offenders, "v_lex").select(
+        *_report_row(
+            ps, ns.iri, "NodeConstraintComponent", F.col("focus"),
+            F.col("v_lex"),
+            F.lit(f"value does not conform to node shape {ps.node}"),
+        )
+    ).unionByName(literal_bad)
+
+
+def _row_conditions(ps: PropertyShape) -> list[tuple[str, "F.Column", str]]:
+    """(component, bad-condition, message) triples for every ROW-LEVEL
+    constraint of ``ps`` — pure column expressions over the value-row
+    columns (v_kind, v_lex, v_dtype, v_lang, v_num), no joins, no
+    aggregation. Shared by the direct checks (_value_checks), the logical
+    combinators (sh:or / sh:and / sh:not evaluate branch conditions on the
+    same row), and — transitively — the streaming validator."""
     vcol = F.col("v_lex")
-    out: list[DataFrame] = []
+    conds: list[tuple[str, "F.Column", str]] = []
 
     if ps.datatype is not None:
         eff = F.when(
@@ -375,29 +633,27 @@ def _value_checks(vals: DataFrame, ns: NodeShape,
             F.when(F.col("v_lang").isNotNull(),
                    F.lit(RDF + "langString")).otherwise(F.lit(XSD + "string")),
         ))
-        out.append(vals.filter(
-            ~eff.eqNullSafe(F.lit(ps.datatype))
-        ).select(*_report_row(
-            ps, shape, "DatatypeConstraintComponent", fcol, vcol,
-            F.lit(f"expected datatype {ps.datatype}"),
-        )))
+        conds.append((
+            "DatatypeConstraintComponent",
+            ~eff.eqNullSafe(F.lit(ps.datatype)),
+            f"expected datatype {ps.datatype}",
+        ))
 
     if ps.node_kind is not None:
         kinds = _NODE_KINDS[ps.node_kind]
-        out.append(vals.filter(~F.col("v_kind").isin(*kinds)).select(
-            *_report_row(
-                ps, shape, "NodeKindConstraintComponent", fcol, vcol,
-                F.lit(f"expected nodeKind {ps.node_kind}"),
-            )
+        conds.append((
+            "NodeKindConstraintComponent",
+            ~F.col("v_kind").isin(*kinds),
+            f"expected nodeKind {ps.node_kind}",
         ))
 
     if ps.pattern is not None:
         pat = (f"(?{ps.flags})" if ps.flags else "") + ps.pattern
-        bad = (F.col("v_kind") == 1) | ~F.regexp_like(vcol, F.lit(pat))
-        out.append(vals.filter(bad).select(*_report_row(
-            ps, shape, "PatternConstraintComponent", fcol, vcol,
-            F.lit(f"value does not match pattern {ps.pattern!r}"),
-        )))
+        conds.append((
+            "PatternConstraintComponent",
+            (F.col("v_kind") == 1) | ~F.regexp_like(vcol, F.lit(pat)),
+            f"value does not match pattern {ps.pattern!r}",
+        ))
 
     for bound, op, name in (
         (ps.min_inclusive, lambda c, b: c < b, "MinInclusive"),
@@ -408,33 +664,111 @@ def _value_checks(vals: DataFrame, ns: NodeShape,
         if bound is None:
             continue
         num = F.col("v_num")
-        bad = num.isNull() | op(num, F.lit(bound).cast("decimal(38,10)"))
-        out.append(vals.filter(bad).select(*_report_row(
-            ps, shape, f"{name}ConstraintComponent", fcol, vcol,
-            F.lit(f"{name[0].lower()}{name[1:]} {bound}"),
-        )))
+        conds.append((
+            f"{name}ConstraintComponent",
+            num.isNull() | op(num, F.lit(bound).cast("decimal(38,10)")),
+            f"{name[0].lower()}{name[1:]} {bound}",
+        ))
 
     if ps.min_length is not None:
-        bad = (F.col("v_kind") == 1) | (F.length(vcol) < ps.min_length)
-        out.append(vals.filter(bad).select(*_report_row(
-            ps, shape, "MinLengthConstraintComponent", fcol, vcol,
-            F.lit(f"minLength {ps.min_length}"),
-        )))
+        conds.append((
+            "MinLengthConstraintComponent",
+            (F.col("v_kind") == 1) | (F.length(vcol) < ps.min_length),
+            f"minLength {ps.min_length}",
+        ))
     if ps.max_length is not None:
-        bad = (F.col("v_kind") == 1) | (F.length(vcol) > ps.max_length)
-        out.append(vals.filter(bad).select(*_report_row(
-            ps, shape, "MaxLengthConstraintComponent", fcol, vcol,
-            F.lit(f"maxLength {ps.max_length}"),
-        )))
+        conds.append((
+            "MaxLengthConstraintComponent",
+            (F.col("v_kind") == 1) | (F.length(vcol) > ps.max_length),
+            f"maxLength {ps.max_length}",
+        ))
 
     if ps.in_values is not None:
         allowed = [f"{k}|{lex}" for k, lex in ps.in_values]
         key = F.concat(F.col("v_kind").cast("string"), F.lit("|"), vcol)
-        out.append(vals.filter(~key.isin(*allowed)).select(*_report_row(
-            ps, shape, "InConstraintComponent", fcol, vcol,
-            F.lit("value not in sh:in enumeration"),
-        )))
-    return out
+        conds.append((
+            "InConstraintComponent",
+            ~key.isin(*allowed),
+            "value not in sh:in enumeration",
+        ))
+
+    if ps.language_in is not None:
+        lang = F.lower(F.col("v_lang"))
+        match = F.lit(False)
+        for tag in ps.language_in:
+            t = tag.lower()
+            match = match | (lang == t) | lang.startswith(t + "-")
+        conds.append((
+            "LanguageInConstraintComponent",
+            (F.col("v_kind") != 2) | F.col("v_lang").isNull() | ~match,
+            f"language tag not in {ps.language_in}",
+        ))
+
+    if ps.not_branch is not None:
+        conds.append((
+            "NotConstraintComponent",
+            _branch_ok(ps.not_branch),
+            "value conforms to the negated sh:not shape",
+        ))
+    if ps.or_branches is not None:
+        bad = F.lit(True)
+        for b in ps.or_branches:
+            bad = bad & ~_branch_ok(b)
+        conds.append((
+            "OrConstraintComponent", bad,
+            "value conforms to no sh:or branch",
+        ))
+    if ps.and_branches is not None:
+        bad = F.lit(False)
+        for b in ps.and_branches:
+            bad = bad | ~_branch_ok(b)
+        conds.append((
+            "AndConstraintComponent", bad,
+            "value fails an sh:and branch",
+        ))
+    return conds
+
+
+def _branch_ok(ps: PropertyShape) -> "F.Column":
+    """TRUE when a value row satisfies every row-level constraint of a
+    logical branch. Branch bundles needing joins or aggregation (sh:class,
+    sh:hasValue, counts, pairs, sh:node) are rejected loudly — a shape the
+    validator can't enforce must never silently conform."""
+    for bad_field in ("class_", "has_value", "min_count", "max_count",
+                      "node", "equals", "disjoint", "less_than",
+                      "less_than_or_equals"):
+        if getattr(ps, bad_field) is not None:
+            raise ShaclError(
+                f"shacl: sh:{bad_field.rstrip('_')} is not supported inside "
+                "sh:or / sh:and / sh:not branches (row-level constraints "
+                "only)"
+            )
+    if ps.unique_lang:
+        raise ShaclError(
+            "shacl: sh:uniqueLang is not supported inside sh:or / sh:and / "
+            "sh:not branches (row-level constraints only)"
+        )
+    ok = F.lit(True)
+    for _, bad, _ in _row_conditions(ps):
+        ok = ok & ~bad
+    return ok
+
+
+def _value_checks(vals: DataFrame, ns: NodeShape,
+                  ps: PropertyShape) -> list[DataFrame]:
+    """Pure ROW-LEVEL constraint checks (datatype, nodeKind, pattern,
+    numeric ranges, lengths, sh:in, sh:languageIn, sh:or/and/not): each is
+    a filter over the value rows with no join and no aggregation —
+    reusable verbatim by the streaming validator (stateless per
+    micro-batch)."""
+    fcol = F.col("focus")
+    vcol = F.col("v_lex")
+    return [
+        vals.filter(bad).select(*_report_row(
+            ps, ns.iri, component, fcol, vcol, F.lit(message),
+        ))
+        for component, bad, message in _row_conditions(ps)
+    ]
 
 
 def _class_check(vals: DataFrame, type_source: DataFrame, ns: NodeShape,

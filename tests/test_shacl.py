@@ -323,3 +323,143 @@ def test_streaming_validation_matches_batch(spark, tmp_path):
                 "sh:property [ sh:path ex:age ; sh:minCount 1 ]")),
         )
     eng.drop_repository("shacl_static")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 breadth: logic, pairs, uniqueLang/languageIn, closed, sh:node
+# ---------------------------------------------------------------------------
+
+DATA2 = f"""
+@prefix ex: <{EX}> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:d1 a ex:Doc ; ex:title "Rules"@en , "Regeln"@de ; ex:pages "10"^^xsd:integer ;
+      ex:published "2020"^^xsd:integer ; ex:revised "2021"^^xsd:integer ;
+      ex:code "AB12" ; ex:author ex:alice2 .
+ex:d2 a ex:Doc ; ex:title "Dup"@en , "Dupe"@en ; ex:pages "heaps" ;
+      ex:published "2022"^^xsd:integer ; ex:revised "2020"^^xsd:integer ;
+      ex:code ex:notaliteral ; ex:author ex:bob2 ; ex:extra "x" .
+ex:d3 a ex:Doc ; ex:title "Sans tag" ; ex:pages "3.5"^^xsd:decimal ;
+      ex:published "2020"^^xsd:integer ; ex:revised "2020"^^xsd:integer ;
+      ex:author "Anon" .
+ex:alice2 a ex:Author ; ex:name "Alice" .
+ex:bob2 a ex:Author .
+"""
+
+
+@pytest.fixture(scope="module")
+def repo2(spark):
+    eng = Engine(spark)
+    r = eng.create_repository("shacl_t2", ruleset="none")
+    r.load_turtle_text(DATA2)
+    yield r
+    eng.drop_repository("shacl_t2")
+
+
+def _shape2(body: str, extra: str = "") -> str:
+    return f"""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <{EX}> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:DocShape a sh:NodeShape ; sh:targetClass ex:Doc ;
+      {body} .
+    {extra}
+    """
+
+
+def test_unique_lang(repo2):
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:title ; sh:uniqueLang true ]"))
+    assert v == [(EX + "d2", "UniqueLangConstraintComponent", "en")]
+
+
+def test_language_in(repo2):
+    v = sorted(_viol(repo2, _shape2(
+        'sh:property [ sh:path ex:title ; sh:languageIn ("en") ]')))
+    # German title on d1 and the untagged title on d3 both violate
+    assert (EX + "d1", "LanguageInConstraintComponent", "Regeln") in v
+    assert (EX + "d3", "LanguageInConstraintComponent", "Sans tag") in v
+    assert len(v) == 2
+
+
+def test_or_datatype_alternatives(repo2):
+    """The classic sh:or of datatype alternatives: integer OR decimal."""
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:pages ; sh:or ( "
+        "[ sh:datatype xsd:integer ] [ sh:datatype xsd:decimal ] ) ]"))
+    assert v == [(EX + "d2", "OrConstraintComponent", "heaps")]
+
+
+def test_and_not(repo2):
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:code ; sh:and ( "
+        "[ sh:nodeKind sh:Literal ] [ sh:pattern \"^[A-Z]{2}\" ] ) ]"))
+    assert v == [(EX + "d2", "AndConstraintComponent", EX + "notaliteral")]
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:pages ; "
+        "sh:not [ sh:datatype xsd:string ] ]"))
+    assert v == [(EX + "d2", "NotConstraintComponent", "heaps")]
+
+
+def test_logic_rejects_join_constraints(repo2):
+    with pytest.raises(ShaclError, match="sh:class"):
+        _viol(repo2, _shape2(
+            "sh:property [ sh:path ex:author ; "
+            "sh:not [ sh:class ex:Author ] ]"))
+
+
+def test_less_than(repo2):
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:published ; sh:lessThan ex:revised ]"))
+    assert sorted(v) == [
+        (EX + "d2", "LessThanConstraintComponent", "2022"),
+        (EX + "d3", "LessThanConstraintComponent", "2020"),
+    ]
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:published ; "
+        "sh:lessThanOrEquals ex:revised ]"))
+    assert v == [(EX + "d2", "LessThanOrEqualsConstraintComponent", "2022")]
+
+
+def test_equals_disjoint(repo2):
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:published ; sh:equals ex:revised ]"))
+    assert sorted(v) == [
+        (EX + "d1", "EqualsConstraintComponent", "2020"),
+        (EX + "d1", "EqualsConstraintComponent", "2021"),
+        (EX + "d2", "EqualsConstraintComponent", "2020"),
+        (EX + "d2", "EqualsConstraintComponent", "2022"),
+    ]
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:published ; sh:disjoint ex:revised ]"))
+    assert v == [(EX + "d3", "DisjointConstraintComponent", "2020")]
+
+
+def test_node_referenced_shape(repo2):
+    """ex:author values must conform to AuthorShape (needs ex:name)."""
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:author ; sh:node ex:AuthorShape ]",
+        extra=f"""
+        ex:AuthorShape a sh:NodeShape ;
+          sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+        """))
+    assert sorted(v) == [
+        (EX + "d2", "NodeConstraintComponent", EX + "bob2"),
+        (EX + "d3", "NodeConstraintComponent", "Anon"),
+    ]
+
+
+def test_closed(repo2):
+    v = _viol(repo2, f"""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <{EX}> .
+    ex:ClosedDoc a sh:NodeShape ; sh:targetNode ex:d2 ;
+      sh:closed true ;
+      sh:ignoredProperties ( <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ) ;
+      sh:property [ sh:path ex:title ] ;
+      sh:property [ sh:path ex:pages ] ;
+      sh:property [ sh:path ex:published ] ;
+      sh:property [ sh:path ex:revised ] ;
+      sh:property [ sh:path ex:code ] ;
+      sh:property [ sh:path ex:author ] .
+    """)
+    assert v == [(EX + "d2", "ClosedConstraintComponent", "x")]
