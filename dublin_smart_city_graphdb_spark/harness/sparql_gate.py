@@ -1592,3 +1592,57 @@ def sparql_shacl_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quads(spark, sf_dir), parse_shapes(_SHACL_CLOSED_SHAPES)
     )
     return report.select("focus", "path", F.col("constraint").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# SHACL round-6: join-level logical combinators (VERDICT r5 task 4)
+# ---------------------------------------------------------------------------
+
+_SHACL_OR_CLASS_SHAPES = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rel: <{R}> .
+rel:CustOrClassShape a sh:NodeShape ; sh:targetClass rel:Customer ;
+  sh:property [ sh:path rel:inNation ; sh:or (
+      [ sh:class rel:Region ]
+      [ sh:pattern "^urn:nation:[0-9]*[02468]$" ] ) ] ;
+  sh:property [ sh:path rel:inNation ; sh:not [ sh:and (
+      [ sh:class rel:Nation ]
+      [ sh:pattern "^urn:nation:1?[0-9]$" ] ) ] ] .
+"""
+
+
+@register(
+    "sparql_shacl_or_class",
+    """
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS focus,
+           'urn:rel:inNation' AS path,
+           'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS value,
+           'OrConstraintComponent' AS component
+    FROM customer WHERE c_nationkey % 2 = 1
+    UNION ALL
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR),
+           'urn:rel:inNation',
+           'urn:nation:' || CAST(c_nationkey AS VARCHAR),
+           'NotConstraintComponent'
+    FROM customer WHERE c_nationkey <= 19
+    """,
+    doc="SHACL join-level logical combinators (round 6, VERDICT r5 task "
+        "4): sh:or with an sh:class branch — the RDF4J idiom the row-level "
+        "fast path used to reject — and sh:not over a nested sh:and of "
+        "sh:class + pattern. Each branch materializes its violating-VALUE "
+        "key set over the DISTINCT values of the path (sh:class = one join "
+        "against the class's instance set) and the combinators are set "
+        "algebra: intersection for sh:or, union for sh:and, complement "
+        "for sh:not. A customer's nation violates the sh:or when it is "
+        "no Region (always) AND its key is odd; it violates the sh:not "
+        "when it IS a Nation with key <= 19.",
+)
+def sparql_shacl_or_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.shacl import parse_shapes, validate
+
+    report = validate(
+        _quads(spark, sf_dir), parse_shapes(_SHACL_OR_CLASS_SHAPES)
+    )
+    return report.select(
+        "focus", "path", "value", F.col("constraint").alias("component")
+    )

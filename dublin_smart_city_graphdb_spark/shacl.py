@@ -24,11 +24,17 @@ Supported (the RDF4J ShaclSail core most deployments use):
              (numeric compare when both values are numeric, lexical when
              both are plain literals, else a violation — the SPARQL `<`
              type-error outcome)
-  logic      sh:or / sh:and / sh:not over ROW-LEVEL constraint bundles
-             (datatype, nodeKind, pattern, lengths, ranges, in,
-             languageIn; bundles needing joins or aggregation —
-             sh:class, sh:hasValue, counts — raise ShaclError so
-             unsupported shapes fail loudly, never silently pass)
+  logic      sh:or / sh:and / sh:not over node-level constraint bundles.
+             Row-level bundles (datatype, nodeKind, pattern, lengths,
+             ranges, in, languageIn, hasValue-as-identity) evaluate as
+             pure column expressions; bundles needing a join (sh:class,
+             sh:node) evaluate by materializing each branch's
+             violating-VALUE key set over the distinct values and
+             combining with set algebra — union for sh:and failures,
+             intersection for sh:or, complement for sh:not (r5 task 4).
+             Bundles constraining the focus's value multiset (counts,
+             pairs, uniqueLang) or carrying sh:path raise ShaclError so
+             unsupported shapes fail loudly, never silently pass.
   node       sh:node referencing another sh:NodeShape (value nodes must
              conform to its property constraints; cycle-guarded)
   closed     sh:closed + sh:ignoredProperties (node level)
@@ -445,7 +451,12 @@ def _check_property(quads: DataFrame, focus: DataFrame, ns: NodeShape,
                 )
             ))
 
-    out.extend(_value_checks(vals, ns, ps))
+    logic_row_level = _logic_is_row_level(ps)
+    out.extend(_value_checks(vals, ns, ps, skip_logic=not logic_row_level))
+    if not logic_row_level:
+        out.extend(
+            _logic_joined_checks(quads, vals, ns, ps, shapes_map, depth)
+        )
     if ps.class_ is not None:
         out.append(_class_check(vals, quads, ns, ps))
 
@@ -615,13 +626,21 @@ def _node_check(quads: DataFrame, vals: DataFrame, ns: NodeShape,
     ).unionByName(literal_bad)
 
 
-def _row_conditions(ps: PropertyShape) -> list[tuple[str, "F.Column", str]]:
+def _row_conditions(
+    ps: PropertyShape, skip_logic: bool = False
+) -> list[tuple[str, "F.Column", str]]:
     """(component, bad-condition, message) triples for every ROW-LEVEL
     constraint of ``ps`` — pure column expressions over the value-row
     columns (v_kind, v_lex, v_dtype, v_lang, v_num), no joins, no
     aggregation. Shared by the direct checks (_value_checks), the logical
     combinators (sh:or / sh:and / sh:not evaluate branch conditions on the
-    same row), and — transitively — the streaming validator."""
+    same row), and — transitively — the streaming validator.
+
+    ``skip_logic=True`` omits the sh:or/sh:and/sh:not conditions: the batch
+    validator sets it when a branch needs a join (sh:class, sh:node) and
+    routes those through `_logic_joined_checks` instead; the streaming
+    validator never sets it, so join-needing branches still fail loudly
+    there (stream-side joins per constraint are not supported)."""
     vcol = F.col("v_lex")
     conds: list[tuple[str, "F.Column", str]] = []
 
@@ -704,70 +723,260 @@ def _row_conditions(ps: PropertyShape) -> list[tuple[str, "F.Column", str]]:
             f"language tag not in {ps.language_in}",
         ))
 
-    if ps.not_branch is not None:
-        conds.append((
-            "NotConstraintComponent",
-            _branch_ok(ps.not_branch),
-            "value conforms to the negated sh:not shape",
-        ))
-    if ps.or_branches is not None:
-        bad = F.lit(True)
-        for b in ps.or_branches:
-            bad = bad & ~_branch_ok(b)
-        conds.append((
-            "OrConstraintComponent", bad,
-            "value conforms to no sh:or branch",
-        ))
-    if ps.and_branches is not None:
-        bad = F.lit(False)
-        for b in ps.and_branches:
-            bad = bad | ~_branch_ok(b)
-        conds.append((
-            "AndConstraintComponent", bad,
-            "value fails an sh:and branch",
-        ))
+    if not skip_logic:
+        if ps.not_branch is not None:
+            conds.append((
+                "NotConstraintComponent",
+                _branch_ok(ps.not_branch),
+                "value conforms to the negated sh:not shape",
+            ))
+        if ps.or_branches is not None:
+            bad = F.lit(True)
+            for b in ps.or_branches:
+                bad = bad & ~_branch_ok(b)
+            conds.append((
+                "OrConstraintComponent", bad,
+                "value conforms to no sh:or branch",
+            ))
+        if ps.and_branches is not None:
+            bad = F.lit(False)
+            for b in ps.and_branches:
+                bad = bad | ~_branch_ok(b)
+            conds.append((
+                "AndConstraintComponent", bad,
+                "value fails an sh:and branch",
+            ))
     return conds
 
 
-def _branch_ok(ps: PropertyShape) -> "F.Column":
-    """TRUE when a value row satisfies every row-level constraint of a
-    logical branch. Branch bundles needing joins or aggregation (sh:class,
-    sh:hasValue, counts, pairs, sh:node) are rejected loudly — a shape the
-    validator can't enforce must never silently conform."""
-    for bad_field in ("class_", "has_value", "min_count", "max_count",
-                      "node", "equals", "disjoint", "less_than",
-                      "less_than_or_equals"):
+# Branch constraints the logical combinators can never evaluate per value
+# node: cardinality and pair components constrain the FOCUS node's value
+# multiset, not an individual value. field -> SHACL vocabulary name.
+_BRANCH_UNSUPPORTED = {
+    "min_count": "minCount", "max_count": "maxCount", "equals": "equals",
+    "disjoint": "disjoint", "less_than": "lessThan",
+    "less_than_or_equals": "lessThanOrEquals",
+}
+
+
+def _reject_unsupported_branch(ps: PropertyShape) -> None:
+    if ps.path:
+        raise ShaclError(
+            "shacl: sh:path property shapes are not supported inside "
+            "sh:or / sh:and / sh:not branches (node-level bundles only)"
+        )
+    for bad_field, sh_name in _BRANCH_UNSUPPORTED.items():
         if getattr(ps, bad_field) is not None:
             raise ShaclError(
-                f"shacl: sh:{bad_field.rstrip('_')} is not supported inside "
-                "sh:or / sh:and / sh:not branches (row-level constraints "
-                "only)"
+                f"shacl: sh:{sh_name} is not supported inside "
+                "sh:or / sh:and / sh:not branches"
             )
     if ps.unique_lang:
         raise ShaclError(
             "shacl: sh:uniqueLang is not supported inside sh:or / sh:and / "
-            "sh:not branches (row-level constraints only)"
+            "sh:not branches"
         )
+
+
+def _is_row_level_branch(ps: PropertyShape) -> bool:
+    """True when a branch (recursively) needs no join: only row-level
+    constraints. sh:hasValue IS row-level here — in a node-shape bundle it
+    means "the value node is this exact term" (SHACL node-shape semantics,
+    not the property shape's per-focus existential)."""
+    if ps.class_ is not None or ps.node is not None:
+        return False
+    kids = list(ps.or_branches or []) + list(ps.and_branches or [])
+    if ps.not_branch is not None:
+        kids.append(ps.not_branch)
+    return all(_is_row_level_branch(k) for k in kids)
+
+
+def _logic_is_row_level(ps: PropertyShape) -> bool:
+    """True when every sh:or/sh:and/sh:not branch of ``ps`` is row-level,
+    i.e. the column-expression fast path in `_row_conditions` can evaluate
+    the whole combinator without joins."""
+    kids = list(ps.or_branches or []) + list(ps.and_branches or [])
+    if ps.not_branch is not None:
+        kids.append(ps.not_branch)
+    return all(_is_row_level_branch(k) for k in kids)
+
+
+def _branch_ok(ps: PropertyShape) -> "F.Column":
+    """TRUE when a value row satisfies every row-level constraint of a
+    logical branch. Branch bundles needing joins (sh:class, sh:node) or
+    constraining the focus's value multiset (counts, pairs, uniqueLang)
+    are rejected loudly — a shape the column fast path can't enforce must
+    never silently conform. The batch validator routes join-needing
+    branches to `_logic_joined_checks` before ever calling this."""
+    _reject_unsupported_branch(ps)
+    for bad_field in ("class_", "node"):
+        if getattr(ps, bad_field) is not None:
+            raise ShaclError(
+                f"shacl: sh:{bad_field.rstrip('_')} inside sh:or / sh:and / "
+                "sh:not needs the join-level validator (batch only)"
+            )
     ok = F.lit(True)
     for _, bad, _ in _row_conditions(ps):
         ok = ok & ~bad
+    if ps.has_value is not None:
+        k, lex = ps.has_value
+        ok = ok & (F.col("v_kind") == k) & (F.col("v_lex") == lex)
     return ok
 
 
-def _value_checks(vals: DataFrame, ns: NodeShape,
-                  ps: PropertyShape) -> list[DataFrame]:
+_VALUE_COLS = ["v_kind", "v_lex", "v_dtype", "v_lang", "v_num"]
+_VALUE_KEY = ["v_kind", "v_lex"]
+
+
+def _branch_bad_values(quads: DataFrame, dv: DataFrame, ps: PropertyShape,
+                       shapes_map: dict[str, NodeShape] | None,
+                       depth: int) -> DataFrame:
+    """The distinct value keys (v_kind, v_lex) of ``dv`` that VIOLATE a
+    logical branch — the join-level generalization of `_branch_ok`.
+
+    ``dv`` is the DISTINCT value frame of the property shape, so each
+    branch's sh:class check joins the (small) distinct value set against
+    the class's instance set exactly once; the logical combination is set
+    algebra over these key sets (union = sh:and failure, intersection =
+    sh:or failure, complement = sh:not failure). Each branch stays at
+    ≤1 shuffle; combinations add only semi/anti joins on the key sets
+    (VERDICT r5 task 4)."""
+    if depth <= 0:
+        raise ShaclError("shacl: logical nesting exceeds the depth guard")
+    _reject_unsupported_branch(ps)
+
+    bad_col = F.lit(False)
+    for _, bad, _ in _row_conditions(ps, skip_logic=True):
+        bad_col = bad_col | bad
+    if ps.has_value is not None:
+        k, lex = ps.has_value
+        bad_col = bad_col | ~((F.col("v_kind") == k)
+                              & (F.col("v_lex") == lex))
+    pieces = [dv.filter(bad_col).select(*_VALUE_KEY)]
+
+    if ps.class_ is not None:
+        instances = quads.filter(
+            (F.col("p") == RDF_TYPE) & (F.col("o_lex") == ps.class_)
+        ).select(F.col("s").alias("v_lex"),
+                 F.lit(True).alias("_is_inst")).distinct()
+        joined = dv.join(instances, "v_lex", "left")
+        pieces.append(joined.filter(
+            (F.col("v_kind") == 2) | F.col("_is_inst").isNull()
+        ).select(*_VALUE_KEY))
+
+    if ps.node is not None:
+        target = (shapes_map or {}).get(ps.node)
+        if target is None:
+            raise ShaclError(
+                f"shacl: sh:node references unknown shape {ps.node}"
+            )
+        value_focus = (
+            dv.filter(F.col("v_kind").isin(0, 1))
+            .select(F.col("v_lex").alias("focus"))
+            .distinct()
+        )
+        sub: list[DataFrame] = []
+        for sub_ps in target.properties:
+            sub.extend(_check_property(quads, value_focus, target, sub_ps,
+                                       shapes_map, depth - 1))
+        pieces.append(dv.filter(F.col("v_kind") == 2).select(*_VALUE_KEY))
+        if sub:
+            bad_focus = sub[0]
+            for r in sub[1:]:
+                bad_focus = bad_focus.unionByName(r)
+            offenders = bad_focus.select(
+                F.col("focus").alias("v_lex")
+            ).distinct()
+            pieces.append(
+                dv.join(offenders, "v_lex", "left_semi").select(*_VALUE_KEY)
+            )
+
+    if ps.or_branches is not None:
+        inter = None
+        for b in ps.or_branches:
+            bb = _branch_bad_values(quads, dv, b, shapes_map, depth - 1)
+            inter = bb if inter is None else inter.join(
+                bb, _VALUE_KEY, "left_semi"
+            )
+        if inter is not None:
+            pieces.append(inter)
+    if ps.and_branches is not None:
+        for b in ps.and_branches:
+            pieces.append(
+                _branch_bad_values(quads, dv, b, shapes_map, depth - 1)
+            )
+    if ps.not_branch is not None:
+        nb = _branch_bad_values(quads, dv, ps.not_branch, shapes_map,
+                                depth - 1)
+        pieces.append(
+            dv.select(*_VALUE_KEY).join(nb, _VALUE_KEY, "left_anti")
+        )
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _logic_joined_checks(quads: DataFrame, vals: DataFrame, ns: NodeShape,
+                         ps: PropertyShape,
+                         shapes_map: dict[str, NodeShape] | None,
+                         depth: int) -> list[DataFrame]:
+    """sh:or / sh:and / sh:not when at least one branch needs a join
+    (sh:class, sh:node): materialize each branch's violating-value key set
+    over the DISTINCT values, combine with set ops, then join back to the
+    (focus, value) rows for the report."""
+    dv = vals.select(*_VALUE_COLS).distinct()
+    fcol = F.col("focus")
+    vcol = F.col("v_lex")
+    out: list[DataFrame] = []
+
+    def back_join(bad_keys: DataFrame, component: str,
+                  message: str) -> DataFrame:
+        return vals.join(bad_keys, _VALUE_KEY, "left_semi").select(
+            *_report_row(ps, ns.iri, component, fcol, vcol, F.lit(message))
+        )
+
+    if ps.or_branches is not None:
+        inter = None
+        for b in ps.or_branches:
+            bb = _branch_bad_values(quads, dv, b, shapes_map, depth)
+            inter = bb if inter is None else inter.join(
+                bb, _VALUE_KEY, "left_semi"
+            )
+        out.append(back_join(inter, "OrConstraintComponent",
+                             "value conforms to no sh:or branch"))
+    if ps.and_branches is not None:
+        union = None
+        for b in ps.and_branches:
+            bb = _branch_bad_values(quads, dv, b, shapes_map, depth)
+            union = bb if union is None else union.unionByName(bb)
+        out.append(back_join(union.distinct(), "AndConstraintComponent",
+                             "value fails an sh:and branch"))
+    if ps.not_branch is not None:
+        nb = _branch_bad_values(quads, dv, ps.not_branch, shapes_map, depth)
+        conforming = dv.select(*_VALUE_KEY).join(nb, _VALUE_KEY, "left_anti")
+        out.append(back_join(conforming, "NotConstraintComponent",
+                             "value conforms to the negated sh:not shape"))
+    return out
+
+
+def _value_checks(vals: DataFrame, ns: NodeShape, ps: PropertyShape,
+                  skip_logic: bool = False) -> list[DataFrame]:
     """Pure ROW-LEVEL constraint checks (datatype, nodeKind, pattern,
-    numeric ranges, lengths, sh:in, sh:languageIn, sh:or/and/not): each is
-    a filter over the value rows with no join and no aggregation —
-    reusable verbatim by the streaming validator (stateless per
-    micro-batch)."""
+    numeric ranges, lengths, sh:in, sh:languageIn, row-level
+    sh:or/and/not): each is a filter over the value rows with no join and
+    no aggregation — reusable verbatim by the streaming validator
+    (stateless per micro-batch). ``skip_logic`` mirrors
+    `_row_conditions`: the batch validator sets it when the logical
+    combinators need the join-level path."""
     fcol = F.col("focus")
     vcol = F.col("v_lex")
     return [
         vals.filter(bad).select(*_report_row(
             ps, ns.iri, component, fcol, vcol, F.lit(message),
         ))
-        for component, bad, message in _row_conditions(ps)
+        for component, bad, message in _row_conditions(ps, skip_logic)
     ]
 
 

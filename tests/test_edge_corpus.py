@@ -76,8 +76,8 @@ def test_edge_corpus_matches_oracle(spark, edge_sf_dir, edge_duck, name):
     # raw_fn: the plan cache must not leak plans across the real/edge dirs
     # (it keys on sf_dir, so using the cached fn would also be safe — raw
     # keeps the test independent of cache policy).
-    ok, msg, _ = compare(name, spark, edge_duck, edge_sf_dir, q.raw_fn, q.oracle)
-    assert ok, f"{name}: {msg}"
+    res = compare(name, spark, edge_duck, edge_sf_dir, q.raw_fn, q.oracle)
+    assert res.ok, f"{name}: {res.msg}"
 
 
 EDGE_EMB_OPS = ["embed_quantize_int8", "embedding_cosine_pairs", "kmeans_embeddings"]
@@ -131,10 +131,10 @@ def edge_emb_duck(edge_emb_dir):
 @pytest.mark.parametrize("name", EDGE_EMB_OPS)
 def test_edge_embeddings_match_oracle(spark, edge_emb_dir, edge_emb_duck, name):
     q = harness.REGISTRY[name]
-    ok, msg, _ = compare(
+    res = compare(
         name, spark, edge_emb_duck, edge_emb_dir, q.raw_fn, q.oracle
     )
-    assert ok, f"{name}: {msg}"
+    assert res.ok, f"{name}: {res.msg}"
 
 
 EDGE_EVENT_OPS = [
@@ -198,7 +198,7 @@ def edge_events_duck(edge_events_dir):
 @pytest.mark.parametrize("name", EDGE_EVENT_OPS)
 def test_edge_events_match_oracle(spark, edge_events_dir, edge_events_duck, name):
     q = harness.REGISTRY[name]
-    ok, msg, _ = compare(
+    res = compare(
         name, spark, edge_events_duck, edge_events_dir, q.raw_fn, q.oracle
     )
-    assert ok, f"{name}: {msg}"
+    assert res.ok, f"{name}: {res.msg}"

@@ -182,5 +182,5 @@ def edge_wh_duck(edge_wh_dir):
 )
 def test_full_registry_over_edge_warehouse(spark, edge_wh_dir, edge_wh_duck, name):
     q = harness.REGISTRY[name]
-    ok, msg, _ = compare(name, spark, edge_wh_duck, edge_wh_dir, q.raw_fn, q.oracle)
-    assert ok, f"{name}: {msg}"
+    res = compare(name, spark, edge_wh_duck, edge_wh_dir, q.raw_fn, q.oracle)
+    assert res.ok, f"{name}: {res.msg}"

@@ -13,8 +13,8 @@ from tools.check_oracle import compare
 @pytest.mark.parametrize("name", sorted(harness.REGISTRY))
 def test_query_matches_oracle(spark, duck, name):
     q = harness.REGISTRY[name]
-    ok, msg, _ = compare(name, spark, duck, SF_DIR, q.fn, q.oracle)
-    assert ok, f"{name}: {msg}"
+    res = compare(name, spark, duck, SF_DIR, q.fn, q.oracle)
+    assert res.ok, f"{name}: {res.msg}"
 
 
 def test_every_query_has_doc():
@@ -48,5 +48,5 @@ def duck_sf001():
 @pytest.mark.parametrize("name", sorted(harness.REGISTRY))
 def test_query_matches_oracle_sf001(spark, duck_sf001, name):
     q = harness.REGISTRY[name]
-    ok, msg, _ = compare(name, spark, duck_sf001, SF_001, q.fn, q.oracle)
-    assert ok, f"{name}: {msg}"
+    res = compare(name, spark, duck_sf001, SF_001, q.fn, q.oracle)
+    assert res.ok, f"{name}: {res.msg}"

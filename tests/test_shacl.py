@@ -400,11 +400,71 @@ def test_and_not(repo2):
     assert v == [(EX + "d2", "NotConstraintComponent", "heaps")]
 
 
-def test_logic_rejects_join_constraints(repo2):
-    with pytest.raises(ShaclError, match="sh:class"):
+def test_not_class_join_level(repo2):
+    """sh:not over a join-needing branch (r5 task 4): violation where the
+    value CONFORMS to [sh:class ex:Author]. d3's literal author cannot be
+    a class instance, so it conforms to the negation."""
+    v = sorted(_viol(repo2, _shape2(
+        "sh:property [ sh:path ex:author ; "
+        "sh:not [ sh:class ex:Author ] ]")))
+    assert v == [
+        (EX + "d1", "NotConstraintComponent", EX + "alice2"),
+        (EX + "d2", "NotConstraintComponent", EX + "bob2"),
+    ]
+
+
+def test_or_class_join_level(repo2):
+    """The common RDF4J idiom sh:or ( [sh:class A] [...] ): a value must
+    be an Author instance OR an integer literal; d3's plain-string author
+    fails both branches."""
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:author ; sh:or ( "
+        "[ sh:class ex:Author ] [ sh:datatype xsd:integer ] ) ]"))
+    assert v == [(EX + "d3", "OrConstraintComponent", "Anon")]
+
+
+def test_and_class_join_level(repo2):
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:author ; sh:and ( "
+        "[ sh:class ex:Author ] [ sh:nodeKind sh:IRI ] ) ]"))
+    assert v == [(EX + "d3", "AndConstraintComponent", "Anon")]
+
+
+def test_or_node_join_level(repo2):
+    """sh:node inside sh:or: the author must conform to AuthorShape
+    (requires ex:name) OR be a literal. bob2 has no name and is no
+    literal."""
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:author ; sh:or ( "
+        "[ sh:node ex:AuthorShape ] [ sh:nodeKind sh:Literal ] ) ]",
+        extra="""
+        ex:AuthorShape a sh:NodeShape ;
+          sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+        """))
+    assert v == [(EX + "d2", "OrConstraintComponent", EX + "bob2")]
+
+
+def test_has_value_identity_in_branch(repo2):
+    """sh:hasValue inside a logical branch uses node-shape semantics: the
+    value node IS the given term. Row-level, no join."""
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:author ; sh:or ( "
+        "[ sh:hasValue ex:alice2 ] [ sh:nodeKind sh:Literal ] ) ]"))
+    assert v == [(EX + "d2", "OrConstraintComponent", EX + "bob2")]
+
+
+def test_logic_rejects_multiset_constraints(repo2):
+    """Counts/pairs/uniqueLang constrain the focus's value multiset — they
+    have no per-value meaning inside a branch and must still fail loudly."""
+    with pytest.raises(ShaclError, match="minCount"):
         _viol(repo2, _shape2(
             "sh:property [ sh:path ex:author ; "
-            "sh:not [ sh:class ex:Author ] ]"))
+            "sh:not [ sh:minCount 1 ] ]"))
+    with pytest.raises(ShaclError, match="path"):
+        _viol(repo2, _shape2(
+            "sh:property [ sh:path ex:author ; sh:or ( "
+            "[ sh:path ex:name ; sh:datatype xsd:string ] "
+            "[ sh:nodeKind sh:Literal ] ) ]"))
 
 
 def test_less_than(repo2):

@@ -69,5 +69,5 @@ def test_matches_oracle_under_ltz_reading(hostile_session, duck, name):
     assert q.oracle is not None, f"{name} lost its oracle"
     # raw_fn: bypass the plan cache — a plan compiled under the default
     # reading mode must not leak into the hostile-session run
-    ok, msg, _ = compare(name, hostile_session, duck, SF_DIR, q.raw_fn, q.oracle)
-    assert ok, f"{name} diverges under LTZ reading: {msg}"
+    res = compare(name, hostile_session, duck, SF_DIR, q.raw_fn, q.oracle)
+    assert res.ok, f"{name} diverges under LTZ reading: {res.msg}"

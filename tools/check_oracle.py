@@ -13,6 +13,7 @@ import math
 import sys
 import time
 from pathlib import Path
+from typing import NamedTuple
 
 import duckdb
 
@@ -62,9 +63,23 @@ def _norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+class CompareResult(NamedTuple):
+    """Result of one Spark-vs-oracle comparison.
+
+    A NamedTuple so call sites use attribute access (``res.ok``) — adding a
+    field can no longer silently break tuple unpacking (the round-5 arity
+    regression).
+    """
+
+    ok: bool
+    msg: str
+    dt: float
+    rec: dict
+
+
 def compare(
     name: str, spark, con, sf_dir: str, fn, sql: str | None
-) -> tuple[bool, str, float, dict]:
+) -> CompareResult:
     t0 = time.time()
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
@@ -76,7 +91,7 @@ def compare(
     }
     if sql is None:
         rec["err"] = "rows-only (no oracle)"
-        return True, f"rows-only ({len(s_rows)} rows)", dt, rec
+        return CompareResult(True, f"rows-only ({len(s_rows)} rows)", dt, rec)
     d = con.sql(sql)
     d_cols = d.columns
     d_rows = d.fetchall()
@@ -85,17 +100,17 @@ def compare(
         c.lower() for c in d_cols
     )
     if not rec["schema_match"]:
-        return False, f"column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}", dt, rec
+        return CompareResult(False, f"column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}", dt, rec)
     rec["rows_match"] = len(s_rows) == len(d_rows)
     if not rec["rows_match"]:
-        return False, f"row count spark={len(s_rows)} duck={len(d_rows)}", dt, rec
+        return CompareResult(False, f"row count spark={len(s_rows)} duck={len(d_rows)}", dt, rec)
     _, sn = _norm_rows([c.lower() for c in s_cols], s_rows)
     _, dn = _norm_rows([c.lower() for c in d_cols], d_rows)
     rec["hash_match"] = sn == dn
     if not rec["hash_match"]:
         diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-        return False, f"value mismatch, first diffs: {diff}", dt, rec
-    return True, f"match ({len(s_rows)} rows)", dt, rec
+        return CompareResult(False, f"value mismatch, first diffs: {diff}", dt, rec)
+    return CompareResult(True, f"match ({len(s_rows)} rows)", dt, rec)
 
 
 def main() -> int:
