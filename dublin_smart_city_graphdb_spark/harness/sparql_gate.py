@@ -1334,8 +1334,8 @@ def sparql_shacl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI = ((-6.4007, 53.2103), (-6.1003, 53.2501), (-6.3001, 53.3899))
 
 
-def _tri_halfplanes_sql() -> str:
-    (xa, ya), (xb, yb), (xc, yc) = _TRI
+def _tri_halfplanes_sql(tri=_TRI) -> str:
+    (xa, ya), (xb, yb), (xc, yc) = tri
     def edge(x1, y1, x2, y2):
         return (f"(({x2} - {x1}) * (y - {y1}) - "
                 f"({y2} - {y1}) * (x - {x1})) > 0")
@@ -1374,6 +1374,52 @@ def sparql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE {{
           ?cust a rel:Customer ; geo:asWKT ?wkt .
           FILTER(geof:sfWithin(?wkt, "POLYGON(({ring}))"^^geo:wktLiteral))
+        }}
+    """)
+    return df.select(_lex("cust").alias("c"))
+
+
+# CCW triangle strictly inside _TRI, vertices 4-decimal (off the 3-decimal
+# customer grid) so no point lies exactly on a hole edge either — verified
+# min |edge cross product| over the grid ≈ 2.4e-7.
+_HOLE = ((-6.3204, 53.2496), (-6.2206, 53.2604), (-6.2702, 53.3304))
+
+
+@register(
+    "sparql_geo_polygon_hole",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(CAST(CAST(-6.45 + (c_custkey % 80) * 0.005 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS x,
+               CAST(CAST(CAST(53.20 + (c_custkey % 100) * 0.002 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS y
+        FROM customer
+    )
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c
+    FROM pts WHERE ({_tri_halfplanes_sql()})
+              AND NOT ({_tri_halfplanes_sql(_HOLE)})
+    """,
+    doc="geof:sfWithin with a polygon HOLE (round 6, VERDICT r5 task 5): "
+        "the outer triangle minus an inner-ring triangle. The engine "
+        "walks every ring's edges independently and sums even-odd "
+        "crossings (a point in the hole crosses shell + hole = even = "
+        "outside); the oracle is the independent half-plane formulation "
+        "of shell AND NOT hole.",
+)
+def sparql_geo_polygon_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geof = "http://www.opengis.net/def/function/geosparql/"
+    shell = ", ".join(f"{x} {y}" for x, y in (*_TRI, _TRI[0]))
+    hole = ", ".join(f"{x} {y}" for x, y in (*_HOLE, _HOLE[0]))
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+        PREFIX geof: <{geof}>
+        SELECT ?cust
+        WHERE {{
+          ?cust a rel:Customer ; geo:asWKT ?wkt .
+          FILTER(geof:sfWithin(?wkt,
+            "POLYGON(({shell}), ({hole}))"^^geo:wktLiteral))
         }}
     """)
     return df.select(_lex("cust").alias("c"))

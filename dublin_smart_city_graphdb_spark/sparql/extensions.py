@@ -106,59 +106,42 @@ def wkt_within_bbox(args: list[Column]) -> Column:
     return make_bool(inside)
 
 
-# POLYGON outer ring: the first "( ... )" group inside the body — holes
-# (subsequent rings) are deliberately excluded from vertex extraction
-_WKT_POLY_RING = r"^\s*POLYGON\s*\(\s*\(([^)]+)\)"
+# POLYGON body: everything inside the outermost parens — "(r1),(r2),..."
+# where the first ring is the shell and the rest are holes
+_WKT_POLY_BODY = r"^\s*POLYGON\s*\(\s*(.*\S)\s*\)\s*$"
 
 
 def geof_sf_within(args: list[Column]) -> Column:
     """geof:sfWithin(geomA, geomB) → xsd:boolean — GeoSPARQL simple-features
-    containment: geomA a POINT, geomB a POLYGON (general rings via
-    ray-casting) or any other geometry (tested against its bounding box).
+    containment: geomA a POINT, geomB a POLYGON (general rings INCLUDING
+    holes via ray-casting, r5 task 5) or any other geometry (tested
+    against its bounding box).
 
     Three JVM-only paths, no UDF anywhere:
-    - geomB an axis-aligned rectangle POLYGON (every vertex lon ∈ {min,
-      max} and lat ∈ {min,max}): CLOSED bbox compare — exact, boundary
-      inclusive, the reference's own spatial idiom
+    - geomB a single-ring axis-aligned rectangle POLYGON (every vertex
+      lon ∈ {min, max} and lat ∈ {min, max}): CLOSED bbox compare —
+      exact, boundary inclusive, the reference's own spatial idiom
       (facilities.ttl:211-218) and bit-compatible with the r4 behavior.
-    - geomB any other POLYGON: even-odd ray casting over the OUTER ring
-      (``F.filter`` over the edge index sequence counting upward/downward
-      crossings left of the point) — exact for simple polygons' strict
-      interior; points exactly ON a non-axis-aligned edge follow the
-      even-odd tie-break (not specified by us). Holes are not subtracted
-      (outer-ring containment), documented restriction.
+    - geomB any other POLYGON: even-odd ray casting over ALL rings —
+      each ring's edges are walked independently (no phantom edge
+      between rings) and the crossing counts sum, so an odd total means
+      inside the shell and outside every hole (XOR semantics; a point in
+      a hole crosses shell once and hole once → even → outside). Points
+      exactly ON a non-axis-aligned edge follow the even-odd tie-break.
     - non-POLYGON geomB: bounding box of all coordinate pairs (unchanged).
     Non-POINT geomA or empty geomB → null (SPARQL error → row drops)."""
     return make_bool(_point_in_geom(args[0]["lex"], args[1]["lex"]))
 
 
-def _point_in_geom(a_lex: Column, b_lex: Column) -> Column:
-    """Nullable boolean: the POINT ``a_lex`` lies in geometry ``b_lex``
-    (see geof_sf_within for path semantics)."""
-    lon = F.regexp_extract(a_lex, _WKT_POINT, 1)
-    lat = F.regexp_extract(a_lex, _WKT_POINT, 2)
-    x = F.when(lon != "", lon).cast("double")
-    y = F.when(lat != "", lat).cast("double")
-
-    ring = F.regexp_extract(b_lex, _WKT_POLY_RING, 1)
-    is_poly = ring != ""
-    src = F.when(is_poly, ring).otherwise(b_lex)
-    xs = _geom_lons(src)
-    ys = _geom_lats(src)
-    nonempty = F.size(xs) > 0
-
-    xmin, xmax = F.array_min(xs), F.array_max(xs)
-    ymin, ymax = F.array_min(ys), F.array_max(ys)
-    bbox_inside = (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax)
-
-    is_rect = F.forall(
-        xs, lambda v: (v == xmin) | (v == xmax)
-    ) & F.forall(ys, lambda v: (v == ymin) | (v == ymax))
-
-    # even-odd ray casting: count ring edges (i, i+1) that straddle the
-    # horizontal line through y with their crossing strictly left of x
-    idx = F.sequence(F.lit(0), F.size(xs) - 2)
-    crossings = F.size(
+def _ring_crossings(ring: Column, x: Column, y: Column) -> Column:
+    """Even-odd ray cast for one ring's coordinate list: the number of
+    edges (i, i+1) that straddle the horizontal line through y with the
+    crossing strictly left of x. Pure higher-order functions; a ring with
+    <2 vertices contributes 0 (out-of-range F.get → null → filtered)."""
+    xs = _geom_lons(ring)
+    ys = _geom_lats(ring)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(xs) - 2, F.lit(0)))
+    return F.size(
         F.filter(
             idx,
             lambda i: (
@@ -173,7 +156,46 @@ def _point_in_geom(a_lex: Column, b_lex: Column) -> Column:
             ),
         )
     )
-    ray_inside = crossings % 2 == 1
+
+
+def _point_in_geom(a_lex: Column, b_lex: Column) -> Column:
+    """Nullable boolean: the POINT ``a_lex`` lies in geometry ``b_lex``
+    (see geof_sf_within for path semantics)."""
+    lon = F.regexp_extract(a_lex, _WKT_POINT, 1)
+    lat = F.regexp_extract(a_lex, _WKT_POINT, 2)
+    x = F.when(lon != "", lon).cast("double")
+    y = F.when(lat != "", lat).cast("double")
+
+    body = F.regexp_extract(b_lex, _WKT_POLY_BODY, 1)
+    is_poly = body != ""
+    # ring strings: strip the leading "(" / trailing ")" then split on
+    # the ")...(" separators — first element is the shell, rest holes
+    rings = F.split(
+        F.regexp_replace(
+            F.regexp_replace(body, r"^\s*\(", ""), r"\)\s*$", ""
+        ),
+        r"\)\s*,\s*\(",
+    )
+    src = F.when(is_poly, body).otherwise(b_lex)
+    xs = _geom_lons(src)
+    ys = _geom_lats(src)
+    nonempty = F.size(xs) > 0
+
+    xmin, xmax = F.array_min(xs), F.array_max(xs)
+    ymin, ymax = F.array_min(ys), F.array_max(ys)
+    bbox_inside = (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax)
+
+    is_rect = (
+        F.forall(xs, lambda v: (v == xmin) | (v == xmax))
+        & F.forall(ys, lambda v: (v == ymin) | (v == ymax))
+        & (F.size(rings) <= 1)
+    )
+
+    # even-odd over ALL rings: per-ring crossings summed, odd = inside
+    total = F.aggregate(
+        rings, F.lit(0), lambda acc, r: acc + _ring_crossings(r, x, y)
+    )
+    ray_inside = total % 2 == 1
 
     inside = F.when(is_rect | ~is_poly, bbox_inside).otherwise(ray_inside)
     return F.when(nonempty, inside)

@@ -178,6 +178,13 @@ def test_sf_within_polygon_shapes(spark):
     # non-polygon geomB falls back to bbox of its coordinate pairs
     line = "LINESTRING(0 0, 2 2)"
     assert within(line) == ["edgeRect", "inTri"]
+
+    # inner ring (hole, r5 task 5): big square with a hole covering
+    # (0.5,0.5)-(1.5,1.5) — (1,1) now falls IN the hole and drops out;
+    # (4.9,2.5) is in the shell away from the hole
+    holed = ("POLYGON((0 0, 6 0, 6 5, 0 5, 0 0),"
+             "(0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))")
+    assert within(holed) == ["concave", "edgeRect"]
     eng.drop_repository("geo_poly")
 
 
