@@ -560,21 +560,30 @@ class Repository:
         multi-op transaction commit atomic."""
         from dublin_smart_city_graphdb_spark.sparql.update import UpdateExecutor
 
-        with self._write_lock:
-            q = self.quads  # bind once — see materialize_inference
-            explicit = q.filter((q.g.isNull()) | (q.g != INFERRED_GRAPH))
-            result = UpdateExecutor(self.spark, self._load_fn()).apply(
-                explicit, ops
-            )
-            self._pred_stats = None
-            self._version += 1
-            if self._store:
-                self._store.write(result, mode="overwrite")
-                self._quads = self._store.read()
-            else:
-                self._quads = result.localCheckpoint(eager=True)
-            if self.config.get("ruleset", "none") != "none":
-                self.materialize_inference()
+        # visible in the query monitor as IN_COMMIT (GraphDB lifecycle
+        # state) while the visibility switch lands; not abortable — the
+        # overwrite/checkpoint is the atomicity point
+        entry = self.engine._register_query(
+            self.name, f"<update: {len(ops)} op(s)>", None, state="IN_COMMIT"
+        )
+        try:
+            with self._write_lock:
+                q = self.quads  # bind once — see materialize_inference
+                explicit = q.filter((q.g.isNull()) | (q.g != INFERRED_GRAPH))
+                result = UpdateExecutor(self.spark, self._load_fn()).apply(
+                    explicit, ops
+                )
+                self._pred_stats = None
+                self._version += 1
+                if self._store:
+                    self._store.write(result, mode="overwrite")
+                    self._quads = self._store.read()
+                else:
+                    self._quads = result.localCheckpoint(eager=True)
+                if self.config.get("ruleset", "none") != "none":
+                    self.materialize_inference()
+        finally:
+            self.engine._unregister_query(entry["id"])
 
     def begin(self) -> "Transaction":
         """Open a buffered transaction (RDF4J transaction semantics at the
@@ -845,7 +854,8 @@ class Engine:
         return repo
 
     # -- query monitor (GraphDB running-queries surface) --------------------
-    def _register_query(self, repo: str, query: str, group: str) -> dict:
+    def _register_query(self, repo: str, query: str, group: str | None,
+                        state: str = "IN_QUERY") -> dict:
         import time as _time
 
         with self._monitor_lock:
@@ -857,6 +867,7 @@ class Engine:
                 "start": _time.time(),
                 "group": group,
                 "aborted": False,
+                "state": state,
             }
             self._running[entry["id"]] = entry
         return entry
@@ -866,8 +877,10 @@ class Engine:
             self._running.pop(track_id, None)
 
     def running_queries(self) -> list[dict]:
-        """Currently-executing queries: [{id, repository, query,
-        elapsed_s}] — the ``GET /rest/monitor/query`` listing."""
+        """Currently-executing operations: [{id, repository, query,
+        elapsed_s, state}] — the ``GET /rest/monitor/query`` listing.
+        ``state`` mirrors GraphDB's lifecycle report: IN_QUERY for reads,
+        IN_COMMIT while an update's visibility switch is landing."""
         import time as _time
 
         now = _time.time()
@@ -878,6 +891,7 @@ class Engine:
                     "repository": e["repository"],
                     "query": e["query"],
                     "elapsed_s": round(now - e["start"], 3),
+                    "state": e["state"],
                 }
                 for e in self._running.values()
             ]
@@ -897,11 +911,30 @@ class Engine:
         so fresh jobs get slots while zombies drain)."""
         with self._monitor_lock:
             entry = self._running.get(track_id)
-            if entry is None:
+            if entry is None or entry["group"] is None:
+                # unknown id, or an IN_COMMIT entry: the visibility switch
+                # is atomic — there is no safe point to cancel it at
                 return False
             entry["aborted"] = True
         self.spark.sparkContext.cancelJobGroup(entry["group"])
         return True
+
+    def abort_all_queries(self) -> list[str]:
+        """Abort every abortable running query (GraphDB's abort-all):
+        cancels each query's job group; IN_COMMIT entries are skipped for
+        the same atomicity reason as `abort_query`. Returns the aborted
+        track ids."""
+        with self._monitor_lock:
+            targets = [
+                (e["id"], e["group"])
+                for e in self._running.values()
+                if e["group"] is not None and not e["aborted"]
+            ]
+            for tid, _ in targets:
+                self._running[tid]["aborted"] = True
+        for _, group in targets:
+            self.spark.sparkContext.cancelJobGroup(group)
+        return [tid for tid, _ in targets]
 
     def register_function(self, iri: str, fn) -> None:
         """Register a SPARQL extension function: ``fn(args: list[Column

@@ -103,6 +103,69 @@ def reflexive_transitive_closure(
     return plus.unionByName(self_pairs).distinct()
 
 
+_PR_UNIT = 10**9  # rank 1.0 == 1e9 nano-units
+
+
+def _pagerank_setup(edges: DataFrame, src: str, dst: str, damping: float):
+    """Shared scaffolding for both PageRank entry points: checkpointed
+    edge/node frames, out-degrees, and the damping constant as an exact
+    integer fraction (see pagerank's fixed-point rationale)."""
+    from fractions import Fraction
+
+    frac = Fraction(str(damping)).limit_denominator(10**6)
+    d_num, d_den = frac.numerator, frac.denominator
+    tr = CheckpointTracker(edges)
+    e, e_ids = tr.checkpoint(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    )
+    nodes, node_ids = tr.checkpoint(
+        e.select(F.col("e_src").alias("id"))
+        .unionByName(e.select(F.col("e_dst").alias("id")))
+        .distinct()
+    )
+    degrees = e.groupBy(F.col("e_src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    return tr, e, e_ids, nodes, node_ids, degrees, d_num, d_den
+
+
+def _pagerank_round(tr, e, nodes, degrees, ranks, d_num: int, d_den: int):
+    """One power iteration: one groupBy(dst) shuffle of integer
+    contributions, damping applied as an exact integer fraction."""
+    base_units = (_PR_UNIT * (d_den - d_num)) // d_den
+    contribs = (
+        e.join(ranks, e.e_src == ranks.id)
+        .join(degrees, "id")
+        .select(
+            F.col("e_dst").alias("id"),
+            F.expr("rank div out_deg").alias("c"),
+        )
+    )
+    summed = contribs.groupBy("id").agg(
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("in_sum")
+    )
+    return tr.checkpoint(
+        nodes.join(summed, "id", "left").select(
+            "id",
+            (
+                F.lit(base_units).cast("decimal(38,0)")
+                + F.expr(
+                    f"(cast({d_num} as decimal(38,0)) *"
+                    f" coalesce(in_sum, cast(0 as decimal(38,0))))"
+                    f" div {d_den}"
+                ).cast("decimal(38,0)")
+            ).cast("long").alias("rank"),
+        )
+    )
+
+
+def _pagerank_result(ranks: DataFrame) -> DataFrame:
+    return ranks.select(
+        "id",
+        (F.col("rank").cast("double") / F.lit(float(_PR_UNIT))).alias("rank"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -124,59 +187,68 @@ def pagerank(
     everywhere. Sums ride in decimal(38,0) so ~1e11-node graphs can't
     overflow the 64-bit range mid-aggregate. Only the returned column
     converts to double (exact: nano-unit counts < 2^53)."""
-    from fractions import Fraction
-
-    frac = Fraction(str(damping)).limit_denominator(10**6)
-    d_num, d_den = frac.numerator, frac.denominator
-    tr = CheckpointTracker(edges)
-    e, e_ids = tr.checkpoint(
-        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    tr, e, e_ids, nodes, node_ids, degrees, d_num, d_den = _pagerank_setup(
+        edges, src, dst, damping
     )
-    nodes, node_ids = tr.checkpoint(
-        e.select(F.col("e_src").alias("id"))
-        .unionByName(e.select(F.col("e_dst").alias("id")))
-        .distinct()
-    )
-    degrees = e.groupBy(F.col("e_src").alias("id")).agg(
-        F.count("*").alias("out_deg")
-    )
-    unit = 10**9  # rank 1.0 == 1e9 nano-units
-    base_units = (unit * (d_den - d_num)) // d_den
-    ranks = nodes.select("id", F.lit(unit).cast("long").alias("rank"))
+    ranks = nodes.select("id", F.lit(_PR_UNIT).cast("long").alias("rank"))
     rank_ids: set = set()
     for _ in range(iterations):
-        contribs = (
-            e.join(ranks, e.e_src == ranks.id)
-            .join(degrees, "id")
-            .select(
-                F.col("e_dst").alias("id"),
-                F.expr("rank div out_deg").alias("c"),
-            )
-        )
-        summed = contribs.groupBy("id").agg(
-            F.sum(F.col("c").cast("decimal(38,0)")).alias("in_sum")
-        )
-        ranks, new_rank_ids = tr.checkpoint(
-            nodes.join(summed, "id", "left").select(
-                "id",
-                (
-                    F.lit(base_units).cast("decimal(38,0)")
-                    + F.expr(
-                        f"(cast({d_num} as decimal(38,0)) *"
-                        f" coalesce(in_sum, cast(0 as decimal(38,0))))"
-                        f" div {d_den}"
-                    ).cast("decimal(38,0)")
-                ).cast("long").alias("rank"),
-            )
+        ranks, new_rank_ids = _pagerank_round(
+            tr, e, nodes, degrees, ranks, d_num, d_den
         )
         tr.free(rank_ids)  # previous generation fully superseded
         rank_ids = new_rank_ids
     if rank_ids:
         # final ranks are materialized: the edge/node scaffolding is garbage
         tr.free(e_ids | node_ids)
-    return ranks.select(
-        "id", (F.col("rank").cast("double") / F.lit(float(unit))).alias("rank")
+    return _pagerank_result(ranks)
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 20,
+) -> tuple[DataFrame, int]:
+    """Production PageRank (VERDICT r5 task 7): iterate until the largest
+    per-node rank change drops below ``tol`` (in rank units) or
+    ``max_iter`` rounds, whichever first. Returns (ranks, rounds_run).
+
+    Same fixed-point integer pipeline and one-shuffle round as
+    `pagerank`, so at any stopping point the ranks are bit-identical to
+    the fixed-iteration twin at the same round count. The convergence
+    probe is one max-aggregate per round — a single scalar to the driver,
+    O(1) driver traffic per round like the BFS frontier probe
+    (graph/paths.py). Old rank generations are freed as soon as the delta
+    that references them is computed."""
+    tol_units = max(int(tol * _PR_UNIT), 1)
+    tr, e, e_ids, nodes, node_ids, degrees, d_num, d_den = _pagerank_setup(
+        edges, src, dst, damping
     )
+    ranks = nodes.select("id", F.lit(_PR_UNIT).cast("long").alias("rank"))
+    rank_ids: set = set()
+    rounds = 0
+    for _ in range(max_iter):
+        new_ranks, new_rank_ids = _pagerank_round(
+            tr, e, nodes, degrees, ranks, d_num, d_den
+        )
+        rounds += 1
+        delta_row = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "id")
+            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .collect()
+        )
+        delta = delta_row[0]["d"] if delta_row else None
+        tr.free(rank_ids)
+        ranks, rank_ids = new_ranks, new_rank_ids
+        if delta is None or delta < tol_units:
+            break
+    if rank_ids:
+        tr.free(e_ids | node_ids)
+    return _pagerank_result(ranks), rounds
 
 
 def connected_components(

@@ -551,6 +551,11 @@ def _make_handler(engine: Engine):
             # teardown path (idempotent like create)
             url = urllib.parse.urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
+            if parts == ["rest", "monitor", "query"]:
+                # abort-all (GraphDB query monitor): every abortable
+                # running query's job group is cancelled
+                self._send(200, {"aborted": engine.abort_all_queries()})
+                return
             if len(parts) == 4 and parts[:3] == ["rest", "monitor", "query"]:
                 # abort a running query by track id (GraphDB query monitor)
                 if engine.abort_query(parts[3]):

@@ -48,6 +48,39 @@ def test_pagerank_tiny_graph(spark):
     assert got[3] == 1.0
 
 
+def test_pagerank_converged_known_graph(spark):
+    """pagerank_converged (r5 task 7): on a 4-node cycle every node's
+    rank is exactly 1.0 at every iteration, so the delta hits 0 after
+    round 2 (round 1's delta compares against the init vector) and the
+    loop stops well before max_iter. On the 3-node chain the fixed-point
+    converges to a=0.15, b=0.15+0.85*0.15, c=0.15+0.85*b."""
+    from dublin_smart_city_graphdb_spark.graph.closure import (
+        pagerank,
+        pagerank_converged,
+    )
+
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    ranks, rounds = pagerank_converged(cycle, tol=1e-9, max_iter=50)
+    got = {r.id: r.rank for r in ranks.collect()}
+    assert got == {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}
+    assert rounds <= 2
+
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    ranks, rounds = pagerank_converged(chain, tol=1e-9, max_iter=50)
+    got = {r.id: r.rank for r in ranks.collect()}
+    assert got[1] == 0.15
+    assert abs(got[2] - (0.15 + 0.85 * 0.15)) < 1e-9
+    assert abs(got[3] - (0.15 + 0.85 * got[2])) < 1e-9
+    assert 2 < rounds < 50
+
+    # at the same round count the converged twin is bit-identical to the
+    # fixed-iteration twin (same integer pipeline)
+    fixed = {r.id: r.rank for r in pagerank(chain, iterations=rounds).collect()}
+    assert fixed == got
+
+
 def test_connected_components_long_path_converges_fast(spark):
     """A 200-node path has diameter 199 — plain min-propagation would need
     ~199 rounds and silently truncate at max_iterations=50. Pointer

@@ -128,3 +128,62 @@ def test_rest_monitor_lifecycle(slow_repo):
         assert exc.value.code == 404
     finally:
         srv.stop()
+
+
+def test_state_and_abort_all(slow_repo):
+    """Round-6 parity polish: per-entry lifecycle state (IN_QUERY vs
+    IN_COMMIT) and abort-all."""
+    eng, repo = slow_repo
+    # reads report IN_QUERY; abort-all kills every abortable entry
+    errors: list = []
+    t1 = _start_slow(repo, errors)
+    t2 = _start_slow(repo, errors)
+    t0 = time.time()
+    while len(eng.running_queries()) < 2 and time.time() - t0 < 15:
+        if errors:
+            raise AssertionError(f"slow query died early: {errors[0]!r}")
+        time.sleep(0.05)
+    running = eng.running_queries()
+    assert len(running) == 2
+    assert all(q["state"] == "IN_QUERY" for q in running)
+    aborted = eng.abort_all_queries()
+    assert sorted(aborted) == sorted(q["id"] for q in running)
+    t1.join(timeout=30)
+    t2.join(timeout=30)
+    assert not t1.is_alive() and not t2.is_alive()
+    assert len(errors) == 2
+    assert all(isinstance(e, QueryAbortedError) for e in errors)
+    assert eng.running_queries() == []
+    # nothing left to abort
+    assert eng.abort_all_queries() == []
+
+
+def test_commit_reports_in_commit_state(slow_repo):
+    """An update's visibility switch shows up as IN_COMMIT and is not
+    abortable (the overwrite/checkpoint is the atomicity point)."""
+    eng, repo = slow_repo
+    seen: list = []
+
+    def watch():
+        t0 = time.time()
+        while time.time() - t0 < 30:
+            for q in eng.running_queries():
+                if q["state"] == "IN_COMMIT":
+                    seen.append(dict(q))
+                    # abort during commit must refuse
+                    seen.append(eng.abort_query(q["id"]))
+                    return
+            time.sleep(0.005)
+
+    w = threading.Thread(target=watch, daemon=True)
+    w.start()
+    repo.update(
+        'INSERT DATA { <http://t#new> <http://t#p> "v" }'
+    )
+    w.join(timeout=35)
+    assert seen, "IN_COMMIT entry never appeared in the monitor"
+    assert seen[0]["state"] == "IN_COMMIT"
+    assert seen[0]["repository"] == "monitor_repo"
+    assert seen[1] is False
+    # monitor drains after the commit lands
+    assert eng.running_queries() == []
