@@ -1541,11 +1541,21 @@ class QueryCompiler:
         if isinstance(path, A.PathSeq):
             cur = self.compile_path_pairs(path.parts[0], graph_ctx)
             for part in path.parts[1:]:
-                nxt = self.compile_path_pairs(part, graph_ctx)
+                # rename the right side's columns instead of string-alias
+                # scoping: when both parts compile to the IDENTICAL plan
+                # (e.g. (:p/:p)*) the "L"/"R" dataset aliases leave both
+                # sides sharing attribute ids, and a later checkpoint of
+                # the closure over this join dies in the analyzer
+                # ("key not found: src#N"); withColumnRenamed mints fresh
+                # ids so the self-join is unambiguous
+                nxt = (
+                    self.compile_path_pairs(part, graph_ctx)
+                    .withColumnRenamed("src", "__mid")
+                    .withColumnRenamed("dst", "__rdst")
+                )
                 cur = (
-                    cur.alias("L")
-                    .join(nxt.alias("R"), F.col("L.dst").eqNullSafe(F.col("R.src")))
-                    .select(F.col("L.src").alias("src"), F.col("R.dst").alias("dst"))
+                    cur.join(nxt, F.col("dst").eqNullSafe(F.col("__mid")))
+                    .select("src", F.col("__rdst").alias("dst"))
                 )
             return cur
         if isinstance(path, A.PathAlt):

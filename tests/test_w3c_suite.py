@@ -164,6 +164,73 @@ def test_w3c_case(w3c_engine, test_id, query_iri, data_iri, result_iri):
         assert Counter(got) == Counter(want)
 
 
+def _load_update_manifest() -> list[tuple[str, str, str, str]]:
+    """manifest.ttl → [(test_id, request_path, data_path, result_data)]
+    for the UpdateEvaluationTest entries (ut: vocabulary: mf:action has
+    ut:request + ut:data, mf:result is a node with the expected ut:data)."""
+    triples = parse_turtle((W3C / "manifest.ttl").read_text())
+    by_sp: dict = {}
+    for s, p, o in triples:
+        by_sp.setdefault(s, {})[p.value] = o
+    tests = []
+    for s, props in sorted(by_sp.items(), key=lambda kv: str(kv[0])):
+        t = props.get(RDF_TYPE)
+        if t is None or t.value != MF + "UpdateEvaluationTest":
+            continue
+        action = by_sp[props[MF + "action"]]
+        result = by_sp[props[MF + "result"]]
+        tests.append((
+            str(s).rsplit("/", 1)[-1],
+            action[UT + "request"].value,
+            action[UT + "data"].value,
+            result[UT + "data"].value,
+        ))
+    return tests
+
+
+UT = "http://www.w3.org/2009/sparql/tests/test-update#"
+UPDATE_TESTS = _load_update_manifest()
+
+
+@pytest.mark.parametrize(
+    "test_id,request_iri,data_iri,result_iri",
+    UPDATE_TESTS,
+    ids=[t[0] for t in UPDATE_TESTS],
+)
+def test_w3c_update_case(spark, test_id, request_iri, data_iri, result_iri):
+    """UPDATE conformance (round 6): load ut:data, apply ut:request, then
+    compare the full statement set against the expected graph. Both sides
+    are read back through the SAME loader + SELECT * path so term
+    normalization is identical by construction."""
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    got_repo = eng.create_repository(f"w3c_u_{test_id}", ruleset="none")
+    exp_repo = eng.create_repository(f"w3c_ue_{test_id}", ruleset="none")
+    try:
+        got_repo.load_turtle(_rel(data_iri).read_text())
+        got_repo.update(_rel(request_iri).read_text())
+        expected_ttl = _rel(result_iri).read_text()
+        has_triples = any(
+            line.strip() and not line.strip().startswith(("@prefix", "#"))
+            for line in expected_ttl.splitlines()
+        )
+        if has_triples:  # prefix-only document = expected graph is empty
+            exp_repo.load_turtle(expected_ttl)
+        q = "SELECT ?s ?p ?o WHERE { ?s ?p ?o }"
+
+        def solutions(repo):
+            df = repo.sparql(q)
+            return Counter(
+                _row_solution(r, df.columns) for r in repo.sparql_collect(q)
+            )
+
+        assert solutions(got_repo) == solutions(exp_repo)
+    finally:
+        eng.drop_repository(f"w3c_u_{test_id}")
+        eng.drop_repository(f"w3c_ue_{test_id}")
+
+
 SYNTAX_TESTS = _load_syntax_manifest()
 
 

@@ -1,0 +1,2 @@
+PREFIX : <http://example/>
+DELETE { ?s :status :Old } INSERT { ?s :status :Archived } WHERE { ?s :status :Old }
