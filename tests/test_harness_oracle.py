@@ -50,3 +50,31 @@ def test_query_matches_oracle_sf001(spark, duck_sf001, name):
     q = harness.REGISTRY[name]
     res = compare(name, spark, duck_sf001, SF_001, q.fn, q.oracle)
     assert res.ok, f"{name}: {res.msg}"
+
+
+# Per-round sf0.01 rotation (VERDICT r5 task 3): the DEFAULT suite runs a
+# deterministic ~20-entry cohort at driver scale each round (the full
+# sf0.01 sweep stays behind the slow marker), so every registry entry
+# gets fresh full-scale oracle evidence within ~8 rounds even when only
+# the default suite runs. The round number is inferred from the driver's
+# committed CORRECTNESS_r*.json artifacts; tools/close_round.py records
+# the same cohort in LOCALGATE metadata.
+def _current_round() -> int:
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))) + 1
+
+
+def _rotation_cohort() -> list[str]:
+    from tools.close_round import rotation_cohort
+
+    return rotation_cohort(_current_round(), sorted(harness.REGISTRY))
+
+
+@pytest.mark.parametrize("name", _rotation_cohort())
+def test_rotation_cohort_matches_oracle_sf001(spark, duck_sf001, name):
+    q = harness.REGISTRY[name]
+    res = compare(name, spark, duck_sf001, SF_001, q.fn, q.oracle)
+    assert res.ok, f"{name}: {res.msg}"
