@@ -1692,3 +1692,52 @@ def sparql_shacl_or_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.select(
         "focus", "path", "value", F.col("constraint").alias("component")
     )
+
+
+_SHACL_XONE_QVS_SHAPES = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rel: <{R}> .
+rel:CustXoneShape a sh:NodeShape ; sh:targetClass rel:Customer ;
+  sh:property [ sh:path rel:acctbal ; sh:xone (
+      [ sh:minInclusive 0 ] [ sh:maxInclusive 1000 ] ) ] ;
+  sh:property [ sh:path rel:inNation ;
+      sh:qualifiedValueShape [ sh:class rel:Nation ;
+                               sh:pattern "^urn:nation:[0-9]$" ] ;
+      sh:qualifiedMinCount 1 ] .
+"""
+
+
+@register(
+    "sparql_shacl_xone_qualified",
+    """
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS focus,
+           'urn:rel:acctbal' AS path,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value,
+           'XoneConstraintComponent' AS component
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) >= 0
+      AND CAST(c_acctbal AS DECIMAL(18,2)) <= 1000
+    UNION ALL
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR),
+           'urn:rel:inNation', NULL,
+           'QualifiedMinCountConstraintComponent'
+    FROM customer WHERE c_nationkey >= 10
+    """,
+    doc="SHACL sh:xone and sh:qualifiedValueShape (round 6): a balance "
+        "in [0, 1000] conforms to BOTH xone branches (violation: exactly "
+        "one required); a customer violates the qualified shape when its "
+        "nation is not a single-digit-key Nation instance "
+        "(qualifiedMinCount 1 over a class+pattern bundle). xone counts "
+        "conforming branches with one groupBy over value-key sets; "
+        "qualified counts conforming values per focus with one "
+        "groupBy(focus).",
+)
+def sparql_shacl_xone_qualified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.shacl import parse_shapes, validate
+
+    report = validate(
+        _quads(spark, sf_dir), parse_shapes(_SHACL_XONE_QVS_SHAPES)
+    )
+    return report.select(
+        "focus", "path", "value", F.col("constraint").alias("component")
+    )

@@ -24,7 +24,7 @@ Supported (the RDF4J ShaclSail core most deployments use):
              (numeric compare when both values are numeric, lexical when
              both are plain literals, else a violation — the SPARQL `<`
              type-error outcome)
-  logic      sh:or / sh:and / sh:not over node-level constraint bundles.
+  logic      sh:or / sh:and / sh:not / sh:xone over node-level bundles.
              Row-level bundles (datatype, nodeKind, pattern, lengths,
              ranges, in, languageIn, hasValue-as-identity) evaluate as
              pure column expressions; bundles needing a join (sh:class,
@@ -32,9 +32,13 @@ Supported (the RDF4J ShaclSail core most deployments use):
              violating-VALUE key set over the distinct values and
              combining with set algebra — union for sh:and failures,
              intersection for sh:or, complement for sh:not (r5 task 4).
+             sh:xone counts conforming branches per value (exactly one).
              Bundles constraining the focus's value multiset (counts,
              pairs, uniqueLang) or carrying sh:path raise ShaclError so
              unsupported shapes fail loudly, never silently pass.
+  qualified  sh:qualifiedValueShape + sh:qualifiedMin/MaxCount: per-focus
+             count of values conforming to the qualified shape (round 6;
+             one shape pass over distinct values + one groupBy(focus))
   node       sh:node referencing another sh:NodeShape (value nodes must
              conform to its property constraints; cycle-guarded)
   closed     sh:closed + sh:ignoredProperties (node level)
@@ -117,6 +121,10 @@ class PropertyShape:
     or_branches: list["PropertyShape"] | None = None
     and_branches: list["PropertyShape"] | None = None
     not_branch: "PropertyShape | None" = None
+    xone_branches: list["PropertyShape"] | None = None
+    qvs: "PropertyShape | None" = None
+    q_min: int | None = None
+    q_max: int | None = None
     severity: str = SH + "Violation"
 
 
@@ -312,6 +320,21 @@ def _parse_property(
             ps.not_branch = _parse_property(
                 _bundle_id(o), props, rdf_list, require_path=False
             )
+        elif p == SH + "xone":
+            ps.xone_branches = [
+                _parse_property(
+                    _bundle_id(t), props, rdf_list, require_path=False
+                )
+                for t in rdf_list(o)
+            ]
+        elif p == SH + "qualifiedValueShape":
+            ps.qvs = _parse_property(
+                _bundle_id(o), props, rdf_list, require_path=False
+            )
+        elif p == SH + "qualifiedMinCount":
+            ps.q_min = ival(o)
+        elif p == SH + "qualifiedMaxCount":
+            ps.q_max = ival(o)
         elif p == SH + "severity":
             ps.severity = o.value
     return ps
@@ -450,6 +473,10 @@ def _check_property(quads: DataFrame, focus: DataFrame, ns: NodeShape,
                              F.col("cnt").cast("string")),
                 )
             ))
+
+    if ps.qvs is not None:
+        out.extend(_qualified_count_check(quads, focus, vals, ns, ps,
+                                          shapes_map, depth))
 
     logic_row_level = _logic_is_row_level(ps)
     out.extend(_value_checks(vals, ns, ps, skip_logic=not logic_row_level))
@@ -746,6 +773,15 @@ def _row_conditions(
                 "AndConstraintComponent", bad,
                 "value fails an sh:and branch",
             ))
+        if ps.xone_branches is not None:
+            n_conf = F.lit(0)
+            for b in ps.xone_branches:
+                n_conf = n_conf + _branch_ok(b).cast("int")
+            conds.append((
+                "XoneConstraintComponent", n_conf != 1,
+                "value conforms to a number of sh:xone branches other "
+                "than exactly one",
+            ))
     return conds
 
 
@@ -765,6 +801,11 @@ def _reject_unsupported_branch(ps: PropertyShape) -> None:
             "shacl: sh:path property shapes are not supported inside "
             "sh:or / sh:and / sh:not branches (node-level bundles only)"
         )
+    if ps.qvs is not None:
+        raise ShaclError(
+            "shacl: sh:qualifiedValueShape is not supported inside "
+            "sh:or / sh:and / sh:not branches"
+        )
     for bad_field, sh_name in _BRANCH_UNSUPPORTED.items():
         if getattr(ps, bad_field) is not None:
             raise ShaclError(
@@ -778,6 +819,14 @@ def _reject_unsupported_branch(ps: PropertyShape) -> None:
         )
 
 
+def _logic_kids(ps: PropertyShape) -> list[PropertyShape]:
+    kids = (list(ps.or_branches or []) + list(ps.and_branches or [])
+            + list(ps.xone_branches or []))
+    if ps.not_branch is not None:
+        kids.append(ps.not_branch)
+    return kids
+
+
 def _is_row_level_branch(ps: PropertyShape) -> bool:
     """True when a branch (recursively) needs no join: only row-level
     constraints. sh:hasValue IS row-level here — in a node-shape bundle it
@@ -785,20 +834,14 @@ def _is_row_level_branch(ps: PropertyShape) -> bool:
     not the property shape's per-focus existential)."""
     if ps.class_ is not None or ps.node is not None:
         return False
-    kids = list(ps.or_branches or []) + list(ps.and_branches or [])
-    if ps.not_branch is not None:
-        kids.append(ps.not_branch)
-    return all(_is_row_level_branch(k) for k in kids)
+    return all(_is_row_level_branch(k) for k in _logic_kids(ps))
 
 
 def _logic_is_row_level(ps: PropertyShape) -> bool:
-    """True when every sh:or/sh:and/sh:not branch of ``ps`` is row-level,
-    i.e. the column-expression fast path in `_row_conditions` can evaluate
-    the whole combinator without joins."""
-    kids = list(ps.or_branches or []) + list(ps.and_branches or [])
-    if ps.not_branch is not None:
-        kids.append(ps.not_branch)
-    return all(_is_row_level_branch(k) for k in kids)
+    """True when every sh:or/sh:and/sh:not/sh:xone branch of ``ps`` is
+    row-level, i.e. the column-expression fast path in `_row_conditions`
+    can evaluate the whole combinator without joins."""
+    return all(_is_row_level_branch(k) for k in _logic_kids(ps))
 
 
 def _branch_ok(ps: PropertyShape) -> "F.Column":
@@ -911,11 +954,86 @@ def _branch_bad_values(quads: DataFrame, dv: DataFrame, ps: PropertyShape,
         pieces.append(
             dv.select(*_VALUE_KEY).join(nb, _VALUE_KEY, "left_anti")
         )
+    if ps.xone_branches is not None:
+        pieces.append(_xone_bad_values(quads, dv, ps.xone_branches,
+                                       shapes_map, depth - 1))
 
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+def _xone_bad_values(quads: DataFrame, dv: DataFrame,
+                     branches: list[PropertyShape],
+                     shapes_map: dict[str, NodeShape] | None,
+                     depth: int) -> DataFrame:
+    """sh:xone at the join level: value keys conforming to a number of
+    branches OTHER than exactly one. Each branch's conforming set is the
+    complement of its violating set; stacking the (distinct-per-branch)
+    conforming sets and counting per key gives the conform count — one
+    groupBy over key sets, no per-branch re-scan of the data."""
+    conf_sets = []
+    for b in branches:
+        bb = _branch_bad_values(quads, dv, b, shapes_map, depth)
+        conf_sets.append(
+            dv.select(*_VALUE_KEY).join(bb, _VALUE_KEY, "left_anti")
+        )
+    stacked = conf_sets[0]
+    for c in conf_sets[1:]:
+        stacked = stacked.unionByName(c)
+    counted = stacked.groupBy(*_VALUE_KEY).agg(F.count("*").alias("k"))
+    not_one = counted.filter(F.col("k") != 1).select(*_VALUE_KEY)
+    zero = dv.select(*_VALUE_KEY).join(
+        counted.select(*_VALUE_KEY), _VALUE_KEY, "left_anti"
+    )
+    return not_one.unionByName(zero)
+
+
+def _qualified_count_check(quads: DataFrame, focus: DataFrame,
+                           vals: DataFrame, ns: NodeShape,
+                           ps: PropertyShape,
+                           shapes_map: dict[str, NodeShape] | None,
+                           depth: int) -> list[DataFrame]:
+    """sh:qualifiedValueShape + sh:qualifiedMin/MaxCount: per focus node,
+    the number of values CONFORMING to the qualified shape must lie in
+    the bounds. The shape evaluates once over the distinct values (same
+    machinery as the logical branches — ≤1 join for sh:class), then one
+    groupBy(focus) counts the conforming rows; cost matches the plain
+    min/maxCount check plus the shape's own join."""
+    if ps.q_min is None and ps.q_max is None:
+        raise ShaclError(
+            "shacl: sh:qualifiedValueShape requires sh:qualifiedMinCount "
+            "or sh:qualifiedMaxCount"
+        )
+    dv = vals.select(*_VALUE_COLS).distinct()
+    bad = _branch_bad_values(quads, dv, ps.qvs, shapes_map, depth)
+    conforming = vals.join(bad, _VALUE_KEY, "left_anti")
+    counts = focus.join(
+        conforming.groupBy("focus").agg(F.count("*").alias("qcnt")),
+        "focus", "left",
+    ).withColumn("qcnt", F.coalesce(F.col("qcnt"), F.lit(0)))
+    out: list[DataFrame] = []
+    fcol = F.col("focus")
+    if ps.q_min is not None:
+        out.append(counts.filter(F.col("qcnt") < ps.q_min).select(
+            *_report_row(
+                ps, ns.iri, "QualifiedMinCountConstraintComponent", fcol,
+                F.lit(None).cast("string"),
+                F.concat(F.lit(f"qualifiedMinCount {ps.q_min}, got "),
+                         F.col("qcnt").cast("string")),
+            )
+        ))
+    if ps.q_max is not None:
+        out.append(counts.filter(F.col("qcnt") > ps.q_max).select(
+            *_report_row(
+                ps, ns.iri, "QualifiedMaxCountConstraintComponent", fcol,
+                F.lit(None).cast("string"),
+                F.concat(F.lit(f"qualifiedMaxCount {ps.q_max}, got "),
+                         F.col("qcnt").cast("string")),
+            )
+        ))
+    return out
 
 
 def _logic_joined_checks(quads: DataFrame, vals: DataFrame, ns: NodeShape,
@@ -958,6 +1076,14 @@ def _logic_joined_checks(quads: DataFrame, vals: DataFrame, ns: NodeShape,
         conforming = dv.select(*_VALUE_KEY).join(nb, _VALUE_KEY, "left_anti")
         out.append(back_join(conforming, "NotConstraintComponent",
                              "value conforms to the negated sh:not shape"))
+    if ps.xone_branches is not None:
+        bad = _xone_bad_values(quads, dv, ps.xone_branches, shapes_map,
+                               depth)
+        out.append(back_join(
+            bad, "XoneConstraintComponent",
+            "value conforms to a number of sh:xone branches other than "
+            "exactly one",
+        ))
     return out
 
 

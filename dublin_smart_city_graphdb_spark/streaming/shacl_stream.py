@@ -52,11 +52,13 @@ def validate_statements_stream(
                 ps.min_count is not None
                 or ps.max_count is not None
                 or ps.has_value is not None
+                or ps.qvs is not None
             ):
                 raise ShaclError(
                     "shacl-stream: cardinality constraints (minCount/"
-                    "maxCount/hasValue) are whole-graph properties — "
-                    "validate them with Repository.validate_shacl"
+                    "maxCount/hasValue/qualifiedValueShape) are whole-"
+                    "graph properties — validate them with "
+                    "Repository.validate_shacl"
                 )
             vals = property_values(stream_quads, ps).join(focus, "focus")
             reports.extend(_value_checks(vals, ns, ps))

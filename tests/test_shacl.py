@@ -453,6 +453,63 @@ def test_has_value_identity_in_branch(repo2):
     assert v == [(EX + "d2", "OrConstraintComponent", EX + "bob2")]
 
 
+def test_xone_row_level(repo2):
+    """sh:xone over row-level bundles: exactly one branch must hold.
+    d1's pages (integer 10) matches [integer] only -> conforms; d3's
+    pages (decimal 3.5) matches [decimal] only -> conforms; d2's
+    "heaps" (string) matches [Literal] only... so use branches that
+    overlap: [nodeKind Literal] and [datatype integer] — an integer
+    literal matches BOTH (violation), a plain string matches one."""
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:pages ; sh:xone ( "
+        "[ sh:nodeKind sh:Literal ] [ sh:datatype xsd:integer ] ) ]"))
+    assert v == [(EX + "d1", "XoneConstraintComponent", "10")]
+
+
+def test_xone_join_level(repo2):
+    """sh:xone with an sh:class branch: an Author IRI that is also
+    matched by the nodeKind branch... authors alice2/bob2 conform to
+    [class Author] AND [nodeKind IRI] -> 2 branches -> violation; the
+    literal author "Anon" conforms to neither -> 0 branches ->
+    violation; nothing conforms to exactly one."""
+    v = sorted(_viol(repo2, _shape2(
+        "sh:property [ sh:path ex:author ; sh:xone ( "
+        "[ sh:class ex:Author ] [ sh:nodeKind sh:IRI ] ) ]")))
+    assert v == [
+        (EX + "d1", "XoneConstraintComponent", EX + "alice2"),
+        (EX + "d2", "XoneConstraintComponent", EX + "bob2"),
+        (EX + "d3", "XoneConstraintComponent", "Anon"),
+    ]
+
+
+def test_qualified_value_shape(repo2):
+    """sh:qualifiedValueShape + qualifiedMinCount: every Doc needs at
+    least one author conforming to [sh:class ex:Author]. d3's only
+    author is a literal -> qualified count 0 -> violation; docs with no
+    ex:author at all would also violate (count 0)."""
+    v = _viol(repo2, _shape2(
+        "sh:property [ sh:path ex:author ; "
+        "sh:qualifiedValueShape [ sh:class ex:Author ] ; "
+        "sh:qualifiedMinCount 1 ]"))
+    assert v == [(EX + "d3", "QualifiedMinCountConstraintComponent", None)]
+
+    # qualifiedMaxCount 0 inverts it: no author may be an Author instance
+    v = sorted(_viol(repo2, _shape2(
+        "sh:property [ sh:path ex:author ; "
+        "sh:qualifiedValueShape [ sh:class ex:Author ] ; "
+        "sh:qualifiedMaxCount 0 ]")))
+    assert v == [
+        (EX + "d1", "QualifiedMaxCountConstraintComponent", None),
+        (EX + "d2", "QualifiedMaxCountConstraintComponent", None),
+    ]
+
+    # missing both bounds is a loud error
+    with pytest.raises(ShaclError, match="qualifiedValueShape"):
+        _viol(repo2, _shape2(
+            "sh:property [ sh:path ex:author ; "
+            "sh:qualifiedValueShape [ sh:class ex:Author ] ]"))
+
+
 def test_logic_rejects_multiset_constraints(repo2):
     """Counts/pairs/uniqueLang constrain the focus's value multiset — they
     have no per-value meaning inside a branch and must still fail loudly."""
