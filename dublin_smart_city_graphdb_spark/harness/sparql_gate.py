@@ -1384,6 +1384,88 @@ def sparql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min |edge cross product| over the grid ≈ 2.4e-7.
 _HOLE = ((-6.3204, 53.2496), (-6.2206, 53.2604), (-6.2702, 53.3304))
 
+# diamond (45°-rotated square) for the polygon-polygon intersection gate:
+# center off the customer grid, half-diagonals chosen so the clamp-formula
+# margin over every grid square is ≥ 0.037 (no boundary ties)
+_DIA_CX, _DIA_CY, _DIA_A, _DIA_B = -6.2504, 53.3003, 0.0503, 0.0211
+_SQ_DX, _SQ_DY = 0.002, 0.0008
+
+
+@register(
+    "sparql_geo_poly_intersects",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(CAST(CAST(-6.45 + (c_custkey % 80) * 0.005 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS x,
+               CAST(CAST(CAST(53.20 + (c_custkey % 100) * 0.002 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS y
+        FROM customer
+    ), boxes AS (
+        SELECT c_custkey,
+               CAST(CAST(x - {_SQ_DX} AS DECIMAL(9,4)) AS DOUBLE) AS x1,
+               CAST(CAST(x + {_SQ_DX} AS DECIMAL(9,4)) AS DOUBLE) AS x2,
+               CAST(CAST(y - {_SQ_DY} AS DECIMAL(9,4)) AS DOUBLE) AS y1,
+               CAST(CAST(y + {_SQ_DY} AS DECIMAL(9,4)) AS DOUBLE) AS y2
+        FROM pts
+    )
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c
+    FROM boxes
+    WHERE ABS(LEAST(GREATEST({_DIA_CX}, x1), x2) - {_DIA_CX}) / {_DIA_A}
+        + ABS(LEAST(GREATEST({_DIA_CY}, y1), y2) - {_DIA_CY}) / {_DIA_B}
+       <= 1
+    """,
+    doc="Exact polygon-polygon geof:sfIntersects (round 6): a small "
+        "axis-aligned square around each customer point vs a fixed "
+        "diamond. The engine decides by edge-pair orientation crossing "
+        "plus mutual containment probes (pure JVM higher-order "
+        "functions); the oracle is the independent convex formulation — "
+        "a box meets the L1-ball diamond iff the box point nearest the "
+        "center has weighted L1 norm <= 1 (separable clamp).",
+    cache_plan=False,
+)
+def sparql_geo_poly_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.sparql.extensions import (
+        _intersects_col,
+    )
+
+    customer = load(spark, sf_dir, "customer")
+    x = (
+        (F.lit(-6.45) + (F.col("c_custkey") % 80) * 0.005)
+        .cast("decimal(8,3)").cast("double")
+    )
+    y = (
+        (F.lit(53.20) + (F.col("c_custkey") % 100) * 0.002)
+        .cast("decimal(8,3)").cast("double")
+    )
+
+    def d4(col: Column) -> Column:
+        return col.cast("decimal(9,4)").cast("string")
+
+    x1, x2 = d4(x - _SQ_DX), d4(x + _SQ_DX)
+    y1, y2 = d4(y - _SQ_DY), d4(y + _SQ_DY)
+    square = F.concat(
+        F.lit("POLYGON(("),
+        x1, F.lit(" "), y1, F.lit(", "),
+        x2, F.lit(" "), y1, F.lit(", "),
+        x2, F.lit(" "), y2, F.lit(", "),
+        x1, F.lit(" "), y2, F.lit(", "),
+        x1, F.lit(" "), y1, F.lit("))"),
+    )
+    diamond = (
+        f"POLYGON(({_DIA_CX - _DIA_A} {_DIA_CY}, "
+        f"{_DIA_CX} {_DIA_CY - _DIA_B}, "
+        f"{_DIA_CX + _DIA_A} {_DIA_CY}, "
+        f"{_DIA_CX} {_DIA_CY + _DIA_B}, "
+        f"{_DIA_CX - _DIA_A} {_DIA_CY}))"
+    )
+    return customer.filter(
+        _intersects_col(square, F.lit(diamond))
+    ).select(
+        F.concat(F.lit("urn:customer:"),
+                 F.col("c_custkey").cast("string")).alias("c")
+    )
+
 
 @register(
     "sparql_geo_polygon_hole",

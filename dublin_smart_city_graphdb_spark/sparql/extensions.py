@@ -227,30 +227,108 @@ def geof_sf_contains(args: list[Column]) -> Column:
     return make_bool(_point_in_geom(args[1]["lex"], args[0]["lex"]))
 
 
-def geof_sf_intersects(args: list[Column]) -> Column:
-    """geof:sfIntersects(geomA, geomB): exact when either side is a
-    POINT (point-in-geometry, ray cast for general polygons); two
-    non-point geometries use the closed bounding-box overlap (exact for
-    axis-aligned rectangles, the standard coarse filter otherwise —
-    documented approximation)."""
-    a_lex, b_lex = args[0]["lex"], args[1]["lex"]
-    return make_bool(
+def _poly_rings(lex: Column) -> Column:
+    """Ring coordinate strings of a POLYGON lex; empty array otherwise."""
+    body = F.regexp_extract(lex, _WKT_POLY_BODY, 1)
+    rings = F.split(
+        F.regexp_replace(
+            F.regexp_replace(body, r"^\s*\(", ""), r"\)\s*$", ""
+        ),
+        r"\)\s*,\s*\(",
+    )
+    return F.when(body != "", rings).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _point_in_rings(rings: Column, x: Column, y: Column) -> Column:
+    """Even-odd point-in-polygon over pre-split rings (holes included)."""
+    total = F.aggregate(
+        rings, F.lit(0), lambda acc, r: acc + _ring_crossings(r, x, y)
+    )
+    return total % 2 == 1
+
+
+def _orient(px, py, qx, qy, rx, ry):
+    """Signed area orientation of the triangle (P, Q, R)."""
+    return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+
+def _rings_edges_cross(rings_a: Column, rings_b: Column) -> Column:
+    """TRUE when any edge of any ring of A properly crosses any edge of
+    any ring of B (strict orientation-sign test; pure touching follows
+    the documented boundary tie-break). O(|A|·|B|) per geometry pair in
+    one codegen'd expression — WKT vertex counts are small by
+    construction, and the work is per-row, shuffle-free."""
+    def ring_pair(ra: Column, rb: Column) -> Column:
+        xa, ya = _geom_lons(ra), _geom_lats(ra)
+        xb, yb = _geom_lons(rb), _geom_lats(rb)
+        ia = F.sequence(F.lit(0), F.greatest(F.size(xa) - 2, F.lit(0)))
+        ib = F.sequence(F.lit(0), F.greatest(F.size(xb) - 2, F.lit(0)))
+
+        def edge_pair(i: Column, j: Column) -> Column:
+            px, py = F.get(xa, i), F.get(ya, i)
+            qx, qy = F.get(xa, i + 1), F.get(ya, i + 1)
+            rx, ry = F.get(xb, j), F.get(yb, j)
+            sx, sy = F.get(xb, j + 1), F.get(yb, j + 1)
+            o1 = _orient(px, py, qx, qy, rx, ry)
+            o2 = _orient(px, py, qx, qy, sx, sy)
+            o3 = _orient(rx, ry, sx, sy, px, py)
+            o4 = _orient(rx, ry, sx, sy, qx, qy)
+            return (o1 * o2 < 0) & (o3 * o4 < 0)
+
+        return F.exists(ia, lambda i: F.exists(ib, lambda j: edge_pair(i, j)))
+
+    return F.exists(
+        rings_a, lambda ra: F.exists(rings_b, lambda rb: ring_pair(ra, rb))
+    )
+
+
+def _poly_poly_intersects(a_lex: Column, b_lex: Column) -> Column:
+    """Exact polygon-polygon intersection (round 6, closes the r5 'coarse
+    bbox' gap): the filled regions meet iff an edge pair properly crosses
+    OR one polygon's first vertex lies inside the other (covers full
+    containment; the even-odd test over ALL rings makes a polygon nested
+    inside the other's hole correctly disjoint)."""
+    ra, rb = _poly_rings(a_lex), _poly_rings(b_lex)
+    both = (F.size(ra) > 0) & (F.size(rb) > 0)
+    ax0 = F.get(_geom_lons(F.get(ra, 0)), 0)
+    ay0 = F.get(_geom_lats(F.get(ra, 0)), 0)
+    bx0 = F.get(_geom_lons(F.get(rb, 0)), 0)
+    by0 = F.get(_geom_lats(F.get(rb, 0)), 0)
+    inter = (
+        _rings_edges_cross(ra, rb)
+        | _point_in_rings(ra, bx0, by0)
+        | _point_in_rings(rb, ax0, ay0)
+    )
+    return F.when(both, inter)
+
+
+def _intersects_col(a_lex: Column, b_lex: Column) -> Column:
+    """Nullable boolean shared by sfIntersects and sfDisjoint: exact for
+    point-vs-anything (ray cast) and polygon-vs-polygon (edge crossing +
+    containment probes); the remaining non-point pairs (LINESTRING vs
+    anything) keep the closed bounding-box overlap, documented coarse."""
+    a_poly = F.size(_poly_rings(a_lex)) > 0
+    b_poly = F.size(_poly_rings(b_lex)) > 0
+    return (
         F.when(_is_point(a_lex), _point_in_geom(a_lex, b_lex))
         .when(_is_point(b_lex), _point_in_geom(b_lex, a_lex))
+        .when(a_poly & b_poly, _poly_poly_intersects(a_lex, b_lex))
         .otherwise(_bbox_overlap(a_lex, b_lex))
     )
+
+
+def geof_sf_intersects(args: list[Column]) -> Column:
+    """geof:sfIntersects(geomA, geomB): exact for points and for
+    polygon-polygon (see _intersects_col)."""
+    return make_bool(_intersects_col(args[0]["lex"], args[1]["lex"]))
 
 
 def geof_sf_disjoint(args: list[Column]) -> Column:
     """geof:sfDisjoint(geomA, geomB) = NOT sfIntersects — same exactness
     envelope as sfIntersects."""
-    a_lex, b_lex = args[0]["lex"], args[1]["lex"]
-    inter = (
-        F.when(_is_point(a_lex), _point_in_geom(a_lex, b_lex))
-        .when(_is_point(b_lex), _point_in_geom(b_lex, a_lex))
-        .otherwise(_bbox_overlap(a_lex, b_lex))
-    )
-    return make_bool(~inter)
+    return make_bool(~_intersects_col(args[0]["lex"], args[1]["lex"]))
 
 
 def default_extensions() -> dict:

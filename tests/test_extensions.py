@@ -214,7 +214,7 @@ def test_sf_contains_intersects_disjoint(spark):
     assert ask("sfContains", tri, "POINT(9 9)") is False
     assert ask("sfIntersects", "POINT(1 1)", tri) is True
     assert ask("sfIntersects", tri, "POINT(9 9)") is False
-    # two rectangles: overlap vs apart (bbox compare, exact for rects)
+    # two rectangles: overlap vs apart
     r1 = "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"
     r2 = "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))"
     r3 = "POLYGON((5 5, 6 5, 6 6, 5 6, 5 5))"
@@ -222,4 +222,24 @@ def test_sf_contains_intersects_disjoint(spark):
     assert ask("sfIntersects", r1, r3) is False
     assert ask("sfDisjoint", r1, r3) is True
     assert ask("sfDisjoint", r1, r2) is False
+
+    # exact polygon-polygon (round 6): bbox-overlapping but geometrically
+    # DISJOINT pair — a bbox approximation would wrongly intersect these
+    tri_up = "POLYGON((0 0, 4 0, 4 4, 0 0))"      # below the diagonal
+    tri_dn = "POLYGON((0 0.5, 3.5 4, 0 4, 0 0.5))"  # above the diagonal
+    assert ask("sfIntersects", tri_up, tri_dn) is False
+    assert ask("sfDisjoint", tri_up, tri_dn) is True
+    # full containment without edge crossings
+    inner = "POLYGON((1 0.25, 2 0.25, 2 0.75, 1 0.75, 1 0.25))"
+    assert ask("sfIntersects", tri_up, inner) is True
+    assert ask("sfIntersects", inner, tri_up) is True
+    # a polygon nested inside the other's HOLE is disjoint
+    holed = ("POLYGON((0 0, 6 0, 6 6, 0 6, 0 0),"
+             "(2 2, 4 2, 4 4, 2 4, 2 2))")
+    in_hole = "POLYGON((2.5 2.5, 3.5 2.5, 3.5 3.5, 2.5 3.5, 2.5 2.5))"
+    assert ask("sfIntersects", holed, in_hole) is False
+    assert ask("sfDisjoint", holed, in_hole) is True
+    # crossing the hole boundary from inside it does intersect
+    out_of_hole = "POLYGON((2.5 2.5, 5 2.5, 5 3.5, 2.5 3.5, 2.5 2.5))"
+    assert ask("sfIntersects", holed, out_of_hole) is True
     eng.drop_repository("geo_sf")
