@@ -1776,6 +1776,46 @@ def sparql_shacl_or_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHACL_SPARQL_SHAPES = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rel: <{R}> .
+rel:CustSparqlShape a sh:NodeShape ; sh:targetClass rel:Customer ;
+  sh:sparql [ sh:message "negative balance in region 0" ; sh:select '''
+      PREFIX rel: <{R}>
+      SELECT $this ?value WHERE {{
+        $this rel:acctbal ?value ; rel:inNation ?n .
+        ?n rel:inRegion <urn:region:0> .
+        FILTER(?value < 0)
+      }}''' ] .
+"""
+
+
+@register(
+    "sparql_shacl_sparql_constraint",
+    """
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS focus,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS value,
+           'SPARQLConstraintComponent' AS component
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 0 AND CAST(c_acctbal AS DECIMAL(18,2)) < 0
+    """,
+    doc="SHACL SPARQL-based constraint (round 6): sh:sparql + sh:select "
+        "flagging customers in region 0 with a negative balance. The "
+        "sh:select compiles through the engine's own SPARQL pipeline "
+        "(join chain + FILTER), runs once over the data graph, and its "
+        "solutions semi-join the targetClass focus set.",
+)
+def sparql_shacl_sparql_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.shacl import parse_shapes, validate
+
+    report = validate(
+        _quads(spark, sf_dir), parse_shapes(_SHACL_SPARQL_SHAPES)
+    )
+    return report.select(
+        "focus", "value", F.col("constraint").alias("component")
+    )
+
+
 _SHACL_XONE_QVS_SHAPES = f"""
 @prefix sh: <http://www.w3.org/ns/shacl#> .
 @prefix rel: <{R}> .

@@ -39,6 +39,10 @@ Supported (the RDF4J ShaclSail core most deployments use):
   qualified  sh:qualifiedValueShape + sh:qualifiedMin/MaxCount: per-focus
              count of values conforming to the qualified shape (round 6;
              one shape pass over distinct values + one groupBy(focus))
+  sparql     sh:sparql + sh:select on node shapes (round 6): the SELECT
+             compiles through the engine's own SPARQL pipeline, runs once
+             over the data graph, and its solutions semi-join the focus
+             set ($this/?value/?path project into the report)
   node       sh:node referencing another sh:NodeShape (value nodes must
              conform to its property constraints; cycle-guarded)
   closed     sh:closed + sh:ignoredProperties (node level)
@@ -138,6 +142,8 @@ class NodeShape:
     properties: list[PropertyShape] = field(default_factory=list)
     closed: bool = False
     ignored_properties: list[str] = field(default_factory=list)
+    # SPARQL-based constraints: (sh:select text, sh:message or None)
+    sparql_constraints: list = field(default_factory=list)
     severity: str = SH + "Violation"
 
 
@@ -211,6 +217,17 @@ def parse_shapes(text: str) -> list[NodeShape]:
                 ns.closed = o.lex == "true"
             elif p == SH + "ignoredProperties":
                 ns.ignored_properties = [t.value for t in rdf_list(o)]
+            elif p == SH + "sparql":
+                sub = dict(props(node_id(o)))
+                sel = sub.get(SH + "select")
+                if sel is None:
+                    raise ShaclError(
+                        "shacl: sh:sparql constraint needs sh:select"
+                    )
+                msg = sub.get(SH + "message")
+                ns.sparql_constraints.append(
+                    (sel.lex, msg.lex if msg is not None else None)
+                )
             elif p == SH + "severity":
                 ns.severity = o.value
         for ps in ns.properties:
@@ -403,6 +420,9 @@ def validate(quads: DataFrame, shapes: list[NodeShape]) -> DataFrame:
             )
         if ns.closed:
             reports.append(_closed_check(quads, focus, ns))
+        for sel, msg in ns.sparql_constraints:
+            reports.append(_sparql_constraint_check(quads, focus, ns,
+                                                    sel, msg))
     if not reports:
         return spark.createDataFrame(
             [], "focus string, path string, value string, constraint string,"
@@ -438,6 +458,43 @@ def _closed_check(quads: DataFrame, focus: DataFrame,
         F.lit(ns.severity).alias("severity"),
         F.lit("predicate not allowed on a closed shape").alias("message"),
     )
+
+
+def _sparql_constraint_check(quads: DataFrame, focus: DataFrame,
+                             ns: NodeShape, select_text: str,
+                             message: str | None) -> DataFrame:
+    """SPARQL-based constraint (sh:sparql + sh:select, round 6): the
+    SELECT runs ONCE over the whole data graph with $this as an ordinary
+    variable, then the solutions semi-join against the shape's focus set
+    — the set-based evaluation every engine uses for target-joined
+    constraints (per-focus pre-binding and one global join coincide when
+    $this appears in the query's patterns, the overwhelmingly common
+    form). ?value and ?path project into the report when present.
+    PREFIX declarations belong inline in the sh:select text."""
+    from dublin_smart_city_graphdb_spark.sparql.compiler import QueryCompiler
+    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+    res = QueryCompiler(quads.sparkSession, quads).compile(
+        parse_query(select_text)
+    )
+    if "this" not in res.columns:
+        raise ShaclError(
+            "shacl: an sh:select constraint query must project $this"
+        )
+    value = (F.col("value")["lex"] if "value" in res.columns
+             else F.lit(None).cast("string"))
+    path = (F.col("path")["lex"] if "path" in res.columns
+            else F.lit(None).cast("string"))
+    out = res.select(
+        F.col("this")["lex"].alias("focus"),
+        path.alias("path"),
+        value.alias("value"),
+        F.lit("SPARQLConstraintComponent").alias("constraint"),
+        F.lit(ns.iri).alias("shape"),
+        F.lit(ns.severity).alias("severity"),
+        F.lit(message or "SPARQL constraint violated").alias("message"),
+    )
+    return out.join(focus, "focus", "left_semi")
 
 
 def _check_property(quads: DataFrame, focus: DataFrame, ns: NodeShape,

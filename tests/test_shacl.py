@@ -171,6 +171,39 @@ def test_severity_and_report_columns(repo):
     assert "minCount 1" in r["message"]
 
 
+def test_sparql_constraint(repo):
+    """sh:sparql (round 6): the sh:select runs through the engine's own
+    SPARQL pipeline; solutions joined to the focus set are violations.
+    alice knows bob, who has no ex:name -> flagged; bob knows ghost, who
+    IS named -> clean."""
+    v = _viol(repo, _shape(
+        'sh:sparql [ sh:message "knows an unnamed node" ; sh:select """\n'
+        "      PREFIX ex: <http://ex.org/>\n"
+        "      SELECT $this ?value WHERE {\n"
+        "        $this ex:knows ?value .\n"
+        "        FILTER NOT EXISTS { ?value ex:name ?n }\n"
+        '      }""" ]'))
+    assert v == [(EX + "alice", "SPARQLConstraintComponent", EX + "bob")]
+    # the message rides into the report
+    rows = repo.validate_shacl(_shape(
+        'sh:sparql [ sh:message "knows an unnamed node" ; sh:select """\n'
+        "      PREFIX ex: <http://ex.org/>\n"
+        "      SELECT $this ?value WHERE {\n"
+        "        $this ex:knows ?value .\n"
+        "        FILTER NOT EXISTS { ?value ex:name ?n }\n"
+        '      }""" ]')).collect()
+    assert rows[0]["message"] == "knows an unnamed node"
+
+
+def test_sparql_constraint_requires_this_and_select(repo):
+    with pytest.raises(ShaclError, match="sh:select"):
+        _viol(repo, _shape('sh:sparql [ sh:message "no query" ]'))
+    with pytest.raises(ShaclError, match="this"):
+        _viol(repo, _shape(
+            'sh:sparql [ sh:select """PREFIX ex: <http://ex.org/>\n'
+            'SELECT ?v WHERE { ?s ex:knows ?v }""" ]'))
+
+
 def test_malformed_shapes_raise(repo):
     with pytest.raises(ShaclError):
         parse_shapes("@prefix ex: <http://e/> . ex:a ex:b ex:c .")
