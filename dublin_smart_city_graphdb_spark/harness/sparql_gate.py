@@ -1384,6 +1384,72 @@ def sparql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min |edge cross product| over the grid ≈ 2.4e-7.
 _HOLE = ((-6.3204, 53.2496), (-6.2206, 53.2604), (-6.2702, 53.3304))
 
+def _tri_edge_dist_sql() -> str:
+    """Point-to-triangle distance in SQL, replicating geof:distance's
+    local equirectangular projection: per edge, clamp the projection
+    parameter and take the hypotenuse, then LEAST over the three edges
+    and convert degrees → meters."""
+    pts = list(_TRI) + [_TRI[0]]
+    edges = []
+    for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+        ax = f"(({x1}) - x) * c"
+        ay = f"(({y1}) - y)"
+        bx = f"(({x2}) - x) * c"
+        by = f"(({y2}) - y)"
+        dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+        l2 = f"({dx}*{dx} + {dy}*{dy})"
+        t = (f"GREATEST(0.0, LEAST(1.0, "
+             f"-(({ax})*{dx} + ({ay})*{dy}) / {l2}))")
+        cx = f"(({ax}) + {t} * {dx})"
+        cy = f"(({ay}) + {t} * {dy})"
+        edges.append(f"SQRT({cx}*{cx} + {cy}*{cy})")
+    import math
+    scale = math.pi / 180.0 * 6371.0088e3
+    return f"LEAST({', '.join(edges)}) * {scale!r}"
+
+
+@register(
+    "sparql_geo_distance_polygon",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(CAST(CAST(-6.45 + (c_custkey % 80) * 0.005 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS x,
+               CAST(CAST(CAST(53.20 + (c_custkey % 100) * 0.002 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS y
+        FROM customer
+    ), proj AS (
+        SELECT c_custkey, x, y, COS(RADIANS(y)) AS c FROM pts
+    )
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c
+    FROM proj
+    WHERE ({_tri_halfplanes_sql()})
+       OR ({_tri_edge_dist_sql()}) < 5000.0
+    """,
+    doc="geof:distance POINT→POLYGON (round 6): customers within 5 km of "
+        "the triangle (0 inside; nearest-edge distance via the same "
+        "local equirectangular projection outside — min |d-5000| over "
+        "the grid is 19 m, no float ties). The oracle replicates the "
+        "clamp projection per edge in SQL.",
+    cache_plan=False,
+)
+def sparql_geo_distance_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geof = "http://www.opengis.net/def/function/geosparql/"
+    ring = ", ".join(f"{x} {y}" for x, y in (*_TRI, _TRI[0]))
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+        PREFIX geof: <{geof}>
+        SELECT ?cust
+        WHERE {{
+          ?cust a rel:Customer ; geo:asWKT ?wkt .
+          FILTER(geof:distance(?wkt,
+            "POLYGON(({ring}))"^^geo:wktLiteral) < 5000.0)
+        }}
+    """)
+    return df.select(_lex("cust").alias("c"))
+
+
 # diamond (45°-rotated square) for the polygon-polygon intersection gate:
 # center off the customer grid, half-diagonals chosen so the clamp-formula
 # margin over every grid square is ≥ 0.037 (no boundary ties)

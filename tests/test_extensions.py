@@ -243,3 +243,46 @@ def test_sf_contains_intersects_disjoint(spark):
     out_of_hole = "POLYGON((2.5 2.5, 5 2.5, 5 3.5, 2.5 3.5, 2.5 2.5))"
     assert ask("sfIntersects", holed, out_of_hole) is True
     eng.drop_repository("geo_sf")
+
+
+def test_geof_distance(spark):
+    """geof:distance (round 6): point-point great-circle, point-polygon
+    via nearest-edge projection (0 inside), polygon-polygon via mutual
+    vertex-edge sweep (0 when intersecting), OGC unit IRIs."""
+    eng = Engine(spark)
+    r = eng.create_repository("geo_dist", ruleset="none")
+    r.load_turtle("""
+    @prefix ex: <http://g#> .
+    @prefix geo: <http://www.opengis.net/ont/geosparql#> .
+    ex:o geo:asWKT "POINT(0 0)"^^geo:wktLiteral .
+    """)
+    uom = "http://www.opengis.net/def/uom/OGC/1.0/"
+
+    def dist(a, b, unit=None):
+        u = f', <{uom}{unit}>' if unit else ""
+        got = r.sparql(f"""
+            PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+            PREFIX geof: <http://www.opengis.net/def/function/geosparql/>
+            SELECT ?d WHERE {{
+              BIND(geof:distance("{a}"^^geo:wktLiteral,
+                                 "{b}"^^geo:wktLiteral{u}) AS ?d)
+            }}
+        """).collect()
+        v = got[0][0]
+        return float(v["lex"]) if v["lex"] is not None else None
+
+    # 1 degree of longitude on the equator: pi/180 * R
+    import math
+    deg_m = math.pi / 180.0 * 6371.0088e3
+    assert abs(dist("POINT(0 0)", "POINT(1 0)") - deg_m) < 1.0
+    assert abs(dist("POINT(0 0)", "POINT(1 0)", "kilometre")
+               - deg_m / 1000) < 1e-3
+    assert abs(dist("POINT(0 0)", "POINT(1 0)", "degree") - 1.0) < 1e-9
+    sq = "POLYGON((1 -0.5, 2 -0.5, 2 0.5, 1 0.5, 1 -0.5))"
+    assert abs(dist("POINT(0 0)", sq) - deg_m) < 1.0     # to edge x=1
+    assert dist("POINT(1.5 0)", sq) == 0.0               # inside
+    assert dist(sq, sq) == 0.0                           # self-intersect
+    sq2 = "POLYGON((3 -0.5, 4 -0.5, 4 0.5, 3 0.5, 3 -0.5))"
+    d = dist(sq, sq2)                                    # gap of 1 degree
+    assert abs(d - deg_m) < deg_m * 0.001
+    eng.drop_repository("geo_dist")
