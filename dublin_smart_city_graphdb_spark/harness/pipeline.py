@@ -4053,3 +4053,147 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: PII redaction (round 6 — the scrubbing pass every training
+# corpus runs before release)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus is PII-free, so each doc gets a DETERMINISTIC
+# doc_id-derived contact line appended before scrubbing — both engines build
+# the identical input, so the oracle proves the redaction regexes, not the
+# fixture. Patterns stay in the Java∩RE2 common dialect (no lookarounds).
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\b555-[0-9]{4}\\b"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+_PII_SQL = f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.com or 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(t, '{_PII_IP}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+    FROM aug
+"""
+
+
+@register(
+    "text_pii_redact",
+    _PII_SQL,
+    doc="PII scrubbing: count and redact emails, phone numbers, and IPv4 "
+        "addresses to typed placeholders (<EMAIL>/<PHONE>/<IP>). Pure "
+        "JVM regexp_replace — a map-only pass with no shuffle, so it "
+        "scales with scan bandwidth at any corpus size; the md5 of the "
+        "redacted text pins byte-exact output across engines.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+    )
+    aug = d.select("doc_id", t.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>",
+        ),
+        _PII_IP, "<IP>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), 0)
+               ).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_PHONE), 0)
+               ).cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_IP), 0)
+               ).cast("bigint").alias("n_ips"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus decontamination: benchmark n-gram overlap (round 6 — the eval-set
+# leakage check run before any corpus ships)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 4
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 3),
+                      i -> array_to_string(t[i:i+3], ' '))) AS g
+        FROM toks
+    ),
+    bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ),
+    hits AS (
+        SELECT DISTINCT c.doc_id, c.g
+        FROM grams c JOIN bench USING (g)
+        WHERE c.doc_id % 97 <> 0
+    )
+    SELECT doc_id, COUNT(*) AS n_shared_grams
+    FROM hits GROUP BY doc_id
+"""
+
+
+@register(
+    "corpus_decontaminate",
+    _DECONTAM_SQL,
+    doc="Decontamination: flag training documents sharing any word-level "
+        "4-gram with the benchmark set (docs with doc_id % 97 == 0 stand "
+        "in for the eval suite). Spark side: one transform/explode per "
+        "doc, distinct benchmark grams broadcast-joined against corpus "
+        "grams, one groupBy — the gram join shuffles on the gram hash so "
+        "it scales like any dedup blocking pass; no all-pairs product.",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 4)
+    idx = F.sequence(F.lit(1), F.size("t") - 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(4))),
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id", "g")
+        .distinct()
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shared_grams")
+    )
