@@ -84,6 +84,30 @@ def _contains_exists(e) -> bool:
     return bool(_collect_exists(e))
 
 
+def _expr_free_vars(e) -> set:
+    """Var names referenced by an expression AST (dataclass walk);
+    ExistsExpr subtrees are skipped — they are their own scope."""
+    import dataclasses as _dc
+
+    out: set = set()
+
+    def walk(n):
+        if isinstance(n, A.Var):
+            out.add(n.name)
+            return
+        if isinstance(n, A.ExistsExpr):
+            return
+        if _dc.is_dataclass(n) and not isinstance(n, type):
+            for f in _dc.fields(n):
+                walk(getattr(n, f.name))
+        elif isinstance(n, (list, tuple)):
+            for item in n:
+                walk(item)
+
+    walk(e)
+    return out
+
+
 def _collect_exists(e) -> list:
     """Every ExistsExpr node in an expression tree (document order)."""
     if isinstance(e, A.ExistsExpr):
@@ -1717,9 +1741,57 @@ class QueryCompiler:
         return Compiled(rows_df, names, certain)
 
     # -- filters -------------------------------------------------------------
+    def _compile_exists_inner(self, group, outer_vars, graph_ctx):
+        """Compile an EXISTS group with SUBSTITUTION semantics for its
+        filters (spec §8.1.1 / errata): a filter referencing a variable
+        the inner pattern does not bind but the outer row does is
+        CORRELATED — it must see the outer binding, so it is deferred to
+        the outer↔inner join instead of evaluating to an unbound error
+        inside the group (which silently emptied every correlated EXISTS
+        until the round-6 W3C case caught it). Returns (compiled inner
+        with its local filters applied, correlated filter ASTs)."""
+        import dataclasses as _dc
+
+        inner0 = self.compile_group(
+            _dc.replace(group, filters=[]), graph_ctx
+        )
+        local, correlated = [], []
+        for flt in group.filters:
+            fv = _expr_free_vars(flt)
+            if (not _contains_exists(flt)) and (
+                (fv - set(inner0.vars)) & set(outer_vars)
+            ):
+                correlated.append(flt)
+            else:
+                local.append(flt)
+        cur = inner0
+        for flt in local:
+            cur = self._filter(cur, flt, graph_ctx)
+        return cur, correlated
+
+    def _correlated_cond(self, cur: Compiled, inner: Compiled,
+                         shared: list, correlated: list) -> "F.Column":
+        """AND of the deferred correlated filters compiled over the joined
+        L (outer) / R (inner, shared vars renamed *__r) frames."""
+        def resolve(n: str):
+            if n in inner.vars:
+                return F.col(f"R.{n}__r" if n in shared else f"R.{n}")
+            return F.col(f"L.{n}")
+
+        ec = ExprCompiler(
+            resolve, set(cur.vars) | set(inner.vars), self.extensions,
+            base=getattr(self, "_base", ""),
+        )
+        cond = F.lit(True)
+        for cf in correlated:
+            cond = cond & ec.compile_bool(cf)
+        return cond
+
     def _filter(self, cur: Compiled, flt, graph_ctx) -> Compiled:
         if isinstance(flt, A.ExistsExpr):
-            inner = self.compile_group(flt.group, graph_ctx)
+            inner, correlated = self._compile_exists_inner(
+                flt.group, cur.vars, graph_ctx
+            )
             shared = [v for v in cur.var_order if v in inner.vars]
             b_df = inner.df
             for v in shared:
@@ -1731,6 +1803,10 @@ class QueryCompiler:
                     cond = cond & (l == r)
                 else:
                     cond = cond & (l["kind"].isNull() | r["kind"].isNull() | (l == r))
+            if correlated:
+                cond = cond & self._correlated_cond(
+                    cur, inner, shared, correlated
+                )
             how = "left_anti" if flt.negated else "left_semi"
             joined = cur.df.alias("L").join(b_df.alias("R"), cond, how)
             return Compiled(joined.select(*cur.var_order), cur.var_order, cur.certain)
@@ -1763,14 +1839,19 @@ class QueryCompiler:
         shared vars (at most one match per row); otherwise each row gets a
         unique id, the match set is computed with a semi-join (never
         duplicates), and the flag joins back on the id."""
-        inners = [(n, self.compile_group(n.group, graph_ctx)) for n in nodes]
+        inners = [
+            (n, *self._compile_exists_inner(n.group, cur.vars, graph_ctx))
+            for n in nodes
+        ]
 
         def shared_of(inner):
             return [v for v in cur.var_order if v in inner.vars]
 
-        need_rid = any(
+        # correlated filters need the full inner frame in the join (the
+        # marker path projects only the shared vars)
+        need_rid = any(corr for _, _, corr in inners) or any(
             not all(v in cur.certain and v in inner.certain for v in shared_of(inner))
-            for _, inner in inners
+            for _, inner, _ in inners
             if shared_of(inner)
         )
         df = cur.df
@@ -1782,12 +1863,12 @@ class QueryCompiler:
             ).localCheckpoint(eager=True)
         exists_cols: dict[int, str] = {}
         extra: list[str] = []
-        for k, (node, inner) in enumerate(inners):
+        for k, (node, inner, correlated) in enumerate(inners):
             flag = f"__exists_{k}"
             exists_cols[id(node)] = flag
             extra.append(flag)
             shared = shared_of(inner)
-            if not shared:
+            if not shared and not correlated:
                 # disconnected EXISTS: constant over all solutions
                 df = df.withColumn(flag, F.lit(not inner.df.isEmpty()))
                 continue
@@ -1818,6 +1899,10 @@ class QueryCompiler:
                         cond = cond & (l == r)
                     else:
                         cond = cond & (l["kind"].isNull() | r["kind"].isNull() | (l == r))
+                if correlated:
+                    cond = cond & self._correlated_cond(
+                        cur, inner, shared, correlated
+                    )
                 matched = (
                     df.alias("L")
                     .join(b_df.alias("R"), cond, "left_semi")

@@ -1019,8 +1019,117 @@ def _bgp_group(triples: list[TriplePattern]) -> GroupPattern:
     return g
 
 
+def _node_vars(x) -> set:
+    """All Var names in an AST fragment (dataclass walk); ExistsExpr
+    subtrees are skipped — they are their own scope."""
+    import dataclasses as _dc
+
+    out: set = set()
+
+    def walk(n):
+        if isinstance(n, Var):
+            out.add(n.name)
+            return
+        if isinstance(n, ExistsExpr):
+            return
+        if _dc.is_dataclass(n) and not isinstance(n, type):
+            for f in _dc.fields(n):
+                walk(getattr(n, f.name))
+        elif isinstance(n, (list, tuple)):
+            for item in n:
+                walk(item)
+
+    walk(n := x)
+    return out
+
+
+def _contains_aggregate(x) -> bool:
+    import dataclasses as _dc
+
+    if isinstance(x, Aggregate):
+        return True
+    if _dc.is_dataclass(x) and not isinstance(x, type):
+        return any(
+            _contains_aggregate(getattr(x, f.name)) for f in _dc.fields(x)
+        )
+    if isinstance(x, (list, tuple)):
+        return any(_contains_aggregate(i) for i in x)
+    return False
+
+
+def _element_scope_vars(elem) -> set:
+    """Vars an element can bind into its group's scope (grammar-level)."""
+    if isinstance(elem, (TriplePattern, QuotedPattern)):
+        return _node_vars(elem)
+    if isinstance(elem, BindPattern):
+        return {elem.var.name}
+    if isinstance(elem, ValuesPattern):
+        return {v.name for v in elem.vars}
+    if isinstance(elem, SubSelectPattern):
+        q = elem.query
+        if q.projections:
+            return {
+                (alias.name if alias is not None else item.name)
+                for item, alias in q.projections
+                if alias is not None or isinstance(item, Var)
+            }
+        return _node_vars(q.where)
+    if isinstance(elem, (GroupPattern, OptionalPattern, UnionPattern,
+                         GraphGraphPattern, MinusPattern, ServicePattern,
+                         BGP)):
+        return _node_vars(elem)
+    return _node_vars(elem)
+
+
+def _validate_group(group: GroupPattern) -> None:
+    """Grammar-level assignment constraint: the variable a BIND assigns
+    must not already be in scope at that point in the group (SPARQL 1.1
+    §10.1 note); checked recursively through nested groups."""
+    scope: set = set()
+    for elem in group.elements:
+        if isinstance(elem, BindPattern):
+            if elem.var.name in scope:
+                raise ValueError(
+                    f"sparql: BIND would reassign ?{elem.var.name}, which "
+                    "is already in scope in this group"
+                )
+        for sub in getattr(elem, "__dict__", {}).values():
+            if isinstance(sub, GroupPattern):
+                _validate_group(sub)
+            elif isinstance(sub, SelectQuery):
+                _validate_query(sub)
+        scope |= _element_scope_vars(elem)
+
+
+def _validate_query(q) -> None:
+    if not isinstance(q, SelectQuery):
+        if hasattr(q, "where") and isinstance(q.where, GroupPattern):
+            _validate_group(q.where)
+        return
+    _validate_group(q.where)
+    grouped = bool(q.group_by) or q.having or any(
+        _contains_aggregate(item) for item, _ in q.projections
+    )
+    if grouped and q.group_by and q.projections:
+        group_vars = set()
+        for g in q.group_by:
+            if isinstance(g, Var):
+                group_vars.add(g.name)
+            elif isinstance(g, tuple) and g[1] is not None:
+                group_vars.add(g[1].name)
+        for item, alias in q.projections:
+            if isinstance(item, Var) and alias is None \
+                    and item.name not in group_vars:
+                raise ValueError(
+                    f"sparql: ?{item.name} is projected but neither "
+                    "grouped nor aggregated"
+                )
+
+
 def parse_query(text: str):
-    return SparqlParser(text).parse()
+    q = SparqlParser(text).parse()
+    _validate_query(q)
+    return q
 
 
 def parse_update(text: str) -> list:
