@@ -144,6 +144,7 @@ class NodeShape:
     ignored_properties: list[str] = field(default_factory=list)
     # SPARQL-based constraints: (sh:select text, sh:message or None)
     sparql_constraints: list = field(default_factory=list)
+    deactivated: bool = False
     severity: str = SH + "Violation"
 
 
@@ -228,6 +229,8 @@ def parse_shapes(text: str) -> list[NodeShape]:
                 ns.sparql_constraints.append(
                     (sel.lex, msg.lex if msg is not None else None)
                 )
+            elif p == SH + "deactivated":
+                ns.deactivated = o.lex == "true"
             elif p == SH + "severity":
                 ns.severity = o.value
         for ps in ns.properties:
@@ -413,6 +416,8 @@ def validate(quads: DataFrame, shapes: list[NodeShape]) -> DataFrame:
     shapes_map = {ns.iri: ns for ns in shapes}
     reports: list[DataFrame] = []
     for ns in shapes:
+        if ns.deactivated:  # sh:deactivated true: the shape is skipped
+            continue
         focus = _focus_nodes(quads, ns)
         for ps in ns.properties:
             reports.extend(

@@ -613,3 +613,11 @@ def test_closed(repo2):
       sh:property [ sh:path ex:author ] .
     """)
     assert v == [(EX + "d2", "ClosedConstraintComponent", "x")]
+
+
+def test_deactivated_shape_skipped(repo):
+    """sh:deactivated true: the shape validates nothing (W3C core)."""
+    v = _viol(repo, _shape(
+        "sh:deactivated true ; "
+        "sh:property [ sh:path ex:name ; sh:minCount 1 ]"))
+    assert v == []
