@@ -429,3 +429,24 @@ def test_triangles_have_no_cartesian(spark):
     plan = plan_of(q(spark, "graph_triangles"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redact_is_map_only(spark):
+    """PII scrubbing is a single column-pruned scan with no exchange —
+    pure regexp projection, so throughput is scan bandwidth at any
+    corpus size."""
+    plan = plan_of(q(spark, "text_pii_redact"))
+    assert plan.count("FileScan") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """Decontamination joins corpus grams against the (small) distinct
+    benchmark-gram set as a BROADCAST semi-join — the corpus side streams
+    through map-side; the only hash exchanges are the benchmark-distinct
+    and the final per-doc aggregations, never a corpus-wide gram shuffle
+    against itself."""
+    plan = plan_of(q(spark, "corpus_decontaminate"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
