@@ -258,6 +258,28 @@ def _make_handler(engine: Engine):
             if (
                 len(parts) == 3
                 and parts[0] == "repositories"
+                and parts[2] == "explain"
+            ):
+                # query-plan inspection (GraphDB's query explain surface):
+                # the physical plan Spark will execute, as text/plain
+                repo = self._repo(parts[1])
+                if repo is None:
+                    return
+                qs = urllib.parse.parse_qs(url.query)
+                query = (qs.get("query") or [None])[0]
+                if not query:
+                    self._send(400, {"error": "missing query parameter"})
+                    return
+                mode = (qs.get("mode") or ["formatted"])[0]
+                try:
+                    self._send(200, repo.explain(query, mode=mode),
+                               "text/plain")
+                except Exception as ex:  # noqa: BLE001
+                    self._send(400, {"error": str(ex)})
+                return
+            if (
+                len(parts) == 3
+                and parts[0] == "repositories"
                 and parts[2] == "contexts"
             ):
                 # RDF4J context listing: the distinct named graphs, as a
@@ -640,6 +662,7 @@ class SparqlHttpServer:
 
     def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(engine))
+        self.engine = engine
         self.host = host
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None

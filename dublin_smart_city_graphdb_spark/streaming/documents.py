@@ -63,3 +63,45 @@ def quality_filter_stream(docs: DataFrame) -> DataFrame:
         pass_alpha.alias("pass_alpha"),
         (pass_len & pass_word_len & pass_stopwords & pass_alpha).alias("keep"),
     )
+
+
+def benchmark_grams(docs: DataFrame) -> DataFrame:
+    """The static side of the streaming decontamination join: distinct
+    word-level 4-grams of the benchmark subset (doc_id % 97 — the same
+    stand-in eval suite as the batch ``corpus_decontaminate``)."""
+    toks = docs.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 4)
+    idx = F.sequence(F.lit(1), F.size("t") - 3)
+    return toks.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(4))),
+            )
+        ).alias("g")
+    ).distinct()
+
+
+def decontaminate_stream(docs: DataFrame, bench: DataFrame) -> DataFrame:
+    """Streaming twin of ``corpus_decontaminate``: each arriving
+    document's DISTINCT 4-grams probe the static benchmark-gram set with
+    a stream-static broadcast semi-join; output is one (doc_id, g) row
+    per contaminated gram. STATELESS by construction — within-document
+    dedup rides ``array_distinct`` before the explode, so no streaming
+    aggregation, watermark, or state store is needed; per-document hit
+    counts are a trivial downstream batch aggregation. A 100 TB feed
+    scales with throughput: the benchmark set broadcasts once per
+    micro-batch and the probe is map-side."""
+    toks = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 4)
+    idx = F.sequence(F.lit(1), F.size("t") - 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(4))),
+        ))).alias("g"),
+    )
+    return grams.join(F.broadcast(bench), "g", "left_semi")

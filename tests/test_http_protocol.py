@@ -773,3 +773,40 @@ def test_nquads_upload_roundtrip(server):
     q2 = urllib.parse.quote('SELECT ?s WHERE { ?s ?p "lit" }')
     status, doc2 = _get_json(server, f"/repositories/nqrepo?query={q2}")
     assert [b["s"]["value"] for b in doc2["results"]["bindings"]] == ["urn:s2"]
+
+
+def test_explain_endpoint(server):
+    """GET /repositories/{r}/explain?query=... returns the physical plan
+    Spark will execute (the query-plan inspection surface)."""
+    eng = server.engine
+    if "explain_repo" not in eng.list_repositories():
+        r = eng.create_repository("explain_repo", ruleset="none")
+        r.load_turtle_text(
+            "@prefix ex: <http://e/> . ex:a ex:p ex:b . ex:b ex:p ex:c ."
+        )
+    q = urllib.parse.quote("SELECT ?s ?o WHERE { ?s <http://e/p> ?o }")
+    with urllib.request.urlopen(
+        _url(server, f"/repositories/explain_repo/explain?query={q}")
+    ) as resp:
+        assert resp.status == 200
+        ctype = resp.headers.get("Content-Type", "")
+        plan = resp.read().decode()
+    assert "text/plain" in ctype
+    assert "Physical Plan" in plan or "Scan" in plan
+    # missing query parameter is a clean 400
+    try:
+        urllib.request.urlopen(
+            _url(server, "/repositories/explain_repo/explain")
+        )
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as ex:
+        assert ex.code == 400
+    # a malformed query is a clean 400, not a 500
+    bad = urllib.parse.quote("SELECT WHERE {{{")
+    try:
+        urllib.request.urlopen(
+            _url(server, f"/repositories/explain_repo/explain?query={bad}")
+        )
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as ex:
+        assert ex.code == 400

@@ -500,3 +500,40 @@ def test_bursts_stream_matches_batch_range_frame(spark, tmp_path):
     got = sorted((r.user_id, r.event_id, r.ts_us, r.burst_n) for r in both)
     # replay expectation = batch RANGE-frame count on the full series
     assert got == [(1, 4, 50 * M, 3), (1, 5, 75 * M, 3)]
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """Streaming decontamination: the stateless (doc_id, gram)-hit feed,
+    aggregated per doc, equals the batch corpus_decontaminate counts over
+    the same documents."""
+    import pyspark.sql.functions as F
+
+    from dublin_smart_city_graphdb_spark.harness import REGISTRY
+    from dublin_smart_city_graphdb_spark.streaming.documents import (
+        benchmark_grams,
+        decontaminate_stream,
+        stream_documents,
+    )
+    from dublin_smart_city_graphdb_spark.streaming.events import (
+        run_available_to_memory,
+    )
+    from tests.conftest import SF_DIR
+
+    feed = tmp_path / "docs_feed_dc"
+    feed.mkdir()
+    (feed / "documents.parquet").symlink_to(f"{SF_DIR}/documents.parquet")
+
+    bench = benchmark_grams(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    hits = run_available_to_memory(
+        spark,
+        decontaminate_stream(stream_documents(spark, str(feed)), bench),
+        "t_decontam",
+        str(tmp_path / "ckpt_decontam"),
+        output_mode="append",
+    )
+    got = sorted(map(tuple, hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shared_grams")
+    ).collect()))
+    want = sorted(map(tuple, REGISTRY["corpus_decontaminate"]
+                      .raw_fn(spark, SF_DIR).collect()))
+    assert got == want and len(got) > 0
