@@ -392,6 +392,74 @@ def bfs_hops(
     )
 
 
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Weighted single-source(s) shortest paths → (id, dist): minimum
+    total edge weight from any source, non-negative INTEGER weights
+    (bit-exact across engines, same rationale as PageRank's fixed-point
+    arithmetic). Bellman-Ford as a semi-naive frontier relaxation —
+    GraphX/Pregel ``shortestPaths`` generalized to weights:
+
+    each round relaxes ONLY the vertices improved last round (one keyed
+    join frontier⋈edges + one min-aggregate), joins candidate distances
+    against the current bests, and keeps the strict improvements as the
+    next frontier. Round count is bounded by the longest shortest-path
+    edge count (the graph's weighted "depth"), each round is one shuffle
+    on dst, and the frontier-only expansion keeps round cost
+    O(|frontier| ⋈ edges) — identical scale shape to ``bfs_hops``. The
+    empty-frontier probe is the only per-round driver traffic. Raises at
+    ``max_iterations`` rather than returning silently-unconverged
+    distances (negative cycles cannot occur: weights are non-negative).
+    """
+    tr = CheckpointTracker(edges)
+    e, _ = tr.checkpoint(
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+    )
+    dists, dist_ids = tr.checkpoint(
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .select("id", F.lit(0).cast("long").alias("dist"))
+    )
+    frontier = dists
+    for _ in range(max_iterations):
+        candidates = (
+            e.join(frontier, e.u == frontier.id)
+            .groupBy(F.col("v").alias("cid"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        joined = candidates.join(
+            dists, candidates.cid == dists.id, "left"
+        )
+        improved, imp_ids = tr.checkpoint(
+            joined.filter(
+                F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
+            ).select(F.col("cid").alias("id"), F.col("cand").alias("dist"))
+        )
+        if improved.isEmpty():
+            tr.free(imp_ids)
+            return dists
+        new_dists, new_ids = tr.checkpoint(
+            dists.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+        )
+        tr.free(dist_ids)
+        dists, dist_ids = new_dists, new_ids
+        frontier = improved
+    raise RuntimeError(
+        f"sssp did not converge within {max_iterations} rounds — raise "
+        "max_iterations (longest shortest path exceeds the budget)"
+    )
+
+
 def triangle_vertex_counts(
     edges: DataFrame,
     src: str = "src",

@@ -1012,6 +1012,86 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Weighted SSSP over the layered warehouse DAG: customer → (1e6+supplier)
+# [weight from the pair keys] → (2e6+nation) → (3e6+region); multi-source
+# from every 1000th customer. Depth 3 bounds both the engine's relaxation
+# rounds and the oracle's recursive CTE.
+_SSSP_SQL = """
+    WITH RECURSIVE
+    e AS (
+        SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst,
+               (o.o_custkey + l.l_suppkey) % 7 + 1 AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        UNION ALL
+        SELECT 1000000 + s_suppkey, 2000000 + s_nationkey,
+               s_suppkey % 5 + 1
+        FROM supplier
+        UNION ALL
+        SELECT 2000000 + n_nationkey, 3000000 + n_regionkey,
+               n_nationkey % 3 + 1
+        FROM nation
+    ),
+    walk(id, d) AS (
+        SELECT c_custkey, CAST(0 AS BIGINT) FROM customer
+        WHERE c_custkey % 1000 = 1
+        UNION
+        SELECT e.dst, w.d + e.w FROM walk w JOIN e ON e.src = w.id
+    )
+    SELECT id, MIN(d) AS dist FROM walk GROUP BY id
+"""
+
+
+@register(
+    "graph_sssp",
+    _SSSP_SQL,
+    doc="Weighted single-source shortest paths (Bellman-Ford as "
+        "semi-naive frontier relaxation — the GraphX Pregel "
+        "shortestPaths generalized to integer weights) over the layered "
+        "customer→supplier→nation→region DAG, multi-source. Each round "
+        "is one frontier⋈edges join + one min-aggregate shuffle; only "
+        "strict improvements re-enter the frontier, and the "
+        "empty-frontier probe is the only driver traffic. The oracle is "
+        "an independent recursive-CTE walk with min-aggregation.",
+    cache_plan=False,
+)
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.graph.closure import sssp
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    e1 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).cast("long").alias("dst"),
+            ((F.col("o_custkey") + F.col("l_suppkey")) % 7 + 1)
+            .cast("long").alias("w"),
+        )
+        .distinct()
+    )
+    e2 = supplier.select(
+        (F.lit(1000000) + F.col("s_suppkey")).cast("long").alias("src"),
+        (F.lit(2000000) + F.col("s_nationkey")).cast("long").alias("dst"),
+        (F.col("s_suppkey") % 5 + 1).cast("long").alias("w"),
+    )
+    e3 = nation.select(
+        (F.lit(2000000) + F.col("n_nationkey")).cast("long").alias("src"),
+        (F.lit(3000000) + F.col("n_regionkey")).cast("long").alias("dst"),
+        (F.col("n_nationkey") % 3 + 1).cast("long").alias("w"),
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    sources = customer.filter(F.col("c_custkey") % 1000 == 1).select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    return sssp(edges, sources).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window extension (SURVEY §2.9/§7): rank + running sum on property-table view
 # ---------------------------------------------------------------------------

@@ -226,3 +226,19 @@ def test_triangle_counts_empty_edge_set(spark):
 
     e = spark.createDataFrame([(1, 1)], ["src", "dst"])  # self-loop only
     assert triangle_vertex_counts(e).count() == 0
+
+
+def test_sssp_weighted_relaxation(spark):
+    """Weighted SSSP must relax through the cheaper 2-hop route (1-3-2
+    costs 3 < the direct edge's 4) and propagate the improvement
+    downstream; unreachable nodes are absent from the result."""
+    from dublin_smart_city_graphdb_spark.graph.closure import sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 4), (1, 3, 1), (3, 2, 2), (2, 4, 5), (3, 4, 10),
+         (4, 5, 1), (9, 1, 1)],
+        "src long, dst long, w long",
+    )
+    sources = spark.createDataFrame([(1,)], "id long")
+    got = {r.id: r.dist for r in sssp(edges, sources).collect()}
+    assert got == {1: 0, 3: 1, 2: 3, 4: 8, 5: 9}
