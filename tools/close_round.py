@@ -58,7 +58,7 @@ def engine_head_epoch() -> tuple[str, int]:
 def survey_counts() -> tuple[int, int]:
     text = (ROOT / "SURVEY.md").read_text()
     matches = re.findall(
-        r"Registry now: (\d+) queries\(\) entries,\s*(\d+) with SQL", text
+        r"Registry now:\s+(\d+)\s+queries\(\)\s+entries,\s*(\d+)\s+with\s+SQL", text
     )
     if not matches:
         raise SystemExit("close_round: no 'Registry now:' line in SURVEY.md")
