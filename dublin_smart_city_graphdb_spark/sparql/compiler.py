@@ -30,7 +30,12 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from dublin_smart_city_graphdb_spark.model.schema import KIND_IRI, TERM_STRUCT
+from dublin_smart_city_graphdb_spark.model.schema import (
+    KIND_BLANK,
+    KIND_IRI,
+    KIND_TRIPLE,
+    TERM_STRUCT,
+)
 from dublin_smart_city_graphdb_spark.model.terms import BNode, IRI, Literal, Term
 from dublin_smart_city_graphdb_spark.sparql import ast as A
 from dublin_smart_city_graphdb_spark.sparql.exprs import ExprCompiler
@@ -1978,6 +1983,10 @@ class QueryCompiler:
                 F.col("s").isNotNull() & F.col("s")["kind"].isNotNull()
                 & F.col("p").isNotNull() & F.col("p")["kind"].isNotNull()
                 & F.col("o").isNotNull() & F.col("o")["kind"].isNotNull()
+                # spec 16.2: instantiations that would be invalid RDF are
+                # dropped — literals can't be subjects, only IRIs predicates
+                & F.col("s")["kind"].isin(KIND_IRI, KIND_BLANK, KIND_TRIPLE)
+                & (F.col("p")["kind"] == F.lit(KIND_IRI))
             )
             outs.append(one)
         out = outs[0]

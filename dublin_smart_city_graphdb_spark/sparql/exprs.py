@@ -17,6 +17,7 @@ from dublin_smart_city_graphdb_spark.model.schema import (
     KIND_BLANK,
     KIND_IRI,
     KIND_LITERAL,
+    KIND_TRIPLE,
 )
 from dublin_smart_city_graphdb_spark.model.terms import XSD
 from dublin_smart_city_graphdb_spark.sparql import ast as A
@@ -524,18 +525,28 @@ class ExprCompiler:
                     ("num", "decimal(38,10)"), ("ts", "timestamp"),
                     ("bool", "boolean"))],
             )
-        if name == "STRDT":
+        if name in ("STRDT", "STRLANG"):
             from dublin_smart_city_graphdb_spark.sparql.termcol import _struct, _NULL_B, _NULL_N, _NULL_S, _NULL_T
-            lex, dt = _lex(args[0]), _lex(args[1])
-            num = F.when(
-                dt.isin(*[XSD + t for t in ("integer", "decimal", "double", "float")]),
-                lex.cast("decimal(38,10)"),
+            # spec 17.4.2.8/.9: the first argument must be a SIMPLE literal
+            # (no language tag, no datatype beyond xsd:string) — a
+            # lang-tagged or otherwise-typed input is a type error
+            simple = (
+                (args[0]["kind"] == KIND_LITERAL)
+                & args[0]["lang"].isNull()
+                & (args[0]["dtype"].isNull() | (args[0]["dtype"] == XSD + "string"))
             )
-            return _struct(F.lit(KIND_LITERAL), lex, dt, _NULL_S(), num, _NULL_T(), _NULL_B())
-        if name == "STRLANG":
-            from dublin_smart_city_graphdb_spark.sparql.termcol import _struct, _NULL_B, _NULL_N, _NULL_S, _NULL_T
-            return _struct(F.lit(KIND_LITERAL), _lex(args[0]), _NULL_S(),
-                           _lex(args[1]), _NULL_N(), _NULL_T(), _NULL_B())
+            lex = _lex(args[0])
+            if name == "STRDT":
+                dt = _lex(args[1])
+                num = F.when(
+                    dt.isin(*[XSD + t for t in ("integer", "decimal", "double", "float")]),
+                    lex.cast("decimal(38,10)"),
+                )
+                made = _struct(F.lit(KIND_LITERAL), lex, dt, _NULL_S(), num, _NULL_T(), _NULL_B())
+            else:
+                made = _struct(F.lit(KIND_LITERAL), lex, _NULL_S(),
+                               _lex(args[1]), _NULL_N(), _NULL_T(), _NULL_B())
+            return F.when(simple, made).otherwise(null_struct())
         if name == "UUID":
             return make_iri(F.concat(F.lit("urn:uuid:"), F.uuid()))
         if name == "STRUUID":
@@ -765,7 +776,6 @@ class ExprCompiler:
 
         # -- RDF-star (SPARQL-star builtins) --------------------------------
         if name in ("SUBJECT", "PREDICATE", "OBJECT"):
-            from dublin_smart_city_graphdb_spark.model.schema import KIND_TRIPLE
             from dublin_smart_city_graphdb_spark.sparql.termcol import (
                 nt_text_to_struct,
                 quoted_component,
@@ -778,18 +788,14 @@ class ExprCompiler:
                 nt_text_to_struct(quoted_component(t["lex"], k)),
             ).otherwise(null_struct())
         if name == "ISTRIPLE":
-            from dublin_smart_city_graphdb_spark.model.schema import KIND_TRIPLE
-
             t = args[0]
             return make_bool(
                 F.when(t["kind"].isNotNull(), t["kind"] == KIND_TRIPLE)
             )
         if name == "TRIPLE":
-            from dublin_smart_city_graphdb_spark.model.schema import (
-                KIND_BLANK,
-                KIND_IRI,
-                KIND_TRIPLE,
-            )
+            # NOTE: no local KIND_* imports here — a function-local import
+            # makes the name local to ALL of _func, which silently broke
+            # the ISIRI/ISBLANK branches above (UnboundLocalError)
             from dublin_smart_city_graphdb_spark.sparql.protocol import _term_nt
             from dublin_smart_city_graphdb_spark.sparql.termcol import _struct
 

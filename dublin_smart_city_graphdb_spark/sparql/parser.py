@@ -480,6 +480,11 @@ class SparqlParser:
                 while self._peek()[1] != ")":
                     row.append(self._values_term())
                 self._next()
+                if len(row) != len(vars_):
+                    raise ValueError(
+                        f"sparql: VALUES row has {len(row)} terms for "
+                        f"{len(vars_)} variables"
+                    )
                 rows.append(row)
             self._expect_op("}")
         return ValuesPattern(vars_, rows)
@@ -1110,7 +1115,10 @@ def _validate_query(q) -> None:
     grouped = bool(q.group_by) or q.having or any(
         _contains_aggregate(item) for item, _ in q.projections
     )
-    if grouped and q.group_by and q.projections:
+    if grouped and q.projections:
+        # with GROUP BY, bare projections must be group keys; with only
+        # aggregates (implicit single group, spec 18.2.4.1) NO bare
+        # variable projection is legal
         group_vars = set()
         for g in q.group_by:
             if isinstance(g, Var):

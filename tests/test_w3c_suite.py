@@ -34,12 +34,34 @@ SRNS = "{http://www.w3.org/2005/sparql-results#}"
 XMLLANG = "{http://www.w3.org/XML/1998/namespace}lang"
 
 
-def _load_manifest() -> list[tuple[str, str, str, str]]:
-    """manifest.ttl → [(test_id, query_path, data_path, result_path)]."""
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+
+def _manifest_maps():
+    """manifest.ttl → (single-valued s→{p: o}, multi-valued s→{p: [o,...]})."""
     triples = parse_turtle((W3C / "manifest.ttl").read_text())
     by_sp: dict = {}
+    multi: dict = {}
     for s, p, o in triples:
         by_sp.setdefault(s, {})[p.value] = o
+        multi.setdefault(s, {}).setdefault(p.value, []).append(o)
+    return by_sp, multi
+
+
+def _graph_data(by_sp, multi, node, ns: str) -> tuple[tuple[str, str], ...]:
+    """Collect ``<ns>graphData`` entries of an action/result node:
+    each is a bnode with ``<ns>graph <file>`` + ``rdfs:label "graph-iri"``
+    (the convention of the public W3C manifests)."""
+    out = []
+    for gd in multi.get(node, {}).get(ns + "graphData", []):
+        props = by_sp[gd]
+        out.append((props[ns + "graph"].value, props[RDFS_LABEL].lex))
+    return tuple(sorted(out))
+
+
+def _load_manifest() -> list[tuple[str, str, str, tuple, str]]:
+    """manifest.ttl → [(test_id, query, data, graph_data, result)]."""
+    by_sp, multi = _manifest_maps()
     tests = []
     for s, props in sorted(by_sp.items(), key=lambda kv: str(kv[0])):
         t = props.get(RDF_TYPE)
@@ -50,6 +72,7 @@ def _load_manifest() -> list[tuple[str, str, str, str]]:
             str(s).rsplit("/", 1)[-1],
             action[QT + "query"].value,
             action[QT + "data"].value,
+            _graph_data(by_sp, multi, props[MF + "action"], QT),
             props[MF + "result"].value,
         ))
     assert tests, "manifest parsed but no QueryEvaluationTest entries found"
@@ -60,10 +83,7 @@ def _load_syntax_manifest() -> list[tuple[str, str, bool]]:
     """manifest.ttl → [(test_id, query_path, must_parse)] for the
     Positive/NegativeSyntaxTest11 entries (mf:action is the query IRI
     directly, per the W3C syntax-test manifests)."""
-    triples = parse_turtle((W3C / "manifest.ttl").read_text())
-    by_sp: dict = {}
-    for s, p, o in triples:
-        by_sp.setdefault(s, {})[p.value] = o
+    by_sp, _ = _manifest_maps()
     tests = []
     for s, props in sorted(by_sp.items(), key=lambda kv: str(kv[0])):
         t = props.get(RDF_TYPE)
@@ -108,20 +128,50 @@ def _srx_solutions(path: Path):
     return sols
 
 
+def _srx_boolean(path: Path):
+    """results-XML → True/False for ASK results, None for SELECT results."""
+    root = ET.fromstring(path.read_text())
+    node = root.find(f"{SRNS}boolean")
+    return None if node is None else node.text.strip() == "true"
+
+
+def _term_tuple(t):
+    if t["kind"] == KIND_IRI:
+        return ("uri", t["lex"])
+    if t["kind"] == KIND_BLANK:
+        return ("bnode",)
+    assert t["kind"] == KIND_LITERAL
+    return ("literal", t["lex"], t["dtype"], t["lang"])
+
+
 def _row_solution(row, columns):
     b = {}
     for var in columns:
         t = row[var]
         if t is None or t["kind"] is None:
             continue
-        if t["kind"] == KIND_IRI:
-            b[var] = ("uri", t["lex"])
-        elif t["kind"] == KIND_BLANK:
-            b[var] = ("bnode",)
-        else:
-            assert t["kind"] == KIND_LITERAL
-            b[var] = ("literal", t["lex"], t["dtype"], t["lang"])
+        b[var] = _term_tuple(t)
     return frozenset(b.items())
+
+
+def _parsed_term_tuple(term):
+    """Turtle-parser term → the same label-agnostic tuple as _term_tuple."""
+    from dublin_smart_city_graphdb_spark.model.terms import BNode, IRI, Literal
+
+    if isinstance(term, IRI):
+        return ("uri", term.value)
+    if isinstance(term, BNode):
+        return ("bnode",)
+    assert isinstance(term, Literal)
+    return ("literal", term.lex, term.datatype, term.lang)
+
+
+def _expected_graph(path: Path) -> Counter:
+    """Expected-result Turtle graph → Counter of label-agnostic triples."""
+    return Counter(
+        tuple(_parsed_term_tuple(t) for t in triple)
+        for triple in parse_turtle(path.read_text())
+    )
 
 
 TESTS = _load_manifest()
@@ -134,28 +184,46 @@ def w3c_engine(spark):
     eng = Engine(spark)
     repos: dict = {}
 
-    def repo_for(data_iri: str):
-        if data_iri not in repos:
+    def repo_for(data_iri: str, graph_data: tuple = ()):
+        key = (data_iri, graph_data)
+        if key not in repos:
             r = eng.create_repository(
-                f"w3c_{Path(data_iri).stem}", ruleset="none"
+                f"w3c_{Path(data_iri).stem}_{len(repos)}", ruleset="none"
             )
             r.load_turtle(_rel(data_iri).read_text())
-            repos[data_iri] = r
-        return repos[data_iri]
+            for file_iri, graph_iri in graph_data:
+                r.load_turtle(_rel(file_iri).read_text(), graph=graph_iri)
+            repos[key] = r
+        return repos[key]
 
     return repo_for
 
 
 @pytest.mark.parametrize(
-    "test_id,query_iri,data_iri,result_iri",
+    "test_id,query_iri,data_iri,graph_data,result_iri",
     TESTS,
     ids=[t[0] for t in TESTS],
 )
-def test_w3c_case(w3c_engine, test_id, query_iri, data_iri, result_iri):
-    repo = w3c_engine(data_iri)
+def test_w3c_case(w3c_engine, test_id, query_iri, data_iri, graph_data,
+                  result_iri):
+    repo = w3c_engine(data_iri, graph_data)
     query_text = _rel(query_iri).read_text()
     df = repo.sparql(query_text)
     rows = repo.sparql_collect(query_text)
+    if result_iri.endswith(".ttl"):
+        # CONSTRUCT / DESCRIBE: compare as a label-agnostic RDF graph
+        assert df.columns == ["s", "p", "o"]
+        got = Counter(
+            (_term_tuple(r["s"]), _term_tuple(r["p"]), _term_tuple(r["o"]))
+            for r in rows
+        )
+        assert got == _expected_graph(_rel(result_iri))
+        return
+    boolean = _srx_boolean(_rel(result_iri))
+    if boolean is not None:  # ASK form
+        assert df.columns == ["ask"]
+        assert rows[0]["ask"] is boolean
+        return
     got = [_row_solution(r, df.columns) for r in rows]
     want = _srx_solutions(_rel(result_iri))
     if "ORDER BY" in query_text.upper():
@@ -164,14 +232,12 @@ def test_w3c_case(w3c_engine, test_id, query_iri, data_iri, result_iri):
         assert Counter(got) == Counter(want)
 
 
-def _load_update_manifest() -> list[tuple[str, str, str, str]]:
-    """manifest.ttl → [(test_id, request_path, data_path, result_data)]
-    for the UpdateEvaluationTest entries (ut: vocabulary: mf:action has
-    ut:request + ut:data, mf:result is a node with the expected ut:data)."""
-    triples = parse_turtle((W3C / "manifest.ttl").read_text())
-    by_sp: dict = {}
-    for s, p, o in triples:
-        by_sp.setdefault(s, {})[p.value] = o
+def _load_update_manifest() -> list[tuple[str, str, str, tuple, str, tuple]]:
+    """manifest.ttl → [(test_id, request, data, graph_data, result_data,
+    result_graph_data)] for the UpdateEvaluationTest entries (ut:
+    vocabulary: mf:action has ut:request + ut:data + ut:graphData*,
+    mf:result is a node with the expected ut:data + ut:graphData*)."""
+    by_sp, multi = _manifest_maps()
     tests = []
     for s, props in sorted(by_sp.items(), key=lambda kv: str(kv[0])):
         t = props.get(RDF_TYPE)
@@ -183,7 +249,9 @@ def _load_update_manifest() -> list[tuple[str, str, str, str]]:
             str(s).rsplit("/", 1)[-1],
             action[UT + "request"].value,
             action[UT + "data"].value,
+            _graph_data(by_sp, multi, props[MF + "action"], UT),
             result[UT + "data"].value,
+            _graph_data(by_sp, multi, props[MF + "result"], UT),
         ))
     return tests
 
@@ -192,15 +260,45 @@ UT = "http://www.w3.org/2009/sparql/tests/test-update#"
 UPDATE_TESTS = _load_update_manifest()
 
 
+def _load_dataset(repo, data_iri: str, graph_data: tuple) -> None:
+    ttl = _rel(data_iri).read_text()
+    has_triples = any(
+        line.strip() and not line.strip().startswith(("@prefix", "#"))
+        for line in ttl.splitlines()
+    )
+    if has_triples:  # prefix-only document = graph is empty
+        repo.load_turtle(ttl)
+    for file_iri, graph_iri in graph_data:
+        repo.load_turtle(_rel(file_iri).read_text(), graph=graph_iri)
+
+
+def _quad_multiset(repo) -> Counter:
+    """Repository → Counter of label-agnostic (g, s, p, o) quads, so the
+    comparison checks GRAPH PLACEMENT, not just the union of statements."""
+    rows = repo.quads.collect()
+    out: Counter = Counter()
+    for r in rows:
+        s = ("bnode",) if r["s"].startswith("_:") else ("uri", r["s"])
+        if r["o_kind"] == KIND_IRI:
+            o = ("uri", r["o_lex"])
+        elif r["o_kind"] == KIND_BLANK:
+            o = ("bnode",)
+        else:
+            o = ("literal", r["o_lex"], r["o_dtype"], r["o_lang"])
+        out[(r["g"], s, ("uri", r["p"]), o)] += 1
+    return out
+
+
 @pytest.mark.parametrize(
-    "test_id,request_iri,data_iri,result_iri",
+    "test_id,request_iri,data_iri,graph_data,result_iri,result_graph_data",
     UPDATE_TESTS,
     ids=[t[0] for t in UPDATE_TESTS],
 )
-def test_w3c_update_case(spark, test_id, request_iri, data_iri, result_iri):
-    """UPDATE conformance (round 6): load ut:data, apply ut:request, then
-    compare the full statement set against the expected graph. Both sides
-    are read back through the SAME loader + SELECT * path so term
+def test_w3c_update_case(spark, test_id, request_iri, data_iri, graph_data,
+                         result_iri, result_graph_data):
+    """UPDATE conformance (round 6): load ut:data (+ named ut:graphData),
+    apply ut:request, then compare the full QUAD set against the expected
+    dataset. Both sides are read back through the SAME loader so term
     normalization is identical by construction."""
     from dublin_smart_city_graphdb_spark.engine import Engine
 
@@ -208,24 +306,10 @@ def test_w3c_update_case(spark, test_id, request_iri, data_iri, result_iri):
     got_repo = eng.create_repository(f"w3c_u_{test_id}", ruleset="none")
     exp_repo = eng.create_repository(f"w3c_ue_{test_id}", ruleset="none")
     try:
-        got_repo.load_turtle(_rel(data_iri).read_text())
+        _load_dataset(got_repo, data_iri, graph_data)
         got_repo.update(_rel(request_iri).read_text())
-        expected_ttl = _rel(result_iri).read_text()
-        has_triples = any(
-            line.strip() and not line.strip().startswith(("@prefix", "#"))
-            for line in expected_ttl.splitlines()
-        )
-        if has_triples:  # prefix-only document = expected graph is empty
-            exp_repo.load_turtle(expected_ttl)
-        q = "SELECT ?s ?p ?o WHERE { ?s ?p ?o }"
-
-        def solutions(repo):
-            df = repo.sparql(q)
-            return Counter(
-                _row_solution(r, df.columns) for r in repo.sparql_collect(q)
-            )
-
-        assert solutions(got_repo) == solutions(exp_repo)
+        _load_dataset(exp_repo, result_iri, result_graph_data)
+        assert _quad_multiset(got_repo) == _quad_multiset(exp_repo)
     finally:
         eng.drop_repository(f"w3c_u_{test_id}")
         eng.drop_repository(f"w3c_ue_{test_id}")
