@@ -510,6 +510,413 @@ def geof_sf_disjoint(args: list[Column]) -> Column:
     return make_bool(~_intersects_col(args[0]["lex"], args[1]["lex"]))
 
 
+# ---------------------------------------------------------------------------
+# Remaining simple-features predicates (round 6): sfEquals / sfTouches /
+# sfOverlaps / sfCrosses, plus the geometry constructors envelope /
+# boundary / buffer / getSRID. Same design rules as the rest of the
+# kernel: WKT lex in, pure JVM higher-order Columns, heavy intermediates
+# bound once through `_let`, ring-separator nulls coalesced at every
+# three-valued site.
+# ---------------------------------------------------------------------------
+
+_GEO_NS = "http://www.opengis.net/ont/geosparql#"
+_CRS84 = "http://www.opengis.net/def/crs/OGC/1.3/CRS84"
+
+
+def _make_wkt(lex: Column) -> Column:
+    """WKT string → geo:wktLiteral term (null lex → SPARQL error)."""
+    from dublin_smart_city_graphdb_spark.sparql.termcol import (
+        _NULL_B, _NULL_N, _NULL_S, _NULL_T, _struct, null_struct,
+    )
+
+    made = _struct(
+        F.lit(2), lex, F.lit(_GEO_NS + "wktLiteral"),
+        _NULL_S(), _NULL_N(), _NULL_T(), _NULL_B(),
+    )
+    return F.when(lex.isNotNull(), made).otherwise(null_struct())
+
+
+def _on_any_edge_flat(xs: Column, ys: Column, x: Column,
+                      y: Column) -> Column:
+    """TRUE when (x, y) lies ON an edge of the flat coordinate arrays
+    (collinear + inside the segment's bbox; separator edges never hit)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(xs) - 2, F.lit(0)))
+
+    def hit(i: Column) -> Column:
+        px, py = F.get(xs, i), F.get(ys, i)
+        qx, qy = F.get(xs, i + 1), F.get(ys, i + 1)
+        return F.coalesce(
+            (_orient(px, py, qx, qy, x, y) == 0)
+            & (x >= F.least(px, qx)) & (x <= F.greatest(px, qx))
+            & (y >= F.least(py, qy)) & (y <= F.greatest(py, qy)),
+            F.lit(False),
+        )
+
+    return F.exists(idx, hit)
+
+
+def _strictly_inside_flat(xs: Column, ys: Column, x: Column,
+                          y: Column) -> Column:
+    return (
+        (_crossings_flat(xs, ys, x, y) % 2 == 1)
+        & ~_on_any_edge_flat(xs, ys, x, y)
+    )
+
+
+def _any_vertex(xs: Column, ys: Column, pred) -> Column:
+    """∃ vertex of the flat arrays satisfying pred (separators skip)."""
+    iv = F.sequence(F.lit(0), F.greatest(F.size(xs) - 1, F.lit(0)))
+    return F.exists(iv, lambda i: F.coalesce(
+        pred(F.get(xs, i), F.get(ys, i)), F.lit(False)
+    ))
+
+
+def _all_vertices(xs: Column, ys: Column, pred) -> Column:
+    """∀ vertices of the flat arrays satisfying pred. Separator vertices
+    must be skipped by the NULL-ness of the vertex itself — a null vertex
+    can still drive pred to a non-null FALSE (an empty crossing count is
+    0, and 0 % 2 == 1 is false, not null)."""
+    iv = F.sequence(F.lit(0), F.greatest(F.size(xs) - 1, F.lit(0)))
+    return F.forall(iv, lambda i: (
+        F.get(xs, i).isNull()
+        | F.coalesce(pred(F.get(xs, i), F.get(ys, i)), F.lit(True))
+    ))
+
+
+def _interiors_meet_flat(s) -> Column:
+    """Polygon interiors share a point over bound arrays {xa,ya,xb,yb}:
+    a proper edge crossing, or a vertex of one STRICTLY inside the other.
+    (Exactness envelope: interiors that overlap with every vertex on the
+    other's boundary and no proper crossing — i.e. identical polygons —
+    are handled by the equals guard at the call sites.)"""
+    xa, ya, xb, yb = s["xa"], s["ya"], s["xb"], s["yb"]
+    return (
+        _edges_cross_flat(xa, ya, xb, yb)
+        | _any_vertex(xb, yb, lambda x, y: _strictly_inside_flat(xa, ya, x, y))
+        | _any_vertex(xa, ya, lambda x, y: _strictly_inside_flat(xb, yb, x, y))
+    )
+
+
+def _contains_flat(s) -> Column:
+    """A covers B over bound arrays: every B vertex inside-or-on A, no
+    A vertex strictly inside B (catches an A hole nested in B), and no
+    proper edge crossing."""
+    xa, ya, xb, yb = s["xa"], s["ya"], s["xb"], s["yb"]
+    in_or_on = _all_vertices(xb, yb, lambda x, y: (
+        (_crossings_flat(xa, ya, x, y) % 2 == 1)
+        | _on_any_edge_flat(xa, ya, x, y)
+    ))
+    return (
+        in_or_on
+        & ~_any_vertex(xa, ya, lambda x, y: _strictly_inside_flat(xb, yb, x, y))
+        & ~_edges_cross_flat(xa, ya, xb, yb)
+    )
+
+
+def _canon_rings(lex: Column) -> Column:
+    """POLYGON lex → sorted array of canonical ring keys: each ring's
+    vertex cycle rotated to start at its lexicographically-least vertex
+    and oriented toward the smaller neighbour, so the SAME ring written
+    with any rotation/direction serializes identically."""
+    def canon(r: Column) -> Column:
+        pts = F.transform(
+            F.split(r, r"\s*,\s*"),
+            lambda p: F.struct(
+                F.element_at(F.split(F.trim(p), r"\s+"), 1)
+                .cast("double").alias("x"),
+                F.element_at(F.split(F.trim(p), r"\s+"), 2)
+                .cast("double").alias("y"),
+            ),
+        )
+        return _let({"pts": pts}, _canon_key)
+
+    return F.array_sort(F.transform(_poly_rings(lex), canon))
+
+
+def _canon_key(s) -> Column:
+    pts = s["pts"]
+    n = F.size(pts)
+    closed = (n > 1) & (F.get(pts, 0) == F.get(pts, n - 1))
+    opened = F.when(closed, F.slice(pts, F.lit(1), n - 1)).otherwise(pts)
+
+    def key(op) -> Column:
+        o = op["o"]
+        m = F.array_min(o)
+        idx = F.sequence(F.lit(0), F.greatest(F.size(o) - 1, F.lit(0)))
+        mi = F.get(F.filter(idx, lambda i: F.get(o, i) == m), 0)
+        rot = F.concat(
+            F.slice(o, mi + 1, F.size(o) - mi),
+            F.slice(o, F.lit(1), mi),
+        )
+        fwd = (F.size(rot) <= 2) | (
+            F.get(rot, 1) <= F.get(rot, F.size(rot) - 1)
+        )
+        ordered = F.when(fwd, rot).otherwise(F.concat(
+            F.array(F.get(rot, 0)),
+            F.reverse(F.slice(rot, F.lit(2), F.size(rot) - 1)),
+        ))
+        return F.array_join(F.transform(
+            ordered,
+            lambda pt: F.concat_ws(
+                " ", pt["x"].cast("string"), pt["y"].cast("string")
+            ),
+        ), ",")
+
+    return _let({"o": opened}, key)
+
+
+def _poly_pair_let(a_lex: Column, b_lex: Column, body) -> Column:
+    ra, rb = _poly_rings(a_lex), _poly_rings(b_lex)
+    fxa, fya = _flat_ring_coords(ra)
+    fxb, fyb = _flat_ring_coords(rb)
+    both = (F.size(ra) > 0) & (F.size(rb) > 0)
+    return F.when(both, _let(
+        {"xa": fxa, "ya": fya, "xb": fxb, "yb": fyb}, body
+    ))
+
+
+def geof_sf_equals(args: list[Column]) -> Column:
+    """geof:sfEquals: point-point by coordinates; polygon-polygon by
+    canonical ring-set comparison (rotation/direction insensitive, holes
+    included); mixed point/polygon false; other pairs by exact lex."""
+    a_lex, b_lex = args[0]["lex"], args[1]["lex"]
+    ax, ay = _pt_xy(a_lex)
+    bx, by = _pt_xy(b_lex)
+    a_pt, b_pt = _is_point(a_lex), _is_point(b_lex)
+    a_poly = F.size(_poly_rings(a_lex)) > 0
+    b_poly = F.size(_poly_rings(b_lex)) > 0
+    return make_bool(
+        F.when(a_pt & b_pt, (ax == bx) & (ay == by))
+        .when(a_poly & b_poly, _canon_rings(a_lex) == _canon_rings(b_lex))
+        .when(a_pt | b_pt | a_poly | b_poly, F.lit(False))
+        .otherwise(F.trim(a_lex) == F.trim(b_lex))
+    )
+
+
+def geof_sf_touches(args: list[Column]) -> Column:
+    """geof:sfTouches: boundaries meet, interiors don't. Exact for
+    point-polygon (point ON a ring edge) and polygon-polygon via
+    vertex-on-edge contact with no proper crossing, no strict
+    containment of any vertex, and not equal (see _interiors_meet_flat
+    for the documented envelope). Point-point is always false (points
+    have no boundary)."""
+    a_lex, b_lex = args[0]["lex"], args[1]["lex"]
+    ax, ay = _pt_xy(a_lex)
+    bx, by = _pt_xy(b_lex)
+    a_pt, b_pt = _is_point(a_lex), _is_point(b_lex)
+    a_poly = F.size(_poly_rings(a_lex)) > 0
+    b_poly = F.size(_poly_rings(b_lex)) > 0
+
+    def pt_on_boundary(x, y, poly_lex) -> Column:
+        fxs, fys = _flat_ring_coords(_poly_rings(poly_lex))
+        return _let(
+            {"xs": fxs, "ys": fys, "x": x, "y": y},
+            lambda s: _on_any_edge_flat(s["xs"], s["ys"], s["x"], s["y"]),
+        )
+
+    def poly_poly(s) -> Column:
+        xa, ya, xb, yb = s["xa"], s["ya"], s["xb"], s["yb"]
+        contact = (
+            _any_vertex(xb, yb, lambda x, y: _on_any_edge_flat(xa, ya, x, y))
+            | _any_vertex(xa, ya, lambda x, y: _on_any_edge_flat(xb, yb, x, y))
+        )
+        return contact & ~_interiors_meet_flat(s)
+
+    return make_bool(
+        F.when(a_pt & b_pt, F.lit(False))
+        .when(a_pt & b_poly, pt_on_boundary(ax, ay, b_lex))
+        .when(b_pt & a_poly, pt_on_boundary(bx, by, a_lex))
+        .when(
+            a_poly & b_poly,
+            _poly_pair_let(a_lex, b_lex, poly_poly)
+            & ~(_canon_rings(a_lex) == _canon_rings(b_lex)),
+        )
+    )
+
+
+def geof_sf_overlaps(args: list[Column]) -> Column:
+    """geof:sfOverlaps (same-dimension): polygon interiors share a point,
+    neither covers the other, and they are not equal. Point pairs are
+    never overlaps; mixed dimensions are false per DE-9IM."""
+    a_lex, b_lex = args[0]["lex"], args[1]["lex"]
+    a_poly = F.size(_poly_rings(a_lex)) > 0
+    b_poly = F.size(_poly_rings(b_lex)) > 0
+
+    def body(s) -> Column:
+        ba = {"xa": s["xb"], "ya": s["yb"], "xb": s["xa"], "yb": s["ya"]}
+        return (
+            _interiors_meet_flat(s)
+            & ~_contains_flat(s)
+            & ~_contains_flat(ba)
+        )
+
+    return make_bool(
+        F.when(
+            a_poly & b_poly,
+            _poly_pair_let(a_lex, b_lex, body)
+            & ~(_canon_rings(a_lex) == _canon_rings(b_lex)),
+        ).otherwise(F.lit(False))
+    )
+
+
+_WKT_LINE_BODY = r"^\s*LINESTRING\s*\(\s*(.*\S)\s*\)\s*$"
+
+
+def geof_sf_crosses(args: list[Column]) -> Column:
+    """geof:sfCrosses: LINESTRING vs POLYGON (either order) — the line
+    properly crosses a ring edge, or has a vertex strictly inside AND a
+    vertex strictly outside. Line-line: any proper edge crossing.
+    Exactness envelope: a passage whose interior dip has no witnessing
+    vertex and no proper crossing is undetected (documented). Point and
+    polygon-polygon pairs are false per DE-9IM dimension rules."""
+    a_lex, b_lex = args[0]["lex"], args[1]["lex"]
+    a_line = F.regexp_extract(a_lex, _WKT_LINE_BODY, 1) != ""
+    b_line = F.regexp_extract(b_lex, _WKT_LINE_BODY, 1) != ""
+    a_poly = F.size(_poly_rings(a_lex)) > 0
+    b_poly = F.size(_poly_rings(b_lex)) > 0
+
+    def line_poly(line_lex, poly_lex) -> Column:
+        lxs, lys = _geom_lons(line_lex), _geom_lats(line_lex)
+        fxs, fys = _flat_ring_coords(_poly_rings(poly_lex))
+
+        def k(s) -> Column:
+            lx, ly, xs, ys = s["lx"], s["ly"], s["xs"], s["ys"]
+            inside = _any_vertex(
+                lx, ly, lambda x, y: _strictly_inside_flat(xs, ys, x, y)
+            )
+            outside = _any_vertex(lx, ly, lambda x, y: (
+                (_crossings_flat(xs, ys, x, y) % 2 == 0)
+                & ~_on_any_edge_flat(xs, ys, x, y)
+            ))
+            return (
+                _edges_cross_flat(lx, ly, xs, ys) | (inside & outside)
+            )
+
+        return _let({"lx": lxs, "ly": lys, "xs": fxs, "ys": fys}, k)
+
+    def line_line(s) -> Column:
+        return _edges_cross_flat(s["xa"], s["ya"], s["xb"], s["yb"])
+
+    return make_bool(
+        F.when(a_line & b_poly, line_poly(a_lex, b_lex))
+        .when(b_line & a_poly, line_poly(b_lex, a_lex))
+        .when(a_line & b_line, _let(
+            {"xa": _geom_lons(a_lex), "ya": _geom_lats(a_lex),
+             "xb": _geom_lons(b_lex), "yb": _geom_lats(b_lex)},
+            line_line,
+        ))
+        .otherwise(F.lit(False))
+    )
+
+
+def geof_envelope(args: list[Column]) -> Column:
+    """geof:envelope(geom) → the axis-aligned bounding box as a
+    geo:wktLiteral POLYGON (degenerate boxes stay valid WKT)."""
+    lex = args[0]["lex"]
+    xs, ys = _geom_lons(lex), _geom_lats(lex)
+
+    def k(s) -> Column:
+        x1, x2 = s["x1"].cast("string"), s["x2"].cast("string")
+        y1, y2 = s["y1"].cast("string"), s["y2"].cast("string")
+        sp, cm = F.lit(" "), F.lit(", ")
+        return F.concat(
+            F.lit("POLYGON(("),
+            x1, sp, y1, cm, x2, sp, y1, cm,
+            x2, sp, y2, cm, x1, sp, y2, cm, x1, sp, y1,
+            F.lit("))"),
+        )
+
+    wkt = F.when(F.size(xs) > 0, _let(
+        {"x1": F.array_min(xs), "x2": F.array_max(xs),
+         "y1": F.array_min(ys), "y2": F.array_max(ys)}, k,
+    ))
+    return _make_wkt(wkt)
+
+
+def geof_boundary(args: list[Column]) -> Column:
+    """geof:boundary(geom): POLYGON → its rings as a MULTILINESTRING;
+    POINT → the empty geometry (points have no boundary)."""
+    lex = args[0]["lex"]
+    rings = _poly_rings(lex)
+    poly_boundary = F.concat(
+        F.lit("MULTILINESTRING("),
+        F.array_join(
+            F.transform(rings, lambda r: F.concat(F.lit("("), r, F.lit(")"))),
+            ", ",
+        ),
+        F.lit(")"),
+    )
+    wkt = (
+        F.when(F.size(rings) > 0, poly_boundary)
+        .when(_is_point(lex), F.lit("GEOMETRYCOLLECTION EMPTY"))
+    )
+    return _make_wkt(wkt)
+
+
+_BUFFER_SEGS = 32
+
+
+def geof_buffer(args: list[Column]) -> Column:
+    """geof:buffer(point, radius [, unitIRI]) → a 32-gon
+    geo:wktLiteral approximating the circle, radius converted to local
+    degrees with the same equirectangular scaling as geof:distance
+    (lon by cos(lat)). Non-point geometries → SPARQL error (buffering
+    general polygons needs a real geometry library; documented stub)."""
+    import math as _math
+
+    x, y = _pt_xy(args[0]["lex"])
+    radius = args[1]["num"].cast("double")
+    meters = radius
+    if len(args) >= 3:
+        unit = args[2]["lex"]
+        meters = (
+            F.when(unit == _UOM + "metre", radius)
+            .when(unit == _UOM + "kilometre", radius * 1000.0)
+            .when(unit == _UOM + "degree",
+                  radius * F.lit(_math.pi / 180.0 * _EARTH_RADIUS_M))
+            .when(unit == _UOM + "radian", radius * F.lit(_EARTH_RADIUS_M))
+        )
+    deg_lat = meters / F.lit(_math.pi / 180.0 * _EARTH_RADIUS_M)
+
+    def k(s) -> Column:
+        cx, cy, dlat, dlon = s["x"], s["y"], s["dlat"], s["dlon"]
+        idx = F.sequence(F.lit(0), F.lit(_BUFFER_SEGS))
+        pts = F.transform(idx, lambda i: F.concat_ws(
+            " ",
+            (cx + dlon * F.cos(
+                (i % _BUFFER_SEGS) * (2.0 * _math.pi / _BUFFER_SEGS)
+            )).cast("string"),
+            (cy + dlat * F.sin(
+                (i % _BUFFER_SEGS) * (2.0 * _math.pi / _BUFFER_SEGS)
+            )).cast("string"),
+        ))
+        return F.concat(
+            F.lit("POLYGON(("), F.array_join(pts, ", "), F.lit("))")
+        )
+
+    wkt = F.when(x.isNotNull() & meters.isNotNull(), _let(
+        {"x": x, "y": y, "dlat": deg_lat,
+         "dlon": deg_lat / F.cos(F.radians(y))}, k,
+    ))
+    return _make_wkt(wkt)
+
+
+def geof_get_srid(args: list[Column]) -> Column:
+    """geof:getSRID(geom) → xsd:anyURI of the CRS: an embedded
+    ``<crs-iri>`` WKT prefix when present, else the CRS84 default."""
+    from dublin_smart_city_graphdb_spark.sparql.termcol import (
+        _NULL_B, _NULL_N, _NULL_S, _NULL_T, _struct,
+    )
+
+    lex = args[0]["lex"]
+    embedded = F.regexp_extract(lex, r"^\s*<([^>]+)>", 1)
+    crs = F.when(embedded != "", embedded).otherwise(F.lit(_CRS84))
+    return _struct(
+        F.lit(2), crs, F.lit(XSD + "anyURI"),
+        _NULL_S(), _NULL_N(), _NULL_T(), _NULL_B(),
+    )
+
+
 def default_extensions() -> dict:
     return {
         FN + "haversineKm": haversine_km,
@@ -520,5 +927,13 @@ def default_extensions() -> dict:
         GEOF + "sfContains": geof_sf_contains,
         GEOF + "sfIntersects": geof_sf_intersects,
         GEOF + "sfDisjoint": geof_sf_disjoint,
+        GEOF + "sfEquals": geof_sf_equals,
+        GEOF + "sfTouches": geof_sf_touches,
+        GEOF + "sfOverlaps": geof_sf_overlaps,
+        GEOF + "sfCrosses": geof_sf_crosses,
         GEOF + "distance": geof_distance,
+        GEOF + "envelope": geof_envelope,
+        GEOF + "boundary": geof_boundary,
+        GEOF + "buffer": geof_buffer,
+        GEOF + "getSRID": geof_get_srid,
     }

@@ -1,0 +1,211 @@
+"""Simple-features completion (round 6): sfEquals / sfTouches /
+sfOverlaps / sfCrosses plus the geometry constructors envelope /
+boundary / buffer / getSRID.
+
+Fixtures are hand-verifiable shapes (axis-aligned and rotated squares,
+triangles, a holed polygon); every expectation below was derived from
+the DE-9IM definitions, not from the engine. GraphDB exposes the same
+predicates through its GeoSPARQL plugin (reference selects the engine
+wholesale at Dockerfile:2); geometry semantics are the public OGC
+simple-features ones.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from dublin_smart_city_graphdb_spark.sparql.extensions import (
+    geof_boundary,
+    geof_buffer,
+    geof_envelope,
+    geof_get_srid,
+    geof_sf_crosses,
+    geof_sf_equals,
+    geof_sf_overlaps,
+    geof_sf_touches,
+    geof_sf_within,
+)
+
+SQ = "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"
+SQ_ROT = "POLYGON((2 2, 0 2, 0 0, 2 0, 2 2))"
+SQ_REV = "POLYGON((0 0, 0 2, 2 2, 2 0, 0 0))"
+SQ_EDGE = "POLYGON((2 0, 4 0, 4 2, 2 2, 2 0))"
+SQ_OVER = "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))"
+SQ_FAR = "POLYGON((5 5, 6 5, 6 6, 5 6, 5 5))"
+SQ_IN = "POLYGON((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"
+SQ_CORNER = "POLYGON((2 2, 3 2, 3 3, 2 3, 2 2))"
+TRI = "POLYGON((0 0, 4 0, 0 4, 0 0))"
+TRI_RR = "POLYGON((0 4, 4 0, 0 0, 0 4))"
+HOLED = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+IN_HOLE = "POLYGON((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))"
+LINE_THROUGH = "LINESTRING(-1 1, 3 1)"
+LINE_INSIDE = "LINESTRING(0.5 0.5, 1.5 1.5)"
+LINE_OUTSIDE = "LINESTRING(5 5, 6 6)"
+LINE_VERT = "LINESTRING(1 -1, 1 3)"
+
+
+def _term(lex, num=None):
+    return F.struct(
+        F.lit(2).cast("tinyint").alias("kind"),
+        F.lit(lex).cast("string").alias("lex"),
+        F.lit(None).cast("string").alias("dtype"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(num).cast("decimal(38,10)").alias("num"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("boolean").alias("bool"),
+    )
+
+
+@pytest.fixture(scope="module")
+def geo_eval(spark):
+    one = spark.range(1)
+
+    def run(fn, *wkts, num=None):
+        args = [_term(w) for w in wkts]
+        if num is not None:
+            args.append(_term(str(num), num=num))
+        row = one.select(fn(args).alias("r")).collect()[0]["r"]
+        if row is None or row["kind"] is None:
+            return None
+        return row["lex"]
+
+    return run
+
+
+EQUALS_CASES = [
+    (SQ, SQ, "true"),
+    (SQ, SQ_ROT, "true"),       # same ring, rotated start vertex
+    (SQ, SQ_REV, "true"),       # same ring, opposite direction
+    (TRI, TRI_RR, "true"),      # rotated AND reversed
+    (SQ, SQ_EDGE, "false"),
+    (SQ, SQ_IN, "false"),
+    ("POINT(1 1)", "POINT(1.0 1)", "true"),   # numeric, not lexical
+    ("POINT(1 1)", "POINT(2 1)", "false"),
+    ("POINT(1 1)", SQ, "false"),
+]
+
+
+@pytest.mark.parametrize("a,b,want", EQUALS_CASES)
+def test_sf_equals(geo_eval, a, b, want):
+    assert geo_eval(geof_sf_equals, a, b) == want
+    assert geo_eval(geof_sf_equals, b, a) == want  # symmetric
+
+
+TOUCHES_CASES = [
+    (SQ, SQ_EDGE, "true"),      # shared edge
+    (SQ, SQ_CORNER, "true"),    # shared corner only
+    (SQ, SQ_OVER, "false"),     # interiors overlap
+    (SQ, SQ_FAR, "false"),      # disjoint
+    (SQ, SQ_IN, "false"),       # containment is not touching
+    (SQ, SQ, "false"),          # equal polygons share interiors
+    ("POINT(1 0)", SQ, "true"),   # point ON the boundary
+    ("POINT(1 1)", SQ, "false"),  # interior point
+    ("POINT(9 9)", SQ, "false"),
+    ("POINT(1 1)", "POINT(1 1)", "false"),  # points have no boundary
+]
+
+
+@pytest.mark.parametrize("a,b,want", TOUCHES_CASES)
+def test_sf_touches(geo_eval, a, b, want):
+    assert geo_eval(geof_sf_touches, a, b) == want
+    assert geo_eval(geof_sf_touches, b, a) == want
+
+
+OVERLAPS_CASES = [
+    (SQ, SQ_OVER, "true"),
+    (SQ, SQ_EDGE, "false"),     # boundary contact only
+    (SQ, SQ_IN, "false"),       # containment
+    (SQ, SQ, "false"),          # equality
+    (SQ, SQ_FAR, "false"),
+    (HOLED, IN_HOLE, "false"),  # nested in the other's hole: disjoint
+    ("POINT(1 1)", SQ, "false"),  # mixed dimensions never overlap
+    ("POINT(1 1)", "POINT(1 1)", "false"),
+]
+
+
+@pytest.mark.parametrize("a,b,want", OVERLAPS_CASES)
+def test_sf_overlaps(geo_eval, a, b, want):
+    assert geo_eval(geof_sf_overlaps, a, b) == want
+    assert geo_eval(geof_sf_overlaps, b, a) == want
+
+
+CROSSES_CASES = [
+    (LINE_THROUGH, SQ, "true"),   # enters and leaves
+    (SQ, LINE_THROUGH, "true"),   # either argument order
+    (LINE_INSIDE, SQ, "false"),   # fully interior
+    (LINE_OUTSIDE, SQ, "false"),
+    (LINE_THROUGH, LINE_VERT, "true"),   # proper line-line crossing
+    (LINE_THROUGH, LINE_OUTSIDE, "false"),
+    (SQ, SQ_OVER, "false"),       # same dimension: never crosses
+    ("POINT(1 1)", SQ, "false"),
+]
+
+
+@pytest.mark.parametrize("a,b,want", CROSSES_CASES)
+def test_sf_crosses(geo_eval, a, b, want):
+    assert geo_eval(geof_sf_crosses, a, b) == want
+
+
+def test_envelope_is_bbox(geo_eval):
+    assert geo_eval(geof_envelope, TRI) == (
+        "POLYGON((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+    )
+    # degenerate (a point) still closes into valid WKT
+    assert "POLYGON((3.0 4.0" in geo_eval(geof_envelope, "POINT(3 4)")
+
+
+def test_envelope_contains_every_vertex(geo_eval, spark):
+    env = geo_eval(geof_envelope, HOLED)
+    one = spark.range(1)
+    for x, y in [(0, 0), (4, 4), (1, 1), (3, 3), (2, 2)]:
+        row = one.select(
+            geof_sf_within([_term(f"POINT({x} {y})"), _term(env)]).alias("r")
+        ).collect()[0]["r"]
+        assert row["lex"] == "true", (x, y)
+
+
+def test_boundary(geo_eval):
+    assert geo_eval(geof_boundary, HOLED) == (
+        "MULTILINESTRING((0 0, 4 0, 4 4, 0 4, 0 0), "
+        "(1 1, 3 1, 3 3, 1 3, 1 1))"
+    )
+    assert geo_eval(geof_boundary, "POINT(1 2)") == (
+        "GEOMETRYCOLLECTION EMPTY"
+    )
+
+
+def test_get_srid(geo_eval):
+    assert geo_eval(geof_get_srid, SQ) == (
+        "http://www.opengis.net/def/crs/OGC/1.3/CRS84"
+    )
+    assert geo_eval(
+        geof_get_srid,
+        "<http://www.opengis.net/def/crs/EPSG/0/4326> POINT(1 2)",
+    ) == "http://www.opengis.net/def/crs/EPSG/0/4326"
+
+
+def test_buffer_circle_geometry(geo_eval):
+    """Every buffer vertex sits ~radius meters from the center (within
+    the documented equirectangular approximation), and the polygon ring
+    closes exactly."""
+    cx, cy, r = -6.26, 53.35, 1000.0
+    wkt = geo_eval(geof_buffer, f"POINT({cx} {cy})", num=r)
+    assert wkt.startswith("POLYGON((") and wkt.endswith("))")
+    pts = [tuple(map(float, p.split())) for p in
+           wkt[len("POLYGON(("):-2].split(", ")]
+    assert len(pts) == 33 and pts[0] == pts[-1]
+    for x, y in pts[:-1]:
+        # haversine
+        phi1, phi2 = math.radians(cy), math.radians(y)
+        a = (math.sin((phi2 - phi1) / 2) ** 2
+             + math.cos(phi1) * math.cos(phi2)
+             * math.sin(math.radians(x - cx) / 2) ** 2)
+        d = 2 * 6371008.8 * math.asin(math.sqrt(a))
+        assert abs(d - r) < r * 0.01, (x, y, d)
+
+
+def test_buffer_non_point_is_error(geo_eval):
+    assert geo_eval(geof_buffer, SQ, num=100.0) is None
