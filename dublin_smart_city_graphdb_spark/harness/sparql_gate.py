@@ -1573,6 +1573,197 @@ def sparql_geo_polygon_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(_lex("cust").alias("c"))
 
 
+# simple-features completion gates (round 6): per-customer axis-aligned
+# squares on the same decimal(9,4) lattice as the intersects gate vs a
+# fixed box whose edges sit exactly ON the square-edge lattice, so true
+# boundary-touch cases exist and compare exactly in both engines.
+_SF_BX1, _SF_BX2 = -6.308, -6.292   # on the x2 / x1 edge lattices
+_SF_BY1, _SF_BY2 = 53.2408, 53.2592  # on the y2 / y1 edge lattices
+
+_SF_PTS_SQL = f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(CAST(CAST(-6.45 + (c_custkey % 80) * 0.005 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS x,
+               CAST(CAST(CAST(53.20 + (c_custkey % 100) * 0.002 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS y
+        FROM customer
+    ), boxes AS (
+        SELECT c_custkey,
+               CAST(CAST(x - {_SQ_DX} AS DECIMAL(9,4)) AS DOUBLE) AS x1,
+               CAST(CAST(x + {_SQ_DX} AS DECIMAL(9,4)) AS DOUBLE) AS x2,
+               CAST(CAST(y - {_SQ_DY} AS DECIMAL(9,4)) AS DOUBLE) AS y1,
+               CAST(CAST(y + {_SQ_DY} AS DECIMAL(9,4)) AS DOUBLE) AS y2
+        FROM pts
+    )
+"""
+
+
+def _geo_term(lex) -> Column:
+    """WKT lex Column/str → term struct accepted by the geof_* functions."""
+    if not isinstance(lex, Column):
+        lex = F.lit(lex)
+    return F.struct(
+        F.lit(2).cast("tinyint").alias("kind"), lex.alias("lex"),
+        F.lit(None).cast("string").alias("dtype"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("decimal(38,10)").alias("num"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("boolean").alias("bool"),
+    )
+
+
+def _customer_square(customer: DataFrame, rotated: bool = False):
+    """(df, square_wkt_column) on the shared decimal lattice; ``rotated``
+    starts the ring at a different vertex AND reverses direction, so
+    canonical-form comparisons are actually exercised."""
+    x = (
+        (F.lit(-6.45) + (F.col("c_custkey") % 80) * 0.005)
+        .cast("decimal(8,3)").cast("double")
+    )
+    y = (
+        (F.lit(53.20) + (F.col("c_custkey") % 100) * 0.002)
+        .cast("decimal(8,3)").cast("double")
+    )
+
+    def d4(col: Column) -> Column:
+        return col.cast("decimal(9,4)").cast("string")
+
+    x1, x2 = d4(x - _SQ_DX), d4(x + _SQ_DX)
+    y1, y2 = d4(y - _SQ_DY), d4(y + _SQ_DY)
+    sp, cm = F.lit(" "), F.lit(", ")
+    if rotated:  # start at (x2,y2), wind the other way
+        wkt = F.concat(
+            F.lit("POLYGON(("),
+            x2, sp, y2, cm, x2, sp, y1, cm, x1, sp, y1, cm,
+            x1, sp, y2, cm, x2, sp, y2, F.lit("))"),
+        )
+    else:
+        wkt = F.concat(
+            F.lit("POLYGON(("),
+            x1, sp, y1, cm, x2, sp, y1, cm, x2, sp, y2, cm,
+            x1, sp, y2, cm, x1, sp, y1, F.lit("))"),
+        )
+    return wkt
+
+
+_SF_BOX_WKT = (
+    f"POLYGON(({_SF_BX1} {_SF_BY1}, {_SF_BX2} {_SF_BY1}, "
+    f"{_SF_BX2} {_SF_BY2}, {_SF_BX1} {_SF_BY2}, {_SF_BX1} {_SF_BY1}))"
+)
+
+
+@register(
+    "sparql_geo_sf_touches",
+    _SF_PTS_SQL + f"""
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c
+    FROM boxes
+    WHERE (x1 <= {_SF_BX2} AND {_SF_BX1} <= x2
+       AND y1 <= {_SF_BY2} AND {_SF_BY1} <= y2)
+      AND NOT (x1 < {_SF_BX2} AND {_SF_BX1} < x2
+           AND y1 < {_SF_BY2} AND {_SF_BY1} < y2)
+    """,
+    doc="geof:sfTouches (round 6): customer squares vs a fixed box whose "
+        "edges sit exactly on the square-edge lattice. The engine decides "
+        "by vertex-on-edge contact minus interior intersection; the "
+        "oracle is the independent interval formulation — closed overlap "
+        "in both axes without open overlap in both.",
+    cache_plan=False,
+)
+def sparql_geo_sf_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.sparql.extensions import (
+        geof_sf_touches,
+    )
+
+    customer = load(spark, sf_dir, "customer")
+    square = _customer_square(customer)
+    res = geof_sf_touches([_geo_term(square), _geo_term(_SF_BOX_WKT)])
+    return customer.filter(res["bool"]).select(
+        F.concat(F.lit("urn:customer:"),
+                 F.col("c_custkey").cast("string")).alias("c")
+    )
+
+
+# the overlaps box sits strictly OFF both square-edge lattices (margins
+# >= 0.0005 in x, 0.0003 in y), so squares straddling an edge properly
+# overlap and no comparison ever lands on a boundary tie
+_OV_BX1, _OV_BX2 = -6.3065, -6.2935
+_OV_BY1, _OV_BY2 = 53.2403, 53.2597
+
+_OV_BOX_WKT = (
+    f"POLYGON(({_OV_BX1} {_OV_BY1}, {_OV_BX2} {_OV_BY1}, "
+    f"{_OV_BX2} {_OV_BY2}, {_OV_BX1} {_OV_BY2}, {_OV_BX1} {_OV_BY1}))"
+)
+
+
+@register(
+    "sparql_geo_sf_overlaps",
+    _SF_PTS_SQL + f"""
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c
+    FROM boxes
+    WHERE (x1 < {_OV_BX2} AND {_OV_BX1} < x2
+       AND y1 < {_OV_BY2} AND {_OV_BY1} < y2)
+      AND NOT (x1 >= {_OV_BX1} AND x2 <= {_OV_BX2}
+           AND y1 >= {_OV_BY1} AND y2 <= {_OV_BY2})
+      AND NOT ({_OV_BX1} >= x1 AND {_OV_BX2} <= x2
+           AND {_OV_BY1} >= y1 AND {_OV_BY2} <= y2)
+    """,
+    doc="geof:sfOverlaps (round 6): interiors meet, neither covers the "
+        "other. Oracle is the independent interval algebra: open overlap "
+        "in both axes minus closed containment either way. The box edges "
+        "sit strictly between square-edge lattice points so genuine "
+        "edge-straddling overlap cases exist.",
+    cache_plan=False,
+)
+def sparql_geo_sf_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.sparql.extensions import (
+        geof_sf_overlaps,
+    )
+
+    customer = load(spark, sf_dir, "customer")
+    square = _customer_square(customer)
+    res = geof_sf_overlaps([_geo_term(square), _geo_term(_OV_BOX_WKT)])
+    return customer.filter(res["bool"]).select(
+        F.concat(F.lit("urn:customer:"),
+                 F.col("c_custkey").cast("string")).alias("c")
+    )
+
+
+# the fixed equals-target square: the residue-220 customer square
+# (x = -6.45 + 60*0.005 = -6.15, y = 53.20 + 20*0.002 = 53.24)
+_SF_EQ_WKT = (
+    "POLYGON((-6.1520 53.2392, -6.1480 53.2392, "
+    "-6.1480 53.2408, -6.1520 53.2408, -6.1520 53.2392))"
+)
+
+
+@register(
+    "sparql_geo_sf_equals",
+    _SF_PTS_SQL + """
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c
+    FROM boxes WHERE c_custkey % 400 = 220
+    """,
+    doc="geof:sfEquals (round 6): each customer square — built ROTATED "
+        "and REVERSED — against the residue-220 square written in "
+        "standard order, so the canonical ring-set comparison (not "
+        "string equality) decides. Oracle: the congruence that generates "
+        "exactly those squares.",
+    cache_plan=False,
+)
+def sparql_geo_sf_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.sparql.extensions import (
+        geof_sf_equals,
+    )
+
+    customer = load(spark, sf_dir, "customer")
+    square = _customer_square(customer, rotated=True)
+    res = geof_sf_equals([_geo_term(square), _geo_term(_SF_EQ_WKT)])
+    return customer.filter(res["bool"]).select(
+        F.concat(F.lit("urn:customer:"),
+                 F.col("c_custkey").cast("string")).alias("c")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Path search plugin (GraphDB graph-path-search twin, round 5)
 # ---------------------------------------------------------------------------
