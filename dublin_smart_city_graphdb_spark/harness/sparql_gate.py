@@ -1729,6 +1729,54 @@ def sparql_geo_sf_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sparql_geo_envelope_within",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(CAST(CAST(-6.45 + (c_custkey % 80) * 0.005 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS x,
+               CAST(CAST(CAST(53.20 + (c_custkey % 100) * 0.002 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS y
+        FROM pts_src
+    )
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c
+    FROM pts
+    WHERE x >= {min(p[0] for p in _TRI)} AND x <= {max(p[0] for p in _TRI)}
+      AND y >= {min(p[1] for p in _TRI)} AND y <= {max(p[1] for p in _TRI)}
+    """.replace("pts_src", "customer"),
+    doc="geof:envelope (round 6): customer points within the COMPUTED "
+        "envelope of the gate triangle — exercises the constructor "
+        "feeding a predicate. Oracle: the triangle's literal bounding "
+        "box (the same min/max the constructor must produce).",
+    cache_plan=False,
+)
+def sparql_geo_envelope_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.sparql.extensions import (
+        geof_envelope, geof_sf_within,
+    )
+
+    customer = load(spark, sf_dir, "customer")
+    x = (
+        (F.lit(-6.45) + (F.col("c_custkey") % 80) * 0.005)
+        .cast("decimal(8,3)").cast("string")
+    )
+    y = (
+        (F.lit(53.20) + (F.col("c_custkey") % 100) * 0.002)
+        .cast("decimal(8,3)").cast("string")
+    )
+    pt = F.concat(F.lit("POINT("), x, F.lit(" "), y, F.lit(")"))
+    tri = "POLYGON((" + ", ".join(
+        f"{px} {py}" for px, py in (*_TRI, _TRI[0])
+    ) + "))"
+    env = geof_envelope([_geo_term(tri)])
+    res = geof_sf_within([_geo_term(pt), env])
+    return customer.filter(res["bool"]).select(
+        F.concat(F.lit("urn:customer:"),
+                 F.col("c_custkey").cast("string")).alias("c")
+    )
+
+
 # the fixed equals-target square: the residue-220 customer square
 # (x = -6.45 + 60*0.005 = -6.15, y = 53.20 + 20*0.002 = 53.24)
 _SF_EQ_WKT = (

@@ -122,3 +122,176 @@ def test_polygon_intersects_matches_sat(spark, seed):
     bad = [(r["a"][:60], r["b"][:60], r["want"], r["got"])
            for r in rows if r["got"] != r["want"]]
     assert not bad, f"{len(bad)} divergences, first: {bad[0]}"
+
+
+def _term_col(col):
+    """WKT string Column → term struct for the geof_* public functions."""
+    return F.struct(
+        F.lit(2).cast("tinyint").alias("kind"), col.alias("lex"),
+        F.lit(None).cast("string").alias("dtype"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("decimal(38,10)").alias("num"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("boolean").alias("bool"),
+    )
+
+
+def _rotated_wkt(poly, shift: int, reverse: bool) -> str:
+    """The SAME ring serialized from a different start vertex and/or
+    direction — sfEquals must be invariant to both."""
+    cyc = list(poly[shift:]) + list(poly[:shift])
+    if reverse:
+        cyc = [cyc[0]] + list(reversed(cyc[1:]))
+    return _wkt(cyc)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 2**32 - 1))
+def test_sf_equals_rotation_direction_invariant(spark, seed):
+    rng = random.Random(seed)
+    from dublin_smart_city_graphdb_spark.sparql.extensions import (
+        geof_sf_equals,
+    )
+
+    cases = []
+    while len(cases) < 30:
+        poly = _convex_polygon(rng)
+        shift = rng.randrange(len(poly))
+        reverse = rng.random() < 0.5
+        cases.append((_wkt(poly), _rotated_wkt(poly, shift, reverse), True))
+        # a genuinely different polygon: one vertex nudged well past
+        # the 3-decimal resolution
+        bumped = list(poly)
+        i = rng.randrange(len(bumped))
+        bumped[i] = (round(bumped[i][0] + 0.05, 3), bumped[i][1])
+        cases.append((_wkt(poly), _wkt(bumped), False))
+    df = spark.createDataFrame(cases, "a string, b string, want boolean")
+    rows = df.withColumn(
+        "got",
+        geof_sf_equals([_term_col(F.col("a")), _term_col(F.col("b"))])["bool"],
+    ).collect()
+    bad = [(r["a"][:50], r["b"][:50], r["want"], r["got"])
+           for r in rows if r["got"] != r["want"]]
+    assert not bad, f"{len(bad)} divergences, first: {bad[0]}"
+
+
+def _box(rng: random.Random):
+    """Axis-aligned box on a coarse 0.1 lattice (engine and oracle parse
+    identical decimal strings, so comparisons are bit-identical and
+    boundary-touch cases are MEANINGFUL, not flaky)."""
+    x1 = round(rng.randrange(-40, 30) * 0.1, 1)
+    y1 = round(rng.randrange(-40, 30) * 0.1, 1)
+    w = rng.randrange(1, 12) * 0.1
+    h = rng.randrange(1, 12) * 0.1
+    return (x1, y1, round(x1 + w, 1), round(y1 + h, 1))
+
+
+def _box_wkt(b) -> str:
+    x1, y1, x2, y2 = b
+    return (f"POLYGON(({x1} {y1}, {x2} {y1}, {x2} {y2}, "
+            f"{x1} {y2}, {x1} {y1}))")
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 2**32 - 1))
+def test_sf_touches_overlaps_match_interval_algebra(spark, seed):
+    """Random lattice boxes vs the independent interval formulation:
+    touches = closed overlap without open overlap; overlaps = open
+    overlap minus containment either way minus equality."""
+    rng = random.Random(seed)
+    from dublin_smart_city_graphdb_spark.sparql.extensions import (
+        geof_sf_overlaps, geof_sf_touches,
+    )
+
+    cases = []
+    for _ in range(40):
+        a, b = _box(rng), _box(rng)
+        ax1, ay1, ax2, ay2 = a
+        bx1, by1, bx2, by2 = b
+        closed = (ax1 <= bx2 and bx1 <= ax2 and ay1 <= by2 and by1 <= ay2)
+        open_ = (ax1 < bx2 and bx1 < ax2 and ay1 < by2 and by1 < ay2)
+        a_in_b = (ax1 >= bx1 and ax2 <= bx2 and ay1 >= by1 and ay2 <= by2)
+        b_in_a = (bx1 >= ax1 and bx2 <= ax2 and by1 >= ay1 and by2 <= ay2)
+        touches = closed and not open_
+        overlaps = open_ and not a_in_b and not b_in_a
+        cases.append((_box_wkt(a), _box_wkt(b), touches, overlaps))
+    df = spark.createDataFrame(
+        cases, "a string, b string, want_t boolean, want_o boolean"
+    )
+    args = [_term_col(F.col("a")), _term_col(F.col("b"))]
+    rows = df.withColumn("got_t", geof_sf_touches(args)["bool"]) \
+             .withColumn("got_o", geof_sf_overlaps(args)["bool"]).collect()
+    bad = [(r["a"], r["b"], r["want_t"], r["got_t"], r["want_o"], r["got_o"])
+           for r in rows
+           if r["got_t"] != r["want_t"] or r["got_o"] != r["want_o"]]
+    assert not bad, f"{len(bad)} divergences, first: {bad[0]}"
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 2**32 - 1))
+def test_sf_crosses_segment_vs_halfplane_clip(spark, seed):
+    """Random 2-point LINESTRINGs vs convex polygons: the oracle
+    classifies both endpoints by strict half-plane containment and clips
+    the segment against every edge line (Cyrus-Beck) to decide whether an
+    interior passage exists; near-tangent examples are discarded."""
+    rng = random.Random(seed)
+    from dublin_smart_city_graphdb_spark.sparql.extensions import (
+        geof_sf_crosses,
+    )
+
+    def clip_interval(poly, p, q):
+        """[t0, t1] of p+t(q-p) inside the convex polygon, or None when
+        any edge interaction is within epsilon (untrusted)."""
+        t0, t1 = 0.0, 1.0
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        pts = list(poly) + [poly[0]]
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+            nx, ny = -(y2 - y1), (x2 - x1)   # inward for CCW rings
+            num = nx * (p[0] - x1) + ny * (p[1] - y1)
+            den = nx * dx + ny * dy
+            if abs(den) < EPS:
+                if num < EPS:
+                    return None if num > -EPS else "outside"
+                continue
+            t = -num / den
+            if den > 0:
+                t0 = max(t0, t)
+            else:
+                t1 = min(t1, t)
+        if t1 - t0 < 1e-3:   # empty or grazing passage: untrusted
+            return None if t1 - t0 > -1e-3 else "outside"
+        return (t0, t1)
+
+    cases = []
+    while len(cases) < 30:
+        poly = _convex_polygon(rng)
+        p = (round(rng.uniform(-9, 9), 3), round(rng.uniform(-9, 9), 3))
+        q = (round(rng.uniform(-9, 9), 3), round(rng.uniform(-9, 9), 3))
+        iv = clip_interval(poly, p, q)
+        if iv is None:
+            continue
+        if iv == "outside":
+            want = False
+        else:
+            t0, t1 = iv
+            # crosses = interior passage AND part of the segment outside
+            if min(abs(t0 - 0), abs(t1 - 1)) < 1e-3 and t0 < 1e-3 \
+                    and t1 > 1 - 1e-3:
+                want = False   # fully inside
+            elif t0 < 1e-3 and t1 > 1 - 1e-3:
+                want = False
+            else:
+                want = True
+        line = f"LINESTRING({p[0]} {p[1]}, {q[0]} {q[1]})"
+        cases.append((line, _wkt(poly), want))
+    df = spark.createDataFrame(cases, "a string, b string, want boolean")
+    rows = df.withColumn(
+        "got",
+        geof_sf_crosses([_term_col(F.col("a")), _term_col(F.col("b"))])["bool"],
+    ).collect()
+    bad = [(r["a"], r["b"][:60], r["want"], r["got"])
+           for r in rows if r["got"] != r["want"]]
+    assert not bad, f"{len(bad)} divergences, first: {bad[0]}"

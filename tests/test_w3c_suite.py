@@ -211,12 +211,27 @@ def test_w3c_case(w3c_engine, test_id, query_iri, data_iri, graph_data,
     df = repo.sparql(query_text)
     rows = repo.sparql_collect(query_text)
     if result_iri.endswith(".ttl"):
-        # CONSTRUCT / DESCRIBE: compare as a label-agnostic RDF graph
-        assert df.columns == ["s", "p", "o"]
-        got = Counter(
-            (_term_tuple(r["s"]), _term_tuple(r["p"]), _term_tuple(r["o"]))
-            for r in rows
-        )
+        # CONSTRUCT (s/p/o term structs) or DESCRIBE (flat quad columns):
+        # compare as a label-agnostic RDF graph
+        if "o_kind" in df.columns:
+            got = Counter(
+                (
+                    ("bnode",) if r["s"].startswith("_:")
+                    else ("uri", r["s"]),
+                    ("uri", r["p"]),
+                    ("uri", r["o_lex"]) if r["o_kind"] == KIND_IRI
+                    else ("bnode",) if r["o_kind"] == KIND_BLANK
+                    else ("literal", r["o_lex"], r["o_dtype"], r["o_lang"]),
+                )
+                for r in rows
+            )
+        else:
+            assert df.columns == ["s", "p", "o"]
+            got = Counter(
+                (_term_tuple(r["s"]), _term_tuple(r["p"]),
+                 _term_tuple(r["o"]))
+                for r in rows
+            )
         assert got == _expected_graph(_rel(result_iri))
         return
     boolean = _srx_boolean(_rel(result_iri))
