@@ -516,3 +516,62 @@ def triangle_vertex_counts(
         F.explode(F.array(F.col("a"), F.col("x"), F.col("y"))).alias("id")
     )
     return verts.groupBy("id").agg(F.count("*").alias("n_triangles"))
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs/authorities → (id, hub, authority), UNNORMALIZED with a
+    fixed iteration count — the same determinism contract as `pagerank`:
+    starting from hub = 1, every round is two aggregate-message shuffles
+    (authority(v) = Σ hub over in-edges, then hub(u) = Σ authority over
+    out-edges) in pure integer arithmetic, so results are bit-identical
+    across engines and partitionings — no float normalization step whose
+    rounding could drift. Sums ride in decimal(38,0) (two iterations
+    multiply magnitudes by at most |E|² — far outside long-overflow
+    territory at 100 TB edge counts if left at 64-bit). GraphX exposes
+    the same shape via aggregateMessages; the normalized variant is one
+    extra scalar divide at read time."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    hub = nodes.select("id", F.lit(1).cast("decimal(38,0)").alias("hub"))
+    auth = None
+    zero = F.lit(0).cast("decimal(38,0)")
+    for _ in range(iterations):
+        auth_in = (
+            e.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("authority"))
+            .withColumnRenamed("dst", "id")
+        )
+        auth = nodes.join(auth_in, "id", "left").select(
+            "id", F.coalesce(F.col("authority"), zero).alias("authority")
+        )
+        hub_out = (
+            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("authority").alias("hub"))
+            .withColumnRenamed("src", "id")
+        )
+        hub = nodes.join(hub_out, "id", "left").select(
+            "id", F.coalesce(F.col("hub"), zero).alias("hub")
+        )
+    return (
+        hub.join(auth, "id")
+        .select(
+            "id",
+            F.col("hub").cast("bigint").alias("hub"),
+            F.col("authority").cast("bigint").alias("authority"),
+        )
+    )

@@ -1092,6 +1092,80 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HITS_SQL = """
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        UNION
+        SELECT DISTINCT 1000000 + s_suppkey, 2000000 + s_nationkey
+        FROM supplier
+        UNION
+        SELECT DISTINCT 2000000 + n_nationkey, 3000000 + n_regionkey
+        FROM nation
+    ),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    a1 AS (
+        SELECT n.id, COALESCE(x.a, 0) AS a FROM nodes n LEFT JOIN (
+            SELECT dst AS id, CAST(COUNT(*) AS HUGEINT) AS a
+            FROM e GROUP BY dst) x ON x.id = n.id
+    ),
+    h1 AS (
+        SELECT n.id, COALESCE(x.h, 0) AS h FROM nodes n LEFT JOIN (
+            SELECT e.src AS id, SUM(a1.a) AS h
+            FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src) x ON x.id = n.id
+    ),
+    a2 AS (
+        SELECT n.id, COALESCE(x.a, 0) AS a FROM nodes n LEFT JOIN (
+            SELECT e.dst AS id, SUM(h1.h) AS a
+            FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst) x ON x.id = n.id
+    ),
+    h2 AS (
+        SELECT n.id, COALESCE(x.h, 0) AS h FROM nodes n LEFT JOIN (
+            SELECT e.src AS id, SUM(a2.a) AS h
+            FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src) x ON x.id = n.id
+    )
+    SELECT h2.id AS id, CAST(h2.h AS BIGINT) AS hub,
+           CAST(a2.a AS BIGINT) AS authority
+    FROM h2 JOIN a2 ON a2.id = h2.id
+"""
+
+
+@register(
+    "graph_hits",
+    _HITS_SQL,
+    doc="HITS hubs/authorities (2 iterations, unnormalized integer "
+        "arithmetic — bit-exact across engines like graph_pagerank) over "
+        "the layered customer→supplier→nation→region warehouse graph. "
+        "Each round is two aggregate-message shuffles; the oracle is the "
+        "unrolled CTE chain.",
+    cache_plan=False,
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.graph.closure import hits_scores
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    e1 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    e2 = supplier.select(
+        (F.lit(1000000) + F.col("s_suppkey")).cast("long").alias("src"),
+        (F.lit(2000000) + F.col("s_nationkey")).cast("long").alias("dst"),
+    )
+    e3 = nation.select(
+        (F.lit(2000000) + F.col("n_nationkey")).cast("long").alias("src"),
+        (F.lit(3000000) + F.col("n_regionkey")).cast("long").alias("dst"),
+    )
+    return hits_scores(e1.unionByName(e2).unionByName(e3), iterations=2)
+
+
 # ---------------------------------------------------------------------------
 # Window extension (SURVEY §2.9/§7): rank + running sum on property-table view
 # ---------------------------------------------------------------------------

@@ -242,3 +242,31 @@ def test_sssp_weighted_relaxation(spark):
     sources = spark.createDataFrame([(1,)], "id long")
     got = {r.id: r.dist for r in sssp(edges, sources).collect()}
     assert got == {1: 0, 3: 1, 2: 3, 4: 8, 5: 9}
+
+
+def test_hits_tiny_graph(spark):
+    """Hand-unrolled HITS on a 4-node graph. Edges: 1→3, 2→3, 3→4, 1→4.
+    h0 = 1 everywhere.
+      a1: 3←{1,2}=2, 4←{3,1}=2, others 0
+      h1: 1→{3,4}=4, 2→{3}=2, 3→{4}=2, 4: 0
+      a2: 3←{h1(1)+h1(2)}=6, 4←{h1(3)+h1(1)}=6
+      h2: 1→{a2(3)+a2(4)}=12, 2→{a2(3)}=6, 3→{a2(4)}=6, 4: 0"""
+    from dublin_smart_city_graphdb_spark.graph.closure import hits_scores
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    got = {r.id: (r.hub, r.authority) for r in hits_scores(edges).collect()}
+    assert got == {1: (12, 0), 2: (6, 0), 3: (6, 6), 4: (0, 6)}
+
+
+def test_hits_duplicate_edges_collapse(spark):
+    """The edge set is a SET: duplicated input rows must not double
+    contributions."""
+    from dublin_smart_city_graphdb_spark.graph.closure import hits_scores
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2)], "src long, dst long"
+    )
+    got = {r.id: (r.hub, r.authority) for r in hits_scores(edges).collect()}
+    assert got == {1: (1, 0), 2: (0, 1)}
