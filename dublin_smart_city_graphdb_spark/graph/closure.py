@@ -535,15 +535,20 @@ def hits_scores(
     territory at 100 TB edge counts if left at 64-bit). GraphX exposes
     the same shape via aggregateMessages; the normalized variant is one
     extra scalar divide at read time."""
+    # e and nodes are referenced 2x per round: materialize once so each
+    # round's plan is two join+agg shuffles over a checkpointed edge set,
+    # not a re-expansion of the whole upstream subtree per reference
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hub = nodes.select("id", F.lit(1).cast("decimal(38,0)").alias("hub"))
     auth = None
