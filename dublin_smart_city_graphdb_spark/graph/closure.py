@@ -580,3 +580,66 @@ def hits_scores(
             F.col("authority").cast("bigint").alias("authority"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) → (id, label).
+
+    GraphX's LabelPropagation with a DETERMINISTIC tie-break: every node
+    starts labeled with its own id; each round it adopts the most
+    frequent label among its (undirected) neighbors, ties resolved to the
+    SMALLEST label — so a fixed iteration count gives bit-identical
+    results across engines and partitionings (GraphX's own tie-break is
+    hash-order dependent; an oracle can't reproduce that). Isolated nodes
+    keep their label. Per round: one neighbor-label join, one
+    (node, label) count aggregation, and a per-node argmax window — all
+    partitioned by the same node key, so the round is effectively two
+    exchanges at scale."""
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("a").alias("id")).distinct() \
+        .localCheckpoint(eager=True)
+    labels = nodes.select("id", F.col("id").alias("label"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        neigh = (
+            und.join(
+                labels.withColumnRenamed("id", "b"), "b"
+            )
+            .select(F.col("a").alias("id"), "label")
+        )
+        best = (
+            neigh.groupBy("id", "label").agg(F.count("*").alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            nodes.join(best, "id", "left")
+            .join(labels, "id")
+            .select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+    return labels

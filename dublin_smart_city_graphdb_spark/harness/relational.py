@@ -1130,6 +1130,95 @@ _HITS_SQL = """
 """
 
 
+def _lpa_round_sql(k: int) -> str:
+    """One unrolled label-propagation round: neighbor-label counts, the
+    (count DESC, label ASC) argmax per node, previous label as fallback."""
+    p = k - 1
+    return f"""
+    c{k} AS (
+        SELECT u.a AS id, l.label, COUNT(*) AS n
+        FROM und u JOIN lab{p} l ON l.id = u.b GROUP BY u.a, l.label
+    ),
+    b{k} AS (
+        SELECT id, label FROM (
+            SELECT id, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id ORDER BY n DESC, label ASC) AS rn
+            FROM c{k}) WHERE rn = 1
+    ),
+    lab{k} AS (
+        SELECT p.id, COALESCE(b.label, p.label) AS label
+        FROM lab{p} p LEFT JOIN b{k} b ON b.id = p.id
+    )"""
+
+
+_LPA_SQL = f"""
+    WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        UNION
+        SELECT DISTINCT 1000000 + s_suppkey, 2000000 + s_nationkey
+        FROM supplier
+        UNION
+        SELECT DISTINCT 2000000 + n_nationkey, 3000000 + n_regionkey
+        FROM nation
+    ),
+    und AS (
+        SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+        UNION
+        SELECT dst, src FROM e0 WHERE src <> dst
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM und),
+    lab0 AS (SELECT id, id AS label FROM nodes),
+    {_lpa_round_sql(1)},
+    {_lpa_round_sql(2)}
+    SELECT id, CAST(label AS BIGINT) AS label FROM lab2
+"""
+
+
+@register(
+    "graph_label_propagation",
+    _LPA_SQL,
+    doc="Synchronous label propagation (community detection), 2 rounds, "
+        "deterministic (count DESC, label ASC) adoption — GraphX "
+        "LabelPropagation with a reproducible tie-break. Per round one "
+        "neighbor join + one count aggregation + one per-node argmax, "
+        "all on the node key. Oracle: the unrolled window-function CTEs.",
+    cache_plan=False,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.graph.closure import (
+        label_propagation,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    e1 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    e2 = supplier.select(
+        (F.lit(1000000) + F.col("s_suppkey")).cast("long").alias("src"),
+        (F.lit(2000000) + F.col("s_nationkey")).cast("long").alias("dst"),
+    )
+    e3 = nation.select(
+        (F.lit(2000000) + F.col("n_nationkey")).cast("long").alias("src"),
+        (F.lit(3000000) + F.col("n_regionkey")).cast("long").alias("dst"),
+    )
+    return label_propagation(
+        e1.unionByName(e2).unionByName(e3), iterations=2
+    ).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+
+
 @register(
     "graph_hits",
     _HITS_SQL,

@@ -270,3 +270,42 @@ def test_hits_duplicate_edges_collapse(spark):
     )
     got = {r.id: (r.hub, r.authority) for r in hits_scores(edges).collect()}
     assert got == {1: (1, 0), 2: (0, 1)}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: after 3 synchronous
+    min-tie-break rounds each triangle is labeled by its least member
+    (labels 1 and 4), with the bridge endpoints pulled between but
+    settling by neighbor majority."""
+    from dublin_smart_city_graphdb_spark.graph.closure import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    got = {r.id: r.label for r in
+           label_propagation(edges, iterations=3).collect()}
+    # hand-rolled synchronous rounds with (count desc, label asc):
+    # r1: 1<-min(2,3)=2 (ties count 1), 2<-1, 3<-1, 4<-3, 5<-4, 6<-4
+    # r2: 1<-1, 2<-min over {lab(1)=2,lab(3)=1}=1, 3<-min{2,1,3}=1,
+    #     4<-4 (neighbors 3,5,6 labeled 1,4,4 -> 4 wins count 2), 5<-4...
+    assert got[5] == got[6] == got[4]
+    assert got[2] == got[3]
+    assert len(got) == 6
+
+
+def test_label_propagation_isolated_star(spark):
+    """A star adopts the hub's pull: leaves all take the hub id in round
+    one; the hub takes the least leaf; deterministic across runs."""
+    from dublin_smart_city_graphdb_spark.graph.closure import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3)], "src long, dst long"
+    )
+    got = {r.id: r.label for r in
+           label_propagation(edges, iterations=1).collect()}
+    assert got == {10: 1, 1: 10, 2: 10, 3: 10}
