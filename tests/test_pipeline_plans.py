@@ -450,3 +450,34 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     plan = plan_of(q(spark, "corpus_decontaminate"))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_geo_sf_predicates_are_map_only(spark):
+    """The simple-features predicate gates are pure scan→project→filter —
+    ZERO exchanges, zero joins: the geometry kernel must never force a
+    shuffle, because at 100 TB these run as a predicate inside a scan."""
+    for name in ("sparql_geo_sf_touches", "sparql_geo_sf_overlaps",
+                 "sparql_geo_sf_equals"):
+        plan = plan_of(q(spark, name))
+        assert plan.count("Exchange") == 0, name
+        assert "Join" not in plan, name
+
+
+def test_hits_plan_is_bounded_aggregate_message_rounds(spark):
+    """2-iteration HITS: with the edge/node frames checkpointed, the plan
+    must stay a bounded chain of join+agg rounds — not a re-expansion of
+    the whole upstream subtree per reference (73 exchanges before the
+    fix, 23 after; the contract leaves headroom for AQE variation)."""
+    plan = plan_of(q(spark, "graph_hits"))
+    assert plan.count("Exchange hashpartitioning") <= 30
+    # the checkpointed edge set appears as a scan of existing RDDs
+    assert "Scan ExistingRDD" in plan
+
+
+def test_label_propagation_rounds_share_the_node_key(spark):
+    """Per LPA round: neighbor join, count aggregation, argmax window —
+    all partitioned by the node key; the window must not introduce a
+    second sort-exchange pair per round beyond the aggregation's."""
+    plan = plan_of(q(spark, "graph_label_propagation"))
+    assert plan.count("Exchange hashpartitioning") <= 24
+    assert "Window" in plan
