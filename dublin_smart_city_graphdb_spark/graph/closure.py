@@ -643,3 +643,58 @@ def label_propagation(
             )
         )
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling → (id, degree) for nodes still alive after
+    ``rounds`` synchronous peels, with their degree in the alive-induced
+    subgraph.
+
+    Classic k-core iterates peeling to a fixpoint; a FIXED round count is
+    the engine-portable contract (same rationale as `pagerank`/`hits`):
+    an oracle can reproduce R unrolled rounds exactly, and R rounds of
+    synchronous peeling equal the fixpoint whenever the peel converges
+    that fast (the tests pin a graph where it does). Per round: restrict
+    the undirected edge set to alive×alive (two semi-joins on the node
+    key), one degree aggregation, one filter — a bounded chain of
+    key-partitioned exchanges, no driver traffic at all."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = und.select(F.col("a").alias("id")).distinct()
+    deg = None
+    for _ in range(rounds):
+        live = und.join(
+            alive.withColumnRenamed("id", "a"), "a", "semi"
+        ).join(alive.withColumnRenamed("id", "b"), "b", "semi")
+        deg = live.groupBy(F.col("a").alias("id")).agg(
+            F.count("*").alias("degree")
+        )
+        alive = deg.filter(F.col("degree") >= k).select("id")
+        # each round's alive set feeds TWO semi-joins next round and the
+        # final degree pass: checkpoint so round r+1's plan doesn't
+        # re-expand rounds 1..r twice over
+        alive = alive.localCheckpoint(eager=True)
+    final = (
+        und.join(alive.withColumnRenamed("id", "a"), "a", "semi")
+        .join(alive.withColumnRenamed("id", "b"), "b", "semi")
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return final

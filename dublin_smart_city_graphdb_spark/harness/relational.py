@@ -1255,6 +1255,68 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_scores(e1.unionByName(e2).unionByName(e3), iterations=2)
 
 
+def _kcore_round_sql(k: int, r: int) -> str:
+    p = r - 1
+    return f"""
+    deg{r} AS (
+        SELECT u.a AS id, COUNT(*) AS n
+        FROM und u
+        WHERE u.a IN (SELECT id FROM alive{p})
+          AND u.b IN (SELECT id FROM alive{p})
+        GROUP BY u.a
+    ),
+    alive{r} AS (SELECT id FROM deg{r} WHERE n >= {k})"""
+
+
+_KCORE_K = 10
+_KCORE_SQL = f"""
+    WITH e0 AS (
+        SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+        FROM lineitem
+    ),
+    und AS (
+        SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+        UNION
+        SELECT dst, src FROM e0 WHERE src <> dst
+    ),
+    alive0 AS (SELECT DISTINCT a AS id FROM und),
+    {_kcore_round_sql(_KCORE_K, 1)},
+    {_kcore_round_sql(_KCORE_K, 2)},
+    {_kcore_round_sql(_KCORE_K, 3)}
+    SELECT CAST(u.a AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM und u
+    WHERE u.a IN (SELECT id FROM alive3)
+      AND u.b IN (SELECT id FROM alive3)
+    GROUP BY u.a
+"""
+
+
+@register(
+    "graph_kcore",
+    _KCORE_SQL,
+    doc=f"k-core decomposition (k={_KCORE_K}, 3 synchronous peel rounds — "
+        "the fixed-round contract that makes iterative graph ops "
+        "oracle-reproducible, like graph_pagerank/graph_hits) over the "
+        "part<->supplier co-occurrence graph from lineitem. Per round: "
+        "two semi-joins restrict edges to alive x alive, one degree "
+        "aggregation, one threshold filter; output = surviving nodes with "
+        "their degree in the surviving subgraph. Oracle: the unrolled "
+        "peel CTEs.",
+    cache_plan=False,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.graph.closure import k_core
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).cast("long").alias("dst"),
+    ).distinct()
+    return k_core(edges, k=_KCORE_K, rounds=3).select(
+        F.col("id").cast("bigint").alias("id"), "degree"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window extension (SURVEY §2.9/§7): rank + running sum on property-table view
 # ---------------------------------------------------------------------------

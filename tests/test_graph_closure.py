@@ -309,3 +309,32 @@ def test_label_propagation_isolated_star(spark):
     got = {r.id: r.label for r in
            label_propagation(edges, iterations=1).collect()}
     assert got == {10: 1, 1: 10, 2: 10, 3: 10}
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    """K4 plus a tail 4-5-6: at k=2 the tail peels over two rounds (6 has
+    degree 1 in round 1; 5 drops to 1 after 6 leaves; 4 stays at 3) and
+    the surviving K4 reports its in-core degree 3. Round 3 is a no-op —
+    the fixed-round contract equals the fixpoint once the peel converges."""
+    from dublin_smart_city_graphdb_spark.graph.closure import k_core
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(3, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r.id: r.degree for r in k_core(edges, k=2, rounds=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_duplicate_and_reversed_edges_collapse(spark):
+    """Degree counts distinct undirected neighbors: duplicated and
+    reversed edges must not inflate a node past the threshold."""
+    from dublin_smart_city_graphdb_spark.graph.closure import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r.id: r.degree for r in k_core(edges, k=2, rounds=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert k_core(edges.limit(3), k=2, rounds=2).count() == 0

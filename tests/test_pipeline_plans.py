@@ -481,3 +481,14 @@ def test_label_propagation_rounds_share_the_node_key(spark):
     plan = plan_of(q(spark, "graph_label_propagation"))
     assert plan.count("Exchange hashpartitioning") <= 24
     assert "Window" in plan
+
+
+def test_kcore_plan_is_bounded_peel_rounds(spark):
+    """3-round k-core: each round is two semi-joins + one degree agg over
+    a checkpointed alive set — the plan must stay a bounded chain of
+    key-partitioned exchanges with the checkpoint scans visible, not a
+    per-round re-expansion of all prior rounds (the two semi-joins would
+    otherwise double the subtree every round)."""
+    plan = plan_of(q(spark, "graph_kcore"))
+    assert plan.count("Exchange hashpartitioning") <= 16
+    assert "Scan ExistingRDD" in plan
