@@ -277,12 +277,8 @@ class QueryCompiler:
             if proj_exists:
                 proj_df, ecols = self._exists_flags(cur, proj_exists, None)
                 cur = Compiled(proj_df, cur.var_order, cur.certain)
-                ec = ExprCompiler(
-                    lambda n: F.col(n), cur.vars, self.extensions,
-                    exists_cols=ecols, base=getattr(self, "_base", ""),
-                )
             else:
-                ec = self._expr_compiler(cur)
+                ecols = {}
             alias_map: dict[str, Column] = {}
             for proj, alias in q.projections:
                 if isinstance(proj, A.Var) and alias is None:
@@ -292,6 +288,16 @@ class QueryCompiler:
                     )
                 else:
                     name = alias.name
+                    # §18.2.4.4: each (expr AS ?x) EXTENDS the solution, so
+                    # later select expressions may reference earlier aliases
+                    # — resolve them to their already-compiled columns.
+                    ec = ExprCompiler(
+                        lambda n, _m=dict(alias_map): _m.get(n, F.col(n)),
+                        cur.vars | set(alias_map),
+                        self.extensions,
+                        exists_cols=ecols,
+                        base=getattr(self, "_base", ""),
+                    )
                     col = ec.compile(proj)
                     alias_map[name] = col
                 sel.append(col.alias(name))
@@ -391,7 +397,21 @@ class QueryCompiler:
             fn = node.func
             if fn == "COUNT":
                 if operand is None:
-                    agg_exprs.append(F.count(F.lit(1)).alias(raw))
+                    if node.distinct:
+                        # COUNT(DISTINCT *) — §18.5.1 Distinct(ToMultiSet):
+                        # count distinct SOLUTIONS. One struct over the
+                        # visible variables is never null, so countDistinct
+                        # can't drop partially-unbound solutions the way a
+                        # multi-column count distinct would.
+                        vis = [
+                            F.col(v) for v in base.var_order
+                            if not v.startswith("__")
+                        ] or [F.lit(1)]
+                        agg_exprs.append(
+                            F.countDistinct(F.struct(*vis)).alias(raw)
+                        )
+                    else:
+                        agg_exprs.append(F.count(F.lit(1)).alias(raw))
                 elif node.distinct:
                     agg_exprs.append(F.countDistinct(operand).alias(raw))
                 else:

@@ -841,6 +841,10 @@ class SparqlParser:
             q = 3 if kind.startswith("STRING_LONG") else 1
             sep = _unescape(sv[q:-q])
         self._expect_op(")")
+        if expr is not None and _expr_has_aggregate(expr):
+            # grammar: Aggregate operands are built from expressions that
+            # cannot themselves contain aggregates (no SUM(AVG(?x)))
+            raise ValueError("sparql: aggregate calls cannot be nested")
         return Aggregate(func, expr, distinct, sep)
 
     def _builtin_call(self) -> FuncCall:
@@ -1062,6 +1066,26 @@ def _contains_aggregate(x) -> bool:
     return False
 
 
+def _expr_has_aggregate(x) -> bool:
+    """Aggregate nodes within ONE expression's own aggregation scope —
+    unlike _contains_aggregate this does not descend into EXISTS groups
+    or subselects, which form their own scopes where aggregates are
+    legal."""
+    import dataclasses as _dc
+
+    if isinstance(x, Aggregate):
+        return True
+    if isinstance(x, (ExistsExpr, SelectQuery, SubSelectPattern)):
+        return False
+    if _dc.is_dataclass(x) and not isinstance(x, type):
+        return any(
+            _expr_has_aggregate(getattr(x, f.name)) for f in _dc.fields(x)
+        )
+    if isinstance(x, (list, tuple)):
+        return any(_expr_has_aggregate(i) for i in x)
+    return False
+
+
 def _element_scope_vars(elem) -> set:
     """Vars an element can bind into its group's scope (grammar-level)."""
     if isinstance(elem, (TriplePattern, QuotedPattern)):
@@ -1104,6 +1128,14 @@ def _validate_group(group: GroupPattern) -> None:
             elif isinstance(sub, SelectQuery):
                 _validate_query(sub)
         scope |= _element_scope_vars(elem)
+    for f in group.filters:
+        if _expr_has_aggregate(f):
+            # aggregates are only legal in SELECT expressions, HAVING and
+            # ORDER BY — never in a WHERE-clause FILTER
+            raise ValueError(
+                "sparql: aggregate call in FILTER (only HAVING may "
+                "constrain aggregates)"
+            )
 
 
 def _validate_query(q) -> None:
@@ -1115,6 +1147,10 @@ def _validate_query(q) -> None:
     grouped = bool(q.group_by) or q.having or any(
         _contains_aggregate(item) for item, _ in q.projections
     )
+    if grouped and not q.projections:
+        # SELECT * projects every in-scope variable, which a grouped query
+        # cannot do (each projection must be a group key or aggregate)
+        raise ValueError("sparql: SELECT * cannot be used with GROUP BY")
     if grouped and q.projections:
         # with GROUP BY, bare projections must be group keys; with only
         # aggregates (implicit single group, spec 18.2.4.1) NO bare

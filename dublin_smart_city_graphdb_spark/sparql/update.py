@@ -129,9 +129,14 @@ class UpdateExecutor:
 
         compiler = QueryCompiler(self.spark, quads)
         if op.using or op.using_named:
+            # Update §3.1.3: USING/USING NAMED REPLACE the WHERE dataset —
+            # WITH then only supplies the template target graph, it must
+            # not also scope pattern matching.
             compiler.default_graphs = list(op.using) or None
             compiler.named_graphs = list(op.using_named) or None
-        graph_ctx = IRI(op.with_graph) if op.with_graph else None
+            graph_ctx = None
+        else:
+            graph_ctx = IRI(op.with_graph) if op.with_graph else None
         sol = compiler.compile_group(op.where, graph_ctx)
 
         out = quads

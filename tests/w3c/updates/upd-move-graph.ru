@@ -1,0 +1,1 @@
+MOVE <http://example/g1> TO <http://example/g2>
