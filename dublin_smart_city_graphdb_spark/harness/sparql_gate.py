@@ -2028,6 +2028,58 @@ def sparql_shacl_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SHACL round-6: composite sh:path forms (sequence / alternative)
+# ---------------------------------------------------------------------------
+
+_SHACL_PATH_SHAPES = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rel: <{R}> .
+rel:CustPathShape a sh:NodeShape ; sh:targetClass rel:Customer ;
+  sh:property [ sh:path (rel:inNation rel:inRegion) ;
+                sh:in (<urn:region:1> <urn:region:2>
+                       <urn:region:3> <urn:region:4>) ] ;
+  sh:property [ sh:path [ sh:alternativePath (rel:acctbal rel:name) ] ;
+                sh:pattern "^[^-]" ] .
+"""
+
+
+@register(
+    "sparql_shacl_path_composite",
+    """
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS focus,
+           'urn:rel:inNation/urn:rel:inRegion' AS path,
+           'urn:region:' || CAST(n_regionkey AS VARCHAR) AS value,
+           'InConstraintComponent' AS component
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 0
+    UNION ALL
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR),
+           '(urn:rel:acctbal|urn:rel:name)',
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),
+           'PatternConstraintComponent'
+    FROM customer WHERE c_acctbal < 0
+    """,
+    doc="SHACL composite property paths (round 6, full path grammar "
+        "SHACL 2.3.1): a SEQUENCE path (rel:inNation rel:inRegion) whose "
+        "values are each customer's region - two predicate-pruned scans "
+        "chained by one equi-join - constrained by sh:in to regions 1-4 "
+        "(region-0 customers violate), and an ALTERNATIVE path "
+        "(acctbal | name) - a union of two scans - whose values must not "
+        "start with '-' (negative balances violate; every name conforms). "
+        "Oracle replays both arms relationally.",
+)
+def sparql_shacl_path_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.shacl import parse_shapes, validate
+
+    report = validate(
+        _quads(spark, sf_dir), parse_shapes(_SHACL_PATH_SHAPES)
+    )
+    return report.select(
+        "focus", "path", "value", F.col("constraint").alias("component")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SHACL round-6: join-level logical combinators (VERDICT r5 task 4)
 # ---------------------------------------------------------------------------
 

@@ -99,6 +99,11 @@ REPORT_COLS = [
 class PropertyShape:
     path: str
     inverse: bool = False
+    # Parsed path expression for non-trivial sh:path forms, a nested
+    # tuple AST: ("iri", p) | ("inv", sub) | ("seq", [subs]) |
+    # ("alt", [subs]) | ("zoo", sub) | ("oom", sub) | ("zom", sub).
+    # None means the legacy (path, inverse) pair fully describes it.
+    path_expr: tuple | None = None
     shape_id: str = ""
     min_count: int | None = None
     max_count: int | None = None
@@ -242,32 +247,63 @@ def parse_shapes(text: str) -> list[NodeShape]:
     return shapes
 
 
+def _parse_path(o: Term, props, rdf_list) -> tuple[tuple, str]:
+    """sh:path object → (path AST, SPARQL-ish display string).
+
+    Covers the full SHACL path grammar (§2.3.1): predicate, inverse,
+    sequence (RDF list), alternative, zero-or-more, one-or-more,
+    zero-or-one — nested arbitrarily."""
+    if isinstance(o, IRI):
+        return ("iri", o.value), o.value
+    nid = "_:" + getattr(o, "label", "")
+    entries = dict(props(nid))
+    if RDF + "first" in entries:  # sequence path: the node IS an RDF list
+        parts = [_parse_path(t, props, rdf_list) for t in rdf_list(o)]
+        return ("seq", [e for e, _ in parts]), "/".join(d for _, d in parts)
+    if SH + "inversePath" in entries:
+        sub, d = _parse_path(entries[SH + "inversePath"], props, rdf_list)
+        return ("inv", sub), "^" + (f"({d})" if "/" in d or "|" in d else d)
+    if SH + "alternativePath" in entries:
+        parts = [
+            _parse_path(t, props, rdf_list)
+            for t in rdf_list(entries[SH + "alternativePath"])
+        ]
+        return ("alt", [e for e, _ in parts]), (
+            "(" + "|".join(d for _, d in parts) + ")"
+        )
+    for key, tag, suffix in (
+        ("zeroOrMorePath", "zom", "*"),
+        ("oneOrMorePath", "oom", "+"),
+        ("zeroOrOnePath", "zoo", "?"),
+    ):
+        if SH + key in entries:
+            sub, d = _parse_path(entries[SH + key], props, rdf_list)
+            wrapped = f"({d})" if "/" in d or "|" in d or "^" in d else d
+            return (tag, sub), wrapped + suffix
+    raise ShaclError(f"shacl: unrecognized sh:path node {nid}")
+
+
 def _parse_property(
     pid: str, props, rdf_list, require_path: bool = True
 ) -> PropertyShape:
     entries = props(pid)
     path = None
     inverse = False
+    path_expr = None
     for p, o in entries:
         if p == SH + "path":
-            if isinstance(o, IRI):
-                path = o.value
-            else:  # blank node: [sh:inversePath <p>]
-                sub = dict(props(
-                    o.value if isinstance(o, IRI) else "_:" + o.label
-                ))
-                inv = sub.get(SH + "inversePath")
-                if inv is None:
-                    raise ShaclError(
-                        "shacl: only direct and sh:inversePath paths are "
-                        "supported"
-                    )
-                path, inverse = inv.value, True
+            path_expr, path = _parse_path(o, props, rdf_list)
+            if path_expr[0] == "iri":
+                path_expr = None  # legacy direct form
+            elif path_expr[0] == "inv" and path_expr[1][0] == "iri":
+                path, inverse, path_expr = path_expr[1][1], True, None
     if path is None:
         if require_path:
             raise ShaclError(f"shacl: property shape {pid} has no sh:path")
         path = ""  # constraint bundle inside sh:or / sh:and / sh:not
-    ps = PropertyShape(path=path, inverse=inverse, shape_id=pid)
+    ps = PropertyShape(
+        path=path, inverse=inverse, shape_id=pid, path_expr=path_expr
+    )
 
     def ival(o: Term) -> int:
         return int(o.lex)
@@ -446,7 +482,11 @@ def _closed_check(quads: DataFrame, focus: DataFrame,
     One semi-join of the store against the focus set; the predicate NOT-IN
     filter is map-side."""
     allowed = sorted(
-        {ps.path for ps in ns.properties if not ps.inverse}
+        # spec: only DIRECT predicate paths count as declared — inverse
+        # and composite (sequence/alternative/closure) paths don't allow
+        # any predicate on the focus node itself
+        {ps.path for ps in ns.properties
+         if not ps.inverse and ps.path_expr is None}
         | set(ns.ignored_properties)
     )
     stmts = quads.join(
@@ -507,7 +547,7 @@ def _check_property(quads: DataFrame, focus: DataFrame, ns: NodeShape,
                     shapes_map: dict[str, NodeShape] | None = None,
                     depth: int = 5) -> list[DataFrame]:
     shape = ns.iri
-    vals = property_values(quads, ps).join(focus, "focus")
+    vals = property_values(quads, ps, focus)
     out: list[DataFrame] = []
     fcol = F.col("focus")
     vcol = F.col("v_lex")
@@ -1187,12 +1227,112 @@ def _class_check(vals: DataFrame, type_source: DataFrame, ns: NodeShape,
     ))
 
 
-def property_values(quads: DataFrame, ps: PropertyShape) -> DataFrame:
+def _node_value_cols(focus_col, value_col):
+    """(focus, value) node pairs → the canonical 6-column value frame
+    (values produced by inverse/sequence hops are nodes, kind 0)."""
+    return [
+        focus_col.alias("focus"),
+        F.lit(0).cast("tinyint").alias("v_kind"),
+        value_col.alias("v_lex"),
+        F.lit(None).cast("string").alias("v_dtype"),
+        F.lit(None).cast("string").alias("v_lang"),
+        F.lit(None).cast("decimal(38,10)").alias("v_num"),
+    ]
+
+
+def _path_values(quads: DataFrame, expr: tuple,
+                 focus: DataFrame | None) -> DataFrame:
+    """Evaluate a parsed sh:path AST → (focus, value-term) rows.
+
+    Cost contract: a sequence of k predicates is k predicate-pruned scans
+    chained by k-1 equi-joins; alternatives are unions; * / + closures
+    run the graph kernel's semi-naive transitive_closure over the
+    sub-path's node pairs (O(log diameter) delta rounds). Zero-length
+    arms (?, *) need the focus set — callers inside validate() always
+    pass one."""
+    kind = expr[0]
+    if kind == "iri":
+        scan = quads.filter(F.col("p") == expr[1])
+        if focus is not None:
+            scan = scan.join(focus.withColumnRenamed("focus", "s"), "s",
+                             "semi")
+        return scan.select(
+            F.col("s").alias("focus"),
+            F.col("o_kind").alias("v_kind"),
+            F.col("o_lex").alias("v_lex"),
+            F.col("o_dtype").alias("v_dtype"),
+            F.col("o_lang").alias("v_lang"),
+            F.col("o_num").alias("v_num"),
+        )
+    if kind == "inv":
+        sub = _path_values(quads, expr[1], None)
+        out = sub.select(*_node_value_cols(F.col("v_lex"), F.col("focus")))
+        if focus is not None:
+            out = out.join(focus, "focus", "semi")
+        return out
+    if kind == "seq":
+        cur = _path_values(quads, expr[1][0], focus)
+        for nxt in expr[1][1:]:
+            step = _path_values(quads, nxt, None)
+            cur = (
+                cur.select("focus", F.col("v_lex").alias("_mid"))
+                .join(step.withColumnRenamed("focus", "_mid"), "_mid")
+                .drop("_mid")
+            )
+        return cur
+    if kind == "alt":
+        out = None
+        for part in expr[1]:
+            p = _path_values(quads, part, focus)
+            out = p if out is None else out.unionByName(p)
+        return out.distinct()
+    if kind == "zoo":  # zero-or-one: sub-path values plus the focus itself
+        if focus is None:
+            raise ShaclError("shacl: zero-length path arm needs a focus set")
+        ident = focus.select(
+            *_node_value_cols(F.col("focus"), F.col("focus"))
+        )
+        return _path_values(quads, expr[1], focus).unionByName(
+            ident
+        ).distinct()
+    if kind in ("oom", "zom"):
+        from dublin_smart_city_graphdb_spark.graph.closure import (
+            transitive_closure,
+        )
+
+        pairs = _path_values(quads, expr[1], None).select(
+            F.col("focus").alias("src"), F.col("v_lex").alias("dst")
+        )
+        out = transitive_closure(pairs).select(
+            *_node_value_cols(F.col("src"), F.col("dst"))
+        )
+        if focus is not None:
+            out = out.join(focus, "focus", "semi")
+        if kind == "zom":
+            if focus is None:
+                raise ShaclError(
+                    "shacl: zero-length path arm needs a focus set"
+                )
+            ident = focus.select(
+                *_node_value_cols(F.col("focus"), F.col("focus"))
+            )
+            out = out.unionByName(ident).distinct()
+        return out
+    raise ShaclError(f"shacl: unknown path expression {expr!r}")
+
+
+def property_values(quads: DataFrame, ps: PropertyShape,
+                    focus: DataFrame | None = None) -> DataFrame:
     """The (focus, value-term) rows a property shape constrains — the
-    predicate-filtered scan both validators share."""
+    predicate-filtered scan both validators share. ``focus`` (when the
+    caller has one) pushes the restriction into the scan and is REQUIRED
+    for paths with zero-length arms (sh:zeroOrOnePath /
+    sh:zeroOrMorePath)."""
+    if ps.path_expr is not None:
+        return _path_values(quads, ps.path_expr, focus)
     scan = quads.filter(F.col("p") == ps.path)
     if ps.inverse:
-        return scan.select(
+        out = scan.select(
             F.col("o_lex").alias("focus"),
             F.lit(0).cast("tinyint").alias("v_kind"),
             F.col("s").alias("v_lex"),
@@ -1200,6 +1340,11 @@ def property_values(quads: DataFrame, ps: PropertyShape) -> DataFrame:
             F.lit(None).cast("string").alias("v_lang"),
             F.lit(None).cast("decimal(38,10)").alias("v_num"),
         )
+        if focus is not None:
+            out = out.join(focus, "focus", "semi")
+        return out
+    if focus is not None:
+        scan = scan.join(focus.withColumnRenamed("focus", "s"), "s", "semi")
     return scan.select(
         F.col("s").alias("focus"),
         F.col("o_kind").alias("v_kind"),

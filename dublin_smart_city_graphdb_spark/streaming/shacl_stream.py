@@ -60,6 +60,12 @@ def validate_statements_stream(
                     "graph properties — validate them with "
                     "Repository.validate_shacl"
                 )
+            if ps.path_expr is not None:
+                raise ShaclError(
+                    "shacl-stream: composite sh:path forms (sequence/"
+                    "alternative/closure) join across statements — "
+                    "validate them with Repository.validate_shacl"
+                )
             vals = property_values(stream_quads, ps).join(focus, "focus")
             reports.extend(_value_checks(vals, ns, ps))
             if ps.class_ is not None:

@@ -621,3 +621,95 @@ def test_deactivated_shape_skipped(repo):
         "sh:deactivated true ; "
         "sh:property [ sh:path ex:name ; sh:minCount 1 ]"))
     assert v == []
+
+
+# -- composite sh:path forms (round-6: full SHACL path grammar §2.3.1) ----
+
+def test_path_sequence(repo):
+    """(ex:knows ex:name): alice's friend bob has no name and carol knows
+    nobody -> both fail minCount; bob's friend ghost is named -> ok."""
+    v = _viol(repo, _shape(
+        "sh:property [ sh:path (ex:knows ex:name) ; sh:minCount 1 ]"))
+    assert sorted(v) == [
+        (EX + "alice", "MinCountConstraintComponent", None),
+        (EX + "carol", "MinCountConstraintComponent", None),
+    ]
+
+
+def test_path_alternative(repo):
+    """(name | email) values must contain '@': every name fails, as does
+    bob's malformed email."""
+    v = _viol(repo, _shape(
+        "sh:property [ sh:path [ sh:alternativePath (ex:name ex:email) ] ;"
+        ' sh:pattern "@" ]'))
+    assert sorted(v) == [
+        (EX + "alice", "PatternConstraintComponent", "Alice"),
+        (EX + "bob", "PatternConstraintComponent", "not-an-email"),
+        (EX + "carol", "PatternConstraintComponent", "Carol"),
+        (EX + "carol", "PatternConstraintComponent", "Caroline"),
+    ]
+
+
+def test_path_inverse_in_sequence(repo):
+    """([^knows] age) from ghost reaches bob's negative age."""
+    shapes = f"""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <{EX}> .
+    ex:GhostShape a sh:NodeShape ; sh:targetNode ex:ghost ;
+      sh:property [ sh:path ([sh:inversePath ex:knows] ex:age) ;
+                    sh:minInclusive 0 ] .
+    """
+    v = _viol(repo, shapes)
+    assert v == [(EX + "ghost", "MinInclusiveConstraintComponent", "-5")]
+
+
+def test_path_zero_or_one(repo):
+    """knows?: the zero-length arm makes minCount 1 hold for everyone
+    (each focus is its own value); the one-arm still surfaces bob's
+    non-Person friend."""
+    assert _viol(repo, _shape(
+        "sh:property [ sh:path [ sh:zeroOrOnePath ex:knows ] ; "
+        "sh:minCount 1 ]")) == []
+    v = _viol(repo, _shape(
+        "sh:property [ sh:path [ sh:zeroOrOnePath ex:knows ] ; "
+        "sh:class ex:Person ]"))
+    assert v == [(EX + "bob", "ClassConstraintComponent", EX + "ghost")]
+
+
+def test_path_one_or_more(repo):
+    """knows+: both alice (2 hops) and bob (1 hop) reach the untyped
+    ghost; carol has no values so no violation."""
+    v = _viol(repo, _shape(
+        "sh:property [ sh:path [ sh:oneOrMorePath ex:knows ] ; "
+        "sh:class ex:Person ]"))
+    assert sorted(v) == [
+        (EX + "alice", "ClassConstraintComponent", EX + "ghost"),
+        (EX + "bob", "ClassConstraintComponent", EX + "ghost"),
+    ]
+
+
+def test_path_zero_or_more(repo):
+    """knows*: identity arm satisfies minCount everywhere; closure arm
+    still reports ghost for alice and bob."""
+    assert _viol(repo, _shape(
+        "sh:property [ sh:path [ sh:zeroOrMorePath ex:knows ] ; "
+        "sh:minCount 1 ]")) == []
+    v = _viol(repo, _shape(
+        "sh:property [ sh:path [ sh:zeroOrMorePath ex:knows ] ; "
+        "sh:class ex:Person ]"))
+    assert sorted(v) == [
+        (EX + "alice", "ClassConstraintComponent", EX + "ghost"),
+        (EX + "bob", "ClassConstraintComponent", EX + "ghost"),
+    ]
+
+
+def test_stream_validator_rejects_composite_paths(repo):
+    from dublin_smart_city_graphdb_spark.streaming.shacl_stream import (
+        validate_statements_stream,
+    )
+
+    shapes = parse_shapes(_shape(
+        "sh:property [ sh:path (ex:knows ex:name) ; sh:datatype "
+        "<http://www.w3.org/2001/XMLSchema#string> ]"))
+    with pytest.raises(ShaclError, match="composite sh:path"):
+        validate_statements_stream(repo.quads, repo.quads, shapes)
