@@ -129,9 +129,13 @@ def _pagerank_setup(edges: DataFrame, src: str, dst: str, damping: float):
     return tr, e, e_ids, nodes, node_ids, degrees, d_num, d_den
 
 
-def _pagerank_round(tr, e, nodes, degrees, ranks, d_num: int, d_den: int):
+def _pagerank_round(tr, e, nodes, degrees, ranks, d_num: int, d_den: int,
+                    src_flag: DataFrame | None = None):
     """One power iteration: one groupBy(dst) shuffle of integer
-    contributions, damping applied as an exact integer fraction."""
+    contributions, damping applied as an exact integer fraction.
+    ``src_flag`` (personalized variant) restricts the teleport base to
+    the flagged source nodes — everyone else receives only damped
+    in-flow."""
     base_units = (_PR_UNIT * (d_den - d_num)) // d_den
     contribs = (
         e.join(ranks, e.e_src == ranks.id)
@@ -144,11 +148,21 @@ def _pagerank_round(tr, e, nodes, degrees, ranks, d_num: int, d_den: int):
     summed = contribs.groupBy("id").agg(
         F.sum(F.col("c").cast("decimal(38,0)")).alias("in_sum")
     )
+    joined = nodes.join(summed, "id", "left")
+    if src_flag is None:
+        base = F.lit(base_units).cast("decimal(38,0)")
+    else:
+        joined = joined.join(
+            src_flag.withColumn("_is_src", F.lit(1)), "id", "left"
+        )
+        base = F.when(
+            F.col("_is_src").isNotNull(), F.lit(base_units)
+        ).otherwise(F.lit(0)).cast("decimal(38,0)")
     return tr.checkpoint(
-        nodes.join(summed, "id", "left").select(
+        joined.select(
             "id",
             (
-                F.lit(base_units).cast("decimal(38,0)")
+                base
                 + F.expr(
                     f"(cast({d_num} as decimal(38,0)) *"
                     f" coalesce(in_sum, cast(0 as decimal(38,0))))"
@@ -249,6 +263,50 @@ def pagerank_converged(
     if rank_ids:
         tr.free(e_ids | node_ids)
     return _pagerank_result(ranks), rounds
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank → (id, rank): the teleport vector is uniform
+    over ``sources`` (a DataFrame with an ``id`` column) instead of over
+    all nodes — GraphX's personalized variant. Ranks start at 1.0 on the
+    sources and 0 elsewhere; each round only source nodes receive the
+    (1-d) teleport base, everyone else keeps pure damped in-flow, so mass
+    concentrates in the sources' forward neighborhoods. Same fixed-point
+    integer pipeline and one-shuffle round as `pagerank` (bit-exact
+    across engines); the source set rides as one checkpointed semi-join
+    side — broadcast when small, exactly the 100 TB shape (seed sets are
+    tiny relative to the graph)."""
+    tr, e, e_ids, nodes, node_ids, degrees, d_num, d_den = _pagerank_setup(
+        edges, src, dst, damping
+    )
+    srcs, srcs_ids = tr.checkpoint(
+        nodes.join(sources.select("id").distinct(), "id", "semi")
+    )
+    ranks = (
+        nodes.join(srcs.withColumn("_s", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_s").isNotNull(), F.lit(_PR_UNIT))
+            .otherwise(F.lit(0)).cast("long").alias("rank"),
+        )
+    )
+    rank_ids: set = set()
+    for _ in range(iterations):
+        ranks, new_rank_ids = _pagerank_round(
+            tr, e, nodes, degrees, ranks, d_num, d_den, src_flag=srcs
+        )
+        tr.free(rank_ids)
+        rank_ids = new_rank_ids
+    if rank_ids:
+        tr.free(e_ids | node_ids | srcs_ids)
+    return _pagerank_result(ranks)
 
 
 def connected_components(

@@ -338,3 +338,21 @@ def test_k_core_duplicate_and_reversed_edges_collapse(spark):
     got = {r.id: r.degree for r in k_core(edges, k=2, rounds=2).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
     assert k_core(edges.limit(3), k=2, rounds=2).count() == 0
+
+
+def test_personalized_pagerank_concentrates_on_sources(spark):
+    """One round by hand (UNIT=1e9, d=0.85): the source keeps only its
+    teleport base 0.15, its out-neighbor gets the damped full rank 0.85,
+    everyone else (including the feeder node 4) is exactly 0 — the
+    teleport base never lands outside the source set."""
+    from dublin_smart_city_graphdb_spark.graph.closure import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 2)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,)], "id long")
+    got = {r.id: r.rank for r in
+           personalized_pagerank(edges, sources, iterations=1).collect()}
+    assert got == {1: 0.15, 2: 0.85, 3: 0.0, 4: 0.0}
