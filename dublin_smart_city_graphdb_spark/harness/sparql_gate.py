@@ -1812,6 +1812,71 @@ def sparql_geo_sf_equals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Egenhofer/RCC8 containment box: every edge sits ON the matching
+# square-edge lattice (x1: -6.45+0.005k-0.002, x2: +0.002; y1/y2 the
+# 0.002-grid analogues), so squares exist that touch each wall exactly
+# from inside — the tangential (tpp) vs non-tangential (ntpp) split has
+# genuine witnesses on both sides.
+_EH_BX1, _EH_BX2 = -6.402, -6.248
+_EH_BY1, _EH_BY2 = 53.2392, 53.3208
+
+_EH_BOX_WKT = (
+    f"POLYGON(({_EH_BX1} {_EH_BY1}, {_EH_BX2} {_EH_BY1}, "
+    f"{_EH_BX2} {_EH_BY2}, {_EH_BX1} {_EH_BY2}, {_EH_BX1} {_EH_BY1}))"
+)
+
+
+@register(
+    "sparql_geo_eh_rcc8",
+    _SF_PTS_SQL + f"""
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c,
+           'ntpp' AS rel
+    FROM boxes
+    WHERE x1 > {_EH_BX1} AND x2 < {_EH_BX2}
+      AND y1 > {_EH_BY1} AND y2 < {_EH_BY2}
+    UNION ALL
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR), 'tpp'
+    FROM boxes
+    WHERE x1 >= {_EH_BX1} AND x2 <= {_EH_BX2}
+      AND y1 >= {_EH_BY1} AND y2 <= {_EH_BY2}
+      AND NOT (x1 > {_EH_BX1} AND x2 < {_EH_BX2}
+           AND y1 > {_EH_BY1} AND y2 < {_EH_BY2})
+    """,
+    doc="Egenhofer/RCC8 containment split (round 6): geof:ehInside "
+        "(= rcc8ntpp, strict interior containment, no boundary contact) "
+        "vs geof:ehCoveredBy (= rcc8tpp, containment WITH boundary "
+        "contact) of each customer square against a box whose walls lie "
+        "exactly on the square-edge lattice. Oracle: interval algebra — "
+        "open containment for ntpp, closed-minus-open for tpp. The other "
+        "family members (ehEquals/ehDisjoint/ehMeet/ehOverlap and the "
+        "rcc8 aliases) share the simple-features kernels already gated "
+        "by sparql_geo_sf_*.",
+    cache_plan=False,
+)
+def sparql_geo_eh_rcc8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.sparql.extensions import (
+        geof_eh_covered_by, geof_eh_inside,
+    )
+
+    customer = load(spark, sf_dir, "customer")
+    square = _customer_square(customer)
+    inside = geof_eh_inside([_geo_term(square), _geo_term(_EH_BOX_WKT)])
+    covered = geof_eh_covered_by(
+        [_geo_term(square), _geo_term(_EH_BOX_WKT)]
+    )
+    key = F.concat(
+        F.lit("urn:customer:"), F.col("c_custkey").cast("string")
+    ).alias("c")
+    return (
+        customer.filter(inside["bool"])
+        .select(key, F.lit("ntpp").alias("rel"))
+        .unionByName(
+            customer.filter(covered["bool"])
+            .select(key, F.lit("tpp").alias("rel"))
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Path search plugin (GraphDB graph-path-search twin, round 5)
 # ---------------------------------------------------------------------------

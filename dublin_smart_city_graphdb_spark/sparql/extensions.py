@@ -917,8 +917,98 @@ def geof_get_srid(args: list[Column]) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Egenhofer + RCC8 relation families (GeoSPARQL topology vocabulary
+# requirements 5/6; reference deploys GraphDB 10.7.2 whose GeoSPARQL
+# plugin exposes all three families). For area/area pairs every relation
+# reduces to combinations of the simple-features kernels this module
+# already has: equals/touches/overlaps map 1:1; the four containment
+# relations split sf-style containment by BOUNDARY CONTACT (tangential vs
+# non-tangential proper part). All map-only — same zero-exchange plan
+# contract as the sf predicates.
+# ---------------------------------------------------------------------------
+
+def _boundary_contact_flat(s) -> Column:
+    """Some vertex of either polygon lies on the other's boundary — the
+    tangential-contact witness (same envelope as sfTouches: contact
+    through edge-interior-only overlap without a witnessing vertex is
+    undetected, documented)."""
+    xa, ya, xb, yb = s["xa"], s["ya"], s["xb"], s["yb"]
+    return (
+        _any_vertex(xb, yb, lambda x, y: _on_any_edge_flat(xa, ya, x, y))
+        | _any_vertex(xa, ya, lambda x, y: _on_any_edge_flat(xb, yb, x, y))
+    )
+
+
+def _inside_strict(a_lex: Column, b_lex: Column) -> Column:
+    """A in B's interior with NO boundary contact (non-tangential proper
+    part). Point-in-polygon strict, or polygon-polygon covers minus
+    contact."""
+    a_pt, b_poly = _is_point(a_lex), F.size(_poly_rings(b_lex)) > 0
+    a_poly = F.size(_poly_rings(a_lex)) > 0
+    ax, ay = _pt_xy(a_lex)
+
+    def pt_case() -> Column:
+        fxs, fys = _flat_ring_coords(_poly_rings(b_lex))
+        return _let(
+            {"xs": fxs, "ys": fys, "x": ax, "y": ay},
+            lambda s: _strictly_inside_flat(s["xs"], s["ys"], s["x"], s["y"]),
+        )
+
+    # _poly_pair_let(b, a): s["xa"] holds B, s["xb"] holds A, so
+    # _contains_flat(s) reads "B covers A"
+    return (
+        F.when(a_pt & b_poly, pt_case())
+        .when(
+            a_poly & b_poly,
+            _poly_pair_let(b_lex, a_lex, lambda s: (
+                _contains_flat(s) & ~_boundary_contact_flat(s)
+            )),
+        )
+        .otherwise(F.lit(False))
+    )
+
+
+def _covered_tangential(a_lex: Column, b_lex: Column) -> Column:
+    """A covered by B WITH boundary contact and A != B (tangential proper
+    part). Area/area only — a point on B's boundary is boundary, not a
+    proper part."""
+    a_poly = F.size(_poly_rings(a_lex)) > 0
+    b_poly = F.size(_poly_rings(b_lex)) > 0
+    return (
+        F.when(
+            a_poly & b_poly,
+            _poly_pair_let(b_lex, a_lex, lambda s: (
+                _contains_flat(s) & _boundary_contact_flat(s)
+            ))
+            & ~(_canon_rings(a_lex) == _canon_rings(b_lex)),
+        )
+        .otherwise(F.lit(False))
+    )
+
+
+def geof_eh_inside(args: list[Column]) -> Column:
+    """geof:ehInside ≡ geof:rcc8ntpp: non-tangential proper part."""
+    return make_bool(_inside_strict(args[0]["lex"], args[1]["lex"]))
+
+
+def geof_eh_contains(args: list[Column]) -> Column:
+    """geof:ehContains ≡ geof:rcc8ntppi (argument-swapped ehInside)."""
+    return make_bool(_inside_strict(args[1]["lex"], args[0]["lex"]))
+
+
+def geof_eh_covered_by(args: list[Column]) -> Column:
+    """geof:ehCoveredBy ≡ geof:rcc8tpp: tangential proper part."""
+    return make_bool(_covered_tangential(args[0]["lex"], args[1]["lex"]))
+
+
+def geof_eh_covers(args: list[Column]) -> Column:
+    """geof:ehCovers ≡ geof:rcc8tppi (argument-swapped ehCoveredBy)."""
+    return make_bool(_covered_tangential(args[1]["lex"], args[0]["lex"]))
+
+
 def default_extensions() -> dict:
-    return {
+    ext = {
         FN + "haversineKm": haversine_km,
         FN + "wktLon": wkt_lon,
         FN + "wktLat": wkt_lat,
@@ -936,4 +1026,25 @@ def default_extensions() -> dict:
         GEOF + "boundary": geof_boundary,
         GEOF + "buffer": geof_buffer,
         GEOF + "getSRID": geof_get_srid,
+        # Egenhofer family: equals/disjoint/meet/overlap are the same
+        # DE-9IM classes as their simple-features counterparts for areas
+        GEOF + "ehEquals": geof_sf_equals,
+        GEOF + "ehDisjoint": geof_sf_disjoint,
+        GEOF + "ehMeet": geof_sf_touches,
+        GEOF + "ehOverlap": geof_sf_overlaps,
+        GEOF + "ehInside": geof_eh_inside,
+        GEOF + "ehContains": geof_eh_contains,
+        GEOF + "ehCoveredBy": geof_eh_covered_by,
+        GEOF + "ehCovers": geof_eh_covers,
+        # RCC8 family (region-region; the four containment relations are
+        # area-gated inside the kernels)
+        GEOF + "rcc8eq": geof_sf_equals,
+        GEOF + "rcc8dc": geof_sf_disjoint,
+        GEOF + "rcc8ec": geof_sf_touches,
+        GEOF + "rcc8po": geof_sf_overlaps,
+        GEOF + "rcc8ntpp": geof_eh_inside,
+        GEOF + "rcc8ntppi": geof_eh_contains,
+        GEOF + "rcc8tpp": geof_eh_covered_by,
+        GEOF + "rcc8tppi": geof_eh_covers,
     }
+    return ext

@@ -209,3 +209,55 @@ def test_buffer_circle_geometry(geo_eval):
 
 def test_buffer_non_point_is_error(geo_eval):
     assert geo_eval(geof_buffer, SQ, num=100.0) is None
+
+
+# -- Egenhofer / RCC8 families (round-6 session 3) --------------------------
+
+BIG = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"
+
+EH_CASES = [
+    # strictly interior square: non-tangential proper part
+    ("ehInside", SQ_IN, SQ, "true"),
+    ("ehInside", SQ, BIG, "false"),       # SQ touches BIG's boundary
+    ("ehInside", SQ, SQ, "false"),        # equals is not a proper part
+    ("ehInside", "POINT(1 1)", SQ, "true"),
+    ("ehInside", "POINT(0 1)", SQ, "false"),  # on the boundary
+    ("ehContains", SQ, SQ_IN, "true"),
+    ("ehContains", SQ_IN, SQ, "false"),
+    # boundary-touching containment: tangential proper part
+    ("ehCoveredBy", SQ, BIG, "true"),
+    ("ehCoveredBy", SQ_IN, SQ, "false"),  # no boundary contact
+    ("ehCoveredBy", SQ, SQ, "false"),     # equal is not covered-by
+    ("ehCovers", BIG, SQ, "true"),
+    ("ehCovers", SQ, BIG, "false"),
+]
+
+
+@pytest.mark.parametrize("fn_name,a,b,want", EH_CASES)
+def test_egenhofer_containment_family(geo_eval, fn_name, a, b, want):
+    from dublin_smart_city_graphdb_spark.sparql import extensions as X
+
+    fn = {
+        "ehInside": X.geof_eh_inside,
+        "ehContains": X.geof_eh_contains,
+        "ehCoveredBy": X.geof_eh_covered_by,
+        "ehCovers": X.geof_eh_covers,
+    }[fn_name]
+    assert geo_eval(fn, a, b) == want
+
+
+def test_rcc8_aliases_registered(spark):
+    """All 16 Egenhofer/RCC8 IRIs resolve in the default registry and the
+    delegating ones share the simple-features kernels."""
+    from dublin_smart_city_graphdb_spark.sparql.extensions import (
+        GEOF, default_extensions, geof_sf_equals, geof_sf_touches,
+    )
+
+    ext = default_extensions()
+    for name in ("ehEquals", "ehDisjoint", "ehMeet", "ehOverlap",
+                 "ehInside", "ehContains", "ehCoveredBy", "ehCovers",
+                 "rcc8eq", "rcc8dc", "rcc8ec", "rcc8po",
+                 "rcc8ntpp", "rcc8ntppi", "rcc8tpp", "rcc8tppi"):
+        assert GEOF + name in ext, name
+    assert ext[GEOF + "rcc8eq"] is geof_sf_equals
+    assert ext[GEOF + "ehMeet"] is geof_sf_touches
