@@ -857,6 +857,12 @@ class SparqlParser:
                 while self._accept_op(","):
                     args.append(self._expression())
             self._expect_op(")")
+        if func == "BOUND" and not (
+            len(args) == 1 and isinstance(args[0], Var)
+        ):
+            # grammar: BuiltInCall ::= ... | 'BOUND' '(' Var ')' — an
+            # arbitrary expression operand is a syntax error
+            raise ValueError("sparql: BOUND takes a single variable")
         return FuncCall(func, args)
 
 
@@ -1151,6 +1157,21 @@ def _validate_query(q) -> None:
         # SELECT * projects every in-scope variable, which a grouped query
         # cannot do (each projection must be a group key or aggregate)
         raise ValueError("sparql: SELECT * cannot be used with GROUP BY")
+    seen_names: set[str] = set()
+    for item, alias in q.projections:
+        name = alias.name if alias is not None else (
+            item.name if isinstance(item, Var) else None
+        )
+        if name is None:
+            continue
+        if name in seen_names:
+            # 18.2.4.4: each (expr AS ?x) must bind a FRESH variable —
+            # a duplicate projection name is a syntax-level error
+            raise ValueError(
+                f"sparql: ?{name} is assigned or projected twice in the "
+                "SELECT clause"
+            )
+        seen_names.add(name)
     if grouped and q.projections:
         # with GROUP BY, bare projections must be group keys; with only
         # aggregates (implicit single group, spec 18.2.4.1) NO bare
