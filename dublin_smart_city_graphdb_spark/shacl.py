@@ -135,6 +135,9 @@ class PropertyShape:
     q_min: int | None = None
     q_max: int | None = None
     severity: str = SH + "Violation"
+    # sh:message override: replaces the component-generated result message
+    # on every violation this shape reports (RDF4J behavior)
+    message: str | None = None
 
 
 @dataclass
@@ -393,6 +396,8 @@ def _parse_property(
             ps.q_max = ival(o)
         elif p == SH + "severity":
             ps.severity = o.value
+        elif p == SH + "message":
+            ps.message = o.lex
     return ps
 
 
@@ -434,6 +439,8 @@ def _focus_nodes(quads: DataFrame, ns: NodeShape) -> DataFrame:
 
 def _report_row(ps: PropertyShape, shape: str, constraint: str,
                 focus, value, message) -> list:
+    # sh:message overrides every component-generated message of the shape
+    msg = F.lit(ps.message) if ps.message is not None else message
     return [
         focus.alias("focus"),
         F.lit(ps.path).alias("path"),
@@ -441,7 +448,7 @@ def _report_row(ps: PropertyShape, shape: str, constraint: str,
         F.lit(constraint).alias("constraint"),
         F.lit(shape).alias("shape"),
         F.lit(ps.severity).alias("severity"),
-        message.alias("message"),
+        msg.alias("message"),
     ]
 
 

@@ -713,3 +713,12 @@ def test_stream_validator_rejects_composite_paths(repo):
         "<http://www.w3.org/2001/XMLSchema#string> ]"))
     with pytest.raises(ShaclError, match="composite sh:path"):
         validate_statements_stream(repo.quads, repo.quads, shapes)
+
+
+def test_sh_message_overrides_component_message(repo):
+    rows = repo.validate_shacl(_shape(
+        'sh:property [ sh:path ex:name ; sh:minCount 1 ; '
+        'sh:message "every person needs a name" ]')).collect()
+    assert [(r["focus"], r["message"]) for r in rows] == [
+        (EX + "bob", "every person needs a name")
+    ]
