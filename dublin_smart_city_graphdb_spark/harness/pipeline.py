@@ -3165,6 +3165,94 @@ def chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_CHUNK_W = 8
+
+_CHUNK_DEDUP_SQL = f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(t.g AS BIGINT) AS chunk_idx,
+               array_to_string(
+                   w[(t.g * {_DEDUP_CHUNK_W} + 1):
+                     (t.g * {_DEDUP_CHUNK_W} + {_DEDUP_CHUNK_W})], ' ')
+                   AS chunk_text
+        FROM words,
+             UNNEST(range(CAST(ceil(len(w) / {_DEDUP_CHUNK_W}.0) AS BIGINT)))
+                 AS t(g)
+    ),
+    marked AS (
+        SELECT doc_id, chunk_idx, chunk_text,
+               ROW_NUMBER() OVER (
+                   PARTITION BY chunk_text
+                   ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                               ' ' ORDER BY chunk_idx), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM marked GROUP BY doc_id
+"""
+
+
+@register(
+    "corpus_chunk_dedup",
+    _CHUNK_DEDUP_SQL,
+    doc=f"Corpus-level exact substring dedup with document REASSEMBLY "
+        f"(the C4/RefinedWeb transformation, not just the chunk_dup_rate "
+        f"measurement): split every document into {_DEDUP_CHUNK_W}-word "
+        f"chunks, keep only each chunk's FIRST global occurrence "
+        f"(deterministic (doc_id, chunk_idx) order), and rebuild every "
+        f"document from its surviving chunks in position order. Two "
+        f"shuffles: one window over the chunk text (global first-"
+        f"occurrence rank — at 100 TB this keys on the chunk value, so "
+        f"boilerplate hot chunks are single-key-bounded, not all-pairs) "
+        f"and one groupBy(doc_id) reassembly; the chunk explosion stays "
+        f"inside the scan stage. Oracle replays the identical "
+        f"rank-and-reassemble relationally.",
+)
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    k = _DEDUP_CHUNK_W
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.expr(
+        f"CASE WHEN size(split(text, ' ')) <= 0 THEN "
+        f"CAST(array() AS ARRAY<BIGINT>) ELSE sequence(CAST(0 AS BIGINT), "
+        f"CAST(ceil(size(split(text, ' ')) / {k}.0) AS BIGINT) - 1) END"
+    )
+    ch = d.select(
+        "doc_id", F.explode(n_chunks).alias("chunk_idx"),
+        words.alias("w"),
+    ).select(
+        "doc_id", "chunk_idx",
+        F.array_join(
+            F.slice(
+                F.col("w"),
+                (F.col("chunk_idx") * k + 1).cast("int"), k,
+            ), " ",
+        ).alias("chunk_text"),
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    marked = ch.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.array_sort(
+        F.collect_list(F.struct("chunk_idx", "chunk_text", "rn"))
+    )
+    return marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.filter(kept_struct, lambda x: x["rn"] == 1),
+                lambda x: x["chunk_text"],
+            ), " ",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
 _ENTROPY_SQL = """
     WITH ch AS (
         SELECT doc_id, u.ch

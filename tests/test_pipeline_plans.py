@@ -492,3 +492,12 @@ def test_kcore_plan_is_bounded_peel_rounds(spark):
     plan = plan_of(q(spark, "graph_kcore"))
     assert plan.count("Exchange hashpartitioning") <= 16
     assert "Scan ExistingRDD" in plan
+
+
+def test_corpus_chunk_dedup_two_shuffles(spark):
+    """Keep-first chunk dedup: one window exchange on the chunk text +
+    one groupBy(doc_id) reassembly exchange; the chunk explosion must
+    stay inside the scan stage (no extra exchange before the window)."""
+    plan = plan_of(q(spark, "corpus_chunk_dedup"))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" in plan
