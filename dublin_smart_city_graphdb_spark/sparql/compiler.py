@@ -412,10 +412,18 @@ class QueryCompiler:
                         )
                     else:
                         agg_exprs.append(F.count(F.lit(1)).alias(raw))
-                elif node.distinct:
-                    agg_exprs.append(F.countDistinct(operand).alias(raw))
                 else:
-                    agg_exprs.append(F.count(operand).alias(raw))
+                    # §18.5.1.1: Count counts the DEFINED evaluations —
+                    # a row whose operand errors (kind-null term struct,
+                    # which Spark's count would still see as a non-null
+                    # struct) contributes nothing
+                    defined = F.when(
+                        operand["kind"].isNotNull(), operand
+                    )
+                    if node.distinct:
+                        agg_exprs.append(F.countDistinct(defined).alias(raw))
+                    else:
+                        agg_exprs.append(F.count(defined).alias(raw))
                 builders[id(node)] = make_numeric(
                     F.col(raw).cast("decimal(38,10)"), XSD + "integer"
                 )
