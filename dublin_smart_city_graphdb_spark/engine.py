@@ -44,7 +44,7 @@ def _norm_ruleset(name: str | None) -> str:
     if n.endswith("-optimized"):
         n = n[: -len("-optimized")]
     n = {"empty": "none", "rdfs-plus": "rdfsplus"}.get(n, n)
-    if n not in ("none", "rdfsplus", "owl-horst", "custom"):
+    if n not in ("none", "rdfsplus", "owl-horst", "owl2-rl", "custom"):
         raise ValueError(f"unknown ruleset {name!r}")
     return n
 
@@ -263,6 +263,13 @@ class Repository:
 
             def materialize(explicit):
                 return horst.materialize(spark, explicit)
+        elif ruleset == "owl2-rl":
+            from dublin_smart_city_graphdb_spark.inference import owl2rl
+
+            spark = self.spark
+
+            def materialize(explicit):
+                return owl2rl.materialize(spark, explicit)
         else:
             from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
                 materialize,

@@ -1270,6 +1270,58 @@ def sparql_owl_horst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(_lex("c").alias("c"), _lex("name").alias("name"))
 
 
+@register(
+    "sparql_owl2_property_chain",
+    """
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c,
+           'urn:region:' || CAST(n_regionkey AS VARCHAR) AS r
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY c, r
+    """,
+    doc="OWL 2 RL ruleset (GraphDB owl2-rl twin): an "
+        "owl:propertyChainAxiom (rel:inNation rel:inRegion) materializes "
+        "ex:custRegion at load via rule prp-spo2 — the customer-to-region "
+        "hop exists in NO explicit statement; the chain's RDF-list walk "
+        "is a fixed-length BGP, the instance side two pruned scans joined "
+        "on the hop node. Oracle: the 2-way join the chain encodes.",
+    cache_plan=False,
+)
+def sparql_owl2_property_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.engine import Engine
+    from dublin_smart_city_graphdb_spark.model.terms import OWL, RDF
+
+    EX = "urn:ex:"
+    eng = Engine(spark)
+    name = f"gate_owl2_chain_{abs(hash(sf_dir)) % 10_000}"
+    if name in eng.list_repositories():
+        repo = eng._repos[name]
+    else:
+        repo = eng.create_repository(name, ruleset="owl2-rl")
+        base = _quads(spark, sf_dir)
+        schema_rows = [
+            (EX + "custRegion", OWL + "propertyChainAxiom", 0, EX + "l1"),
+            (EX + "l1", RDF + "first", 0, R + "inNation"),
+            (EX + "l1", RDF + "rest", 0, EX + "l2"),
+            (EX + "l2", RDF + "first", 0, R + "inRegion"),
+            (EX + "l2", RDF + "rest", 0, RDF + "nil"),
+        ]
+        schema = spark.createDataFrame(
+            [(None, s, p, k, o, None, None, None, None, None)
+             for s, p, k, o in schema_rows],
+            base.schema,
+        )
+        repo.add_quads(base.unionByName(schema))
+        repo.materialize_inference()
+    df = repo.sparql(f"""
+        PREFIX rel: <{R}>
+        PREFIX ex: <{EX}>
+        SELECT ?c ?r WHERE {{
+          ?c a rel:Customer ; ex:custRegion ?r .
+        }} ORDER BY ?c ?r
+    """)
+    return df.select(_lex("c").alias("c"), _lex("r").alias("r"))
+
+
 # ---------------------------------------------------------------------------
 # SHACL validation report (VERDICT r4 task 2: the GraphDB/RDF4J SHACL
 # engine surface, batch-validated as DataFrame checks — shacl.py)
