@@ -487,7 +487,11 @@ class ExprCompiler:
             )
 
         if name == "STR":
-            return make_string(_lex(args[0]))
+            # §17.4.2.5: STR takes a literal or an IRI — a blank node
+            # argument is a type error, not its label
+            return F.when(
+                args[0]["kind"] == KIND_BLANK, null_struct()
+            ).otherwise(make_string(_lex(args[0])))
         if name == "LANG":
             return make_string(F.coalesce(args[0]["lang"], F.lit("")))
         if name == "LANGMATCHES":
@@ -635,6 +639,8 @@ class ExprCompiler:
                 _NULL_B, _NULL_N, _NULL_T, _struct,
             )
 
+            if not args:  # CONCAT() — the empty simple literal
+                return make_string(F.lit(""))
             out = F.concat(*[_lex(a) for a in args])
             lang0 = args[0]["lang"]
             same_lang = lang0.isNotNull()
