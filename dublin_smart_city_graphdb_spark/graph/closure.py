@@ -273,16 +273,20 @@ def personalized_pagerank(
     iterations: int = 2,
     damping: float = 0.85,
 ) -> DataFrame:
-    """Personalized PageRank → (id, rank): the teleport vector is uniform
-    over ``sources`` (a DataFrame with an ``id`` column) instead of over
-    all nodes — GraphX's personalized variant. Ranks start at 1.0 on the
-    sources and 0 elsewhere; each round only source nodes receive the
-    (1-d) teleport base, everyone else keeps pure damped in-flow, so mass
-    concentrates in the sources' forward neighborhoods. Same fixed-point
-    integer pipeline and one-shuffle round as `pagerank` (bit-exact
-    across engines); the source set rides as one checkpointed semi-join
-    side — broadcast when small, exactly the 100 TB shape (seed sets are
-    tiny relative to the graph)."""
+    """Personalized PageRank → (id, rank): teleportation returns mass
+    only to ``sources`` (a DataFrame with an ``id`` column) instead of to
+    all nodes. Contract (deliberately UNNORMALIZED over the source set):
+    every source starts at rank 1.0 and receives the full (1-d) teleport
+    base each round, so total mass scales with |sources| — each source
+    contributes a unit personalization vector, and the result equals the
+    sum of per-source personalized ranks (GraphX instead normalizes the
+    teleport vector to sum 1 over the set; divide by |sources| to match
+    it). Everyone else keeps pure damped in-flow, so mass concentrates in
+    the sources' forward neighborhoods. Same fixed-point integer pipeline
+    and one-shuffle round as `pagerank` (bit-exact across engines); the
+    source set rides as one checkpointed semi-join side — broadcast when
+    small, exactly the 100 TB shape (seed sets are tiny relative to the
+    graph)."""
     tr, e, e_ids, nodes, node_ids, degrees, d_num, d_den = _pagerank_setup(
         edges, src, dst, damping
     )

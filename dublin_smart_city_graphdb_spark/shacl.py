@@ -1247,6 +1247,24 @@ def _node_value_cols(focus_col, value_col):
     ]
 
 
+def _step_focus_is_node(expr: tuple) -> bool:
+    """True when every focus a path step can match comes from subject
+    position (IRI/bnode, v_kind 0). Inverse steps take their focus from
+    object position — a literal there is a legitimate intermediate
+    (``f p "x" ; s q "x"`` satisfies ``p/^q``) — and zero-length arms
+    admit the incoming value itself, whatever its kind."""
+    kind = expr[0]
+    if kind == "iri":
+        return True
+    if kind == "seq":
+        return _step_focus_is_node(expr[1][0])
+    if kind == "alt":
+        return all(_step_focus_is_node(part) for part in expr[1])
+    if kind == "oom":
+        return _step_focus_is_node(expr[1])
+    return False  # inv, zoo, zom
+
+
 def _path_values(quads: DataFrame, expr: tuple,
                  focus: DataFrame | None) -> DataFrame:
     """Evaluate a parsed sh:path AST → (focus, value-term) rows.
@@ -1281,6 +1299,11 @@ def _path_values(quads: DataFrame, expr: tuple,
         cur = _path_values(quads, expr[1][0], focus)
         for nxt in expr[1][1:]:
             step = _path_values(quads, nxt, None)
+            if _step_focus_is_node(nxt):
+                # The next hop's focus domain is subject-position nodes;
+                # a literal intermediate whose lexical form collides with
+                # a node identifier must not join through (lex-only key).
+                cur = cur.filter(F.col("v_kind") == 0)
             cur = (
                 cur.select("focus", F.col("v_lex").alias("_mid"))
                 .join(step.withColumnRenamed("focus", "_mid"), "_mid")
@@ -1336,7 +1359,10 @@ def property_values(quads: DataFrame, ps: PropertyShape,
     for paths with zero-length arms (sh:zeroOrOnePath /
     sh:zeroOrMorePath)."""
     if ps.path_expr is not None:
-        return _path_values(quads, ps.path_expr, focus)
+        # SHACL value nodes form a SET: two route-distinct traversals of a
+        # composite path reaching the same (focus, value) pair must count
+        # once for min/max-count and report one row per value constraint.
+        return _path_values(quads, ps.path_expr, focus).distinct()
     scan = quads.filter(F.col("p") == ps.path)
     if ps.inverse:
         out = scan.select(

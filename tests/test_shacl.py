@@ -703,6 +703,56 @@ def test_path_zero_or_more(repo):
     ]
 
 
+def test_path_sequence_values_are_a_set(spark):
+    """Route-distinct traversals converging on one value count ONCE:
+    x p y1,y2 ; y1 q z ; y2 q z with sh:path (p q) sh:maxCount 1 must
+    conform (ADVICE r6 high: seq previously kept duplicate rows)."""
+    eng = Engine(spark)
+    r = eng.create_repository("shacl_seq_set", ruleset="none")
+    try:
+        r.load_turtle_text(f"""
+        @prefix ex: <{EX}> .
+        ex:x a ex:Thing ; ex:p ex:y1 , ex:y2 .
+        ex:y1 ex:q ex:z . ex:y2 ex:q ex:z .
+        """)
+        shapes = f"""
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <{EX}> .
+        ex:TShape a sh:NodeShape ; sh:targetClass ex:Thing ;
+          sh:property [ sh:path (ex:p ex:q) ; sh:maxCount 1 ] .
+        """
+        assert [(row["focus"], row["constraint"], row["value"])
+                for row in r.validate_shacl(shapes).collect()] == []
+    finally:
+        eng.drop_repository("shacl_seq_set")
+
+
+def test_path_sequence_literal_midpoint_does_not_alias_node(spark):
+    """A literal intermediate whose lexical form equals a node IRI must
+    not continue a forward sequence hop (ADVICE r6: the _mid join used
+    v_lex only). ex:x ex:p "{EX}mid" (literal) and node ex:mid has ex:q:
+    (p q) from x reaches nothing."""
+    eng = Engine(spark)
+    r = eng.create_repository("shacl_seq_kind", ruleset="none")
+    try:
+        r.load_turtle_text(f"""
+        @prefix ex: <{EX}> .
+        ex:x a ex:Thing ; ex:p "{EX}mid" .
+        ex:mid ex:q ex:z .
+        """)
+        shapes = f"""
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <{EX}> .
+        ex:TShape a sh:NodeShape ; sh:targetClass ex:Thing ;
+          sh:property [ sh:path (ex:p ex:q) ; sh:minCount 1 ] .
+        """
+        v = [(row["focus"], row["constraint"], row["value"])
+             for row in r.validate_shacl(shapes).collect()]
+        assert v == [(EX + "x", "MinCountConstraintComponent", None)]
+    finally:
+        eng.drop_repository("shacl_seq_kind")
+
+
 def test_stream_validator_rejects_composite_paths(repo):
     from dublin_smart_city_graphdb_spark.streaming.shacl_stream import (
         validate_statements_stream,
