@@ -23,18 +23,39 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (a, b) with a path a →+ b (SPARQL ``p+`` semantics).
 
     Semi-naive: delta ⋈ edges per round, de-duplicated against the
     accumulated path set before the next round.
-    """
+
+    ``seeds`` (a one-column DataFrame of node ids, src-typed) restricts
+    evaluation to pairs whose SOURCE is a seed: the fixpoint starts from
+    seeds ⋈ edges instead of the whole edge set, so each round's delta is
+    the seeds' expanding FRONTIER and total cost is O(reachable-from-
+    seeds), not O(all pairs) — the number of rounds is bounded by the
+    reachable set's diameter, not the graph's. This is the scale path for
+    bound-endpoint SPARQL paths (``ex:X ex:p+ ?y``): at 100 TB the full
+    closure of a predicate graph dwarfs one node's reachable set by
+    orders of magnitude. Seed sets are tiny (usually one constant), so
+    the seeding join broadcasts."""
     tr = CheckpointTracker(edges)
     base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     base, base_ids = tr.checkpoint(base)
 
-    paths = base
-    delta = base
+    if seeds is not None:
+        seed_col = seeds.columns[0]
+        init = (
+            F.broadcast(seeds.select(F.col(seed_col).alias("src")).distinct())
+            .join(base, "src")
+        )
+        init, init_ids = tr.checkpoint(init)
+        paths = init
+        delta = init
+    else:
+        paths = base
+        delta = base
     # checkpoint generations currently referenced by the lazy `paths`
     # union (deltas since the last compaction + the last compaction)
     union_ids: set = set()

@@ -325,6 +325,45 @@ def sparql_path_europe_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_path_bound_endpoint",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT 'urn:customer:' || c_custkey AS src,
+               'urn:nation:' || c_nationkey AS dst
+        FROM customer
+        UNION ALL
+        SELECT 'urn:supplier:' || s_suppkey,
+               'urn:nation:' || s_nationkey
+        FROM supplier
+        UNION ALL
+        SELECT 'urn:nation:' || n_nationkey,
+               'urn:region:' || n_regionkey
+        FROM nation
+    ),
+    reach AS (
+        SELECT src FROM edges WHERE dst = 'urn:region:1'
+        UNION
+        SELECT e.src FROM edges e JOIN reach r ON e.dst = r.src
+    )
+    SELECT DISTINCT src AS x FROM reach
+    """,
+    doc="SPARQL `+` path with a BOUND endpoint (VERDICT r6 task 1): "
+        "?x (inNation|inRegion)+ <urn:region:1> must run the frontier-"
+        "seeded closure from the constant (reversed edges), never the "
+        "all-pairs closure post-filtered — O(reachable set), not "
+        "O(all pairs), at 100 TB. Oracle: backward recursive CTE.",
+    cache_plan=False,
+)
+def sparql_path_bound_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT ?x
+        WHERE {{ ?x (rel:inNation|rel:inRegion)+ <urn:region:1> }}
+    """)
+    return df.select(_lex("x").alias("x"))
+
+
+@register(
     "sparql_not_exists_nations",
     """
     SELECT n.n_name AS nation, COUNT(*) AS num_customers

@@ -1543,23 +1543,87 @@ class QueryCompiler:
 
     # -- property paths ------------------------------------------------------
     def _scan_path_pattern(self, tp: A.TriplePattern, graph_ctx) -> Compiled:
-        pairs = self.compile_path_pairs(tp.p, graph_ctx)
+        s_t, o_t = tp.s, tp.o
+        path = tp.p
+        # ^(path) with endpoints (s, o) ≡ path with endpoints (o, s):
+        # unwrapping keeps a bound endpoint visible to the seeded route.
+        while isinstance(path, A.PathInv):
+            path, s_t, o_t = path.inner, o_t, s_t
+        pairs = self._path_pairs_for_endpoints(path, graph_ctx, s_t, o_t)
         names: list[str] = []
         sel: list[Column] = []
-        if isinstance(tp.s, A.Var):
-            sel.append(F.col("src").alias(tp.s.name))
-            names.append(tp.s.name)
+        if isinstance(s_t, A.Var):
+            sel.append(F.col("src").alias(s_t.name))
+            names.append(s_t.name)
         else:
-            pairs = pairs.filter(F.col("src").eqNullSafe(const_struct(tp.s)))
-        if isinstance(tp.o, A.Var):
-            if isinstance(tp.s, A.Var) and tp.o.name == tp.s.name:
+            pairs = pairs.filter(F.col("src").eqNullSafe(const_struct(s_t)))
+        if isinstance(o_t, A.Var):
+            if isinstance(s_t, A.Var) and o_t.name == s_t.name:
                 pairs = pairs.filter(F.col("src").eqNullSafe(F.col("dst")))
             else:
-                sel.append(F.col("dst").alias(tp.o.name))
-                names.append(tp.o.name)
+                sel.append(F.col("dst").alias(o_t.name))
+                names.append(o_t.name)
         else:
-            pairs = pairs.filter(F.col("dst").eqNullSafe(const_struct(tp.o)))
+            pairs = pairs.filter(F.col("dst").eqNullSafe(const_struct(o_t)))
         return Compiled(pairs.select(*sel) if sel else pairs.select(), names, set(names))
+
+    def _path_pairs_for_endpoints(
+        self, path, graph_ctx, s_t, o_t
+    ) -> DataFrame:
+        """Pairs for ``path``, routed by endpoint boundness. A ``+``/``*``
+        closure with a CONSTANT endpoint is evaluated frontier-seeded from
+        that constant (reversed edges for a bound object) instead of
+        closing the whole predicate graph and post-filtering: rounds and
+        row work are bounded by the constant's reachable set, not the
+        graph — the all-pairs closure of a 100 TB predicate graph dwarfs
+        one node's neighborhood. Matches the reference's golden-query
+        shape (facilities.ttl:205-208 binds ex:NorthCentral as the path
+        source). Unbound-endpoint paths keep the all-pairs route."""
+        s_const = not isinstance(s_t, A.Var)
+        o_const = not isinstance(o_t, A.Var)
+        if not isinstance(path, (A.PathStar, A.PathPlus)) or not (
+            s_const or o_const
+        ):
+            return self.compile_path_pairs(path, graph_ctx)
+        from dublin_smart_city_graphdb_spark.graph.closure import (
+            transitive_closure,
+        )
+
+        inner = self.compile_path_pairs(path.inner, graph_ctx)
+        if s_const:
+            seed_term = s_t
+            seeds = self.spark.range(1).select(
+                const_struct(s_t).alias("src")
+            )
+            closed = transitive_closure(inner, seeds=seeds)
+        else:
+            seed_term = o_t
+            rev = inner.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+            seeds = self.spark.range(1).select(
+                const_struct(o_t).alias("src")
+            )
+            closed = transitive_closure(rev, seeds=seeds).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        if isinstance(path, A.PathStar):
+            # zero-length arm: (t, t) iff the bound term occurs as a node
+            # of the scoped graph (same node domain the all-pairs route
+            # uses). limit(1) keeps it a constant-size probe.
+            df = self._graph_scope(self.quads, graph_ctx)
+            c = const_struct(seed_term)
+            present = (
+                df.select(subject_struct(F.col("s")).alias("n"))
+                .unionByName(df.select(object_struct().alias("n")))
+                .filter(F.col("n").eqNullSafe(c))
+                .limit(1)
+            )
+            ident = present.select(
+                F.col("n").alias("src"), F.col("n").alias("dst")
+            )
+            closed = closed.unionByName(ident).distinct()
+        return closed
 
     def compile_path_pairs(self, path, graph_ctx) -> DataFrame:
         df = self._graph_scope(self.quads, graph_ctx)

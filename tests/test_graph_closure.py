@@ -23,6 +23,37 @@ def test_transitive_closure_cycle_terminates(spark):
     assert got == {(a, b) for a in (1, 2, 3) for b in (1, 2, 3)}
 
 
+def test_seeded_closure_restricts_to_seed_sources(spark):
+    """transitive_closure(seeds=...) returns exactly the all-pairs rows
+    whose source is a seed — including through cycles."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(2,)], ["src"])
+    got = {(r.src, r.dst)
+           for r in transitive_closure(edges, seeds=seeds).collect()}
+    assert got == {(2, 3), (2, 1), (2, 2), (2, 4)}
+    # seed with no outgoing edges -> empty, not an error
+    lone = spark.createDataFrame([(4,)], ["src"])
+    assert transitive_closure(edges, seeds=lone).count() == 0
+
+
+def test_seeded_closure_rounds_track_reachable_set_not_graph(spark):
+    """Round contract (VERDICT r6 task 1): frontier rounds are bounded by
+    the SEED's reachable diameter, not the graph's. The graph carries a
+    30-hop chain (all-pairs needs ~30 delta rounds); the seed's reachable
+    set has diameter 3, so max_iterations=4 must already be complete."""
+    chain = [(i, i + 1) for i in range(100, 130)]
+    edges = spark.createDataFrame(
+        chain + [(1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["src"])
+    got = {(r.src, r.dst)
+           for r in transitive_closure(
+               edges, seeds=seeds, max_iterations=4).collect()}
+    assert got == {(1, 2), (1, 3), (1, 4)}
+
+
 def test_connected_components(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (11, 12), (20, 20)], ["src", "dst"]

@@ -238,6 +238,54 @@ def test_property_path_plus(micro):
     assert sorted(lexes(rows)) == ["http://m#b", "http://m#c", "http://m#d"]
 
 
+def test_property_path_bound_endpoints_routes_seeded(micro, monkeypatch):
+    """Bound-endpoint +/* paths take the frontier-seeded closure (VERDICT
+    r6 task 1): the fixpoint must be SEEDED from the constant, never the
+    all-pairs closure post-filtered. Asserted by spying on the closure
+    kernel's seeds argument, alongside the result values for every
+    boundness shape."""
+    from dublin_smart_city_graphdb_spark.graph import closure as C
+
+    calls: list[bool] = []
+    real = C.transitive_closure
+
+    def spy(edges, src="src", dst="dst", max_iterations=50, seeds=None):
+        calls.append(seeds is not None)
+        return real(edges, src, dst, max_iterations, seeds)
+
+    monkeypatch.setattr(C, "transitive_closure", spy)
+
+    # bound subject, + : a knows+ -> b, c, d
+    rows = micro.sparql_collect(MP + "SELECT ?y WHERE { ex:a ex:knows+ ?y }")
+    assert sorted(lexes(rows)) == ["http://m#b", "http://m#c", "http://m#d"]
+    # bound object, + : who reaches c = a, b
+    rows = micro.sparql_collect(MP + "SELECT ?x WHERE { ?x ex:knows+ ex:c }")
+    assert sorted(lexes(rows)) == ["http://m#a", "http://m#b"]
+    # bound subject, * : zero-length arm includes a itself
+    rows = micro.sparql_collect(MP + "SELECT ?y WHERE { ex:a ex:knows* ?y }")
+    assert sorted(lexes(rows)) == [
+        "http://m#a", "http://m#b", "http://m#c", "http://m#d",
+    ]
+    # inverse-wrapped bound endpoint: ?y ^(ex:knows+) ex:b ≡ b knows+ y
+    rows = micro.sparql_collect(
+        MP + "SELECT ?y WHERE { ?y ^(ex:knows+) ex:b }"
+    )
+    assert sorted(lexes(rows)) == ["http://m#c", "http://m#d"]
+    # both bound: ASK-shaped membership
+    rows = micro.sparql_collect(
+        MP + "SELECT (1 AS ?ok) WHERE { ex:a ex:knows+ ex:d }"
+    )
+    assert len(rows) == 1
+    assert calls and all(calls), f"unseeded closure call slipped in: {calls}"
+    # unbound endpoints still take the all-pairs route
+    calls.clear()
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x ?y WHERE { ?x ex:knows+ ?y }"
+    )
+    assert len(rows) == 6
+    assert calls == [False]
+
+
 def test_property_path_seq_inverse(micro):
     rows = micro.sparql_collect(
         MP + "SELECT ?y WHERE { ex:a ex:knows/ex:knows ?y }"
