@@ -363,6 +363,27 @@ class Repository:
             )
         return validate(data, parse_shapes(shapes_text))
 
+    def check_consistency(self, include_inferred: bool = True) -> DataFrame:
+        """OWL 2 RL inconsistency rules (eq-diff*, prp-irp/asyp/pdw/adp/
+        npa*, cls-com/nothing2/maxc1/maxqc1+2, cax-dw/adc) as a
+        validation report — one (rule, focus, detail) row per violation,
+        empty ⇔ consistent. GraphDB surfaces these as load-time
+        consistency errors under the owl2-rl ruleset (selected by name
+        like init-graphdb.sh:51-55 selects rdfsplus-optimized); here they
+        are a SHACL-style batch report over the materialized view."""
+        import pyspark.sql.functions as F
+
+        from dublin_smart_city_graphdb_spark.inference.owl2rl import (
+            consistency_report,
+        )
+
+        data = self.quads
+        if not include_inferred:
+            data = data.filter(
+                F.col("g").isNull() | (F.col("g") != INFERRED_GRAPH)
+            )
+        return consistency_report(self.spark, data)
+
     # -- query --------------------------------------------------------------
     @property
     def quads(self) -> DataFrame:
