@@ -519,6 +519,23 @@ class Repository:
                     "\n".join([RDFXML_HEADER, *frags, RDFXML_FOOTER]) + "\n",
                     "application/rdf+xml",
                 )
+            if "application/ld+json" in accept:
+                import pyspark.sql.functions as F
+
+                from dublin_smart_city_graphdb_spark.inference.custom import (
+                    _construct_to_spo,
+                )
+                from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                    quads_to_jsonld,
+                )
+
+                spo = _construct_to_spo(
+                    self.sparql(query_text, include_inferred=include_inferred)
+                ).withColumn("g", F.lit(None).cast("string"))
+                return (
+                    quads_to_jsonld(spo) + "\n",
+                    "application/ld+json",
+                )
             if any(
                 t in accept
                 for t in ("application/n-triples", "text/turtle", "text/plain")

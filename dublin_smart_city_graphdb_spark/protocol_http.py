@@ -339,6 +339,16 @@ def _make_handler(engine: Engine):
                     body = "\n".join([RDFXML_HEADER, *frags, RDFXML_FOOTER])
                     self._send(200, body + "\n", "application/rdf+xml")
                     return
+                if "application/ld+json" in accept:
+                    from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                        quads_to_jsonld,
+                    )
+
+                    self._send(
+                        200, quads_to_jsonld(quads) + "\n",
+                        "application/ld+json",
+                    )
+                    return
                 if "application/trig" in accept:
                     lines = quads_to_trig_lines(quads)
                     body = "\n".join(r["value"] for r in lines.collect())
@@ -409,6 +419,16 @@ def _make_handler(engine: Engine):
                         return
                     body = "\n".join([RDFXML_HEADER, *frags, RDFXML_FOOTER])
                     self._send(200, body + "\n", "application/rdf+xml")
+                    return
+                if "application/ld+json" in accept:
+                    from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                        quads_to_jsonld,
+                    )
+
+                    self._send(
+                        200, quads_to_jsonld(quads) + "\n",
+                        "application/ld+json",
+                    )
                     return
                 if "application/trig" in accept:
                     lines, ctype = quads_to_trig_lines(quads), "application/trig"

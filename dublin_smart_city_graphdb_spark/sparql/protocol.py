@@ -403,3 +403,58 @@ def quads_to_trig_lines(quads: DataFrame) -> DataFrame:
                      F.lit(" }"))
         ).alias("value")
     )
+
+
+def quads_to_jsonld(quads: DataFrame) -> str:
+    """Quads-table rows → a JSON-LD 1.1 document string (flattened node
+    objects, no context). Default-graph nodes sit directly in the
+    top-level ``@graph``; each named graph becomes an
+    ``{"@id": g, "@graph": [...]}`` entry. Literals map to ``@value``
+    (+``@language`` / non-xsd:string ``@type``); IRIs and blank nodes to
+    ``{"@id": ...}``. Output is deterministic (graphs, subjects,
+    predicates, and values all sorted), so exports are byte-stable
+    across partitionings, and round-trips through sources/jsonld.py's
+    reader. RDF-star quoted triples have no standard JSON-LD encoding
+    and raise. Driver-side assembly — the protocol-response contract
+    shared with the other graph exporters (bounded HTTP bodies; bulk
+    egress uses the distributed NDJSON/N-Quads paths)."""
+    import json
+
+    XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+    rows = quads.select(
+        "g", "s", "p", "o_kind", "o_lex", "o_dtype", "o_lang"
+    ).collect()
+    tree: dict = {}
+    for r in rows:
+        if r["o_kind"] == 3:
+            raise ValueError(
+                "jsonld export: RDF-star quoted triples have no JSON-LD "
+                "serialization; request N-Quads or TriG"
+            )
+        if r["o_kind"] == KIND_LITERAL:
+            obj: dict = {"@value": r["o_lex"]}
+            if r["o_lang"]:
+                obj["@language"] = r["o_lang"]
+            elif r["o_dtype"] and r["o_dtype"] != XSD_STRING:
+                obj["@type"] = r["o_dtype"]
+        else:
+            obj = {"@id": r["o_lex"]}
+        tree.setdefault(r["g"], {}).setdefault(r["s"], {}).setdefault(
+            r["p"], []
+        ).append(obj)
+
+    def nodes(subjects: dict) -> list:
+        out = []
+        for s in sorted(subjects):
+            node = {"@id": s}
+            for p in sorted(subjects[s]):
+                vals = subjects[s][p]
+                node[p] = sorted(vals, key=lambda v: json.dumps(
+                    v, sort_keys=True))
+            out.append(node)
+        return out
+
+    top = nodes(tree.get(None, {}))
+    for g in sorted(k for k in tree if k is not None):
+        top.append({"@id": g, "@graph": nodes(tree[g])})
+    return json.dumps({"@graph": top}, indent=1, sort_keys=False)

@@ -810,3 +810,81 @@ def test_explain_endpoint(server):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as ex:
         assert ex.code == 400
+
+
+def test_statements_export_jsonld_roundtrip(server):
+    """Statements GET with Accept: application/ld+json (VERDICT r6 task
+    3): the export round-trips through our own JSON-LD reader to the
+    identical statement set — typed/tagged/plain literals, IRI objects,
+    and named-graph placement via @graph entries."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "jsonld_export", "params": {}}).encode(),
+        "application/json",
+    )
+    trig = b"""
+        @prefix ex: <http://x#> .
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        ex:a ex:knows ex:b .
+        ex:a ex:name "Alice"@en .
+        ex:b ex:age "30"^^xsd:integer .
+        ex:b ex:note "plain" .
+        GRAPH ex:g1 { ex:c ex:p ex:d . }
+    """
+    _post(server, "/repositories/jsonld_export/statements", trig,
+          "application/trig")
+    req = urllib.request.Request(
+        _url(server, "/repositories/jsonld_export/statements"),
+        headers={"Accept": "application/ld+json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get_content_type() == "application/ld+json"
+        body = r.read().decode()
+    doc = json.loads(body)
+    assert "@graph" in doc
+
+    # reload the export into a fresh repository via the JSON-LD reader
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "jsonld_back", "params": {}}).encode(),
+        "application/json",
+    )
+    _post(server, "/repositories/jsonld_back/statements", body.encode(),
+          "application/ld+json")
+
+    def dump(repo):
+        req = urllib.request.Request(
+            _url(server, f"/repositories/{repo}/statements"),
+            headers={"Accept": "application/n-quads"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return set(line for line in r.read().decode().splitlines()
+                       if line.strip())
+
+    assert dump("jsonld_back") == dump("jsonld_export")
+
+
+def test_construct_served_as_jsonld(server):
+    """CONSTRUCT with Accept: application/ld+json returns the graph as a
+    JSON-LD document (query-endpoint negotiation, not just GSP)."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "jsonld_q", "params": {}}).encode(),
+        "application/json",
+    )
+    _post(server, "/repositories/jsonld_q/statements",
+          b"@prefix ex: <http://x#> . ex:a ex:p ex:b .", "text/turtle")
+    q = urllib.parse.quote(
+        "PREFIX ex: <http://x#> CONSTRUCT { ?s ex:q ?o } "
+        "WHERE { ?s ex:p ?o }"
+    )
+    req = urllib.request.Request(
+        _url(server, f"/repositories/jsonld_q?query={q}"),
+        headers={"Accept": "application/ld+json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get_content_type() == "application/ld+json"
+        doc = json.loads(r.read().decode())
+    assert doc["@graph"] == [
+        {"@id": "http://x#a", "http://x#q": [{"@id": "http://x#b"}]}
+    ]
