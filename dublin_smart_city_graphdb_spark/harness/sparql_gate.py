@@ -1583,6 +1583,48 @@ def sparql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(_lex("cust").alias("c"))
 
 
+@register(
+    "sparql_geo_multipolygon",
+    """
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(CAST(CAST(-6.45 + (c_custkey % 80) * 0.005 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS x,
+               CAST(CAST(CAST(53.20 + (c_custkey % 100) * 0.002 AS DOUBLE)
+                    AS DECIMAL(8,3)) AS DOUBLE) AS y
+        FROM customer
+    )
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c
+    FROM pts
+    WHERE (x > -6.4025 AND x < -6.3025 AND y > 53.2205 AND y < 53.2805)
+       OR (x > -6.2025 AND x < -6.1025 AND y > 53.3205 AND y < 53.3805)
+    """,
+    doc="geof:sfWithin with a MULTIPOLYGON (round 7): two disjoint "
+        "member boxes flatten into one ring set and the even-odd "
+        "crossing count gives union containment — box bounds sit at "
+        "4 decimals, off the 3-decimal point grid, so open/closed "
+        "agree. Oracle: the bbox disjunction.",
+)
+def sparql_geo_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geof = "http://www.opengis.net/def/function/geosparql/"
+    mp = ("MULTIPOLYGON("
+          "((-6.4025 53.2205, -6.3025 53.2205, -6.3025 53.2805, "
+          "-6.4025 53.2805, -6.4025 53.2205)), "
+          "((-6.2025 53.3205, -6.1025 53.3205, -6.1025 53.3805, "
+          "-6.2025 53.3805, -6.2025 53.3205)))")
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        PREFIX geo: <http://www.opengis.net/ont/geosparql#>
+        PREFIX geof: <{geof}>
+        SELECT ?cust
+        WHERE {{
+          ?cust a rel:Customer ; geo:asWKT ?wkt .
+          FILTER(geof:sfWithin(?wkt, "{mp}"^^geo:wktLiteral))
+        }}
+    """)
+    return df.select(_lex("cust").alias("c"))
+
+
 # CCW triangle strictly inside _TRI, vertices 4-decimal (off the 3-decimal
 # customer grid) so no point lies exactly on a hole edge either — verified
 # min |edge cross product| over the grid ≈ 2.4e-7.

@@ -109,6 +109,15 @@ def wkt_within_bbox(args: list[Column]) -> Column:
 # POLYGON body: everything inside the outermost parens — "(r1),(r2),..."
 # where the first ring is the shell and the rest are holes
 _WKT_POLY_BODY = r"^\s*POLYGON\s*\(\s*(.*\S)\s*\)\s*$"
+# Polygonal body: POLYGON or MULTIPOLYGON (round 7). A MULTIPOLYGON's
+# members flatten into ONE ring set: valid multipolygon members are
+# interior-disjoint, so the even-odd crossing count over ALL rings gives
+# union containment exactly (inside exactly one member ⇒ odd), and the
+# flat-array edge sweeps see every member's edges. Overlapping members
+# (invalid WKT) are outside the exactness envelope, documented.
+_WKT_POLYGONAL_BODY = r"^\s*(?:MULTI)?POLYGON\s*\(\s*(.*\S)\s*\)\s*$"
+# MULTIPOINT head (members parenthesized or bare per WKT)
+_WKT_MPOINT_HEAD = r"^\s*MULTIPOINT\s*\("
 
 
 def geof_sf_within(args: list[Column]) -> Column:
@@ -193,16 +202,21 @@ def _crossings_flat(xs: Column, ys: Column, x: Column,
     )
 
 
-def _point_in_geom(a_lex: Column, b_lex: Column) -> Column:
-    """Nullable boolean: the POINT ``a_lex`` lies in geometry ``b_lex``
-    (see geof_sf_within for path semantics). All derived arrays bind once
-    through `_let` so the plan stays linear in the kernel size."""
+def _point_in_geom(a_lex: Column, b_lex: Column,
+                   all_members: bool = True) -> Column:
+    """Nullable boolean: the POINT (or MULTIPOINT, round 7) ``a_lex``
+    lies in geometry ``b_lex`` (see geof_sf_within for path semantics).
+    MULTIPOINT semantics follow ``all_members``: every member inside
+    (sfWithin/sfContains) or any member inside (sfIntersects). All
+    derived arrays bind once through `_let` so the plan stays linear in
+    the kernel size."""
     lon = F.regexp_extract(a_lex, _WKT_POINT, 1)
     lat = F.regexp_extract(a_lex, _WKT_POINT, 2)
     x = F.when(lon != "", lon).cast("double")
     y = F.when(lat != "", lat).cast("double")
+    is_mp = F.regexp_extract(a_lex, _WKT_MPOINT_HEAD, 0) != ""
 
-    body = F.regexp_extract(b_lex, _WKT_POLY_BODY, 1)
+    body = F.regexp_extract(b_lex, _WKT_POLYGONAL_BODY, 1)
     is_poly = body != ""
     rings = _poly_rings(b_lex)
     src = F.when(is_poly, body).otherwise(b_lex)
@@ -210,29 +224,39 @@ def _point_in_geom(a_lex: Column, b_lex: Column) -> Column:
 
     def k(s) -> Column:
         xs, ys = s["xs"], s["ys"]
-        xv, yv = s["x"], s["y"]
         nonempty = F.size(xs) > 0
         xmin, xmax = F.array_min(xs), F.array_max(xs)
         ymin, ymax = F.array_min(ys), F.array_max(ys)
-        bbox_inside = (
-            (xv >= xmin) & (xv <= xmax) & (yv >= ymin) & (yv <= ymax)
-        )
         is_rect = (
             F.forall(xs, lambda v: (v == xmin) | (v == xmax))
             & F.forall(ys, lambda v: (v == ymin) | (v == ymax))
             & (s["nr"] <= 1)
         )
-        ray_inside = (
-            _crossings_flat(s["fxs"], s["fys"], xv, yv) % 2 == 1
-        )
-        inside = F.when(
-            is_rect | ~s["poly"], bbox_inside
-        ).otherwise(ray_inside)
-        return F.when(nonempty, inside)
+
+        def inside_at(xv: Column, yv: Column) -> Column:
+            bbox_inside = (
+                (xv >= xmin) & (xv <= xmax) & (yv >= ymin) & (yv <= ymax)
+            )
+            ray_inside = (
+                _crossings_flat(s["fxs"], s["fys"], xv, yv) % 2 == 1
+            )
+            return F.when(
+                is_rect | ~s["poly"], bbox_inside
+            ).otherwise(ray_inside)
+
+        idx = F.sequence(F.lit(0), F.greatest(F.size(s["mxs"]) - 1,
+                                              F.lit(0)))
+        member = lambda i: inside_at(F.get(s["mxs"], i), F.get(s["mys"], i))
+        multi = (
+            F.forall(idx, member) if all_members else F.exists(idx, member)
+        ) & (F.size(s["mxs"]) > 0)
+        single = inside_at(s["x"], s["y"])
+        return F.when(nonempty, F.when(s["mp"], multi).otherwise(single))
 
     return _let(
         {"x": x, "y": y, "xs": _geom_lons(src), "ys": _geom_lats(src),
-         "fxs": fxs, "fys": fys, "nr": F.size(rings), "poly": is_poly},
+         "fxs": fxs, "fys": fys, "nr": F.size(rings), "poly": is_poly,
+         "mp": is_mp, "mxs": _geom_lons(a_lex), "mys": _geom_lats(a_lex)},
         k,
     )
 
@@ -264,13 +288,18 @@ def geof_sf_contains(args: list[Column]) -> Column:
 
 
 def _poly_rings(lex: Column) -> Column:
-    """Ring coordinate strings of a POLYGON lex; empty array otherwise."""
-    body = F.regexp_extract(lex, _WKT_POLY_BODY, 1)
+    """Ring coordinate strings of a POLYGON or MULTIPOLYGON lex (a
+    multipolygon's members flatten into one ring set — see
+    _WKT_POLYGONAL_BODY); empty array otherwise. The separator between
+    rings is one-or-more closing parens, comma, one-or-more opening
+    parens, which covers both the intra-polygon ``),(`` and the
+    inter-member ``)),((`` forms in a single split."""
+    body = F.regexp_extract(lex, _WKT_POLYGONAL_BODY, 1)
     rings = F.split(
         F.regexp_replace(
-            F.regexp_replace(body, r"^\s*\(", ""), r"\)\s*$", ""
+            F.regexp_replace(body, r"^\s*\(+", ""), r"\)+\s*$", ""
         ),
-        r"\)\s*,\s*\(",
+        r"\)+\s*,\s*\(+",
     )
     return F.when(body != "", rings).otherwise(
         F.array().cast("array<string>")
@@ -321,17 +350,22 @@ def _edges_cross_flat(xa: Column, ya: Column, xb: Column,
 
 def _poly_intersects_flat(s) -> Column:
     """Polygon-polygon intersection over the bound flat arrays {xa, ya,
-    xb, yb}: an edge pair properly crosses OR one polygon's first vertex
-    lies inside the other (covers full containment; the even-odd test
-    over ALL rings makes a polygon nested inside the other's hole
-    correctly disjoint)."""
+    xb, yb}: an edge pair properly crosses OR any vertex of one lies
+    inside the other (covers full containment; the even-odd test over
+    ALL rings makes a polygon nested inside the other's hole correctly
+    disjoint). ANY-vertex (round 7, was first-vertex): with MULTIPOLYGON
+    members flattened, the member that lies inside the other geometry
+    need not own the first vertex — O(V²), the same order as the edge
+    sweep."""
     xa, ya, xb, yb = s["xa"], s["ya"], s["xb"], s["yb"]
-    ax0, ay0 = F.get(xa, 0), F.get(ya, 0)
-    bx0, by0 = F.get(xb, 0), F.get(yb, 0)
     return (
         _edges_cross_flat(xa, ya, xb, yb)
-        | (_crossings_flat(xa, ya, bx0, by0) % 2 == 1)
-        | (_crossings_flat(xb, yb, ax0, ay0) % 2 == 1)
+        | _any_vertex(
+            xb, yb, lambda x, y: _crossings_flat(xa, ya, x, y) % 2 == 1
+        )
+        | _any_vertex(
+            xa, ya, lambda x, y: _crossings_flat(xb, yb, x, y) % 2 == 1
+        )
     )
 
 
@@ -355,9 +389,13 @@ def _intersects_col(a_lex: Column, b_lex: Column) -> Column:
     anything) keep the closed bounding-box overlap, documented coarse."""
     a_poly = F.size(_poly_rings(a_lex)) > 0
     b_poly = F.size(_poly_rings(b_lex)) > 0
+    a_mp = F.regexp_extract(a_lex, _WKT_MPOINT_HEAD, 0) != ""
+    b_mp = F.regexp_extract(b_lex, _WKT_MPOINT_HEAD, 0) != ""
     return (
         F.when(_is_point(a_lex), _point_in_geom(a_lex, b_lex))
         .when(_is_point(b_lex), _point_in_geom(b_lex, a_lex))
+        .when(a_mp, _point_in_geom(a_lex, b_lex, all_members=False))
+        .when(b_mp, _point_in_geom(b_lex, a_lex, all_members=False))
         .when(a_poly & b_poly, _poly_poly_intersects(a_lex, b_lex))
         .otherwise(_bbox_overlap(a_lex, b_lex))
     )
@@ -760,23 +798,45 @@ def geof_sf_overlaps(args: list[Column]) -> Column:
 
 
 _WKT_LINE_BODY = r"^\s*LINESTRING\s*\(\s*(.*\S)\s*\)\s*$"
+_WKT_MLINE_BODY = r"^\s*MULTILINESTRING\s*\(\s*(.*\S)\s*\)\s*$"
+
+
+def _line_parts(lex: Column) -> Column:
+    """Component coordinate strings of a LINESTRING (one component) or
+    MULTILINESTRING (round 7 — including geof:boundary's own output);
+    empty array otherwise. Flattening through _flat_ring_coords puts a
+    null separator between components, so no phantom edge spans them."""
+    line = F.regexp_extract(lex, _WKT_LINE_BODY, 1)
+    mbody = F.regexp_extract(lex, _WKT_MLINE_BODY, 1)
+    parts = F.split(
+        F.regexp_replace(
+            F.regexp_replace(mbody, r"^\s*\(+", ""), r"\)+\s*$", ""
+        ),
+        r"\)+\s*,\s*\(+",
+    )
+    return (
+        F.when(line != "", F.array(line))
+        .when(mbody != "", parts)
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def geof_sf_crosses(args: list[Column]) -> Column:
-    """geof:sfCrosses: LINESTRING vs POLYGON (either order) — the line
-    properly crosses a ring edge, or has a vertex strictly inside AND a
-    vertex strictly outside. Line-line: any proper edge crossing.
-    Exactness envelope: a passage whose interior dip has no witnessing
-    vertex and no proper crossing is undetected (documented). Point and
-    polygon-polygon pairs are false per DE-9IM dimension rules."""
+    """geof:sfCrosses: LINESTRING/MULTILINESTRING vs POLYGON/MULTIPOLYGON
+    (either order) — the line properly crosses a ring edge, or has a
+    vertex strictly inside AND a vertex strictly outside. Line-line: any
+    proper edge crossing. Exactness envelope: a passage whose interior
+    dip has no witnessing vertex and no proper crossing is undetected
+    (documented). Point and polygon-polygon pairs are false per DE-9IM
+    dimension rules."""
     a_lex, b_lex = args[0]["lex"], args[1]["lex"]
-    a_line = F.regexp_extract(a_lex, _WKT_LINE_BODY, 1) != ""
-    b_line = F.regexp_extract(b_lex, _WKT_LINE_BODY, 1) != ""
+    a_line = F.size(_line_parts(a_lex)) > 0
+    b_line = F.size(_line_parts(b_lex)) > 0
     a_poly = F.size(_poly_rings(a_lex)) > 0
     b_poly = F.size(_poly_rings(b_lex)) > 0
 
     def line_poly(line_lex, poly_lex) -> Column:
-        lxs, lys = _geom_lons(line_lex), _geom_lats(line_lex)
+        lxs, lys = _flat_ring_coords(_line_parts(line_lex))
         fxs, fys = _flat_ring_coords(_poly_rings(poly_lex))
 
         def k(s) -> Column:
@@ -784,8 +844,11 @@ def geof_sf_crosses(args: list[Column]) -> Column:
             inside = _any_vertex(
                 lx, ly, lambda x, y: _strictly_inside_flat(xs, ys, x, y)
             )
+            # x.isNotNull(): the component-separator vertex must not
+            # count as "outside" (a null vertex crosses 0 edges → even)
             outside = _any_vertex(lx, ly, lambda x, y: (
-                (_crossings_flat(xs, ys, x, y) % 2 == 0)
+                x.isNotNull()
+                & (_crossings_flat(xs, ys, x, y) % 2 == 0)
                 & ~_on_any_edge_flat(xs, ys, x, y)
             ))
             return (
@@ -801,8 +864,11 @@ def geof_sf_crosses(args: list[Column]) -> Column:
         F.when(a_line & b_poly, line_poly(a_lex, b_lex))
         .when(b_line & a_poly, line_poly(b_lex, a_lex))
         .when(a_line & b_line, _let(
-            {"xa": _geom_lons(a_lex), "ya": _geom_lats(a_lex),
-             "xb": _geom_lons(b_lex), "yb": _geom_lats(b_lex)},
+            dict(zip(
+                ("xa", "ya", "xb", "yb"),
+                _flat_ring_coords(_line_parts(a_lex))
+                + _flat_ring_coords(_line_parts(b_lex)),
+            )),
             line_line,
         ))
         .otherwise(F.lit(False))
