@@ -571,6 +571,51 @@ class Repository:
             "application/sparql-results+json",
         )
 
+    def sparql_result_chunks(
+        self, query_text: str, include_inferred: bool = True,
+        batch_rows: int = 1024,
+    ):
+        """SELECT results as an ITERATOR of results-JSON text chunks, or
+        None for non-SELECT/ASK forms. Concatenated chunks are
+        byte-identical to ``json.dumps(rows_to_json(...))`` of the
+        collected result, but rows arrive through ``toLocalIterator`` —
+        one partition resident on the driver at a time — so a 10^8-row
+        SELECT never sits in driver memory as one list, matching how
+        GraphDB streams result sets (the HTTP layer switches to a
+        streamed response above a row threshold)."""
+        import json as _json
+
+        from dublin_smart_city_graphdb_spark.sparql import ast as _ast
+        from dublin_smart_city_graphdb_spark.sparql.protocol import (
+            row_binding,
+        )
+
+        form = parse_query(query_text)
+        if not isinstance(form, _ast.SelectQuery):
+            return None
+        df = self.sparql(query_text, include_inferred=include_inferred)
+        cols = list(df.columns)
+        if cols == ["ask"]:
+            return None
+
+        def gen():
+            yield (
+                '{"head": {"vars": %s}, "results": {"bindings": ['
+                % _json.dumps(cols)
+            )
+            first = True
+            buf: list[str] = []
+            for row in df.toLocalIterator():
+                buf.append(_json.dumps(row_binding(cols, row)))
+                if len(buf) >= batch_rows:
+                    yield ("" if first else ", ") + ", ".join(buf)
+                    first, buf = False, []
+            if buf:
+                yield ("" if first else ", ") + ", ".join(buf)
+            yield "]}}"
+
+        return gen()
+
     def explain(self, query_text: str, mode: str = "formatted") -> str:
         """The physical plan Spark will execute for a SPARQL query (modes:
         simple/extended/codegen/cost/formatted) — the engine's answer to a

@@ -38,6 +38,21 @@ import pyspark.sql.functions as F
 from dublin_smart_city_graphdb_spark.engine import Engine
 
 
+#: A SELECT response longer than this many buffered chunks (chunk ≈ 1024
+#: bindings, see Repository.sparql_result_chunks) switches from one
+#: Content-Length body to a STREAMED body terminated by connection close:
+#: the driver holds one partition + this buffer, never the whole result.
+STREAM_BUFFER_CHUNKS = 4
+
+#: Accept fragments that negotiate something other than results-JSON —
+#: those paths keep the buffered serializer (CSV/TSV/XML bodies, and the
+#: graph serializations CONSTRUCT/DESCRIBE negotiate).
+_NON_JSON_ACCEPTS = (
+    "xml", "csv", "tab-separated-values", "n-triples", "turtle",
+    "text/plain", "ld+json", "trig", "n-quads",
+)
+
+
 def _make_handler(engine: Engine):
     txns: dict[str, object] = {}  # txid → engine.Transaction
     txn_seq = iter(range(1, 1_000_000_000))
@@ -47,6 +62,56 @@ def _make_handler(engine: Engine):
             pass
 
         # -- helpers ---------------------------------------------------------
+        def _answer_query(self, repo, query: str, infer: bool) -> None:
+            """Run a protocol query and answer it — streamed for large
+            JSON SELECT results, buffered otherwise."""
+            accept = self.headers.get("Accept") or ""
+            try:
+                if not any(t in accept for t in _NON_JSON_ACCEPTS):
+                    chunks = repo.sparql_result_chunks(
+                        query, include_inferred=infer
+                    )
+                    if chunks is not None:
+                        self._send_chunks(
+                            200, chunks,
+                            "application/sparql-results+json",
+                        )
+                        return
+                payload, ctype = repo.sparql_serialized(
+                    query, accept=accept, include_inferred=infer
+                )
+                self._send(200, payload, ctype)
+            except Exception as ex:  # noqa: BLE001 — protocol boundary
+                self._send(400, {"error": str(ex)})
+
+        def _send_chunks(self, code: int, chunks, ctype: str) -> None:
+            """Answer from a chunk iterator. Small results accumulate and
+            go out as one Content-Length body (byte-identical to the
+            buffered serializer); past STREAM_BUFFER_CHUNKS the response
+            switches to a streamed body (no Content-Length, Connection:
+            close) written as chunks arrive. A failure after the switch
+            can only abort the connection — the status line is gone —
+            which is the standard streaming-protocol contract."""
+            buffered: list[str] = []
+            streamed = False
+            for c in chunks:
+                if streamed:
+                    self.wfile.write(c.encode())
+                    continue
+                buffered.append(c)
+                if len(buffered) > STREAM_BUFFER_CHUNKS:
+                    self.send_response(code)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+                    for b in buffered:
+                        self.wfile.write(b.encode())
+                    buffered, streamed = [], True
+            if streamed:
+                self.close_connection = True
+            else:
+                self._send(code, "".join(buffered), ctype)
+
         def _send(self, code: int, payload, ctype="application/json"):
             body = (
                 payload.encode()
@@ -449,15 +514,7 @@ def _make_handler(engine: Engine):
                     self._send(400, {"error": "missing query parameter"})
                     return
                 infer = (qs.get("infer") or ["true"])[0].lower() != "false"
-                try:
-                    payload, ctype = repo.sparql_serialized(
-                        query,
-                        accept=self.headers.get("Accept") or "",
-                        include_inferred=infer,
-                    )
-                    self._send(200, payload, ctype)
-                except Exception as ex:  # noqa: BLE001 — protocol boundary
-                    self._send(400, {"error": str(ex)})
+                self._answer_query(repo, query, infer)
                 return
             self._send(404, {"error": "not found"})
 
@@ -576,15 +633,7 @@ def _make_handler(engine: Engine):
                     query = body.decode()
                     qs = urllib.parse.parse_qs(url.query)
                     infer = (qs.get("infer") or ["true"])[0].lower() != "false"
-                try:
-                    payload, out_ctype = repo.sparql_serialized(
-                        query,
-                        accept=self.headers.get("Accept") or "",
-                        include_inferred=infer,
-                    )
-                    self._send(200, payload, out_ctype)
-                except Exception as ex:  # noqa: BLE001
-                    self._send(400, {"error": str(ex)})
+                self._answer_query(repo, query, infer)
                 return
             self._send(404, {"error": "not found"})
 

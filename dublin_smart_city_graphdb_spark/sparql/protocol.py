@@ -42,19 +42,25 @@ def _term_json(t) -> dict | None:
     return out
 
 
+def row_binding(columns: list[str], row) -> dict:
+    """One SELECT solution row → its results-JSON binding object
+    (unbound vars are simply absent, per spec)."""
+    b = {}
+    for var in columns:
+        tj = _term_json(row[var])
+        if tj is not None:
+            b[var] = tj
+    return b
+
+
 def rows_to_json(columns: list[str], rows: list) -> dict:
     """SELECT solutions → SPARQL-results-JSON document."""
     if columns == ["ask"]:  # ASK form (engine returns a single boolean col)
         return {"head": {}, "boolean": bool(rows[0]["ask"])}
-    bindings = []
-    for r in rows:
-        b = {}
-        for var in columns:
-            tj = _term_json(r[var])
-            if tj is not None:  # unbound vars are simply absent (spec)
-                b[var] = tj
-        bindings.append(b)
-    return {"head": {"vars": list(columns)}, "results": {"bindings": bindings}}
+    return {
+        "head": {"vars": list(columns)},
+        "results": {"bindings": [row_binding(columns, r) for r in rows]},
+    }
 
 
 def _nt_escape(col) -> "F.Column":

@@ -888,3 +888,50 @@ def test_construct_served_as_jsonld(server):
     assert doc["@graph"] == [
         {"@id": "http://x#a", "http://x#q": [{"@id": "http://x#b"}]}
     ]
+
+
+def test_large_select_streams_without_content_length(server):
+    """VERDICT r6 task 5: a SELECT result past the buffer threshold goes
+    out as a STREAMED body (no Content-Length, Connection: close) that is
+    byte-identical to the buffered results-JSON serializer; a small
+    SELECT keeps the Content-Length path."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "stream_t", "params": {}}).encode(),
+        "application/json",
+    )
+    ttl = "@prefix ex: <http://s#> .\n" + "\n".join(
+        f'ex:n{i} ex:val "{i}" .' for i in range(5000)
+    )
+    _post(server, "/repositories/stream_t/statements", ttl.encode(),
+          "text/turtle")
+    q = urllib.parse.quote(
+        "PREFIX ex: <http://s#> SELECT ?s ?v WHERE { ?s ex:val ?v } "
+        "ORDER BY ?s"
+    )
+    with urllib.request.urlopen(
+        urllib.request.Request(_url(server, f"/repositories/stream_t?query={q}"))
+    ) as r:
+        assert r.headers.get("Content-Length") is None  # streamed
+        assert r.headers.get_content_type() == "application/sparql-results+json"
+        body = r.read().decode()
+    doc = json.loads(body)
+    assert len(doc["results"]["bindings"]) == 5000
+    # byte-identical to the buffered serializer
+    repo = server.engine._repos["stream_t"]
+    buffered, _ = repo.sparql_serialized(
+        "PREFIX ex: <http://s#> SELECT ?s ?v WHERE { ?s ex:val ?v } "
+        "ORDER BY ?s"
+    )
+    assert body == buffered
+    # small result: Content-Length present (buffered path)
+    q2 = urllib.parse.quote(
+        "PREFIX ex: <http://s#> SELECT ?v WHERE { ex:n7 ex:val ?v }"
+    )
+    with urllib.request.urlopen(
+        urllib.request.Request(_url(server, f"/repositories/stream_t?query={q2}"))
+    ) as r:
+        assert r.headers.get("Content-Length") is not None
+        assert json.loads(r.read())["results"]["bindings"] == [
+            {"v": {"type": "literal", "value": "7"}}
+        ]
