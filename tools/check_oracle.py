@@ -63,6 +63,57 @@ def _norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _bound_unique_users(s_cols, s_rows, con) -> tuple[bool, str]:
+    """HLL++ error bound vs DuckDB's exact distinct counts: every
+    (hour, type) group within 3× the rsd=0.02 the query requests."""
+    exact = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(
+            "SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 "
+            "AS hour_idx, event_type, COUNT(DISTINCT user_id) "
+            "FROM events GROUP BY 1, 2"
+        ).fetchall()
+    }
+    idx = {c: i for i, c in enumerate(s_cols)}
+    worst = 0.0
+    for r in s_rows:
+        ex = exact[(r[idx["hour_idx"]], r[idx["event_type"]])]
+        diff = abs(r[idx["unique_users"]] - ex)
+        # the bound tests/test_quantiles_approx.py pins, with the
+        # absolute slack at 2 counts (tiny sf0.01 groups quantize: a
+        # 4-distinct group is 25% off at diff 1)
+        worst = max(worst, diff / max(2.0, 0.10 * ex))
+    return worst <= 1.0, (
+        f"max HLL error {worst:.3f} of the max(2, 10%*exact) budget"
+    )
+
+
+def _bound_quantiles(s_cols, s_rows, con) -> tuple[bool, str]:
+    """GK-sketch rank-error bound vs DuckDB: the empirical rank of every
+    approx percentile value stays within 2% of its target rank (the same
+    bound tests/test_quantiles_approx.py pins)."""
+    idx = {c: i for i, c in enumerate(s_cols)}
+    worst = 0.0
+    for r in s_rows:
+        et = str(r[idx["event_type"]]).replace("'", "''")
+        for p, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            v = r[idx[col]]
+            rank = con.sql(
+                f"SELECT AVG(CASE WHEN value <= {v} THEN 1.0 ELSE 0.0 END) "
+                f"FROM events WHERE event_type = '{et}'"
+            ).fetchone()[0]
+            worst = max(worst, abs(float(rank) - p))
+    return worst <= 0.02, f"max empirical rank error {worst:.4f} <= 0.02"
+
+
+#: rows-only registry entries whose accuracy bound is re-proved against
+#: DuckDB at gate time and stamped into the artifact (VERDICT r6 task 8)
+APPROX_BOUNDS = {
+    "events_unique_users_approx": _bound_unique_users,
+    "events_quantiles_approx": _bound_quantiles,
+}
+
+
 class CompareResult(NamedTuple):
     """Result of one Spark-vs-oracle comparison.
 
@@ -91,6 +142,17 @@ def compare(
     }
     if sql is None:
         rec["err"] = "rows-only (no oracle)"
+        checker = APPROX_BOUNDS.get(name)
+        if checker:
+            bound_ok, detail = checker(s_cols, s_rows, con)
+            rec["bound_ok"] = bound_ok
+            rec["bound_detail"] = detail
+            return CompareResult(
+                bound_ok,
+                f"rows-only ({len(s_rows)} rows), bound "
+                f"{'OK' if bound_ok else 'VIOLATED'}: {detail}",
+                time.time() - t0, rec,
+            )
         return CompareResult(True, f"rows-only ({len(s_rows)} rows)", dt, rec)
     d = con.sql(sql)
     d_cols = d.columns
