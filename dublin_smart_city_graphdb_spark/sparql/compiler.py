@@ -36,7 +36,13 @@ from dublin_smart_city_graphdb_spark.model.schema import (
     KIND_TRIPLE,
     TERM_STRUCT,
 )
-from dublin_smart_city_graphdb_spark.model.terms import BNode, IRI, Literal, Term
+from dublin_smart_city_graphdb_spark.model.terms import (
+    RDF_TYPE,
+    BNode,
+    IRI,
+    Literal,
+    Term,
+)
 from dublin_smart_city_graphdb_spark.sparql import ast as A
 from dublin_smart_city_graphdb_spark.sparql.exprs import ExprCompiler
 from dublin_smart_city_graphdb_spark.sparql.termcol import (
@@ -178,6 +184,19 @@ class QueryCompiler:
         # Federated SERVICE targets (SPARQL 1.1 Federated Query): IRI →
         # quads DataFrame of another repository in the same catalog.
         self.services = services or {}
+        # rdf:type skew salting (SURVEY §7 M8): class-position variables
+        # (?t in `?x a ?t`) have FEW distinct values — a non-broadcast
+        # join keyed on one hashes every row of a dominant class into the
+        # same partition. When load-time predicate stats flag rdf:type
+        # dominance, inner equi-joins on a class variable get an 8-way
+        # salt (left side salted by row hash, right side exploded across
+        # all salts — semantics unchanged, hot keys spread 8×).
+        total = sum(self.predicate_stats.values())
+        self._salt_type_joins = bool(
+            total
+            and self.predicate_stats.get(RDF_TYPE, 0) > 0.25 * total
+        )
+        self._class_vars: set[str] = set()
         self._uid = itertools.count()
         # Dataset clause (SURVEY §2.6 F6). Empty = GraphDB-style union
         # default graph (all contexts visible outside GRAPH).
@@ -1482,6 +1501,13 @@ class QueryCompiler:
     def scan_pattern(self, tp: A.TriplePattern, graph_ctx) -> Compiled:
         if not isinstance(tp.p, (A.Var, IRI)):
             return self._scan_path_pattern(tp, graph_ctx)
+        if (
+            isinstance(tp.p, IRI) and tp.p.value == RDF_TYPE
+            and isinstance(tp.o, A.Var)
+        ):
+            # class-position variable: low-cardinality join key (see the
+            # skew-salting rationale in __init__)
+            self._class_vars.add(tp.o.name)
 
         df = self._graph_scope(self.quads, graph_ctx)
 
@@ -1739,8 +1765,39 @@ class QueryCompiler:
         if not any(v in a.certain and v in b.certain for v in shared):
             cap = self._cross_partition_cap()
             a_df, b_df = a_df.coalesce(cap), b_df.coalesce(cap)
+        # rdf:type skew salting (SURVEY §7 M8): a pure-equi inner join
+        # keyed on a class-position variable hashes every instance of a
+        # dominant class to ONE partition. Salt 8 ways: the left side
+        # gets a deterministic per-row salt, the right side replicates
+        # across all salts — each (l, r) pair still matches exactly once
+        # (at l's salt), so semantics and multiplicity are unchanged and
+        # the hot key spreads over 8 tasks. Enabled only when load-time
+        # predicate stats flag rdf:type dominance (>25% of the store).
+        salted = (
+            self._salt_type_joins
+            and how == "inner"
+            and not filter_asts
+            and shared
+            and all(v in a.certain and v in b.certain for v in shared)
+            and any(v in self._class_vars for v in shared)
+        )
+        if salted:
+            n_salt = 8
+            a_df = a_df.withColumn(
+                "__salt",
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in a_df.columns]),
+                    F.lit(n_salt),
+                ).cast("int"),
+            )
+            b_df = b_df.withColumn(
+                "__salt",
+                F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
+            )
         L, R = a_df.alias("L"), b_df.alias("R")
         cond = F.lit(True)
+        if salted:
+            cond = F.col("L.__salt") == F.col("R.__salt")
         for v in shared:
             l, r = F.col(f"L.{v}"), F.col(f"R.{v}__r")
             if v in a.certain and v in b.certain:

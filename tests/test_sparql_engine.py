@@ -979,3 +979,47 @@ def test_same_predicate_star_patterns(spark):
         ("http://x#a", "http://x#T2"),
         ("http://x#b", "http://x#T1"),
     ]
+
+
+def test_type_join_skew_salting(spark):
+    """rdf:type skew salting (SURVEY §7 M8, VERDICT r6 task 7): when
+    load-time predicate stats flag rdf:type dominance, an inner equi-join
+    keyed on a class-position variable is salted 8 ways — visible in the
+    plan as the __salt key — with identical results and multiplicity;
+    without dominance stats the plan is unsalted."""
+    from dublin_smart_city_graphdb_spark.sources.turtle import turtle_to_rows
+    from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
+    from dublin_smart_city_graphdb_spark.sparql.compiler import QueryCompiler
+    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+    ttl = "@prefix ex: <http://sk#> .\n" + "\n".join(
+        f"ex:i{i} a ex:Hot . ex:i{i} ex:group ex:g{i % 3} ."
+        for i in range(40)
+    ) + "\nex:j1 a ex:Cold . ex:j2 a ex:Cold ."
+    quads = spark.createDataFrame(turtle_to_rows(ttl), QUAD_SCHEMA)
+    q = """
+        PREFIX ex: <http://sk#>
+        SELECT ?x ?y WHERE { ?x a ?t . ?y a ?t . }
+    """
+    # rdf:type dominates (42 of 82 triples): the salt engages
+    stats = {"http://www.w3.org/1999/02/22-rdf-syntax-ns#type": 42,
+             "http://sk#group": 40}
+    salted_df = QueryCompiler(
+        spark, quads, predicate_stats=stats
+    ).compile(parse_query(q))
+    plan = salted_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+    )
+    assert "__salt" in plan
+    plain_df = QueryCompiler(spark, quads).compile(parse_query(q))
+    plain_plan = plain_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+    )
+    assert "__salt" not in plain_plan
+    key = lambda r: (r["x"]["lex"], r["y"]["lex"])  # noqa: E731
+    got = sorted(key(r) for r in salted_df.collect())
+    want = sorted(key(r) for r in plain_df.collect())
+    assert got == want
+    assert len(got) == 40 * 40 + 2 * 2

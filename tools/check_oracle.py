@@ -65,7 +65,9 @@ def _norm_rows(cols, rows):
 
 def _bound_unique_users(s_cols, s_rows, con) -> tuple[bool, str]:
     """HLL++ error bound vs DuckDB's exact distinct counts: every
-    (hour, type) group within 3× the rsd=0.02 the query requests."""
+    (hour, type) group within max(2, 10% of exact) — the bound
+    tests/test_quantiles_approx.py pins, absolute slack for quantized
+    tiny groups."""
     exact = {
         (r[0], r[1]): r[2]
         for r in con.sql(
