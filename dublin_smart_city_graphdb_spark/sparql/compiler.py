@@ -134,6 +134,16 @@ def _collect_exists(e) -> list:
     return out
 
 
+def _merge_term(l: Column, r: Column) -> Column:
+    """Join-merge of a shared variable: the left binding wins when BOUND.
+    Unbound terms appear in two spellings — a true NULL struct (outer-join
+    misses) and a struct of NULL fields (``null_struct()``, e.g. a VALUES
+    UNDEF cell) — and ``F.coalesce`` wrongly keeps the second (a struct
+    with null fields is not NULL). Dispatch on the kind field, which is
+    NULL in both spellings."""
+    return F.when(l["kind"].isNotNull(), l).otherwise(r)
+
+
 @dataclass
 class Compiled:
     df: DataFrame
@@ -1810,7 +1820,9 @@ class QueryCompiler:
             # left side). Eval error → false → left row survives unmatched.
             def resolve(name: str) -> Column:
                 if name in shared:
-                    return F.coalesce(F.col(f"L.{name}"), F.col(f"R.{name}__r"))
+                    return _merge_term(
+                        F.col(f"L.{name}"), F.col(f"R.{name}__r")
+                    )
                 if name in a.vars:
                     return F.col(f"L.{name}")
                 return F.col(f"R.{name}")
@@ -1826,7 +1838,9 @@ class QueryCompiler:
         order: list[str] = []
         for v in a.var_order:
             if v in shared:
-                sel.append(F.coalesce(F.col(f"L.{v}"), F.col(f"R.{v}__r")).alias(v))
+                sel.append(_merge_term(
+                    F.col(f"L.{v}"), F.col(f"R.{v}__r")
+                ).alias(v))
             else:
                 sel.append(F.col(f"L.{v}").alias(v))
             order.append(v)

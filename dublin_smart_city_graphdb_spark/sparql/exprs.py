@@ -725,7 +725,19 @@ class ExprCompiler:
                 F.coalesce(from_lex, fallback(args[0]["ts"])), XSD + "integer"
             )
         if name == "SECONDS":
-            return make_numeric(F.second(args[0]["ts"]), XSD + "integer")
+            # §17.4.5.6 returns xsd:decimal INCLUDING fractional seconds;
+            # the stored ts is µs-precise but the lexical form is the
+            # authority (same rationale as the accessors above)
+            from_lex = F.regexp_extract(
+                args[0]["lex"],
+                r"^-?\d{4,}-\d\d-\d\dT\d\d:\d\d:(\d\d(?:\.\d+)?)", 1,
+            ).cast("decimal(38,10)")
+            fallback = (
+                F.second(args[0]["ts"]).cast("decimal(38,10)")
+                + F.pmod(F.unix_micros(args[0]["ts"]), F.lit(1_000_000))
+                .cast("decimal(38,10)") / 1_000_000
+            )
+            return make_numeric(F.coalesce(from_lex, fallback))
         if name == "TZ":
             # §17.4.5.9: the zone as a simple literal — "Z", "+02:30", or
             # "" when the literal carries no timezone. Stored lexical form
