@@ -1023,3 +1023,56 @@ def test_type_join_skew_salting(spark):
     want = sorted(key(r) for r in plain_df.collect())
     assert got == want
     assert len(got) == 40 * 40 + 2 * 2
+
+
+def test_service_nested_and_in_optional(federated, spark):
+    """§18 federated-semantics pins (VERDICT r6 task 6): a SERVICE group
+    may itself contain SERVICE (targets resolve from the same catalog at
+    every depth), and SERVICE inside OPTIONAL extends-or-keeps the outer
+    solutions like any optional group."""
+    eng = federated.engine
+    if "fed_countries" not in eng.list_repositories():
+        c = eng.create_repository("fed_countries", ruleset="none")
+        c.load_turtle(
+            "@prefix ex: <http://f#> .\n"
+            'ex:acme ex:country "IE" .\n'
+        )
+    # nested: people -> firms -> countries
+    rows = federated.sparql_collect(
+        "PREFIX ex: <http://f#> SELECT ?p ?cn WHERE { "
+        "?p ex:worksAt ?f . "
+        "SERVICE <urn:repo:fed_firms> { ?f ex:city ?city . "
+        "  SERVICE <urn:repo:fed_countries> { ?f ex:country ?cn } } }"
+    )
+    got = sorted((r["p"].lex, r["cn"].lex) for r in rows)
+    assert got == [("http://f#alice", "IE"), ("http://f#carol", "IE")]
+    # SERVICE under OPTIONAL: bob's firm has no country -> row kept,
+    # ?cn unbound
+    rows = federated.sparql_collect(
+        "PREFIX ex: <http://f#> SELECT ?p ?cn WHERE { "
+        "?p ex:worksAt ?f . "
+        "OPTIONAL { SERVICE <urn:repo:fed_countries> "
+        "{ ?f ex:country ?cn } } }"
+    )
+    got = sorted((r["p"].lex, r["cn"].lex if r["cn"] else None)
+                 for r in rows)
+    assert got == [
+        ("http://f#alice", "IE"),
+        ("http://f#bob", None),
+        ("http://f#carol", "IE"),
+    ]
+
+
+def test_service_variable_target_semantics(federated):
+    """§18 leaves SERVICE ?var open; this engine documents it unsupported:
+    non-silent raises, SILENT degrades to the unit solution."""
+    with pytest.raises(ValueError, match="variable target"):
+        federated.sparql(
+            "PREFIX ex: <http://f#> SELECT ?p WHERE { "
+            "?p ex:worksAt ?f . SERVICE ?ep { ?f ex:city ?c } }"
+        )
+    rows = federated.sparql_collect(
+        "PREFIX ex: <http://f#> SELECT ?p WHERE { "
+        "?p ex:worksAt ?f . SERVICE SILENT ?ep { ?f ex:city ?c } }"
+    )
+    assert len(rows) == 3
