@@ -889,7 +889,18 @@ class QueryCompiler:
                 0,
             )
             tp = remaining.pop(idx)
-            cur = self.join(cur, self.scan_pattern(tp, graph_ctx), "inner")
+            if isinstance(tp.p, (A.Var, IRI)):
+                scanned = self.scan_pattern(tp, graph_ctx)
+            else:
+                # Path pattern joining an ALREADY-BOUND endpoint: hand the
+                # accumulated chain's distinct values to the seeded
+                # closure (VERDICT r6 task 1's "small already-bound
+                # domain" — e.g. `?x a ex:CommitteeArea . ?x ex:adj+ ?y`
+                # closes from the 5 areas, not the whole predicate graph).
+                scanned = self._scan_path_pattern(
+                    tp, graph_ctx, bound_frame=cur
+                )
+            cur = self.join(cur, scanned, "inner")
             bound |= tp_vars(tp)
         return cur
 
@@ -1578,14 +1589,19 @@ class QueryCompiler:
         return Compiled(df.select(*sel), names, set(names))
 
     # -- property paths ------------------------------------------------------
-    def _scan_path_pattern(self, tp: A.TriplePattern, graph_ctx) -> Compiled:
+    def _scan_path_pattern(
+        self, tp: A.TriplePattern, graph_ctx,
+        bound_frame: Compiled | None = None,
+    ) -> Compiled:
         s_t, o_t = tp.s, tp.o
         path = tp.p
         # ^(path) with endpoints (s, o) ≡ path with endpoints (o, s):
         # unwrapping keeps a bound endpoint visible to the seeded route.
         while isinstance(path, A.PathInv):
             path, s_t, o_t = path.inner, o_t, s_t
-        pairs = self._path_pairs_for_endpoints(path, graph_ctx, s_t, o_t)
+        pairs = self._path_pairs_for_endpoints(
+            path, graph_ctx, s_t, o_t, bound_frame
+        )
         names: list[str] = []
         sel: list[Column] = []
         if isinstance(s_t, A.Var):
@@ -1604,60 +1620,90 @@ class QueryCompiler:
         return Compiled(pairs.select(*sel) if sel else pairs.select(), names, set(names))
 
     def _path_pairs_for_endpoints(
-        self, path, graph_ctx, s_t, o_t
+        self, path, graph_ctx, s_t, o_t,
+        bound_frame: Compiled | None = None,
     ) -> DataFrame:
         """Pairs for ``path``, routed by endpoint boundness. A ``+``/``*``
-        closure with a CONSTANT endpoint is evaluated frontier-seeded from
-        that constant (reversed edges for a bound object) instead of
-        closing the whole predicate graph and post-filtering: rounds and
-        row work are bounded by the constant's reachable set, not the
-        graph — the all-pairs closure of a 100 TB predicate graph dwarfs
-        one node's neighborhood. Matches the reference's golden-query
-        shape (facilities.ttl:205-208 binds ex:NorthCentral as the path
-        source). Unbound-endpoint paths keep the all-pairs route."""
+        closure with a CONSTANT endpoint — or a variable endpoint the
+        surrounding BGP has ALREADY BOUND (``bound_frame``) — is evaluated
+        frontier-seeded from those values (reversed edges for a bound
+        object) instead of closing the whole predicate graph and
+        post-filtering: rounds and row work are bounded by the seeds'
+        reachable set, not the graph — the all-pairs closure of a 100 TB
+        predicate graph dwarfs one binding set's neighborhood. Matches
+        the reference's golden-query shapes (facilities.ttl:205-208 binds
+        ex:NorthCentral as the path source). The variable-seeded route
+        never collects: the seed set is the chain's distinct values as a
+        DataFrame, materialized once by the closure's init checkpoint.
+        Fully-unbound paths keep the all-pairs route."""
         s_const = not isinstance(s_t, A.Var)
         o_const = not isinstance(o_t, A.Var)
-        if not isinstance(path, (A.PathStar, A.PathPlus)) or not (
-            s_const or o_const
-        ):
+
+        def var_seed(t) -> DataFrame | None:
+            if (
+                bound_frame is None or not isinstance(t, A.Var)
+                or t.name not in bound_frame.certain
+            ):
+                return None
+            return bound_frame.df.select(
+                F.col(t.name).alias("src")
+            ).distinct()
+
+        if not isinstance(path, (A.PathStar, A.PathPlus)):
             return self.compile_path_pairs(path, graph_ctx)
+        if s_const:
+            seeds = self.spark.range(1).select(const_struct(s_t).alias("src"))
+            seed_kind = ("const", s_t)
+        elif o_const:
+            seeds = self.spark.range(1).select(const_struct(o_t).alias("src"))
+            seed_kind = ("rev-const", o_t)
+        else:
+            s_seed = var_seed(s_t)
+            if s_seed is not None:
+                seeds, seed_kind = s_seed, ("var", None)
+            else:
+                o_seed = var_seed(o_t)
+                if o_seed is not None:
+                    seeds, seed_kind = o_seed, ("rev-var", None)
+                else:
+                    return self.compile_path_pairs(path, graph_ctx)
         from dublin_smart_city_graphdb_spark.graph.closure import (
             transitive_closure,
         )
 
         inner = self.compile_path_pairs(path.inner, graph_ctx)
-        if s_const:
-            seed_term = s_t
-            seeds = self.spark.range(1).select(
-                const_struct(s_t).alias("src")
-            )
-            closed = transitive_closure(inner, seeds=seeds)
-        else:
-            seed_term = o_t
-            rev = inner.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-            seeds = self.spark.range(1).select(
-                const_struct(o_t).alias("src")
-            )
-            closed = transitive_closure(rev, seeds=seeds).select(
+        reverse = seed_kind[0].startswith("rev")
+        edges = (
+            inner.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            if reverse else inner
+        )
+        closed = transitive_closure(edges, seeds=seeds)
+        if reverse:
+            closed = closed.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         if isinstance(path, A.PathStar):
-            # zero-length arm: (t, t) iff the bound term occurs as a node
+            # zero-length arm: (t, t) for each seed that occurs as a node
             # of the scoped graph (same node domain the all-pairs route
-            # uses). limit(1) keeps it a constant-size probe.
+            # uses); constants probe with limit(1), variable seed sets
+            # semi-join the node frame.
             df = self._graph_scope(self.quads, graph_ctx)
-            c = const_struct(seed_term)
-            present = (
+            nodes = (
                 df.select(subject_struct(F.col("s")).alias("n"))
                 .unionByName(df.select(object_struct().alias("n")))
-                .filter(F.col("n").eqNullSafe(c))
-                .limit(1)
             )
+            if seed_kind[0].endswith("const"):
+                present = nodes.filter(
+                    F.col("n").eqNullSafe(const_struct(seed_kind[1]))
+                ).limit(1)
+            else:
+                present = nodes.join(
+                    seeds.withColumnRenamed("src", "n").dropDuplicates(),
+                    "n", "semi",
+                )
             ident = present.select(
                 F.col("n").alias("src"), F.col("n").alias("dst")
-            )
+            ).distinct()
             closed = closed.unionByName(ident).distinct()
         return closed
 

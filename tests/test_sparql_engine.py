@@ -277,6 +277,37 @@ def test_property_path_bound_endpoints_routes_seeded(micro, monkeypatch):
     )
     assert len(rows) == 1
     assert calls and all(calls), f"unseeded closure call slipped in: {calls}"
+    # VARIABLE endpoint already bound by the BGP chain: seeded from the
+    # chain's distinct values (no collect), both directions
+    calls.clear()
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x ?y WHERE { ?x a ex:Person . ?x ex:knows+ ?y }"
+    )
+    got = sorted((r["x"].lex, r["y"].lex) for r in rows)
+    assert got == [
+        ("http://m#a", "http://m#b"), ("http://m#a", "http://m#c"),
+        ("http://m#a", "http://m#d"), ("http://m#b", "http://m#c"),
+        ("http://m#b", "http://m#d"), ("http://m#c", "http://m#d"),
+    ]
+    assert calls == [True]
+    calls.clear()
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x ?y WHERE { ?x a ex:Robot . ?y ex:knows+ ?x }"
+    )
+    assert sorted((r["y"].lex) for r in rows) == [
+        "http://m#a", "http://m#b", "http://m#c",
+    ]
+    assert calls == [True]
+    # star keeps the zero-length arm per seed (x knows* x)
+    calls.clear()
+    rows = micro.sparql_collect(
+        MP + "SELECT ?x ?y WHERE { ?x a ex:Person . ?x ex:knows* ?y "
+             "FILTER(?x = ?y) }"
+    )
+    assert sorted(r["x"].lex for r in rows) == [
+        "http://m#a", "http://m#b", "http://m#c",
+    ]
+    assert calls == [True]
     # unbound endpoints still take the all-pairs route
     calls.clear()
     rows = micro.sparql_collect(
