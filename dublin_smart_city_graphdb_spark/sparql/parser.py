@@ -175,8 +175,13 @@ class SparqlParser:
     # -- query forms --------------------------------------------------------
     def _select_query(self, top: bool) -> SelectQuery:
         self._expect_kw("SELECT")
+        # grammar: ( DISTINCT | REDUCED )? — one modifier, never both
         distinct = self._accept_kw("DISTINCT")
         reduced = self._accept_kw("REDUCED")
+        if distinct and reduced:
+            raise ValueError(
+                "sparql: SELECT takes DISTINCT or REDUCED, not both"
+            )
         projections: list[tuple[object, Var | None]] = []
         if self._accept_op("*"):
             pass

@@ -1,2 +1,2 @@
 PREFIX : <http://example/>
-INSERT { _:x :tag ?s } WHERE { ?s :status :Old }
+INSERT { ?s :tag _:b } WHERE { ?s :status :New }
