@@ -364,6 +364,35 @@ def sparql_path_bound_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_path_var_seeded",
+    """
+    SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS x,
+           'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS n
+    FROM customer
+    UNION ALL
+    SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR),
+           'urn:nation:' || CAST(s_nationkey AS VARCHAR)
+    FROM supplier
+    """,
+    doc="SPARQL `+` path whose endpoint VARIABLE is bound by an earlier "
+        "pattern (round 7): `?n a rel:Nation . ?x (inNation|inRegion)+ "
+        "?n` seeds the reversed frontier closure from the 25 nation "
+        "bindings as a DataFrame — no collect, rounds bounded by the "
+        "binding set's reachable neighborhood, never the all-pairs "
+        "closure. Oracle: the one-hop membership union (no multi-hop "
+        "path ends at a Nation).",
+    cache_plan=False,
+)
+def sparql_path_var_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparql(spark, sf_dir, f"""
+        PREFIX rel: <{R}>
+        SELECT ?x ?n
+        WHERE {{ ?n a rel:Nation . ?x (rel:inNation|rel:inRegion)+ ?n }}
+    """)
+    return df.select(_lex("x").alias("x"), _lex("n").alias("n"))
+
+
+@register(
     "sparql_not_exists_nations",
     """
     SELECT n.n_name AS nation, COUNT(*) AS num_customers
