@@ -139,7 +139,9 @@ def test_state_and_abort_all(slow_repo):
     t1 = _start_slow(repo, errors)
     t2 = _start_slow(repo, errors)
     t0 = time.time()
-    while len(eng.running_queries()) < 2 and time.time() - t0 < 15:
+    # generous deadline: under full-suite load the two compile threads
+    # contend for the Py4J gateway and can take >15 s to register
+    while len(eng.running_queries()) < 2 and time.time() - t0 < 90:
         if errors:
             raise AssertionError(f"slow query died early: {errors[0]!r}")
         time.sleep(0.05)
@@ -148,8 +150,8 @@ def test_state_and_abort_all(slow_repo):
     assert all(q["state"] == "IN_QUERY" for q in running)
     aborted = eng.abort_all_queries()
     assert sorted(aborted) == sorted(q["id"] for q in running)
-    t1.join(timeout=30)
-    t2.join(timeout=30)
+    t1.join(timeout=120)
+    t2.join(timeout=120)
     assert not t1.is_alive() and not t2.is_alive()
     assert len(errors) == 2
     assert all(isinstance(e, QueryAbortedError) for e in errors)
