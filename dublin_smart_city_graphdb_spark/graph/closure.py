@@ -24,6 +24,7 @@ def transitive_closure(
     dst: str = "dst",
     max_iterations: int = 50,
     seeds: DataFrame | None = None,
+    broadcast_seeds: bool = False,
 ) -> DataFrame:
     """All pairs (a, b) with a path a →+ b (SPARQL ``p+`` semantics).
 
@@ -38,18 +39,25 @@ def transitive_closure(
     reachable set's diameter, not the graph's. This is the scale path for
     bound-endpoint SPARQL paths (``ex:X ex:p+ ?y``): at 100 TB the full
     closure of a predicate graph dwarfs one node's reachable set by
-    orders of magnitude. Seed sets are tiny (usually one constant), so
-    the seeding join broadcasts."""
+    orders of magnitude.
+
+    ``broadcast_seeds``: callers that KNOW the seed set is tiny (a
+    constant endpoint) assert it to pin a broadcast seeding join.
+    Variable-seeded routes pass an accumulated BGP binding set of
+    unbounded size — there the hint is omitted and AQE picks the join
+    strategy from runtime stats (broadcast when small, shuffle when
+    not), avoiding a driver OOM at exactly the scale the seeding
+    optimization targets."""
     tr = CheckpointTracker(edges)
     base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     base, base_ids = tr.checkpoint(base)
 
     if seeds is not None:
         seed_col = seeds.columns[0]
-        init = (
-            F.broadcast(seeds.select(F.col(seed_col).alias("src")).distinct())
-            .join(base, "src")
-        )
+        seed_df = seeds.select(F.col(seed_col).alias("src")).distinct()
+        if broadcast_seeds:
+            seed_df = F.broadcast(seed_df)
+        init = seed_df.join(base, "src")
         init, init_ids = tr.checkpoint(init)
         paths = init
         delta = init

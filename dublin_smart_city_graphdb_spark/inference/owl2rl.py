@@ -262,6 +262,70 @@ def _iri(v: str) -> str:
     return f"<{v}>"
 
 
+# -- blank-node skolemization for the rule pipeline --------------------------
+#
+# List-driven axiom heads and class expressions (intersectionOf/unionOf/
+# oneOf members, AllDisjoint* members) are typically ANONYMOUS — stored as
+# ``_:bN`` with KIND_BLANK. The generated rules inject them into SPARQL
+# text via _iri(), where ``<_:bN>`` parses as an IRI constant: object-
+# position matching then requires KIND_IRI and silently never fires, and
+# emitted rows would carry the wrong kind. Fix: run the WHOLE rule
+# pipeline in a skolemized space (every blank node mapped bijectively to
+# ``urn:x-skolem:<label>``, KIND_IRI) and map the inferred output back.
+# Sound because RL rules are kind-agnostic term-identity joins (no
+# isIRI/isBLANK tests in the table) and the mapping is a bijection.
+
+_SKOLEM = "urn:x-skolem:"
+_KIND_IRI = 0
+_KIND_BLANK = 1
+
+
+def _sk(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.startswith("_:"),
+        F.concat(F.lit(_SKOLEM), F.substring(c, 3, 1 << 30)),
+    ).otherwise(c)
+
+
+def _unsk(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.startswith(_SKOLEM),
+        F.concat(F.lit("_:"), F.substring(c, len(_SKOLEM) + 1, 1 << 30)),
+    ).otherwise(c)
+
+
+def _skolemize_spo(spo: DataFrame, lead: tuple = ()) -> DataFrame:
+    """``lead`` names pass-through columns (e.g. ``g``) ahead of SPO."""
+    o_blank = F.col("o_kind") == _KIND_BLANK
+    return spo.select(
+        *[F.col(c) for c in lead],
+        _sk("s").alias("s"),
+        F.col("p"),
+        F.when(o_blank, F.lit(_KIND_IRI).cast("byte"))
+        .otherwise(F.col("o_kind")).alias("o_kind"),
+        F.when(o_blank, _sk("o_lex")).otherwise(F.col("o_lex"))
+        .alias("o_lex"),
+        *[F.col(c) for c in _SPO_COLS[4:]],
+    )
+
+
+def _deskolemize_out(inferred: DataFrame) -> DataFrame:
+    """Undo _skolemize_spo on the fixpoint output (g + SPO columns)."""
+    o_sk = F.col("o_lex").startswith(_SKOLEM)
+    return inferred.select(
+        F.col("g"),
+        _unsk("s").alias("s"),
+        _unsk("p").alias("p"),
+        F.when(o_sk, F.lit(_KIND_BLANK).cast("byte"))
+        .otherwise(F.col("o_kind")).alias("o_kind"),
+        F.when(o_sk, _unsk("o_lex")).otherwise(F.col("o_lex"))
+        .alias("o_lex"),
+        *[F.col(c) for c in _SPO_COLS[4:]],
+    )
+
+
 def _list_rules(explicit: DataFrame) -> tuple[list[str], list[tuple]]:
     """Expand list-based axioms into exact-length CONSTRUCT rules plus
     static schema conclusions (scm-int / scm-uni / cls-oo — constant
@@ -350,7 +414,9 @@ def materialize(
     from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
     from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
 
-    spo = explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    spo = _skolemize_spo(
+        explicit.select(*_SPO_COLS)
+    ).distinct().localCheckpoint(eager=True)
     vocab = _present_vocab(spo)
     list_rules, static_rows = _list_rules(spo)
     texts = [
@@ -385,7 +451,9 @@ def materialize(
             out = out.unionByName(static_df)
         return out
 
-    return _fixpoint(spo, None, max_rounds, round_fn=round_fn)
+    return _deskolemize_out(
+        _fixpoint(spo, None, max_rounds, round_fn=round_fn)
+    )
 
 
 # -- inconsistency detection (validation report, SHACL-style) ---------------
@@ -460,7 +528,7 @@ def consistency_report(spark: SparkSession, quads: DataFrame) -> DataFrame:
     )
     from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
 
-    spo = quads.select(*_SPO_COLS)
+    spo = _skolemize_spo(quads.select(*_SPO_COLS))
     vocab = _present_vocab(spo)
     lists = _collect_lists(spo) if (
         vocab & {OWL + "members", OWL + "distinctMembers"}
@@ -516,8 +584,9 @@ def consistency_report(spark: SparkSession, quads: DataFrame) -> DataFrame:
                     "?focus owl:sameAs ?detail }",
                 ))
 
-    quads_view = quads.select(
-        F.col("g").cast("string").alias("g"), *_SPO_COLS
+    quads_view = _skolemize_spo(
+        quads.select(F.col("g").cast("string").alias("g"), *_SPO_COLS),
+        lead=("g",),
     )
     prolog = _PROLOG + _RDFS_PFX
     out: DataFrame | None = None
@@ -526,8 +595,8 @@ def consistency_report(spark: SparkSession, quads: DataFrame) -> DataFrame:
         df = comp.compile(parse_query(prolog + text))
         row = df.select(
             F.lit(rule).alias("rule"),
-            F.col("focus")["lex"].alias("focus"),
-            F.col("detail")["lex"].alias("detail"),
+            _unsk(F.col("focus")["lex"]).alias("focus"),
+            _unsk(F.col("detail")["lex"]).alias("detail"),
         )
         out = row if out is None else out.unionByName(row)
     if out is None:

@@ -53,6 +53,14 @@ _NON_JSON_ACCEPTS = (
 )
 
 
+class _StreamAborted(Exception):
+    """A chunk iterator failed AFTER the response switched to streaming —
+    the status line is already on the wire, so the only correct move is
+    to abort the connection. Raised by ``_send_chunks`` so callers'
+    error handlers don't write a second status line + JSON error into
+    the middle of a partially-streamed body."""
+
+
 def _make_handler(engine: Engine):
     txns: dict[str, object] = {}  # txid → engine.Transaction
     txn_seq = iter(range(1, 1_000_000_000))
@@ -81,6 +89,8 @@ def _make_handler(engine: Engine):
                     query, accept=accept, include_inferred=infer
                 )
                 self._send(200, payload, ctype)
+            except _StreamAborted:
+                return  # connection already marked for close mid-stream
             except Exception as ex:  # noqa: BLE001 — protocol boundary
                 self._send(400, {"error": str(ex)})
 
@@ -94,19 +104,27 @@ def _make_handler(engine: Engine):
             which is the standard streaming-protocol contract."""
             buffered: list[str] = []
             streamed = False
-            for c in chunks:
+            try:
+                for c in chunks:
+                    if streamed:
+                        self.wfile.write(c.encode())
+                        continue
+                    buffered.append(c)
+                    if len(buffered) > STREAM_BUFFER_CHUNKS:
+                        self.send_response(code)
+                        self.send_header("Content-Type", ctype)
+                        self.send_header("Connection", "close")
+                        self.end_headers()
+                        for b in buffered:
+                            self.wfile.write(b.encode())
+                        buffered, streamed = [], True
+            except Exception as ex:
                 if streamed:
-                    self.wfile.write(c.encode())
-                    continue
-                buffered.append(c)
-                if len(buffered) > STREAM_BUFFER_CHUNKS:
-                    self.send_response(code)
-                    self.send_header("Content-Type", ctype)
-                    self.send_header("Connection", "close")
-                    self.end_headers()
-                    for b in buffered:
-                        self.wfile.write(b.encode())
-                    buffered, streamed = [], True
+                    # headers are gone — abort the connection rather than
+                    # let a caller write a 400 into the body mid-stream
+                    self.close_connection = True
+                    raise _StreamAborted(str(ex)) from ex
+                raise
             if streamed:
                 self.close_connection = True
             else:

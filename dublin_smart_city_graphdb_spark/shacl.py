@@ -1303,7 +1303,10 @@ def _path_values(quads: DataFrame, expr: tuple,
                 # The next hop's focus domain is subject-position nodes;
                 # a literal intermediate whose lexical form collides with
                 # a node identifier must not join through (lex-only key).
-                cur = cur.filter(F.col("v_kind") == 0)
+                # Keep BOTH IRIs and blank nodes — sh:path sequences
+                # routinely traverse [ ] bnode intermediates (the
+                # canonical `sh:path (ex:address ex:zip)` shape).
+                cur = cur.filter(F.col("v_kind") != 2)
             cur = (
                 cur.select("focus", F.col("v_lex").alias("_mid"))
                 .join(step.withColumnRenamed("focus", "_mid"), "_mid")

@@ -1677,7 +1677,12 @@ class QueryCompiler:
             inner.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             if reverse else inner
         )
-        closed = transitive_closure(edges, seeds=seeds)
+        closed = transitive_closure(
+            edges, seeds=seeds,
+            # only constant endpoints are provably tiny; variable-seeded
+            # binding sets can be arbitrarily large — let AQE choose there
+            broadcast_seeds=seed_kind[0].endswith("const"),
+        )
         if reverse:
             closed = closed.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")

@@ -935,3 +935,33 @@ def test_large_select_streams_without_content_length(server):
         assert json.loads(r.read())["results"]["bindings"] == [
             {"v": {"type": "literal", "value": "7"}}
         ]
+
+
+def test_midstream_failure_aborts_connection(server, monkeypatch):
+    """ADVICE r7: an iterator failure AFTER the streaming switch must
+    abort the connection — never write a second status line + JSON error
+    into the middle of the partially-streamed body."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "abort_t", "params": {}}).encode(),
+        "application/json",
+    )
+    repo = server.engine._repos["abort_t"]
+
+    def bad_chunks(query, include_inferred=False):
+        def gen():
+            for _ in range(10):  # past STREAM_BUFFER_CHUNKS → streaming
+                yield "x" * 64
+            raise RuntimeError("executor lost mid-stream")
+        return gen()
+
+    monkeypatch.setattr(repo, "sparql_result_chunks", bad_chunks)
+    q = urllib.parse.quote("SELECT ?s WHERE { ?s ?p ?o }")
+    with urllib.request.urlopen(
+        urllib.request.Request(_url(server, f"/repositories/abort_t?query={q}"))
+    ) as r:
+        assert r.status == 200           # streaming had already begun
+        body = r.read()                  # terminated by connection close
+    assert b"error" not in body          # no JSON error spliced in
+    assert b"HTTP/1.0 400" not in body   # no second status line
+    assert body == b"x" * 64 * 10        # exactly the streamed chunks

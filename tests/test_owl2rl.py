@@ -287,3 +287,42 @@ def test_consistency_report_equality_and_cardinality(spark):
             "cls-maxc1", "cls-maxqc1"} <= rules
     assert ("cls-nothing2", X + "ghost",
             "http://www.w3.org/2002/07/owl#Nothing") in got
+
+
+def test_anonymous_class_expressions(spark):
+    """cls-int1/2, cls-uni with the CANONICAL anonymous class form
+    (ADVICE r7): `[ owl:intersectionOf (...) ]` heads are blank nodes —
+    the generated per-axiom rules must match them in object position
+    (kind-correct, via the skolemized rule space) and the inferred
+    rdf:type rows must come back with blank-node kind."""
+    r = _repo(spark, "owl2_anon", TTL_PFX + """
+        ex:Both owl:equivalentClass [ owl:intersectionOf ( ex:A ex:B ) ] .
+        ex:Either owl:equivalentClass [ owl:unionOf ( ex:C ex:D ) ] .
+        ex:x a ex:A , ex:B .
+        ex:y a ex:Both .
+        ex:z a ex:C .
+    """, ruleset="owl2-rl")
+    # cls-int1 types ex:x as the ANONYMOUS class; cax-eqc carries it to
+    # the named equivalent. Before the fix both silently failed.
+    assert _ask(r, "ASK { ex:x a ex:Both }")
+    assert _ask(r, "ASK { ex:y a ex:A }")      # eqc → cls-int2
+    assert _ask(r, "ASK { ex:y a ex:B }")
+    assert _ask(r, "ASK { ex:z a ex:Either }")  # cls-uni → eqc
+    assert not _ask(r, "ASK { ex:x a ex:Either }")
+    # inferred bnode-typed rows carry KIND_BLANK, not a leaked skolem IRI
+    got = r.sparql_collect(PFX + """
+        SELECT ?c WHERE { ex:x a ?c . FILTER(isBlank(?c)) }
+    """)
+    assert len(got) == 1
+    assert not got[0]["c"]["lex"].startswith("urn:x-skolem:")
+
+
+def test_anonymous_all_disjoint_members(spark):
+    """cax-adc with blank-node MEMBERS: anonymous class expressions in
+    the members list must survive the VALUES injection kind-correctly."""
+    X = "http://x#"
+    got = _report(spark, "owl2_anon_adc", TTL_PFX + """
+        _:adc a owl:AllDisjointClasses ; owl:members ( ex:A ex:B ) .
+        ex:w a ex:A , ex:B .
+    """)
+    assert ("cax-adc", X + "w", X + "A") in got

@@ -772,3 +772,28 @@ def test_sh_message_overrides_component_message(repo):
     assert [(r["focus"], r["message"]) for r in rows] == [
         (EX + "bob", "every person needs a name")
     ]
+
+
+def test_path_sequence_blank_node_intermediate(spark):
+    """sh:path (ex:address ex:zip) through `[ ]` bnode intermediates
+    (ADVICE r7): the literal-collision guard on sequence hops must keep
+    blank nodes — filtering to IRIs only false-fails sh:minCount and
+    skips value checks for the canonical nested-bnode shape."""
+    eng = Engine(spark)
+    r = eng.create_repository("shacl_bnode_seq", ruleset="none")
+    r.load_turtle_text(f"""
+    @prefix ex: <{EX}> .
+    ex:dave a ex:Person ; ex:address [ ex:zip "D01" ] .
+    ex:erin a ex:Person ; ex:address [ ex:zip "bad zip" ] .
+    ex:fred a ex:Person .
+    """)
+    try:
+        v = _viol(r, _shape(
+            'sh:property [ sh:path (ex:address ex:zip) ; sh:minCount 1 ; '
+            'sh:pattern "^D" ]'))
+        assert sorted(v) == [
+            (EX + "erin", "PatternConstraintComponent", "bad zip"),
+            (EX + "fred", "MinCountConstraintComponent", None),
+        ]
+    finally:
+        eng.drop_repository("shacl_bnode_seq")

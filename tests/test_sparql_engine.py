@@ -247,11 +247,14 @@ def test_property_path_bound_endpoints_routes_seeded(micro, monkeypatch):
     from dublin_smart_city_graphdb_spark.graph import closure as C
 
     calls: list[bool] = []
+    bcasts: list[bool] = []
     real = C.transitive_closure
 
-    def spy(edges, src="src", dst="dst", max_iterations=50, seeds=None):
+    def spy(edges, src="src", dst="dst", max_iterations=50, seeds=None,
+            broadcast_seeds=False):
         calls.append(seeds is not None)
-        return real(edges, src, dst, max_iterations, seeds)
+        bcasts.append(broadcast_seeds)
+        return real(edges, src, dst, max_iterations, seeds, broadcast_seeds)
 
     monkeypatch.setattr(C, "transitive_closure", spy)
 
@@ -277,9 +280,12 @@ def test_property_path_bound_endpoints_routes_seeded(micro, monkeypatch):
     )
     assert len(rows) == 1
     assert calls and all(calls), f"unseeded closure call slipped in: {calls}"
+    # constant endpoints are provably tiny → broadcast hint pinned
+    assert bcasts and all(bcasts), f"const seed not broadcast: {bcasts}"
     # VARIABLE endpoint already bound by the BGP chain: seeded from the
     # chain's distinct values (no collect), both directions
     calls.clear()
+    bcasts.clear()
     rows = micro.sparql_collect(
         MP + "SELECT ?x ?y WHERE { ?x a ex:Person . ?x ex:knows+ ?y }"
     )
@@ -298,6 +304,11 @@ def test_property_path_bound_endpoints_routes_seeded(micro, monkeypatch):
         "http://m#a", "http://m#b", "http://m#c",
     ]
     assert calls == [True]
+    # variable-seeded binding sets can be arbitrarily large → NO pinned
+    # broadcast hint; AQE picks the strategy from runtime stats
+    # (ADVICE r7: an unconditional broadcast of an accumulated BGP
+    # binding set risks OOM at exactly the scale seeding targets)
+    assert bcasts == [False, False]
     # star keeps the zero-length arm per seed (x knows* x)
     calls.clear()
     rows = micro.sparql_collect(
