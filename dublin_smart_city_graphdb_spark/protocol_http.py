@@ -85,6 +85,17 @@ def _make_handler(engine: Engine):
                             "application/sparql-results+json",
                         )
                         return
+                else:
+                    # CONSTRUCT/DESCRIBE graph serializations stream the
+                    # same way (VERDICT r7 task 1) — N-Triples/Turtle
+                    # lines and RDF/XML fragments via toLocalIterator
+                    graph = repo.graph_result_chunks(
+                        query, accept, include_inferred=infer
+                    )
+                    if graph is not None:
+                        gchunks, gtype = graph
+                        self._send_chunks(200, gchunks, gtype)
+                        return
                 payload, ctype = repo.sparql_serialized(
                     query, accept=accept, include_inferred=infer
                 )
@@ -129,6 +140,68 @@ def _make_handler(engine: Engine):
                 self.close_connection = True
             else:
                 self._send(code, "".join(buffered), ctype)
+
+        def _export_quads(self, quads, accept: str, nquads_ok: bool) -> None:
+            """Serve a quads DataFrame in the negotiated graph format —
+            STREAMED (VERDICT r7 task 1): every line-based serialization
+            (N-Triples/N-Quads/TriG) and RDF/XML's fragment stream go out
+            through _send_chunks + toLocalIterator, so a whole-store GET
+            /statements holds one partition + a 4-chunk buffer on the
+            driver, never the serialized corpus. RDF/XML's
+            inexpressible-predicate probe runs as a distributed LIMIT-1
+            job BEFORE the status line, keeping the 406. JSON-LD remains
+            driver-assembled under a documented cap (413 → use the
+            distributed dump path)."""
+            from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                JSONLD_EXPORT_CAP,
+                RDFXML_FOOTER,
+                RDFXML_HEADER,
+                line_chunk_iter,
+                quads_to_nquads,
+                quads_to_ntriples,
+                quads_to_rdfxml_fragments,
+                quads_to_trig_lines,
+            )
+
+            if "application/rdf+xml" in accept:
+                frags = quads_to_rdfxml_fragments(quads)
+                if frags.filter(F.col("value").isNull()).limit(1).count():
+                    self._send(406, {
+                        "error": "a predicate IRI has no XML-expressible"
+                                 " local name; request N-Triples"
+                    })
+                    return
+                self._send_chunks(
+                    200,
+                    line_chunk_iter(
+                        frags, head=RDFXML_HEADER, tail=RDFXML_FOOTER
+                    ),
+                    "application/rdf+xml",
+                )
+                return
+            if "application/ld+json" in accept:
+                from dublin_smart_city_graphdb_spark.sparql.protocol import (
+                    quads_to_jsonld,
+                )
+
+                try:
+                    body = quads_to_jsonld(
+                        quads, max_quads=JSONLD_EXPORT_CAP
+                    )
+                except ValueError as ex:
+                    self._send(413, {"error": str(ex)})
+                    return
+                self._send(200, body + "\n", "application/ld+json")
+                return
+            if "application/trig" in accept:
+                lines, ctype = quads_to_trig_lines(quads), "application/trig"
+            elif nquads_ok and "n-quads" in accept:
+                lines, ctype = quads_to_nquads(quads), "application/n-quads"
+            else:
+                lines, ctype = (
+                    quads_to_ntriples(quads), "application/n-triples"
+                )
+            self._send_chunks(200, line_chunk_iter(lines), ctype)
 
         def _send(self, code: int, payload, ctype="application/json"):
             body = (
@@ -392,14 +465,6 @@ def _make_handler(engine: Engine):
             if t is None:
                 return
             if t is not False:
-                from dublin_smart_city_graphdb_spark.sparql.protocol import (
-                    RDFXML_FOOTER,
-                    RDFXML_HEADER,
-                    quads_to_ntriples,
-                    quads_to_rdfxml_fragments,
-                    quads_to_trig_lines,
-                )
-
                 repo, graph = t
                 quads = repo.quads
                 quads = (
@@ -408,45 +473,7 @@ def _make_handler(engine: Engine):
                     else quads.filter(F.col("g").isNull())
                 )
                 accept = self.headers.get("Accept", "") or ""
-                if "application/rdf+xml" in accept:
-                    frags = [
-                        r["value"]
-                        for r in quads_to_rdfxml_fragments(quads).collect()
-                    ]
-                    if any(f is None for f in frags):
-                        self._send(406, {
-                            "error": "a predicate IRI has no XML-expressible"
-                                     " local name; request N-Triples"
-                        })
-                        return
-                    body = "\n".join([RDFXML_HEADER, *frags, RDFXML_FOOTER])
-                    self._send(200, body + "\n", "application/rdf+xml")
-                    return
-                if "application/ld+json" in accept:
-                    from dublin_smart_city_graphdb_spark.sparql.protocol import (
-                        quads_to_jsonld,
-                    )
-
-                    self._send(
-                        200, quads_to_jsonld(quads) + "\n",
-                        "application/ld+json",
-                    )
-                    return
-                if "application/trig" in accept:
-                    lines = quads_to_trig_lines(quads)
-                    body = "\n".join(r["value"] for r in lines.collect())
-                    self._send(
-                        200, body + ("\n" if body else ""),
-                        "application/trig",
-                    )
-                    return
-                lines = quads_to_ntriples(quads)
-                body = "\n".join(r["value"] for r in lines.collect())
-                self._send(
-                    200,
-                    body + ("\n" if body else ""),
-                    "application/n-triples",
-                )
+                self._export_quads(quads, accept, nquads_ok=False)
                 return
             if parts == ["rest", "repositories"]:
                 self._send(200, [{"id": r} for r in engine.list_repositories()])
@@ -470,15 +497,6 @@ def _make_handler(engine: Engine):
                 # statements export: N-Quads and TriG keep graph labels,
                 # N-Triples flattens, RDF/XML covers the typed-literal
                 # surface; graph-scoped via ?context=<iri>
-                from dublin_smart_city_graphdb_spark.sparql.protocol import (
-                    RDFXML_FOOTER,
-                    RDFXML_HEADER,
-                    quads_to_nquads,
-                    quads_to_ntriples,
-                    quads_to_rdfxml_fragments,
-                    quads_to_trig_lines,
-                )
-
                 repo = self._repo(parts[1])
                 if repo is None:
                     return
@@ -488,39 +506,7 @@ def _make_handler(engine: Engine):
                 if ctx:
                     quads = quads.filter(F.col("g") == ctx.strip("<>"))
                 accept = self.headers.get("Accept") or ""
-                if "application/rdf+xml" in accept:
-                    frags = [
-                        r["value"]
-                        for r in quads_to_rdfxml_fragments(quads).collect()
-                    ]
-                    if any(f is None for f in frags):
-                        self._send(406, {
-                            "error": "a predicate IRI has no XML-"
-                                     "expressible local name; request "
-                                     "N-Triples"
-                        })
-                        return
-                    body = "\n".join([RDFXML_HEADER, *frags, RDFXML_FOOTER])
-                    self._send(200, body + "\n", "application/rdf+xml")
-                    return
-                if "application/ld+json" in accept:
-                    from dublin_smart_city_graphdb_spark.sparql.protocol import (
-                        quads_to_jsonld,
-                    )
-
-                    self._send(
-                        200, quads_to_jsonld(quads) + "\n",
-                        "application/ld+json",
-                    )
-                    return
-                if "application/trig" in accept:
-                    lines, ctype = quads_to_trig_lines(quads), "application/trig"
-                elif "n-quads" in accept:
-                    lines, ctype = quads_to_nquads(quads), "application/n-quads"
-                else:
-                    lines, ctype = quads_to_ntriples(quads), "application/n-triples"
-                body = "\n".join(r["value"] for r in lines.collect())
-                self._send(200, body + ("\n" if body else ""), ctype)
+                self._export_quads(quads, accept, nquads_ok=True)
                 return
             if len(parts) == 2 and parts[0] == "repositories":
                 repo = self._repo(parts[1])

@@ -965,3 +965,155 @@ def test_midstream_failure_aborts_connection(server, monkeypatch):
     assert b"error" not in body          # no JSON error spliced in
     assert b"HTTP/1.0 400" not in body   # no second status line
     assert body == b"x" * 64 * 10        # exactly the streamed chunks
+
+
+def _graph_fixture(server, name, n=5000):
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": name, "params": {}}).encode(),
+        "application/json",
+    )
+    ttl = "@prefix ex: <http://s#> .\n" + "\n".join(
+        f'ex:n{i} ex:val "{i}" .' for i in range(n)
+    )
+    _post(server, f"/repositories/{name}/statements", ttl.encode(),
+          "text/turtle")
+    return server.engine._repos[name]
+
+
+def test_construct_ntriples_streams_byte_identical(server):
+    """VERDICT r7 task 1: a large CONSTRUCT served as N-Triples goes out
+    STREAMED (no Content-Length) and byte-identical to the buffered
+    serializer; small results keep the Content-Length path."""
+    repo = _graph_fixture(server, "gstream_t")
+    query = (
+        "PREFIX ex: <http://s#> CONSTRUCT { ?s ex:copy ?v } "
+        "WHERE { ?s ex:val ?v }"
+    )
+    q = urllib.parse.quote(query)
+    req = urllib.request.Request(
+        _url(server, f"/repositories/gstream_t?query={q}"),
+        headers={"Accept": "application/n-triples"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("Content-Length") is None  # streamed
+        assert r.headers.get_content_type() == "application/n-triples"
+        body = r.read().decode()
+    buffered, _ = repo.sparql_serialized(
+        query, accept="application/n-triples"
+    )
+    assert body == buffered
+    assert body.count("\n") == 5000
+    # small result keeps Content-Length
+    q2 = urllib.parse.quote(
+        "PREFIX ex: <http://s#> CONSTRUCT { ?s ex:one ?v } "
+        'WHERE { ex:n7 ex:val ?v . BIND(ex:n7 AS ?s) }'
+    )
+    req2 = urllib.request.Request(
+        _url(server, f"/repositories/gstream_t?query={q2}"),
+        headers={"Accept": "application/n-triples"},
+    )
+    with urllib.request.urlopen(req2) as r:
+        assert r.headers.get("Content-Length") is not None
+
+
+def test_construct_rdfxml_streams_byte_identical(server):
+    repo = _graph_fixture(server, "gstream_xml", n=4800)
+    query = (
+        "PREFIX ex: <http://s#> CONSTRUCT { ?s ex:copy ?v } "
+        "WHERE { ?s ex:val ?v }"
+    )
+    q = urllib.parse.quote(query)
+    req = urllib.request.Request(
+        _url(server, f"/repositories/gstream_xml?query={q}"),
+        headers={"Accept": "application/rdf+xml"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("Content-Length") is None
+        body = r.read().decode()
+    buffered, _ = repo.sparql_serialized(query, accept="application/rdf+xml")
+    assert body == buffered
+    assert body.rstrip().endswith("</rdf:RDF>")
+
+
+def test_statements_export_streams_byte_identical(server):
+    """GET /statements for N-Triples/N-Quads/TriG streams past the
+    buffer threshold, byte-identical to the buffered join."""
+    from dublin_smart_city_graphdb_spark.sparql.protocol import (
+        quads_to_nquads,
+        quads_to_ntriples,
+        quads_to_trig_lines,
+    )
+
+    repo = _graph_fixture(server, "gstream_st")
+    for accept, fn in [
+        ("application/n-triples", quads_to_ntriples),
+        ("application/n-quads", quads_to_nquads),
+        ("application/trig", quads_to_trig_lines),
+    ]:
+        req = urllib.request.Request(
+            _url(server, "/repositories/gstream_st/statements"),
+            headers={"Accept": accept},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers.get("Content-Length") is None, accept
+            assert r.headers.get_content_type() == accept
+            body = r.read().decode()
+        lines = [x["value"] for x in fn(repo.quads).collect()]
+        assert body == "\n".join(lines) + ("\n" if lines else ""), accept
+
+
+def test_gsp_export_streams(server):
+    repo = _graph_fixture(server, "gstream_gsp")
+    req = urllib.request.Request(
+        _url(server,
+             "/repositories/gstream_gsp/rdf-graphs/service?default"),
+        headers={"Accept": "application/n-triples"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("Content-Length") is None
+        body = r.read().decode()
+    assert body.count("\n") == 5000
+    assert repo is not None
+
+
+def test_rdfxml_inexpressible_predicate_still_406(server):
+    """The RDF/XML inexpressible-predicate probe runs BEFORE the status
+    line even on the streamed path."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "gstream_bad", "params": {}}).encode(),
+        "application/json",
+    )
+    # predicate ends in '/', no XML local name
+    nt = "<http://s#a> <http://s#p/> <http://s#b> .\n" * 1
+    _post(server, "/repositories/gstream_bad/statements",
+          nt.encode(), "application/n-triples")
+    req = urllib.request.Request(
+        _url(server, "/repositories/gstream_bad/statements"),
+        headers={"Accept": "application/rdf+xml"},
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 406")
+    except urllib.error.HTTPError as e:
+        assert e.code == 406
+
+
+def test_jsonld_export_cap_413(server, monkeypatch):
+    """JSON-LD driver-side assembly is capped: past the cap the export
+    answers 413 with a pointer to the distributed dump path."""
+    from dublin_smart_city_graphdb_spark.sparql import protocol as P
+
+    _graph_fixture(server, "gstream_ld", n=50)
+    monkeypatch.setattr(P, "JSONLD_EXPORT_CAP", 10)
+    req = urllib.request.Request(
+        _url(server, "/repositories/gstream_ld/statements"),
+        headers={"Accept": "application/ld+json"},
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 413")
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+        assert b"dump" in e.read()
