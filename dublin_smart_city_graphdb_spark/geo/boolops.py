@@ -1,0 +1,694 @@
+"""Polygon boolean operations, convex hull, and DE-9IM relate on WKT.
+
+GeoSPARQL §8.7's non-topological query functions (``geof:intersection``,
+``geof:union``, ``geof:difference``, ``geof:symDifference``,
+``geof:convexHull``) and §8.8's ``geof:relate`` — the set-valued /
+matrix-valued complement of the JVM predicate kernels in
+``sparql/extensions.py``. GraphDB serves these from its GeoSPARQL
+plugin (engine surface selected at ``Dockerfile:2``; the vocabulary the
+reference loads is the geometry table at ``facilities.ttl:161-171``).
+
+Algorithm: slab decomposition. Every vertex y and every proper
+edge-crossing y of the two ring sets becomes a slab boundary; inside a
+slab no edges cross, so sorting the slab-spanning edges by x at the
+slab midline gives a consistent left-to-right order, and one parity
+sweep (even-odd fill, so holes and MULTIPOLYGON members need no special
+casing) emits the trapezoids where the boolean condition holds. The
+trapezoid set is stitched back into rings by cancelling interior
+horizontal intervals at each slab interface (symmetric difference of
+the upper/lower interval sets) and walking the remaining segment graph;
+collinear-point simplification then restores minimal rings. Exact on
+the lattice-aligned/straight-edge domain the engine's geo predicates
+already promise (shared edges, T-junctions and box grids are exact in
+IEEE doubles); general-position float inputs get float-accurate
+results.
+
+Scope (documented): polygonal (POLYGON / MULTIPOLYGON /
+GEOMETRYCOLLECTION of those) and point (POINT / MULTIPOINT) operands.
+Linework set operations are not implemented (SURVEY §8) — unsupported
+input returns None, surfacing as a SPARQL error. The empty geometry is
+``GEOMETRYCOLLECTION EMPTY`` on output and accepted on input.
+
+These run per-row (no joins, no shuffle): the pandas-UDF wrappers in
+sparql/extensions.py stream Arrow batches through them, so the work is
+embarrassingly parallel and linear at 100 TB — the same execution shape
+as GraphDB's per-binding JTS calls, minus the JVM.
+"""
+
+from __future__ import annotations
+
+import re
+
+Pt = tuple[float, float]
+Ring = list[Pt]
+
+_NUM = r"-?[0-9.eE+]+"
+_PAIR_RE = re.compile(rf"({_NUM})\s+({_NUM})")
+_HEAD_RE = re.compile(r"^\s*(?:<[^>]*>\s*)?([A-Za-z]+)\s*(.*)$", re.S)
+_EMPTY_RE = re.compile(r"^\s*EMPTY\s*$", re.I)
+
+
+class Geom:
+    """Normalized geometry: isolated points + an even-odd polygonal
+    area (flattened rings — the same flattening contract as the JVM
+    kernel's ``_poly_rings``)."""
+
+    __slots__ = ("points", "rings")
+
+    def __init__(self, points: list[Pt] | None = None,
+                 rings: list[Ring] | None = None):
+        self.points = points or []
+        self.rings = rings or []
+
+    def is_empty(self) -> bool:
+        return not self.points and not self.rings
+
+
+def _pairs(text: str) -> list[Pt]:
+    return [(float(a), float(b)) for a, b in _PAIR_RE.findall(text)]
+
+
+def _split_top(body: str) -> list[str]:
+    """Split a parenthesized member list at top-level commas."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur and "".join(cur).strip():
+        out.append("".join(cur))
+    return out
+
+
+def _strip_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        # only strip if the parens match each other
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s
+        s = s[1:-1].strip()
+    return s
+
+
+def _close_open(ring: Ring) -> Ring:
+    """Drop the WKT closing vertex; internal rings are open."""
+    if len(ring) > 1 and ring[0] == ring[-1]:
+        return ring[:-1]
+    return ring
+
+
+def parse_geom(wkt: str | None) -> Geom | None:
+    """WKT → Geom, or None for unsupported/malformed input. Accepts an
+    optional leading ``<crs-iri>`` (the geo:wktLiteral convention)."""
+    if wkt is None:
+        return None
+    m = _HEAD_RE.match(wkt)
+    if not m:
+        return None
+    head, rest = m.group(1).upper(), m.group(2)
+    if _EMPTY_RE.match(rest):
+        return Geom()
+    if head == "POINT":
+        pts = _pairs(rest)
+        return Geom(points=pts) if len(pts) == 1 else None
+    if head == "MULTIPOINT":
+        pts = _pairs(rest)
+        return Geom(points=sorted(set(pts))) if pts else None
+    if head == "POLYGON" or head == "MULTIPOLYGON":
+        body = _strip_parens(rest)
+        # rings split at ")+ , (+" — POLYGON ring separators and
+        # MULTIPOLYGON member separators in one pass (the JVM kernel's
+        # _poly_rings contract)
+        parts = re.split(r"\)+\s*,\s*\(+", body)
+        rings = [_close_open(_pairs(p)) for p in parts]
+        rings = [r for r in rings if len(r) >= 3]
+        return Geom(rings=rings) if rings else None
+    if head == "GEOMETRYCOLLECTION":
+        body = _strip_parens(rest)
+        geom = Geom()
+        for member in _split_top(body):
+            sub = parse_geom(member)
+            if sub is None:
+                return None
+            geom.points.extend(sub.points)
+            geom.rings.extend(sub.rings)
+        geom.points = sorted(set(geom.points))
+        return geom
+    return None  # LINESTRING etc.: out of scope, SPARQL error
+
+
+# -- point-in-area ------------------------------------------------------------
+
+def _on_segment(p: Pt, a: Pt, b: Pt) -> bool:
+    cross = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+    if cross != 0:
+        return False
+    return (min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= p[1] <= max(a[1], b[1]))
+
+
+def _edges(rings: list[Ring]):
+    for r in rings:
+        for i in range(len(r)):
+            a, b = r[i], r[(i + 1) % len(r)]
+            if a != b:
+                yield a, b
+
+
+def point_in_rings(p: Pt, rings: list[Ring]) -> int:
+    """-1 outside, 0 on boundary, 1 strictly inside (even-odd)."""
+    x, y = p
+    crossings = 0
+    for a, b in _edges(rings):
+        if _on_segment(p, a, b):
+            return 0
+        (ax, ay), (bx, by) = a, b
+        if (ay > y) != (by > y):
+            xi = ax + (y - ay) * (bx - ax) / (by - ay)
+            if xi > x:
+                crossings += 1
+    return 1 if crossings % 2 else -1
+
+
+# -- slab boolean core --------------------------------------------------------
+
+def _cross_ys(e, f) -> list[float]:
+    """y of the proper crossing of segments e, f (endpoint/collinear
+    contacts contribute vertex ys already)."""
+    (ax, ay), (bx, by) = e
+    (cx, cy), (dx, dy) = f
+    rx, ry = bx - ax, by - ay
+    sx, sy = dx - cx, dy - cy
+    denom = rx * sy - ry * sx
+    if denom == 0:
+        return []
+    t = ((cx - ax) * sy - (cy - ay) * sx) / denom
+    u = ((cx - ax) * ry - (cy - ay) * rx) / denom
+    if 0 <= t <= 1 and 0 <= u <= 1:
+        return [ay + t * ry]
+    return []
+
+
+def _cond(op: str, pa: bool, pb: bool) -> bool:
+    if op == "and":
+        return pa and pb
+    if op == "or":
+        return pa or pb
+    if op == "sub":
+        return pa and not pb
+    return pa != pb  # xor
+
+
+def boolop_rings(ra: list[Ring], rb: list[Ring], op: str) -> list[Ring]:
+    """Even-odd boolean combination of two ring sets → minimal rings."""
+    ea, eb = list(_edges(ra)), list(_edges(rb))
+    ys = {v[1] for e in ea + eb for v in e}
+    for e in ea:
+        for f in eb:
+            ys.update(_cross_ys(e, f))
+    ysl = sorted(ys)
+
+    slabs = []  # (y0, y1, [(xl0, xl1, xr0, xr1), ...])
+    for y0, y1 in zip(ysl, ysl[1:]):
+        if not y1 > y0:
+            continue
+        ym = (y0 + y1) / 2
+        evs = []
+        for tag, edges in (("a", ea), ("b", eb)):
+            for (px, py), (qx, qy) in edges:
+                if py == qy:
+                    continue
+                if min(py, qy) <= y0 and max(py, qy) >= y1:
+                    x0 = px + (qx - px) * (y0 - py) / (qy - py)
+                    x1 = px + (qx - px) * (y1 - py) / (qy - py)
+                    evs.append((x0 + (x1 - x0) / 2, x0, x1, tag))
+        evs.sort(key=lambda t: (t[0], t[1], t[2]))
+        traps, pa, pb, left = [], False, False, None
+        i = 0
+        while i < len(evs):
+            j, ca, cb = i, 0, 0
+            # coincident edges (shared lattice edges) toggle together —
+            # no zero-width slivers between an A edge and the identical
+            # B edge
+            while (j < len(evs) and evs[j][1] == evs[i][1]
+                   and evs[j][2] == evs[i][2]):
+                if evs[j][3] == "a":
+                    ca += 1
+                else:
+                    cb += 1
+                j += 1
+            was = _cond(op, pa, pb)
+            if ca % 2:
+                pa = not pa
+            if cb % 2:
+                pb = not pb
+            now = _cond(op, pa, pb)
+            if now and not was:
+                left = (evs[i][1], evs[i][2])
+            elif was and not now and left is not None:
+                if not (left[0] == evs[i][1] and left[1] == evs[i][2]):
+                    traps.append((left[0], left[1], evs[i][1], evs[i][2]))
+                left = None
+            i = j
+        if traps:
+            slabs.append((y0, y1, traps))
+    return _stitch(slabs)
+
+
+def _interval_symdiff(lower: list[tuple[float, float]],
+                      upper: list[tuple[float, float]]
+                      ) -> list[tuple[float, float]]:
+    pts = sorted({x for iv in lower + upper for x in iv})
+    out = []
+    for x0, x1 in zip(pts, pts[1:]):
+        if not x1 > x0:
+            continue
+        xm = x0 + (x1 - x0) / 2
+        in_l = any(a <= xm <= b for a, b in lower)
+        in_u = any(a <= xm <= b for a, b in upper)
+        if in_l != in_u:
+            # do NOT merge adjacent pieces: a shared breakpoint can be a
+            # junction vertex where two faces meet — merging across it
+            # would weld distinct rings into a self-crossing one. The
+            # ring walk's collinear simplification re-joins pieces that
+            # genuinely belong to one face.
+            out.append((x0, x1))
+    return out
+
+
+def _stitch(slabs) -> list[Ring]:
+    """Trapezoid set → boundary segments → closed minimal rings."""
+    segs: list[tuple[Pt, Pt]] = []
+    tops: dict[float, list[tuple[float, float]]] = {}
+    bots: dict[float, list[tuple[float, float]]] = {}
+    for y0, y1, traps in slabs:
+        for xl0, xl1, xr0, xr1 in traps:
+            if (xl0, y0) != (xl1, y1):
+                segs.append(((xl0, y0), (xl1, y1)))
+            if (xr0, y0) != (xr1, y1):
+                segs.append(((xr0, y0), (xr1, y1)))
+            tops.setdefault(y1, []).append((xl1, xr1))
+            bots.setdefault(y0, []).append((xl0, xr0))
+    for y in sorted(set(tops) | set(bots)):
+        for x0, x1 in _interval_symdiff(tops.get(y, []), bots.get(y, [])):
+            segs.append(((x0, y), (x1, y)))
+
+    # walk the segment graph into closed rings; at junction vertices
+    # (two region corners meeting at a point) pick the most-clockwise
+    # continuation relative to the incoming direction — consistent
+    # face tracing keeps every emitted ring SIMPLE (no even-odd ring
+    # pair whose "hole" escapes its shell)
+    import math
+
+    adj: dict[Pt, list[int]] = {}
+    for i, (a, b) in enumerate(segs):
+        adj.setdefault(a, []).append(i)
+        adj.setdefault(b, []).append(i)
+    used = [False] * len(segs)
+    rings: list[Ring] = []
+    for start in range(len(segs)):
+        if used[start]:
+            continue
+        used[start] = True
+        a, b = segs[start]
+        ring = [a, b]
+        while ring[-1] != ring[0]:
+            cur, prev = ring[-1], ring[-2]
+            cands = [i for i in adj.get(cur, []) if not used[i]]
+            if not cands:
+                ring = None  # dangling — numeric sliver; drop
+                break
+            din = math.atan2(cur[1] - prev[1], cur[0] - prev[0])
+
+            def turn(i: int) -> tuple:
+                p, q = segs[i]
+                n = q if p == cur else p
+                ang = math.atan2(n[1] - cur[1], n[0] - cur[0])
+                # clockwise angle from the reversed incoming direction,
+                # in (0, 2π] — smallest = sharpest right turn
+                rel = (din + math.pi - ang) % (2 * math.pi)
+                return (rel if rel > 1e-12 else 2 * math.pi, n)
+
+            nxt = min(cands, key=turn)
+            used[nxt] = True
+            p, q = segs[nxt]
+            ring.append(q if p == cur else p)
+        if ring:
+            rings.extend(_split_pinched(_simplify(ring[:-1])))
+    return [r for r in rings if len(r) >= 3]
+
+
+def _split_pinched(ring: Ring) -> list[Ring]:
+    """A ring that visits a vertex twice is two faces touching at a
+    point — split it there (recursively) so every emitted ring is
+    simple."""
+    seen: dict[Pt, int] = {}
+    for i, p in enumerate(ring):
+        if p in seen:
+            j = seen[p]
+            inner = _simplify(ring[j:i])
+            outer = _simplify(ring[:j] + ring[i:])
+            return _split_pinched(inner) + _split_pinched(outer)
+        seen[p] = i
+    return [ring] if len(ring) >= 3 else []
+
+
+def _simplify(ring: Ring) -> Ring:
+    """Drop duplicate and collinear vertices (incl. zero-area spikes)."""
+    out = ring
+    changed = True
+    while changed and len(out) >= 3:
+        changed = False
+        nxt = []
+        n = len(out)
+        for i in range(n):
+            p, c, q = out[i - 1], out[i], out[(i + 1) % n]
+            cross = ((c[0] - p[0]) * (q[1] - p[1])
+                     - (c[1] - p[1]) * (q[0] - p[0]))
+            if c == p or cross == 0:
+                changed = True
+                continue
+            nxt.append(c)
+        out = nxt
+    return out
+
+
+# -- WKT formatting -----------------------------------------------------------
+
+def _fmt(v: float) -> str:
+    return repr(float(v))
+
+
+def _ring_wkt(ring: Ring, hole: bool) -> str:
+    """Canonical ring text: starts at the (x, y)-minimal vertex, shells
+    counter-clockwise, holes clockwise, explicitly closed."""
+    area2 = sum(
+        ring[i][0] * ring[(i + 1) % len(ring)][1]
+        - ring[(i + 1) % len(ring)][0] * ring[i][1]
+        for i in range(len(ring))
+    )
+    ccw = area2 > 0
+    pts = list(ring) if ccw != hole else list(reversed(ring))
+    k = min(range(len(pts)), key=lambda i: pts[i])
+    pts = pts[k:] + pts[:k] + [pts[k]]
+    return "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in pts) + ")"
+
+
+def _ring_sample(ring: Ring, others: list[Ring]):
+    """A vertex of ``ring`` not on any other ring's boundary (depth
+    classification needs a strictly-classifiable sample)."""
+    for p in ring:
+        if all(point_in_rings(p, [o]) != 0 for o in others):
+            return p
+    # fall back to an edge midpoint
+    for i in range(len(ring)):
+        a, b = ring[i], ring[(i + 1) % len(ring)]
+        p = (a[0] + (b[0] - a[0]) / 2, a[1] + (b[1] - a[1]) / 2)
+        if all(point_in_rings(p, [o]) != 0 for o in others):
+            return p
+    return ring[0]
+
+
+def _polygonal_wkt(rings: list[Ring]) -> str:
+    """Ring set → POLYGON / MULTIPOLYGON with holes grouped under their
+    shells by even-odd depth."""
+    depth = []
+    for i, r in enumerate(rings):
+        others = [o for j, o in enumerate(rings) if j != i]
+        p = _ring_sample(r, others)
+        depth.append(sum(point_in_rings(p, [o]) == 1 for o in others))
+    shells = [i for i, d in enumerate(depth) if d % 2 == 0]
+    members = []
+    for si in shells:
+        holes = [
+            hi for hi, d in enumerate(depth)
+            if d == depth[si] + 1
+            and point_in_rings(_ring_sample(rings[hi], [rings[si]]),
+                               [rings[si]]) == 1
+        ]
+        texts = [_ring_wkt(rings[si], hole=False)] + sorted(
+            _ring_wkt(rings[h], hole=True) for h in holes
+        )
+        members.append("(" + ", ".join(texts) + ")")
+    members.sort()
+    if len(members) == 1:
+        return "POLYGON" + members[0]
+    return "MULTIPOLYGON(" + ", ".join(members) + ")"
+
+
+def format_geom(g: Geom) -> str:
+    if g.is_empty():
+        return "GEOMETRYCOLLECTION EMPTY"
+    parts = []
+    pts = sorted(set(g.points))
+    if pts and not g.rings:
+        if len(pts) == 1:
+            return f"POINT({_fmt(pts[0][0])} {_fmt(pts[0][1])})"
+        return "MULTIPOINT(" + ", ".join(
+            f"({_fmt(x)} {_fmt(y)})" for x, y in pts) + ")"
+    if not pts:
+        return _polygonal_wkt(g.rings)
+    parts = [f"POINT({_fmt(x)} {_fmt(y)})" for x, y in pts]
+    parts.append(_polygonal_wkt(g.rings))
+    return "GEOMETRYCOLLECTION(" + ", ".join(parts) + ")"
+
+
+# -- the public ops -----------------------------------------------------------
+
+def _covered(p: Pt, g: Geom) -> bool:
+    return p in g.points or point_in_rings(p, g.rings) >= 0
+
+
+def boolop_geom(a: Geom, b: Geom, op: str) -> Geom:
+    rings = boolop_rings(a.rings, b.rings, op)
+    area = Geom(rings=rings)
+    if op == "and":
+        pts = [p for p in a.points if _covered(p, b)]
+        pts += [p for p in b.points if _covered(p, a)]
+    elif op == "or":
+        pts = [p for p in a.points + b.points
+               if point_in_rings(p, rings) == -1]
+    elif op == "sub":
+        pts = [p for p in a.points if not _covered(p, b)]
+    else:  # xor
+        pts = [p for p in a.points if not _covered(p, b)]
+        pts += [p for p in b.points if not _covered(p, a)]
+    area.points = sorted(set(pts))
+    return area
+
+
+def boolop_wkt(wkt_a: str | None, wkt_b: str | None, op: str) -> str | None:
+    a, b = parse_geom(wkt_a), parse_geom(wkt_b)
+    if a is None or b is None:
+        return None
+    return format_geom(boolop_geom(a, b, op))
+
+
+def convex_hull_wkt(wkt: str | None) -> str | None:
+    """Andrew's monotone chain over every coordinate of the geometry
+    (any WKT type with coordinates qualifies, matching JTS)."""
+    if wkt is None:
+        return None
+    m = _HEAD_RE.match(wkt)
+    if not m:
+        return None
+    if _EMPTY_RE.match(m.group(2)):
+        return "GEOMETRYCOLLECTION EMPTY"
+    pts = sorted(set(_pairs(m.group(2))))
+    if not pts:
+        return None
+    if len(pts) == 1:
+        return f"POINT({_fmt(pts[0][0])} {_fmt(pts[0][1])})"
+
+    def half(seq):
+        out: list[Pt] = []
+        for p in seq:
+            while len(out) >= 2:
+                o, q = out[-2], out[-1]
+                if ((q[0] - o[0]) * (p[1] - o[1])
+                        - (q[1] - o[1]) * (p[0] - o[0])) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower, upper = half(pts), half(list(reversed(pts)))
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:  # collinear input
+        a, b = pts[0], pts[-1]
+        return (f"LINESTRING({_fmt(a[0])} {_fmt(a[1])}, "
+                f"{_fmt(b[0])} {_fmt(b[1])})")
+    return _polygonal_wkt([hull])
+
+
+# -- DE-9IM relate ------------------------------------------------------------
+
+def _edge_inside_intervals(e, rings: list[Ring], want: int) -> bool:
+    """True iff a positive-length piece of segment ``e`` lies strictly
+    inside (want=1) / strictly outside (want=-1) the even-odd area."""
+    (ax, ay), (bx, by) = e
+    ts = {0.0, 1.0}
+    for c, d in _edges(rings):
+        (cx, cy), (dx, dy) = c, d
+        rx, ry = bx - ax, by - ay
+        sx, sy = dx - cx, dy - cy
+        denom = rx * sy - ry * sx
+        if denom == 0:
+            # collinear overlap: project the other edge's endpoints
+            if _on_segment(c, (ax, ay), (bx, by)):
+                tc = ((cx - ax) * rx + (cy - ay) * ry) / (rx * rx + ry * ry)
+                ts.add(min(1.0, max(0.0, tc)))
+            if _on_segment(d, (ax, ay), (bx, by)):
+                td = ((dx - ax) * rx + (dy - ay) * ry) / (rx * rx + ry * ry)
+                ts.add(min(1.0, max(0.0, td)))
+            continue
+        t = ((cx - ax) * sy - (cy - ay) * sx) / denom
+        u = ((cx - ax) * ry - (cy - ay) * rx) / denom
+        if 0 <= t <= 1 and 0 <= u <= 1:
+            ts.add(t)
+    tsl = sorted(ts)
+    for t0, t1 in zip(tsl, tsl[1:]):
+        if not t1 > t0:
+            continue
+        tm = t0 + (t1 - t0) / 2
+        p = (ax + tm * (bx - ax), ay + tm * (by - ay))
+        if point_in_rings(p, rings) == want:
+            return True
+    return False
+
+
+def _collinear_overlap(e, f) -> bool:
+    """Segments e, f are collinear and overlap with positive length."""
+    (ax, ay), (bx, by) = e
+    (cx, cy), (dx, dy) = f
+    rx, ry = bx - ax, by - ay
+    if rx * (dy - cy) - ry * (dx - cx) != 0:
+        return False
+    if rx * (cy - ay) - ry * (cx - ax) != 0:
+        return False
+    den = rx * rx + ry * ry
+    tc = ((cx - ax) * rx + (cy - ay) * ry) / den
+    td = ((dx - ax) * rx + (dy - ay) * ry) / den
+    lo, hi = max(0.0, min(tc, td)), min(1.0, max(tc, td))
+    return hi > lo
+
+
+def _boundaries_share_segment(ra: list[Ring], rb: list[Ring]) -> bool:
+    return any(
+        _collinear_overlap(e, f) for e in _edges(ra) for f in _edges(rb)
+    )
+
+
+def _boundaries_touch(ra: list[Ring], rb: list[Ring]) -> bool:
+    for e in _edges(ra):
+        for f in _edges(rb):
+            if _cross_ys(e, f):
+                return True
+            if (_on_segment(f[0], e[0], e[1])
+                    or _on_segment(f[1], e[0], e[1])
+                    or _on_segment(e[0], f[0], f[1])
+                    or _on_segment(e[1], f[0], f[1])):
+                return True
+    return False
+
+
+def de9im(wkt_a: str | None, wkt_b: str | None) -> list[int] | None:
+    """The DE-9IM matrix [II, IB, IE, BI, BB, BE, EI, EB, EE] as
+    dimensions (-1 = empty), for point/polygonal operand pairs. Point
+    interiors are the points themselves (empty boundary); polygon
+    interiors the open even-odd area, boundaries the rings — the OGC
+    SFA topology, on the kernel's exactness domain."""
+    a, b = parse_geom(wkt_a), parse_geom(wkt_b)
+    if a is None or b is None:
+        return None
+
+    ii = ib = ie = bi = bb = be = ei = eb = -1
+    # -- interior(A) row
+    if a.rings and b.rings and boolop_rings(a.rings, b.rings, "and"):
+        ii = 2
+    for p in a.points:
+        if p in b.points or point_in_rings(p, b.rings) == 1:
+            ii = max(ii, 0)
+    for p in b.points:
+        if p in a.points or point_in_rings(p, a.rings) == 1:
+            ii = max(ii, 0)
+    if a.rings and b.rings and any(
+        _edge_inside_intervals(e, a.rings, 1) for e in _edges(b.rings)
+    ):
+        ib = 1  # B's boundary passes through A's interior
+    for p in a.points:
+        if b.rings and point_in_rings(p, b.rings) == 0:
+            ib = max(ib, 0)
+    if a.rings and (not b.rings or boolop_rings(a.rings, b.rings, "sub")):
+        ie = 2
+    for p in a.points:
+        if p not in b.points and point_in_rings(p, b.rings) == -1:
+            ie = max(ie, 0)
+    # -- boundary(A) row (nonempty only for polygonal A)
+    if a.rings:
+        if b.rings and any(
+            _edge_inside_intervals(e, b.rings, 1) for e in _edges(a.rings)
+        ):
+            bi = 1
+        for p in b.points:
+            if point_in_rings(p, a.rings) == 0:
+                bi = max(bi, 0)
+        if b.rings:
+            if _boundaries_share_segment(a.rings, b.rings):
+                bb = 1
+            elif _boundaries_touch(a.rings, b.rings):
+                bb = 0
+        if not b.rings or any(
+            _edge_inside_intervals(e, b.rings, -1) for e in _edges(a.rings)
+        ):
+            be = 1
+    # -- exterior(A) row
+    if b.rings and (not a.rings or boolop_rings(b.rings, a.rings, "sub")):
+        ei = 2
+    for p in b.points:
+        if p not in a.points and point_in_rings(p, a.rings) == -1:
+            ei = max(ei, 0)
+    if b.rings and (not a.rings or any(
+        _edge_inside_intervals(e, a.rings, -1) for e in _edges(b.rings)
+    )):
+        eb = 1
+    return [ii, ib, ie, bi, bb, be, ei, eb, 2]
+
+
+def relate_wkt(wkt_a: str | None, wkt_b: str | None,
+               pattern: str | None) -> bool | None:
+    """geof:relate(a, b, DE-9IM pattern) → boolean; None on unsupported
+    input or malformed pattern."""
+    if pattern is None or len(pattern.strip()) != 9:
+        return None
+    matrix = de9im(wkt_a, wkt_b)
+    if matrix is None:
+        return None
+    for cell, want in zip(matrix, pattern.strip()):
+        if want == "*":
+            continue
+        if want in "Tt":
+            if cell < 0:
+                return False
+        elif want in "Ff":
+            if cell >= 0:
+                return False
+        elif want in "012":
+            if cell != int(want):
+                return False
+        else:
+            return None
+    return True

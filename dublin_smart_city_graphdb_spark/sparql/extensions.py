@@ -11,6 +11,7 @@ point distance is the natural function form of it (SURVEY §2.7 geo row).
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
@@ -118,6 +119,11 @@ _WKT_POLY_BODY = r"^\s*POLYGON\s*\(\s*(.*\S)\s*\)\s*$"
 _WKT_POLYGONAL_BODY = r"^\s*(?:MULTI)?POLYGON\s*\(\s*(.*\S)\s*\)\s*$"
 # MULTIPOINT head (members parenthesized or bare per WKT)
 _WKT_MPOINT_HEAD = r"^\s*MULTIPOINT\s*\("
+# GEOMETRYCOLLECTION member list (non-empty form)
+_WKT_GC_BODY = r"^\s*GEOMETRYCOLLECTION\s*\(\s*(.*\S)\s*\)\s*$"
+# the empty geometry, any head type ("GEOMETRYCOLLECTION EMPTY",
+# "POLYGON EMPTY", ...) with an optional CRS IRI prefix
+_WKT_EMPTY = r"(?i)^\s*(?:<[^>]*>\s*)?[A-Z]+\s+EMPTY\s*$"
 
 
 def geof_sf_within(args: list[Column]) -> Column:
@@ -293,8 +299,22 @@ def _poly_rings(lex: Column) -> Column:
     _WKT_POLYGONAL_BODY); empty array otherwise. The separator between
     rings is one-or-more closing parens, comma, one-or-more opening
     parens, which covers both the intra-polygon ``),(`` and the
-    inter-member ``)),((`` forms in a single split."""
+    inter-member ``)),((`` forms in a single split.
+
+    A GEOMETRYCOLLECTION whose members are ALL polygonal (the form our
+    own geof:union/symDifference and SPARQL CONSTRUCT round-trips can
+    produce) flattens the same way: member type words drop out and the
+    combined ring set keeps even-odd semantics, exactly like
+    MULTIPOLYGON members (VERDICT r7 task 3 — self-output consumption).
+    Collections containing POINT/LINESTRING members stay outside the
+    polygonal path (mixed-dimension predicates: SURVEY §8)."""
     body = F.regexp_extract(lex, _WKT_POLYGONAL_BODY, 1)
+    gc = F.regexp_extract(lex, _WKT_GC_BODY, 1)
+    gc_poly = F.when(
+        (gc != "") & ~gc.rlike(r"(?i)\b(?:POINT|LINESTRING)\b"),
+        F.regexp_replace(gc, r"(?i)(?:MULTI)?POLYGON\s*", ""),
+    ).otherwise(F.lit(""))
+    body = F.when(body != "", body).otherwise(gc_poly)
     rings = F.split(
         F.regexp_replace(
             F.regexp_replace(body, r"^\s*\(+", ""), r"\)+\s*$", ""
@@ -1073,20 +1093,136 @@ def geof_eh_covers(args: list[Column]) -> Column:
     return make_bool(_covered_tangential(args[1]["lex"], args[0]["lex"]))
 
 
+# -- non-topological set functions (GeoSPARQL §8.7-8.8) ----------------------
+#
+# geof:intersection/union/difference/symDifference/convexHull return
+# GEOMETRIES, and geof:relate matches a DE-9IM pattern — set-valued /
+# matrix-valued work the flat-ring Column kernels can't express (a
+# boolean-combination boundary is a new ring set, not a predicate).
+# These run through Arrow-batched pandas UDFs over geo/boolops.py's slab
+# clipper: per-row geometry transforms, map-only, no shuffle — linear
+# and embarrassingly parallel at cluster scale, the same execution shape
+# as GraphDB's per-binding JTS calls. The hot-path PREDICATES above stay
+# JVM Column expressions; these functions appear in projections/BINDs,
+# where a vectorized Python kernel is the sanctioned fallback (VERDICT
+# r7 task 2).
+
+def _boolop_pudf(op: str):
+    def fn(a: pd.Series, b: pd.Series) -> pd.Series:
+        from dublin_smart_city_graphdb_spark.geo.boolops import boolop_wkt
+
+        return pd.Series(
+            [boolop_wkt(x, y, op) for x, y in zip(a, b)], dtype="object"
+        )
+
+    return F.pandas_udf(fn, "string")
+
+
+_GEO_SETOP_UDFS: dict = {}
+
+
+def _geo_setop(op: str, args: list[Column]) -> Column:
+    if op not in _GEO_SETOP_UDFS:
+        _GEO_SETOP_UDFS[op] = _boolop_pudf(op)
+    return _make_wkt(_GEO_SETOP_UDFS[op](args[0]["lex"], args[1]["lex"]))
+
+
+def geof_intersection(args: list[Column]) -> Column:
+    """geof:intersection(geomA, geomB) → geo:wktLiteral (GeoSPARQL
+    §8.7.2). Polygonal/point operands; empty → GEOMETRYCOLLECTION
+    EMPTY; linework unsupported (SPARQL error, SURVEY §8)."""
+    return _geo_setop("and", args)
+
+
+def geof_union(args: list[Column]) -> Column:
+    """geof:union(geomA, geomB) → geo:wktLiteral (§8.7.4)."""
+    return _geo_setop("or", args)
+
+
+def geof_difference(args: list[Column]) -> Column:
+    """geof:difference(geomA, geomB) → geo:wktLiteral (§8.7.3)."""
+    return _geo_setop("sub", args)
+
+
+def geof_sym_difference(args: list[Column]) -> Column:
+    """geof:symDifference(geomA, geomB) → geo:wktLiteral (§8.7.5)."""
+    return _geo_setop("xor", args)
+
+
+def geof_convex_hull(args: list[Column]) -> Column:
+    """geof:convexHull(geom) → geo:wktLiteral (§8.7.1): monotone-chain
+    hull of every coordinate (POINT / LINESTRING / POLYGON degenerate
+    forms per dimension, like JTS)."""
+    if "hull" not in _GEO_SETOP_UDFS:
+        def fn(a: pd.Series) -> pd.Series:
+            from dublin_smart_city_graphdb_spark.geo.boolops import (
+                convex_hull_wkt,
+            )
+
+            return pd.Series(
+                [convex_hull_wkt(x) for x in a], dtype="object"
+            )
+
+        _GEO_SETOP_UDFS["hull"] = F.pandas_udf(fn, "string")
+    return _make_wkt(_GEO_SETOP_UDFS["hull"](args[0]["lex"]))
+
+
+def geof_relate(args: list[Column]) -> Column:
+    """geof:relate(geomA, geomB, de9imPattern) → xsd:boolean (§8.8):
+    full T/F/0/1/2/* pattern matching over the DE-9IM matrix computed
+    on the kernel's point/polygonal exactness domain."""
+    if "relate" not in _GEO_SETOP_UDFS:
+        def fn(a: pd.Series, b: pd.Series,
+               p: pd.Series) -> pd.Series:
+            from dublin_smart_city_graphdb_spark.geo.boolops import (
+                relate_wkt,
+            )
+
+            return pd.Series(
+                [relate_wkt(x, y, z) for x, y, z in zip(a, b, p)],
+                dtype="object",
+            )
+
+        _GEO_SETOP_UDFS["relate"] = F.pandas_udf(fn, "boolean")
+    return make_bool(
+        _GEO_SETOP_UDFS["relate"](
+            args[0]["lex"], args[1]["lex"], args[2]["lex"]
+        )
+    )
+
+
+def _empty_aware(fn, on_empty: bool):
+    """Wrap a binary geo predicate with OGC empty-geometry semantics:
+    an EMPTY operand (``GEOMETRYCOLLECTION EMPTY`` — e.g. our own
+    geof:boundary(point) output — or any ``<TYPE> EMPTY``) is disjoint
+    from everything, so sfDisjoint answers true and every other
+    predicate false, instead of erroring (VERDICT r7 task 3)."""
+    def wrapped(args: list[Column]) -> Column:
+        is_empty = (
+            args[0]["lex"].rlike(_WKT_EMPTY)
+            | args[1]["lex"].rlike(_WKT_EMPTY)
+        )
+        return F.when(
+            is_empty, make_bool(F.lit(on_empty))
+        ).otherwise(fn(args))
+
+    return wrapped
+
+
 def default_extensions() -> dict:
     ext = {
         FN + "haversineKm": haversine_km,
         FN + "wktLon": wkt_lon,
         FN + "wktLat": wkt_lat,
         FN + "wktWithinBBox": wkt_within_bbox,
-        GEOF + "sfWithin": geof_sf_within,
-        GEOF + "sfContains": geof_sf_contains,
-        GEOF + "sfIntersects": geof_sf_intersects,
-        GEOF + "sfDisjoint": geof_sf_disjoint,
-        GEOF + "sfEquals": geof_sf_equals,
-        GEOF + "sfTouches": geof_sf_touches,
-        GEOF + "sfOverlaps": geof_sf_overlaps,
-        GEOF + "sfCrosses": geof_sf_crosses,
+        GEOF + "sfWithin": _empty_aware(geof_sf_within, False),
+        GEOF + "sfContains": _empty_aware(geof_sf_contains, False),
+        GEOF + "sfIntersects": _empty_aware(geof_sf_intersects, False),
+        GEOF + "sfDisjoint": _empty_aware(geof_sf_disjoint, True),
+        GEOF + "sfEquals": _empty_aware(geof_sf_equals, False),
+        GEOF + "sfTouches": _empty_aware(geof_sf_touches, False),
+        GEOF + "sfOverlaps": _empty_aware(geof_sf_overlaps, False),
+        GEOF + "sfCrosses": _empty_aware(geof_sf_crosses, False),
         GEOF + "distance": geof_distance,
         GEOF + "envelope": geof_envelope,
         GEOF + "boundary": geof_boundary,
@@ -1094,23 +1230,30 @@ def default_extensions() -> dict:
         GEOF + "getSRID": geof_get_srid,
         # Egenhofer family: equals/disjoint/meet/overlap are the same
         # DE-9IM classes as their simple-features counterparts for areas
-        GEOF + "ehEquals": geof_sf_equals,
-        GEOF + "ehDisjoint": geof_sf_disjoint,
-        GEOF + "ehMeet": geof_sf_touches,
-        GEOF + "ehOverlap": geof_sf_overlaps,
-        GEOF + "ehInside": geof_eh_inside,
-        GEOF + "ehContains": geof_eh_contains,
-        GEOF + "ehCoveredBy": geof_eh_covered_by,
-        GEOF + "ehCovers": geof_eh_covers,
+        GEOF + "ehEquals": _empty_aware(geof_sf_equals, False),
+        GEOF + "ehDisjoint": _empty_aware(geof_sf_disjoint, True),
+        GEOF + "ehMeet": _empty_aware(geof_sf_touches, False),
+        GEOF + "ehOverlap": _empty_aware(geof_sf_overlaps, False),
+        GEOF + "ehInside": _empty_aware(geof_eh_inside, False),
+        GEOF + "ehContains": _empty_aware(geof_eh_contains, False),
+        GEOF + "ehCoveredBy": _empty_aware(geof_eh_covered_by, False),
+        GEOF + "ehCovers": _empty_aware(geof_eh_covers, False),
         # RCC8 family (region-region; the four containment relations are
         # area-gated inside the kernels)
-        GEOF + "rcc8eq": geof_sf_equals,
-        GEOF + "rcc8dc": geof_sf_disjoint,
-        GEOF + "rcc8ec": geof_sf_touches,
-        GEOF + "rcc8po": geof_sf_overlaps,
-        GEOF + "rcc8ntpp": geof_eh_inside,
-        GEOF + "rcc8ntppi": geof_eh_contains,
-        GEOF + "rcc8tpp": geof_eh_covered_by,
-        GEOF + "rcc8tppi": geof_eh_covers,
+        GEOF + "rcc8eq": _empty_aware(geof_sf_equals, False),
+        GEOF + "rcc8dc": _empty_aware(geof_sf_disjoint, True),
+        GEOF + "rcc8ec": _empty_aware(geof_sf_touches, False),
+        GEOF + "rcc8po": _empty_aware(geof_sf_overlaps, False),
+        GEOF + "rcc8ntpp": _empty_aware(geof_eh_inside, False),
+        GEOF + "rcc8ntppi": _empty_aware(geof_eh_contains, False),
+        GEOF + "rcc8tpp": _empty_aware(geof_eh_covered_by, False),
+        GEOF + "rcc8tppi": _empty_aware(geof_eh_covers, False),
+        # non-topological set functions (§8.7-8.8, Arrow-batched)
+        GEOF + "intersection": geof_intersection,
+        GEOF + "union": geof_union,
+        GEOF + "difference": geof_difference,
+        GEOF + "symDifference": geof_sym_difference,
+        GEOF + "convexHull": geof_convex_hull,
+        GEOF + "relate": geof_relate,
     }
     return ext
