@@ -192,21 +192,37 @@ class Repository:
         load (or ruleset none) takes the plain path."""
         with self._write_lock:
             ruleset = _norm_ruleset(self.config.get("ruleset", "none"))
-            if ruleset != "rdfsplus" or self._quads is None:
-                # only the built-in RDFS-Plus batch has the Δ-seeded
-                # incremental path below; custom CONSTRUCT bodies don't
-                # expose which pattern a delta feeds, and owl-horst's
-                # restriction rules ride the same machinery — both re-run
-                # the full fixpoint on append
+            incremental = ruleset in ("rdfsplus", "owl-horst", "owl2-rl")
+            if not incremental or self._quads is None:
+                # custom CONSTRUCT rulesets don't classify which body
+                # pattern a delta feeds (user text, arbitrary shapes) —
+                # they re-run the full fixpoint on append; the built-in
+                # rulesets all have Δ-seeded paths below (rdfsplus via
+                # its hand-woven _round seeding, owl-horst/owl2-rl via
+                # the GRAPH-marker semi-naive variants of
+                # inference/delta.py — r7 verdict task 4)
                 self.add_quads(new_df)
                 if ruleset != "none":
                     self.materialize_inference()
                 return
-            from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
-                materialize_incremental,
-            )
+            if ruleset == "rdfsplus":
+                from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
+                    materialize_incremental,
+                )
 
-            inferred_new = materialize_incremental(self.quads, new_df)
+                inferred_new = materialize_incremental(self.quads, new_df)
+            elif ruleset == "owl-horst":
+                from dublin_smart_city_graphdb_spark.inference import horst
+
+                inferred_new = horst.materialize_incremental(
+                    self.spark, self.quads, new_df
+                )
+            else:
+                from dublin_smart_city_graphdb_spark.inference import owl2rl
+
+                inferred_new = owl2rl.materialize_incremental(
+                    self.spark, self.quads, new_df
+                )
             self.add_quads(new_df.unionByName(inferred_new))
 
     def load_nquads_text(self, text: str, graph: str | None = None) -> int:

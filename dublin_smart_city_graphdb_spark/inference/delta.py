@@ -1,0 +1,133 @@
+"""Semi-naive Δ-restriction of CONSTRUCT inference rules (VERDICT r7
+task 4: Δ-seeded incremental maintenance for owl-horst / owl2-rl).
+
+Monotone rule batches satisfy closure(base ∪ Δ) = closure(base) ∪
+(Δ-seeded fixpoint): any NEW conclusion must use at least one Δ triple
+in its body. For the built-in RDFS-Plus batch that seeding is hand-woven
+into ``rdfsplus._round``; the extended rulesets evaluate plain CONSTRUCT
+rules instead, so the seeding is done by AST REWRITING here: for a rule
+body of patterns P₁…Pₙ, the Δ-restricted evaluation is the union over
+every INSTANCE-matchable slot i of the variant whose Pᵢ is scoped to
+``GRAPH <urn:x-delta>`` (the marker graph the incremental round feeds
+the Δ under, while the full statement set stays in the default graph).
+This is textbook semi-naive rewriting, expressed through the engine's
+own GRAPH machinery — no compiler changes, each variant is an ordinary
+compiled plan whose Δ-scan is |Δ|-sized.
+
+Schema-sided patterns (constant owl:/rdfs: predicates, rdf:type with a
+constant vocabulary class) are NOT given variants: the incremental
+fixpoint only delta-restricts a round when the round's delta passed
+``touches_schema_extended`` (no owl:/rdfs: predicates, no vocabulary
+type assertions, no rdf:first/rest), so those patterns cannot gain new
+matches from the delta. A delta that does touch schema falls back to a
+full-evaluation round — the same per-round fallback rdfsplus uses.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from dublin_smart_city_graphdb_spark.model.terms import (
+    IRI,
+    OWL,
+    RDF,
+    RDFS,
+)
+from dublin_smart_city_graphdb_spark.sparql import ast as A
+
+#: marker graph the incremental round publishes the Δ under
+DELTA_GRAPH = "urn:x-delta"
+
+_SCHEMA_NS = (OWL, RDFS)
+_RDF_TYPE = RDF + "type"
+
+
+def touches_schema_extended(delta: DataFrame) -> bool:
+    """Does Δ alter any extended-ruleset rule's SCHEMA side? Covers the
+    whole owl:/rdfs: vocabulary (restriction axioms, property
+    declarations, class expressions), vocabulary type assertions, and
+    the RDF-list triples the owl2-rl list-axiom expansion collects.
+    Conservative by construction: a schema-touching Δ forces a full
+    round, never a wrong answer."""
+    return not delta.filter(
+        F.col("p").startswith(OWL)
+        | F.col("p").startswith(RDFS)
+        | F.col("p").isin(RDF + "first", RDF + "rest")
+        | (
+            (F.col("p") == _RDF_TYPE)
+            & (F.col("o_lex").startswith(OWL)
+               | F.col("o_lex").startswith(RDFS))
+        )
+    ).isEmpty()
+
+
+def _is_instance_pattern(t: A.TriplePattern) -> bool:
+    """Can this body pattern match a NON-schema triple? (Only those can
+    gain matches from a delta that passed touches_schema_extended.)"""
+    p = t.p
+    if isinstance(p, A.Var):
+        return True
+    if not isinstance(p, IRI):
+        return False  # property paths don't occur in rule bodies
+    if p.value == _RDF_TYPE:
+        o = t.o
+        return not (
+            isinstance(o, IRI) and o.value.startswith(_SCHEMA_NS)
+        )
+    return not p.value.startswith(_SCHEMA_NS)
+
+
+def delta_variants(
+    ast: A.ConstructQuery,
+) -> list[A.ConstructQuery] | None:
+    """Δ-restricted variants of a CONSTRUCT rule: one per instance slot,
+    that slot wrapped in ``GRAPH <urn:x-delta>``.
+
+    Returns None when the body shape is not rewritable (the caller keeps
+    the FULL rule in delta rounds — always sound, just unseeded) and []
+    for schema-only bodies (an instance-only Δ cannot produce new
+    matches; the rule is skipped in delta rounds)."""
+    where = ast.where
+    if not isinstance(where, A.GroupPattern):
+        return None
+    if any(not isinstance(e, A.BGP) for e in where.elements):
+        return None
+    triples = [t for e in where.elements for t in e.triples]
+    if any(not isinstance(t.p, (A.Var, IRI)) for t in triples):
+        return None
+    out: list[A.ConstructQuery] = []
+    for i, t in enumerate(triples):
+        if not _is_instance_pattern(t):
+            continue
+        elements: list = []
+        if triples[:i]:
+            elements.append(A.BGP(list(triples[:i])))
+        elements.append(A.GraphGraphPattern(
+            IRI(DELTA_GRAPH),
+            A.GroupPattern(elements=[A.BGP([t])], filters=[]),
+        ))
+        if triples[i + 1:]:
+            elements.append(A.BGP(list(triples[i + 1:])))
+        out.append(A.ConstructQuery(
+            template=ast.template,
+            where=A.GroupPattern(
+                elements=elements, filters=list(where.filters)
+            ),
+        ))
+    return out
+
+
+def delta_quads_view(known_spo: DataFrame, inst_spo: DataFrame,
+                     spo_cols: list[str]) -> DataFrame:
+    """Quads view for a Δ-restricted round: the full statement set in
+    the default graph plus the delta re-published under the marker
+    graph, so full patterns see everything and GRAPH-wrapped slots see
+    only the delta."""
+    full = known_spo.select(
+        F.lit(None).cast("string").alias("g"), *spo_cols
+    )
+    marked = inst_spo.select(
+        F.lit(DELTA_GRAPH).alias("g"), *spo_cols
+    )
+    return full.unionByName(marked)

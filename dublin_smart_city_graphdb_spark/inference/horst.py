@@ -87,3 +87,67 @@ def materialize(
         return out
 
     return _fixpoint(spo, None, max_rounds, round_fn=round_fn)
+
+
+def materialize_incremental(
+    spark: SparkSession, base: DataFrame, new_explicit: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Inferred quads NEWLY entailed by adding ``new_explicit`` to
+    ``base`` (base = explicit ∪ already-materialized inferred) under
+    owl-horst. pD* rules are monotone, so the fixpoint runs Δ-seeded:
+    the RDFS-Plus batch through its built-in seeding, the restriction
+    CONSTRUCT rules through GRAPH-marker semi-naive variants
+    (inference/delta.py) whose Δ-scans are |Δ|-sized. A Δ (or a later
+    round's fresh set) that touches the owl:/rdfs: schema vocabulary
+    falls back to a full-evaluation round — same contract as
+    rdfsplus.materialize_incremental."""
+    import pyspark.sql.functions as F  # noqa: F811 — local per module style
+
+    from dublin_smart_city_graphdb_spark.inference.custom import (
+        _construct_to_spo,
+    )
+    from dublin_smart_city_graphdb_spark.inference.delta import (
+        delta_quads_view,
+        delta_variants,
+        touches_schema_extended,
+    )
+    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+    parsed = [parse_query(r) for r in RESTRICTION_RULES]
+    variants = [delta_variants(p) for p in parsed]
+    base_spo = base.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    delta_spo = (
+        new_explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    )
+    known0 = base_spo.unionByName(delta_spo).distinct().localCheckpoint(
+        eager=True
+    )
+
+    def round_fn(known: DataFrame, inst) -> DataFrame:
+        from dublin_smart_city_graphdb_spark.sparql.compiler import (
+            QueryCompiler,
+        )
+
+        out = _round(known, inst)
+        if inst is None:
+            view = known.select(
+                F.lit(None).cast("string").alias("g"), *_SPO_COLS
+            )
+            asts = parsed
+        else:
+            view = delta_quads_view(known, inst, _SPO_COLS)
+            asts = [
+                a
+                for full, vs in zip(parsed, variants)
+                for a in (vs if vs is not None else [full])
+            ]
+        comp = QueryCompiler(spark, view)
+        for ast in asts:
+            out = out.unionByName(_construct_to_spo(comp.compile(ast)))
+        return out
+
+    return _fixpoint(
+        known0, delta_spo, max_rounds, round_fn=round_fn,
+        touches_schema=touches_schema_extended,
+    )

@@ -456,6 +456,91 @@ def materialize(
     )
 
 
+def materialize_incremental(
+    spark: SparkSession, base: DataFrame, new_explicit: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Inferred quads NEWLY entailed by adding ``new_explicit`` to
+    ``base`` under owl2-rl (base = explicit ∪ already-materialized
+    inferred). RL rules are monotone, so the fixpoint runs Δ-seeded:
+    RDFS-Plus through its built-in seeding, every CONSTRUCT rule
+    (restrictions, fixed RL table, per-axiom list expansions) through
+    GRAPH-marker semi-naive variants (inference/delta.py) whose Δ-scans
+    are |Δ|-sized. Deltas touching the owl:/rdfs:/rdf-list schema
+    vocabulary force a full-evaluation round (the axiom tables and rule
+    set are rebuilt from base ∪ Δ up front, so a schema-carrying Δ is
+    still answered correctly). Runs in the same skolemized space as
+    ``materialize`` — anonymous class expressions keep matching."""
+    from dublin_smart_city_graphdb_spark.inference.custom import (
+        _construct_to_spo,
+    )
+    from dublin_smart_city_graphdb_spark.inference.delta import (
+        delta_quads_view,
+        delta_variants,
+        touches_schema_extended,
+    )
+    from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
+    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+    base_spo = _skolemize_spo(
+        base.select(*_SPO_COLS)
+    ).distinct().localCheckpoint(eager=True)
+    delta_spo = _skolemize_spo(
+        new_explicit.select(*_SPO_COLS)
+    ).distinct().localCheckpoint(eager=True)
+    known0 = base_spo.unionByName(delta_spo).distinct().localCheckpoint(
+        eager=True
+    )
+    vocab = _present_vocab(known0)
+    list_rules, static_rows = _list_rules(known0)
+    texts = [
+        text
+        for trig, text in zip(_RESTRICTION_TRIGGERS, RESTRICTION_RULES)
+        if trig & vocab
+    ] + [
+        text for trig, text in _FIXED_RULES if trig & vocab
+    ] + list_rules
+    parsed = [parse_query(r) for r in texts]
+    variants = [delta_variants(p) for p in parsed]
+    spo_schema = spark.createDataFrame([], QUAD_SCHEMA).select(
+        *_SPO_COLS
+    ).schema
+    static_df = (
+        spark.createDataFrame(static_rows, spo_schema)
+        if static_rows else None
+    )
+
+    def round_fn(known: DataFrame, inst) -> DataFrame:
+        from dublin_smart_city_graphdb_spark.sparql.compiler import (
+            QueryCompiler,
+        )
+
+        out = _round(known, inst)
+        if inst is None:
+            view = known.select(
+                F.lit(None).cast("string").alias("g"), *_SPO_COLS
+            )
+            asts = parsed
+        else:
+            view = delta_quads_view(known, inst, _SPO_COLS)
+            asts = [
+                a
+                for full, vs in zip(parsed, variants)
+                for a in (vs if vs is not None else [full])
+            ]
+        comp = QueryCompiler(spark, view)
+        for ast in asts:
+            out = out.unionByName(_construct_to_spo(comp.compile(ast)))
+        if static_df is not None:
+            out = out.unionByName(static_df)
+        return out
+
+    return _deskolemize_out(_fixpoint(
+        known0, delta_spo, max_rounds, round_fn=round_fn,
+        touches_schema=touches_schema_extended,
+    ))
+
+
 # -- inconsistency detection (validation report, SHACL-style) ---------------
 
 _RDFS_PFX = "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "

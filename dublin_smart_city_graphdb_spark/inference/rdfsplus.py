@@ -326,13 +326,15 @@ def materialize_incremental(
 
 def _fixpoint(
     known: DataFrame, delta: DataFrame | None, max_rounds: int,
-    round_fn=None,
+    round_fn=None, touches_schema=None,
 ) -> DataFrame:
     """Semi-naive driver loop shared by full and incremental
     materialization; ``delta=None`` means round 0 evaluates every rule on
     the full statement set. ``round_fn(known, inst) -> candidates`` defaults
     to the built-in RDFS-Plus rule batch; inference/custom.py plugs in a
-    CONSTRUCT-rule batch for user-defined rulesets."""
+    CONSTRUCT-rule batch for user-defined rulesets. ``touches_schema``
+    overrides the schema-delta check (the extended rulesets guard a
+    wider vocabulary — inference/delta.py)."""
     from ..plans.ckpt import CheckpointTracker
 
     tr = CheckpointTracker(known)
@@ -346,7 +348,11 @@ def _fixpoint(
         # Semi-naive: after round 0, high-volume rules join only last
         # round's delta — unless that delta added schema facts, which force
         # a full re-evaluation (new rule inputs can fire on OLD statements).
-        inst = None if delta is None or _touches_schema(delta) else delta
+        inst = (
+            None
+            if delta is None or (touches_schema or _touches_schema)(delta)
+            else delta
+        )
         candidates = (round_fn or _round)(known, inst)
         # Null-safe anti-join: o_dtype/o_lang are NULL on most inferred
         # triples, and plain equi-join keys treat NULL != NULL — which would

@@ -44,11 +44,63 @@ METADATA_SCHEMA = StructType(
 )
 
 
-def decode_real(payload: bytes) -> dict:
-    """Real media decode — requires image/audio libs not present here."""
+def _probe_codecs() -> tuple:
+    """(PIL.Image module | None, av module | None) — the optional media
+    libraries probed by import-try (VERDICT r7 task 7). This sandbox
+    ships neither, so the probe returns (None, None) and callers keep
+    the deterministic stub; a cluster image with Pillow / PyAV installed
+    flips decode_real live with no code change."""
+    try:
+        from PIL import Image as pil_image  # type: ignore
+    except Exception:
+        pil_image = None
+    try:
+        import av as av_mod  # type: ignore
+    except Exception:
+        av_mod = None
+    return pil_image, av_mod
+
+
+def decode_real(payload: bytes, doc_id: int = 0) -> dict:
+    """Real media decode via the optional libraries when present (PIL
+    for images, PyAV for audio/video containers); raises
+    ``NotImplementedError`` when neither is installed — the documented
+    sandbox boundary, with the deterministic stub as the fallback
+    path."""
+    import io
+
+    pil_image, av_mod = _probe_codecs()
+    if pil_image is not None:
+        try:
+            with pil_image.open(io.BytesIO(payload)) as im:
+                return {
+                    "n_bytes": len(payload),
+                    "width": int(im.width),
+                    "height": int(im.height),
+                    "n_frames": int(getattr(im, "n_frames", 1)),
+                    "decode_status": "pil-decoded",
+                }
+        except Exception:
+            pass  # not an image — fall through to the av probe
+    if av_mod is not None:
+        try:
+            with av_mod.open(io.BytesIO(payload)) as container:
+                vstreams = [
+                    s for s in container.streams if s.type == "video"
+                ]
+                v = vstreams[0] if vstreams else None
+                return {
+                    "n_bytes": len(payload),
+                    "width": int(v.width) if v else 0,
+                    "height": int(v.height) if v else 0,
+                    "n_frames": int(v.frames) if v else 0,
+                    "decode_status": "av-decoded",
+                }
+        except Exception:
+            pass
     raise NotImplementedError(
-        "media codecs unavailable in this environment; use the deterministic "
-        "stub path (decode=_decode_stub)"
+        "media codecs unavailable in this environment (no PIL, no av); "
+        "use the deterministic stub path (decode=_decode_stub)"
     )
 
 

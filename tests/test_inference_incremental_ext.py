@@ -1,0 +1,140 @@
+"""Δ-seeded incremental inference for the EXTENDED rulesets (VERDICT r7
+task 4): owl-horst and owl2-rl appends run a semi-naive fixpoint whose
+CONSTRUCT rules are Δ-restricted by GRAPH-marker AST variants
+(inference/delta.py), with the full-round fallback when a delta touches
+schema. Equivalence contract mirrors test_inference.py's rdfsplus
+tests: batched loads ≡ one-shot load, bit-identical quad sets."""
+
+from __future__ import annotations
+
+from dublin_smart_city_graphdb_spark.engine import Engine
+
+PFX = """
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix ex: <http://inc#> .
+"""
+
+HORST_ONT = PFX + """
+ex:HasGoodFriend owl:someValuesFrom ex:Good ; owl:onProperty ex:friend .
+ex:Member owl:hasValue ex:club ; owl:onProperty ex:belongsTo .
+"""
+HORST_B1 = PFX + "ex:g a ex:Good . ex:x ex:friend ex:g .\n"
+# Δ instance triple joins an OLD one (rdfp15: Δ-slot ?x ?p ?y against
+# the round-1 type of ex:g) — the cross-slot semi-naive union
+HORST_B2 = PFX + "ex:z ex:friend ex:g . ex:y ex:belongsTo ex:club .\n"
+# late SCHEMA: must re-fire on OLD data via the full-round fallback
+HORST_LATE = PFX + """
+ex:Fan owl:hasValue ex:band ; owl:onProperty ex:likes .
+"""
+HORST_B3 = PFX + "ex:w ex:likes ex:band .\n"
+
+OWL2_ONT = PFX + """
+ex:grand owl:propertyChainAxiom (ex:parent ex:parent) .
+ex:Both owl:equivalentClass [ owl:intersectionOf (ex:A ex:B) ] .
+"""
+OWL2_B1 = PFX + "ex:a ex:parent ex:b . ex:b ex:parent ex:c . ex:m a ex:A .\n"
+# chain slot-2 Δ joining slot-1 history, and the second intersection
+# member arriving late (anonymous class, skolemized space)
+OWL2_B2 = PFX + "ex:c ex:parent ex:d . ex:m a ex:B .\n"
+OWL2_LATE = PFX + "ex:Good owl:hasValue ex:club ; owl:onProperty ex:belongsTo .\n"
+OWL2_B3 = PFX + "ex:y ex:belongsTo ex:club .\n"
+
+
+def _quads(repo):
+    return {
+        tuple(r)
+        for r in repo.quads.select(
+            "g", "s", "p", "o_kind", "o_lex", "o_dtype", "o_lang"
+        ).distinct().collect()
+    }
+
+
+def _ask(repo, q: str) -> bool:
+    return repo.sparql_collect(
+        "PREFIX ex: <http://inc#> "
+        "PREFIX owl: <http://www.w3.org/2002/07/owl#> " + q
+    )[0]["ask"] is True
+
+
+def test_horst_incremental_matches_oneshot(spark, monkeypatch):
+    from dublin_smart_city_graphdb_spark.inference import delta as D
+
+    calls: list[int] = []
+    real = D.delta_quads_view
+
+    def spy(known, inst, cols):
+        calls.append(1)
+        return real(known, inst, cols)
+
+    monkeypatch.setattr(D, "delta_quads_view", spy)
+    eng = Engine(spark)
+    inc = eng.create_repository("hix_inc", ruleset="owl-horst")
+    for t in (HORST_ONT, HORST_B1, HORST_B2, HORST_LATE, HORST_B3):
+        inc.load_turtle(t)
+    one = eng.create_repository("hix_one", ruleset="owl-horst")
+    one.load_turtle(HORST_ONT + HORST_B1 + HORST_B2 + HORST_LATE + HORST_B3)
+    assert _quads(inc) == _quads(one)
+    assert _ask(inc, "ASK { ex:x a ex:HasGoodFriend }")
+    assert _ask(inc, "ASK { ex:z a ex:HasGoodFriend }")  # Δ ⋈ old
+    assert _ask(inc, "ASK { ex:y a ex:Member }")
+    assert _ask(inc, "ASK { ex:w a ex:Fan }")            # post-late-schema Δ
+    # the Δ-restricted path genuinely engaged (instance-only batches)
+    assert calls, "no delta-restricted round ran for instance appends"
+    eng.drop_repository("hix_inc")
+    eng.drop_repository("hix_one")
+
+
+def test_owl2rl_incremental_matches_oneshot(spark):
+    eng = Engine(spark)
+    inc = eng.create_repository("oix_inc", ruleset="owl2-rl")
+    for t in (OWL2_ONT, OWL2_B1, OWL2_B2, OWL2_LATE, OWL2_B3):
+        inc.load_turtle(t)
+    one = eng.create_repository("oix_one", ruleset="owl2-rl")
+    one.load_turtle(OWL2_ONT + OWL2_B1 + OWL2_B2 + OWL2_LATE + OWL2_B3)
+    assert _quads(inc) == _quads(one)
+    assert _ask(inc, "ASK { ex:a ex:grand ex:c }")
+    assert _ask(inc, "ASK { ex:b ex:grand ex:d }")   # chain across batches
+    assert _ask(inc, "ASK { ex:m a ex:Both }")        # anonymous class, Δ
+    assert _ask(inc, "ASK { ex:y a ex:Good }")        # post-late-schema Δ
+    eng.drop_repository("oix_inc")
+    eng.drop_repository("oix_one")
+
+
+def test_delta_variants_shapes():
+    """AST-rewrite unit contract: instance slots get GRAPH-wrapped
+    variants, schema-only bodies yield [] (skipped in delta rounds)."""
+    from dublin_smart_city_graphdb_spark.inference.delta import (
+        DELTA_GRAPH,
+        delta_variants,
+    )
+    from dublin_smart_city_graphdb_spark.sparql import ast as A
+    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+    P = ("PREFIX owl: <http://www.w3.org/2002/07/owl#> "
+         "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+         "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> ")
+    # rdfp15: 2 schema patterns + 2 instance patterns → 2 variants
+    rule = parse_query(
+        P + "CONSTRUCT { ?x rdf:type ?c } WHERE { "
+        "?c owl:someValuesFrom ?d . ?c owl:onProperty ?p . "
+        "?x ?p ?y . ?y rdf:type ?d }"
+    )
+    vs = delta_variants(rule)
+    assert len(vs) == 2
+    for v in vs:
+        gs = [e for e in v.where.elements
+              if isinstance(e, A.GraphGraphPattern)]
+        assert len(gs) == 1 and gs[0].graph.value == DELTA_GRAPH
+    # schema-only body (scm-eqc1 analog) → no variants, rule skipped
+    schema_rule = parse_query(
+        P + "CONSTRUCT { ?c1 rdfs:subClassOf ?c2 } "
+        "WHERE { ?c1 owl:equivalentClass ?c2 }"
+    )
+    assert delta_variants(schema_rule) == []
+    # rdf:type with a USER class constant is instance-matchable
+    user_type = parse_query(
+        P + "CONSTRUCT { ?x rdf:type <http://x#C> } "
+        "WHERE { ?x rdf:type <http://x#A> . ?x rdf:type <http://x#B> } "
+    )
+    assert len(delta_variants(user_type)) == 2

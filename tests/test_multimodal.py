@@ -80,3 +80,76 @@ def test_extract_features_feeds_similarity_ops(media_df):
     )
     norms = df.select(F.sqrt(dot).alias("n")).collect()
     assert all(r.n >= 0 for r in norms)
+
+
+def test_decode_real_probe_absent():
+    """Sandbox path: neither PIL nor av installed → NotImplementedError
+    (the documented boundary), probe returns (None, None)."""
+    import pytest
+
+    from dublin_smart_city_graphdb_spark.operators import multimodal as M
+
+    assert M._probe_codecs() == (None, None)
+    with pytest.raises(NotImplementedError):
+        M.decode_real(b"\x89PNG fake")
+
+
+def test_decode_real_probe_present(monkeypatch):
+    """When a PIL-like module is importable, decode_real uses it —
+    probed via a mocked module, no real Pillow needed."""
+    from dublin_smart_city_graphdb_spark.operators import multimodal as M
+
+    class FakeIm:
+        width, height, n_frames = 320, 240, 1
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeImageMod:
+        @staticmethod
+        def open(fp):
+            return FakeIm()
+
+    monkeypatch.setattr(M, "_probe_codecs", lambda: (FakeImageMod, None))
+    out = M.decode_real(b"\x89PNG fake payload")
+    assert out == {
+        "n_bytes": 17, "width": 320, "height": 240, "n_frames": 1,
+        "decode_status": "pil-decoded",
+    }
+
+
+def test_decode_real_av_fallback(monkeypatch):
+    """A payload PIL rejects falls through to the av probe."""
+    from dublin_smart_city_graphdb_spark.operators import multimodal as M
+
+    class FailingImageMod:
+        @staticmethod
+        def open(fp):
+            raise OSError("cannot identify image file")
+
+    class FakeStream:
+        type, width, height, frames = "video", 1920, 1080, 120
+
+    class FakeContainer:
+        streams = [FakeStream()]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeAv:
+        @staticmethod
+        def open(fp):
+            return FakeContainer()
+
+    monkeypatch.setattr(
+        M, "_probe_codecs", lambda: (FailingImageMod, FakeAv)
+    )
+    out = M.decode_real(b"container bytes")
+    assert out["decode_status"] == "av-decoded"
+    assert (out["width"], out["height"], out["n_frames"]) == (1920, 1080, 120)

@@ -501,3 +501,35 @@ def test_corpus_chunk_dedup_two_shuffles(spark):
     plan = plan_of(q(spark, "corpus_chunk_dedup"))
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Window" in plan
+
+
+def test_geo_setops_are_arrow_batched_map_only(spark):
+    """The §8.7 set functions are per-row geometry transforms: the plan
+    must be scan → ArrowEvalPython (vectorized pandas UDF, never
+    row-at-a-time) → project, with ZERO exchanges and zero joins — at
+    100 TB these run embarrassingly parallel inside the scan stage."""
+    for name in ("sparql_geo_intersection", "sparql_geo_union",
+                 "sparql_geo_difference", "sparql_geo_symdifference",
+                 "sparql_geo_convexhull"):
+        plan = plan_of(q(spark, name))
+        assert "ArrowEvalPython" in plan, name
+        assert plan.count("Exchange") == 0, name
+        assert "Join" not in plan, name
+
+
+def test_geo_relate_is_arrow_batched_no_cartesian(spark):
+    """geof:relate in a SPARQL FILTER: Arrow-batched matrix kernel, and
+    the surrounding BGP join stays hash-based."""
+    plan = plan_of(q(spark, "sparql_geo_relate"))
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_r7_gate_ops_have_no_cartesian(spark):
+    """Plan floor for the r7-added gate ops now in the audit set
+    (VERDICT r7 task 6): whatever Catalyst picks, an unbounded
+    cartesian is never acceptable at 100 TB."""
+    for name in ("sparql_path_var_seeded", "sparql_owl2_chain4",
+                 "sparql_owl2_consistency", "sparql_geo_multipolygon"):
+        plan = plan_of(q(spark, name))
+        assert "CartesianProduct" not in plan, name
