@@ -23,11 +23,16 @@ already promise (shared edges, T-junctions and box grids are exact in
 IEEE doubles); general-position float inputs get float-accurate
 results.
 
-Scope (documented): polygonal (POLYGON / MULTIPOLYGON /
-GEOMETRYCOLLECTION of those) and point (POINT / MULTIPOINT) operands.
-Linework set operations are not implemented (SURVEY §8) — unsupported
-input returns None, surfacing as a SPARQL error. The empty geometry is
-``GEOMETRYCOLLECTION EMPTY`` on output and accepted on input.
+Scope: polygonal (POLYGON / MULTIPOLYGON), point (POINT /
+MULTIPOINT), linework (LINESTRING / MULTILINESTRING — round 8b: 1-D
+parametric clipping against areas, collinear-overlap arithmetic between
+line sets, JTS-style measure-zero rules), and GEOMETRYCOLLECTIONs of
+any mix, composed dimension-wise. ``buffer_wkt`` buffers every type via
+capsule unions through the same slab kernel. Malformed input returns
+None, surfacing as a SPARQL error. The empty geometry is
+``GEOMETRYCOLLECTION EMPTY`` on output and accepted on input. Known
+canonical-form divergence from JTS: unions keep transversal line
+crossings unnoded (topologically equal, fewer pieces).
 
 These run per-row (no joins, no shuffle): the pandas-UDF wrappers in
 sparql/extensions.py stream Arrow batches through them, so the work is
@@ -42,26 +47,28 @@ import re
 Pt = tuple[float, float]
 Ring = list[Pt]
 
-_NUM = r"-?[0-9.eE+]+"
+_NUM = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
 _PAIR_RE = re.compile(rf"({_NUM})\s+({_NUM})")
 _HEAD_RE = re.compile(r"^\s*(?:<[^>]*>\s*)?([A-Za-z]+)\s*(.*)$", re.S)
 _EMPTY_RE = re.compile(r"^\s*EMPTY\s*$", re.I)
 
 
 class Geom:
-    """Normalized geometry: isolated points + an even-odd polygonal
-    area (flattened rings — the same flattening contract as the JVM
-    kernel's ``_poly_rings``)."""
+    """Normalized geometry: isolated points + polylines + an even-odd
+    polygonal area (flattened rings — the same flattening contract as
+    the JVM kernel's ``_poly_rings``)."""
 
-    __slots__ = ("points", "rings")
+    __slots__ = ("points", "rings", "lines")
 
     def __init__(self, points: list[Pt] | None = None,
-                 rings: list[Ring] | None = None):
+                 rings: list[Ring] | None = None,
+                 lines: list[list[Pt]] | None = None):
         self.points = points or []
         self.rings = rings or []
+        self.lines = lines or []
 
     def is_empty(self) -> bool:
-        return not self.points and not self.rings
+        return not self.points and not self.rings and not self.lines
 
 
 def _pairs(text: str) -> list[Pt]:
@@ -135,6 +142,15 @@ def parse_geom(wkt: str | None) -> Geom | None:
         rings = [_close_open(_pairs(p)) for p in parts]
         rings = [r for r in rings if len(r) >= 3]
         return Geom(rings=rings) if rings else None
+    if head == "LINESTRING":
+        pts = _pairs(rest)
+        return Geom(lines=[pts]) if len(pts) >= 2 else None
+    if head == "MULTILINESTRING":
+        body = _strip_parens(rest)
+        parts = re.split(r"\)+\s*,\s*\(+", body)
+        lines = [_pairs(p) for p in parts]
+        lines = [ln for ln in lines if len(ln) >= 2]
+        return Geom(lines=lines) if lines else None
     if head == "GEOMETRYCOLLECTION":
         body = _strip_parens(rest)
         geom = Geom()
@@ -144,9 +160,10 @@ def parse_geom(wkt: str | None) -> Geom | None:
                 return None
             geom.points.extend(sub.points)
             geom.rings.extend(sub.rings)
+            geom.lines.extend(sub.lines)
         geom.points = sorted(set(geom.points))
         return geom
-    return None  # LINESTRING etc.: out of scope, SPARQL error
+    return None  # unknown WKT type: SPARQL error
 
 
 # -- point-in-area ------------------------------------------------------------
@@ -385,6 +402,197 @@ def _simplify(ring: Ring) -> Ring:
     return out
 
 
+
+# -- 1-D (linework) machinery -------------------------------------------------
+
+Seg = tuple[Pt, Pt]
+
+
+def _lsegs(lines: list[list[Pt]]):
+    for ln in lines:
+        for a, b in zip(ln, ln[1:]):
+            if a != b:
+                yield a, b
+
+
+def _seg_split_ts(e: Seg, rings: list[Ring], lines: list[list[Pt]]) -> list[float]:
+    """Sorted parameter values splitting segment ``e`` at every contact
+    with the rings' edges and the polylines' segments (proper crossings
+    plus collinear-overlap endpoints) — the 1-D analogue of the slab
+    boundaries."""
+    (ax, ay), (bx, by) = e
+    rx, ry = bx - ax, by - ay
+    den2 = rx * rx + ry * ry
+    ts = {0.0, 1.0}
+    for c, d in list(_edges(rings)) + list(_lsegs(lines)):
+        (cx, cy), (dx, dy) = c, d
+        sx, sy = dx - cx, dy - cy
+        denom = rx * sy - ry * sx
+        if denom == 0:
+            if _on_segment(c, e[0], e[1]):
+                ts.add(min(1.0, max(0.0, ((cx - ax) * rx + (cy - ay) * ry) / den2)))
+            if _on_segment(d, e[0], e[1]):
+                ts.add(min(1.0, max(0.0, ((dx - ax) * rx + (dy - ay) * ry) / den2)))
+            continue
+        t = ((cx - ax) * sy - (cy - ay) * sx) / denom
+        u = ((cx - ax) * ry - (cy - ay) * rx) / denom
+        if 0 <= t <= 1 and 0 <= u <= 1:
+            ts.add(t)
+    return sorted(ts)
+
+
+def _t_point(e: Seg, t: float) -> Pt:
+    (ax, ay), (bx, by) = e
+    return (ax + t * (bx - ax), ay + t * (by - ay))
+
+
+def _clip_lines_to_area(lines: list[list[Pt]], rings: list[Ring],
+                        keep: tuple[int, ...]) -> list[Seg]:
+    """Pieces of the polylines whose midpoint classifies into ``keep``
+    against the even-odd area (1 inside, 0 boundary, -1 outside)."""
+    out: list[Seg] = []
+    for e in _lsegs(lines):
+        ts = _seg_split_ts(e, rings, [])
+        for t0, t1 in zip(ts, ts[1:]):
+            if not t1 > t0:
+                continue
+            if point_in_rings(_t_point(e, t0 + (t1 - t0) / 2), rings) in keep:
+                out.append((_t_point(e, t0), _t_point(e, t1)))
+    return out
+
+
+def _on_any_line(p: Pt, lines: list[list[Pt]]) -> bool:
+    return any(_on_segment(p, a, b) for a, b in _lsegs(lines))
+
+
+def _line_line_bits(la: list[list[Pt]], lb: list[list[Pt]]
+                    ) -> tuple[list[Seg], list[Pt]]:
+    """(collinear-overlap segments, isolated contact points) of two
+    polyline sets."""
+    segs: list[Seg] = []
+    pts: set[Pt] = set()
+    for e in _lsegs(la):
+        (ax, ay), (bx, by) = e
+        rx, ry = bx - ax, by - ay
+        den2 = rx * rx + ry * ry
+        for f in _lsegs(lb):
+            (cx, cy), (dx, dy) = f
+            sx, sy = dx - cx, dy - cy
+            denom = rx * sy - ry * sx
+            if denom == 0:
+                if _collinear_overlap(e, f):
+                    tc = ((cx - ax) * rx + (cy - ay) * ry) / den2
+                    td = ((dx - ax) * rx + (dy - ay) * ry) / den2
+                    lo, hi = max(0.0, min(tc, td)), min(1.0, max(tc, td))
+                    if hi > lo:
+                        segs.append((_t_point(e, lo), _t_point(e, hi)))
+                elif (rx * (cy - ay) - ry * (cx - ax)) == 0:
+                    # collinear, no overlap: endpoint touch only
+                    for q in (c_ for c_ in (f[0], f[1])
+                              if _on_segment(c_, e[0], e[1])):
+                        pts.add(q)
+                continue
+            t = ((cx - ax) * sy - (cy - ay) * sx) / denom
+            u = ((cx - ax) * ry - (cy - ay) * rx) / denom
+            if 0 <= t <= 1 and 0 <= u <= 1:
+                pts.add(_t_point(e, t))
+    # contact points riding an overlap segment are not isolated
+    pts = {p for p in pts
+           if not any(_on_segment(p, s[0], s[1]) for s in segs)}
+    return segs, sorted(pts)
+
+
+def _subtract_line_overlaps(lines: list[list[Pt]],
+                            other: list[list[Pt]]) -> list[Seg]:
+    """Pieces of ``lines`` NOT collinear-covered by ``other`` (isolated
+    crossing points don't subtract — removing measure zero keeps the
+    piece whole, matching JTS difference)."""
+    out: list[Seg] = []
+    for e in _lsegs(lines):
+        ts = _seg_split_ts(e, [], other)
+        for t0, t1 in zip(ts, ts[1:]):
+            if not t1 > t0:
+                continue
+            mid = _t_point(e, t0 + (t1 - t0) / 2)
+            if not _on_any_line(mid, other):
+                out.append((_t_point(e, t0), _t_point(e, t1)))
+    return out
+
+
+def _merge_line_pieces(pieces: list[Seg]) -> list[list[Pt]]:
+    """2-point pieces → maximal polylines: dedupe (direction-normalized),
+    then walk chains through degree-2 vertices (the JTS LineMerger
+    behavior, so clipping doesn't fragment a polyline at its own
+    bends)."""
+    norm = {tuple(sorted(s)) for s in pieces if s[0] != s[1]}
+    if not norm:
+        return []
+    adj: dict[Pt, list[tuple[Pt, Pt]]] = {}
+    for s in norm:
+        adj.setdefault(s[0], []).append(s)
+        adj.setdefault(s[1], []).append(s)
+    used: set = set()
+    out: list[list[Pt]] = []
+    # chain starts: vertices with degree != 2 first, then leftovers (loops)
+    starts = [v for v, ss in adj.items() if len(ss) != 2] or list(adj)
+    for v0 in sorted(starts):
+        for s0 in adj[v0]:
+            if s0 in used:
+                continue
+            used.add(s0)
+            line = [v0, s0[1] if s0[0] == v0 else s0[0]]
+            while True:
+                cur = line[-1]
+                nxts = [s for s in adj.get(cur, []) if s not in used]
+                if len(adj.get(cur, [])) != 2 or not nxts:
+                    break
+                s = nxts[0]
+                used.add(s)
+                line.append(s[1] if s[0] == cur else s[0])
+            out.append(_simplify_line(line))
+    # leftover pure loops
+    for s in sorted(norm):
+        if s not in used:
+            used.add(s)
+            line = [s[0], s[1]]
+            while True:
+                cur = line[-1]
+                nxts = [x for x in adj.get(cur, []) if x not in used]
+                if not nxts:
+                    break
+                x = nxts[0]
+                used.add(x)
+                line.append(x[1] if x[0] == cur else x[0])
+            out.append(_simplify_line(line))
+    return [ln for ln in out if len(ln) >= 2]
+
+
+def _simplify_line(line: list[Pt]) -> list[Pt]:
+    """Drop interior collinear vertices (straight continuations only —
+    bends stay)."""
+    out = [line[0]]
+    for i in range(1, len(line) - 1):
+        p, c, q = out[-1], line[i], line[i + 1]
+        cross = (c[0] - p[0]) * (q[1] - p[1]) - (c[1] - p[1]) * (q[0] - p[0])
+        dot = (c[0] - p[0]) * (q[0] - c[0]) + (c[1] - p[1]) * (q[1] - c[1])
+        if cross == 0 and dot >= 0:
+            continue
+        out.append(c)
+    out.append(line[-1])
+    return out
+
+
+def _canon_lines(lines: list[list[Pt]]) -> list[list[Pt]]:
+    """Canonical direction (lexicographically smaller endpoint first)
+    and canonical order."""
+    out = []
+    for ln in lines:
+        if len(ln) >= 2 and (ln[-1], ln[0]) < (ln[0], ln[-1]):
+            ln = list(reversed(ln))
+        out.append(ln)
+    return sorted(out)
+
+
 # -- WKT formatting -----------------------------------------------------------
 
 def _fmt(v: float) -> str:
@@ -448,45 +656,111 @@ def _polygonal_wkt(rings: list[Ring]) -> str:
     return "MULTIPOLYGON(" + ", ".join(members) + ")"
 
 
+def _lines_wkt(lines: list[list[Pt]]) -> str:
+    bodies = [
+        "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in ln) + ")"
+        for ln in _canon_lines(lines)
+    ]
+    if len(bodies) == 1:
+        return "LINESTRING" + bodies[0]
+    return "MULTILINESTRING(" + ", ".join(bodies) + ")"
+
+
 def format_geom(g: Geom) -> str:
     if g.is_empty():
         return "GEOMETRYCOLLECTION EMPTY"
-    parts = []
     pts = sorted(set(g.points))
-    if pts and not g.rings:
+    kinds = (bool(pts), bool(g.lines), bool(g.rings))
+    if kinds == (True, False, False):
         if len(pts) == 1:
             return f"POINT({_fmt(pts[0][0])} {_fmt(pts[0][1])})"
         return "MULTIPOINT(" + ", ".join(
             f"({_fmt(x)} {_fmt(y)})" for x, y in pts) + ")"
-    if not pts:
+    if kinds == (False, True, False):
+        return _lines_wkt(g.lines)
+    if kinds == (False, False, True):
         return _polygonal_wkt(g.rings)
     parts = [f"POINT({_fmt(x)} {_fmt(y)})" for x, y in pts]
-    parts.append(_polygonal_wkt(g.rings))
+    if g.lines:
+        parts.append(_lines_wkt(g.lines))
+    if g.rings:
+        parts.append(_polygonal_wkt(g.rings))
     return "GEOMETRYCOLLECTION(" + ", ".join(parts) + ")"
 
 
 # -- the public ops -----------------------------------------------------------
 
 def _covered(p: Pt, g: Geom) -> bool:
-    return p in g.points or point_in_rings(p, g.rings) >= 0
+    return (p in g.points or point_in_rings(p, g.rings) >= 0
+            or _on_any_line(p, g.lines))
 
 
 def boolop_geom(a: Geom, b: Geom, op: str) -> Geom:
+    """Dimension-wise boolean combination: 2-D via the slab clipper,
+    1-D via parametric clipping of polylines against areas plus
+    collinear-overlap arithmetic between line sets, 0-D via coverage
+    tests. Lower-dimensional parts absorbed by a kept area drop out;
+    line endpoints/crossing contacts keep JTS's measure-zero rules
+    (isolated points never subtract from a line)."""
+    if op == "xor":
+        left, right = boolop_geom(a, b, "sub"), boolop_geom(b, a, "sub")
+        merged = Geom(
+            points=sorted(set(left.points + right.points)),
+            rings=left.rings + right.rings,
+            lines=_merge_line_pieces(
+                [s for ln in left.lines + right.lines
+                 for s in zip(ln, ln[1:])]
+            ),
+        )
+        # adjacent sub-results can share boundary; re-run the 2-D union
+        # so shared edges weld (e.g. A Δ A-half)
+        merged.rings = boolop_rings(left.rings, right.rings, "or")
+        return merged
+
     rings = boolop_rings(a.rings, b.rings, op)
-    area = Geom(rings=rings)
+    pieces: list[Seg] = []
     if op == "and":
+        if b.rings:
+            pieces += _clip_lines_to_area(a.lines, b.rings, (0, 1))
+        if a.rings:
+            pieces += _clip_lines_to_area(b.lines, a.rings, (0, 1))
+        ov, contacts = _line_line_bits(a.lines, b.lines)
+        pieces += ov
         pts = [p for p in a.points if _covered(p, b)]
         pts += [p for p in b.points if _covered(p, a)]
+        pts += contacts
     elif op == "or":
+        a_out = (_clip_lines_to_area(a.lines, b.rings, (-1,))
+                 if b.rings else list(_lsegs(a.lines)))
+        b_out = (_clip_lines_to_area(b.lines, a.rings, (-1,))
+                 if a.rings else list(_lsegs(b.lines)))
+        # dissolve collinear overlaps: the B side carries them once
+        a_out = _subtract_line_overlaps(
+            _merge_line_pieces(a_out), [list(s) for s in b_out]
+        )
+        pieces += a_out + b_out
         pts = [p for p in a.points + b.points
                if point_in_rings(p, rings) == -1]
-    elif op == "sub":
+    else:  # sub: A − B
+        kept = _clip_lines_to_area(a.lines, b.rings, (-1,)) \
+            if b.rings else [s for s in _lsegs(a.lines)]
+        if b.lines:
+            kept_lines = _merge_line_pieces(kept)
+            kept = _subtract_line_overlaps(kept_lines, b.lines)
+        pieces += kept
         pts = [p for p in a.points if not _covered(p, b)]
-    else:  # xor
-        pts = [p for p in a.points if not _covered(p, b)]
-        pts += [p for p in b.points if not _covered(p, a)]
-    area.points = sorted(set(pts))
-    return area
+    lines = _merge_line_pieces(pieces)
+    # a line piece riding the kept area's interior/boundary is absorbed
+    if rings and lines:
+        absorbed = []
+        for s in [x for ln in lines for x in zip(ln, ln[1:])]:
+            mid = _t_point(s, 0.5)
+            if point_in_rings(mid, rings) == -1:
+                absorbed.append(s)
+        lines = _merge_line_pieces(absorbed)
+    pts = [p for p in pts
+           if point_in_rings(p, rings) == -1 and not _on_any_line(p, lines)]
+    return Geom(points=sorted(set(pts)), rings=rings, lines=lines)
 
 
 def boolop_wkt(wkt_a: str | None, wkt_b: str | None, op: str) -> str | None:
@@ -605,66 +879,199 @@ def _boundaries_touch(ra: list[Ring], rb: list[Ring]) -> bool:
     return False
 
 
+def _line_boundary_pts(lines: list[list[Pt]]) -> set[Pt]:
+    """OGC Mod-2 boundary of a polyline set: endpoints occurring an odd
+    number of times (closed polylines have empty boundary)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for ln in lines:
+        if ln[0] == ln[-1]:
+            continue
+        c[ln[0]] += 1
+        c[ln[-1]] += 1
+    return {q for q, n in c.items() if n % 2}
+
+
+def _rings_as_lines(rings: list[Ring]) -> list[list[Pt]]:
+    return [r + [r[0]] for r in rings if len(r) >= 2]
+
+
+def _dim_area_line(rings: list[Ring], lines: list[list[Pt]],
+                   want: int) -> int:
+    """1 if a positive-length piece of ``lines`` classifies ``want``
+    against the area, else -1."""
+    return 1 if _clip_lines_to_area(lines, rings, (want,)) else -1
+
+
+def _dim_line_line(la: list[list[Pt]], ea: set, lb: list[list[Pt]],
+                   eb: set) -> int:
+    """Dim of (lineset A minus excluded points) ∩ (lineset B minus
+    excluded points): 1 for a collinear overlap, 0 for an isolated
+    contact outside both exclusion sets."""
+    if not la or not lb:
+        return -1
+    segs, pts = _line_line_bits(la, lb)
+    if segs:
+        return 1
+    if any(q not in ea and q not in eb for q in pts):
+        return 0
+    return -1
+
+
 def de9im(wkt_a: str | None, wkt_b: str | None) -> list[int] | None:
     """The DE-9IM matrix [II, IB, IE, BI, BB, BE, EI, EB, EE] as
-    dimensions (-1 = empty), for point/polygonal operand pairs. Point
-    interiors are the points themselves (empty boundary); polygon
-    interiors the open even-odd area, boundaries the rings — the OGC
-    SFA topology, on the kernel's exactness domain."""
+    dimensions (-1 = empty) for point / line / polygonal operand pairs
+    (mixed-dimension GEOMETRYCOLLECTIONs compose cell-wise). OGC SFA
+    topology on the kernel's exactness domain: polygon interior = open
+    even-odd area, boundary = rings; line interior = the polyline minus
+    its Mod-2 endpoints, boundary = those endpoints; point interior =
+    the point, boundary empty."""
     a, b = parse_geom(wkt_a), parse_geom(wkt_b)
     if a is None or b is None:
         return None
 
-    ii = ib = ie = bi = bb = be = ei = eb = -1
-    # -- interior(A) row
+    abnd, bbnd = _line_boundary_pts(a.lines), _line_boundary_pts(b.lines)
+    aring_l, bring_l = _rings_as_lines(a.rings), _rings_as_lines(b.rings)
+
+    def covered_by(q: Pt, g: Geom) -> bool:
+        return (q in g.points or _on_any_line(q, g.lines)
+                or point_in_rings(q, g.rings) >= 0)
+
+    # ---- II ----
+    ii = -1
     if a.rings and b.rings and boolop_rings(a.rings, b.rings, "and"):
         ii = 2
-    for p in a.points:
-        if p in b.points or point_in_rings(p, b.rings) == 1:
+    if ii < 1:
+        if a.rings and _dim_area_line(a.rings, b.lines, 1) == 1:
+            ii = max(ii, 1)
+        if b.rings and _dim_area_line(b.rings, a.lines, 1) == 1:
+            ii = max(ii, 1)
+        ii = max(ii, _dim_line_line(a.lines, abnd, b.lines, bbnd))
+    for q in a.points:
+        if (q in b.points or point_in_rings(q, b.rings) == 1
+                or (_on_any_line(q, b.lines) and q not in bbnd)):
             ii = max(ii, 0)
-    for p in b.points:
-        if p in a.points or point_in_rings(p, a.rings) == 1:
+    for q in b.points:
+        if (q in a.points or point_in_rings(q, a.rings) == 1
+                or (_on_any_line(q, a.lines) and q not in abnd)):
             ii = max(ii, 0)
-    if a.rings and b.rings and any(
-        _edge_inside_intervals(e, a.rings, 1) for e in _edges(b.rings)
-    ):
-        ib = 1  # B's boundary passes through A's interior
-    for p in a.points:
-        if b.rings and point_in_rings(p, b.rings) == 0:
-            ib = max(ib, 0)
+
+    # ---- IB: interior(A) ∩ boundary(B) ----
+    ib = -1
+    if b.rings:
+        if a.rings and any(
+            _edge_inside_intervals(e, a.rings, 1) for e in _edges(b.rings)
+        ):
+            ib = 1
+        ib = max(ib, _dim_line_line(a.lines, abnd, bring_l, set()))
+        for q in a.points:
+            if point_in_rings(q, b.rings) == 0:
+                ib = max(ib, 0)
+    if bbnd:
+        for q in bbnd:
+            if (point_in_rings(q, a.rings) == 1
+                    or (_on_any_line(q, a.lines) and q not in abnd)
+                    or q in a.points):
+                ib = max(ib, 0)
+
+    # ---- IE: interior(A) ∩ exterior(B) ----
+    ie = -1
     if a.rings and (not b.rings or boolop_rings(a.rings, b.rings, "sub")):
         ie = 2
-    for p in a.points:
-        if p not in b.points and point_in_rings(p, b.rings) == -1:
+    if ie < 1 and a.lines:
+        outside = (_clip_lines_to_area(a.lines, b.rings, (-1,))
+                   if b.rings else list(_lsegs(a.lines)))
+        if b.lines and outside:
+            outside = _subtract_line_overlaps(
+                _merge_line_pieces(outside), b.lines
+            )
+        if outside:
+            ie = max(ie, 1)
+    for q in a.points:
+        if not covered_by(q, b):
             ie = max(ie, 0)
-    # -- boundary(A) row (nonempty only for polygonal A)
+
+    # ---- BI: boundary(A) ∩ interior(B) ----
+    bi = -1
     if a.rings:
         if b.rings and any(
             _edge_inside_intervals(e, b.rings, 1) for e in _edges(a.rings)
         ):
             bi = 1
-        for p in b.points:
-            if point_in_rings(p, a.rings) == 0:
+        bi = max(bi, _dim_line_line(aring_l, set(), b.lines, bbnd))
+        for q in b.points:
+            if point_in_rings(q, a.rings) == 0:
                 bi = max(bi, 0)
-        if b.rings:
-            if _boundaries_share_segment(a.rings, b.rings):
-                bb = 1
-            elif _boundaries_touch(a.rings, b.rings):
-                bb = 0
-        if not b.rings or any(
-            _edge_inside_intervals(e, b.rings, -1) for e in _edges(a.rings)
-        ):
+    for q in abnd:
+        if (point_in_rings(q, b.rings) == 1
+                or (_on_any_line(q, b.lines) and q not in bbnd)
+                or q in b.points):
+            bi = max(bi, 0)
+
+    # ---- BB ----
+    bb = -1
+    if a.rings and b.rings:
+        if _boundaries_share_segment(a.rings, b.rings):
+            bb = 1
+        elif _boundaries_touch(a.rings, b.rings):
+            bb = 0
+    if bb < 1 and a.rings and bbnd:
+        if any(_on_any_line(q, aring_l) for q in bbnd):
+            bb = max(bb, 0)
+    if bb < 1 and b.rings and abnd:
+        if any(_on_any_line(q, bring_l) for q in abnd):
+            bb = max(bb, 0)
+    if abnd & bbnd:
+        bb = max(bb, 0)
+
+    # ---- BE: boundary(A) ∩ exterior(B) ----
+    be = -1
+    if a.rings:
+        outside = (_clip_lines_to_area(aring_l, b.rings, (-1,))
+                   if b.rings else list(_lsegs(aring_l)))
+        if b.lines and outside:
+            outside = _subtract_line_overlaps(
+                _merge_line_pieces(outside), b.lines
+            )
+        if outside:
             be = 1
-    # -- exterior(A) row
+    for q in abnd:
+        if not covered_by(q, b):
+            be = max(be, 0)
+
+    # ---- EI: exterior(A) ∩ interior(B) ----
+    ei = -1
     if b.rings and (not a.rings or boolop_rings(b.rings, a.rings, "sub")):
         ei = 2
-    for p in b.points:
-        if p not in a.points and point_in_rings(p, a.rings) == -1:
+    if ei < 1 and b.lines:
+        outside = (_clip_lines_to_area(b.lines, a.rings, (-1,))
+                   if a.rings else list(_lsegs(b.lines)))
+        if a.lines and outside:
+            outside = _subtract_line_overlaps(
+                _merge_line_pieces(outside), a.lines
+            )
+        if outside:
+            ei = max(ei, 1)
+    for q in b.points:
+        if not covered_by(q, a):
             ei = max(ei, 0)
-    if b.rings and (not a.rings or any(
-        _edge_inside_intervals(e, a.rings, -1) for e in _edges(b.rings)
-    )):
-        eb = 1
+
+    # ---- EB: exterior(A) ∩ boundary(B) ----
+    eb = -1
+    if b.rings:
+        outside = (_clip_lines_to_area(bring_l, a.rings, (-1,))
+                   if a.rings else list(_lsegs(bring_l)))
+        if a.lines and outside:
+            outside = _subtract_line_overlaps(
+                _merge_line_pieces(outside), a.lines
+            )
+        if outside:
+            eb = 1
+    for q in bbnd:
+        if not covered_by(q, a):
+            eb = max(eb, 0)
+
     return [ii, ib, ie, bi, bb, be, ei, eb, 2]
 
 
@@ -692,3 +1099,82 @@ def relate_wkt(wkt_a: str | None, wkt_b: str | None,
         else:
             return None
     return True
+
+
+# -- buffer (general geometries) ----------------------------------------------
+
+_BUF_ARC_SEGS = 8  # quarter-circle segments: 32 per full circle
+
+
+def _circle_ring(cx: float, cy: float, r: float, segs: int = 4 * _BUF_ARC_SEGS) -> Ring:
+    import math
+
+    # 12-dp rounding kills the ±1e-16 trig artifacts so outputs stay
+    # regex-consumable by the JVM predicate kernels
+    return [
+        (round(cx + r * math.cos(2 * math.pi * i / segs), 12),
+         round(cy + r * math.sin(2 * math.pi * i / segs), 12))
+        for i in range(segs)
+    ]
+
+
+def _segment_capsule(a: Pt, b: Pt, r: float) -> list[Ring]:
+    """Rectangle along the segment plus full-circle caps at both ends
+    (union via even-odd is wrong for overlapping rings, so the caller
+    merges capsules through boolop_rings 'or')."""
+    import math
+
+    (ax, ay), (bx, by) = a, b
+    dx, dy = bx - ax, by - ay
+    ln = math.hypot(dx, dy)
+    if ln == 0:
+        return [_circle_ring(ax, ay, r)]
+    nx, ny = -dy / ln * r, dx / ln * r
+    rect = [(round(ax + nx, 12), round(ay + ny, 12)),
+            (round(bx + nx, 12), round(by + ny, 12)),
+            (round(bx - nx, 12), round(by - ny, 12)),
+            (round(ax - nx, 12), round(ay - ny, 12))]
+    return [rect, _circle_ring(ax, ay, r), _circle_ring(bx, by, r)]
+
+
+def buffer_wkt(wkt: str | None, radius: float,
+               geographic: bool = False) -> str | None:
+    """Positive-radius buffer of any supported geometry: the union of
+    per-segment capsules (rectangle + 32-gon end caps) with the original
+    area — assembled through the same slab boolean kernel, so output is
+    canonical WKT. ``radius`` is in y-coordinate units; with
+    ``geographic=True`` the x axis is pre-scaled by cos(mean latitude)
+    so the buffer is metrically round under the same equirectangular
+    model as geof:distance, then unscaled on output."""
+    import math
+
+    g = parse_geom(wkt)
+    if g is None or radius is None or radius <= 0:
+        return None
+    if g.is_empty():
+        return "GEOMETRYCOLLECTION EMPTY"
+    c = 1.0
+    if geographic:
+        ys = ([y for _, y in g.points]
+              + [y for ln in g.lines for _, y in ln]
+              + [y for r in g.rings for _, y in r])
+        c = math.cos(math.radians(sum(ys) / len(ys))) or 1.0
+
+    def fwd(p: Pt) -> Pt:
+        return (p[0] * c, p[1])
+
+    pts = [fwd(p) for p in g.points]
+    lines = [[fwd(p) for p in ln] for ln in g.lines]
+    rings = [[fwd(p) for p in r] for r in g.rings]
+    acc: list[Ring] = list(rings)
+    pieces: list[Ring] = []
+    for x, y in pts:
+        pieces.append(_circle_ring(x, y, radius))
+    for a, b in _lsegs(lines):
+        pieces.extend(_segment_capsule(a, b, radius))
+    for a, b in _edges(rings):
+        pieces.extend(_segment_capsule(a, b, radius))
+    for ring in pieces:
+        acc = boolop_rings(acc, [ring], "or")
+    out = [[(round(x / c, 12), y) for x, y in r] for r in acc]
+    return format_geom(Geom(rings=out))

@@ -2840,3 +2840,42 @@ def sparql_geo_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
         }}
     """)
     return df.select(_lex("cust").alias("c"))
+
+
+@register(
+    "sparql_geo_line_clip",
+    _NB_SQL + """
+    SELECT 'urn:nation:' || CAST(k AS VARCHAR) AS n,
+           CASE WHEN k % 7 > 0 THEN
+             'LINESTRING(' || CAST(x0 AS VARCHAR) || ' '
+               || CAST(y0 + 2.0 AS VARCHAR) || ', '
+               || CAST(LEAST(x0 + CAST(k % 7 AS DOUBLE), x0 + 4.0)
+                       AS VARCHAR)
+               || ' ' || CAST(y0 + 2.0 AS VARCHAR) || ')'
+           ELSE 'GEOMETRYCOLLECTION EMPTY' END AS clip
+    FROM b
+    """,
+    doc="geof:intersection with a LINESTRING operand (round-8 linework "
+        "support): a horizontal probe line of key-dependent length "
+        "clipped by each nation's box — full spans, partial spans, and "
+        "zero-length (empty) results all occur. Oracle: 1-D interval "
+        "algebra + canonical LINESTRING assembly.",
+)
+def sparql_geo_line_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.sparql.extensions import (
+        geof_intersection,
+    )
+
+    nation = load(spark, sf_dir, "nation")
+    iri, x0, y0 = _nation_box_cols()
+    k = F.col("n_nationkey")
+    s = lambda c: c.cast("int").cast("string")  # noqa: E731
+    line = F.concat(
+        F.lit("LINESTRING("), s(x0 - 2), F.lit(" "), s(y0 + 2),
+        F.lit(", "), s(x0 - 2 + 2 + k % 7), F.lit(" "), s(y0 + 2),
+        F.lit(")"),
+    )
+    res = geof_intersection(
+        [_geo_term(line), _geo_term(_box_wkt_col(x0, y0, 4, 4))]
+    )
+    return nation.select(iri.alias("n"), res["lex"].alias("clip"))

@@ -943,11 +943,13 @@ _BUFFER_SEGS = 32
 
 
 def geof_buffer(args: list[Column]) -> Column:
-    """geof:buffer(point, radius [, unitIRI]) → a 32-gon
-    geo:wktLiteral approximating the circle, radius converted to local
-    degrees with the same equirectangular scaling as geof:distance
-    (lon by cos(lat)). Non-point geometries → SPARQL error (buffering
-    general polygons needs a real geometry library; documented stub)."""
+    """geof:buffer(geom, radius [, unitIRI]) → geo:wktLiteral. POINT
+    keeps the JVM 32-gon fast path (radius converted to local degrees
+    with the same equirectangular scaling as geof:distance, lon by
+    cos(lat)); every other geometry routes through the Arrow-batched
+    capsule-union kernel (geo/boolops.buffer_wkt — round 8b closes the
+    former point-only stub), which pre-scales x by cos(mean latitude)
+    for the same metric roundness."""
     import math as _math
 
     x, y = _pt_xy(args[0]["lex"])
@@ -980,10 +982,30 @@ def geof_buffer(args: list[Column]) -> Column:
             F.lit("POLYGON(("), F.array_join(pts, ", "), F.lit("))")
         )
 
+    # non-point general path (r8b): Arrow-batched capsule-union kernel
+    if "buffer" not in _GEO_SETOP_UDFS:
+        def bfn(lex: pd.Series, degs: pd.Series) -> pd.Series:
+            from dublin_smart_city_graphdb_spark.geo.boolops import (
+                buffer_wkt,
+            )
+
+            return pd.Series(
+                [
+                    buffer_wkt(w, d, geographic=True)
+                    if w is not None and d is not None else None
+                    for w, d in zip(lex, degs)
+                ],
+                dtype="object",
+            )
+
+        _GEO_SETOP_UDFS["buffer"] = F.pandas_udf(bfn, "string")
+    general = _GEO_SETOP_UDFS["buffer"](
+        args[0]["lex"], deg_lat.cast("double")
+    )
     wkt = F.when(x.isNotNull() & meters.isNotNull(), _let(
         {"x": x, "y": y, "dlat": deg_lat,
          "dlon": deg_lat / F.cos(F.radians(y))}, k,
-    ))
+    )).otherwise(general)
     return _make_wkt(wkt)
 
 

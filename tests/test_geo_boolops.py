@@ -115,9 +115,9 @@ def test_point_mixed_dimension_ops():
     assert boolop_wkt("POINT(30.0 30.0)", A, "sub") == "POINT(30.0 30.0)"
 
 
-def test_linestring_unsupported_is_error():
-    assert boolop_wkt("LINESTRING(0 0, 1 1)", A, "and") is None
+def test_malformed_wkt_is_error():
     assert boolop_wkt(A, "not wkt at all 123", "or") is None
+    assert boolop_wkt("CIRCULARSTRING(0 0, 1 1, 2 0)", A, "and") is None
 
 
 def test_geometrycollection_input_flattens():
@@ -329,3 +329,131 @@ def test_geometrycollection_consumed_by_predicates(geo_repo):
     """)
     assert rows[0]["eq"]["lex"] == "true"
     assert rows[0]["tch"]["lex"] == "true"
+
+
+# -- round 8b: linework set operations ---------------------------------------
+
+L_CROSS = "LINESTRING(-5.0 5.0, 15.0 5.0)"
+L_IN = "LINESTRING(2.0 2.0, 8.0 2.0)"
+L_EDGE = "LINESTRING(10.0 0.0, 10.0 10.0)"
+M1 = "LINESTRING(0.0 0.0, 10.0 0.0)"
+M2 = "LINESTRING(4.0 0.0, 14.0 0.0)"
+M3 = "LINESTRING(5.0 -5.0, 5.0 5.0)"
+
+
+def test_line_polygon_set_ops():
+    assert boolop_wkt(L_CROSS, A, "and") == "LINESTRING(0.0 5.0, 10.0 5.0)"
+    assert boolop_wkt(L_CROSS, A, "sub") == (
+        "MULTILINESTRING((-5.0 5.0, 0.0 5.0), (10.0 5.0, 15.0 5.0))"
+    )
+    out = boolop_wkt(L_CROSS, A, "or")
+    assert out.startswith("GEOMETRYCOLLECTION(MULTILINESTRING")
+    assert "POLYGON" in out
+    # a line inside the polygon is absorbed by union, kept by intersection
+    assert boolop_wkt(L_IN, A, "or") == A
+    assert boolop_wkt(L_IN, A, "and") == L_IN
+    # polygon minus a line is the polygon (measure zero)
+    assert boolop_wkt(A, L_CROSS, "sub") == A
+    # boundary-riding line
+    assert boolop_wkt(L_EDGE, A, "and") == L_EDGE
+
+
+def test_line_line_set_ops():
+    assert boolop_wkt(M1, M2, "and") == "LINESTRING(4.0 0.0, 10.0 0.0)"
+    assert boolop_wkt(M1, M2, "sub") == "LINESTRING(0.0 0.0, 4.0 0.0)"
+    # overlapping collinear union dissolves into one line
+    assert boolop_wkt(M1, M2, "or") == "LINESTRING(0.0 0.0, 14.0 0.0)"
+    assert boolop_wkt(M1, M2, "xor") == (
+        "MULTILINESTRING((0.0 0.0, 4.0 0.0), (10.0 0.0, 14.0 0.0))"
+    )
+    # transversal crossing: point intersection, no subtraction
+    assert boolop_wkt(M1, M3, "and") == "POINT(5.0 0.0)"
+    assert boolop_wkt(M1, M3, "sub") == M1
+    for op in ("and", "or", "xor"):
+        assert boolop_wkt(M1, M2, op) == boolop_wkt(M2, M1, op), op
+
+
+def test_polyline_bend_survives_clipping():
+    bend = "LINESTRING(-5.0 2.0, 5.0 2.0, 5.0 8.0, 15.0 8.0)"
+    assert boolop_wkt(bend, A, "and") == (
+        "LINESTRING(0.0 2.0, 5.0 2.0, 5.0 8.0, 10.0 8.0)"
+    )
+
+
+def test_line_outputs_feed_back():
+    clipped = boolop_wkt(L_CROSS, A, "and")
+    g = parse_geom(clipped)
+    assert g is not None and len(g.lines) == 1
+    assert boolop_wkt(clipped, A, "sub") == "GEOMETRYCOLLECTION EMPTY"
+    assert convex_hull_wkt(clipped) == clipped  # straight line: own hull
+
+
+LINE_DE9IM = [
+    # JTS-derived matrices
+    (L_CROSS, A, [1, 0, 1, -1, -1, 0, 2, 1, 2]),    # line crosses area
+    (L_IN, A, [1, -1, -1, 0, -1, -1, 2, 1, 2]),     # line within area
+    (L_EDGE, A, [-1, 1, -1, -1, 0, -1, 2, 1, 2]),   # line on boundary
+    (M1, M3, [0, -1, 1, -1, -1, 0, 1, 0, 2]),       # lines cross at a point
+    (M1, M2, [1, 0, 1, 0, -1, 0, 1, 0, 2]),         # collinear overlap
+    (M1, "LINESTRING(10.0 0.0, 20.0 0.0)",
+     [-1, -1, 1, -1, 0, 0, 1, 0, 2]),               # endpoint touch
+]
+
+
+@pytest.mark.parametrize("a,b,want", LINE_DE9IM)
+def test_line_de9im_matrices(a, b, want):
+    assert de9im(a, b) == want
+
+
+def test_line_relate_patterns():
+    assert relate_wkt(L_IN, A, "T*F**F***") is True      # within
+    assert relate_wkt(L_CROSS, A, "T*T******") is True    # crosses (dim mix)
+    assert relate_wkt(M1, "LINESTRING(10.0 0.0, 20.0 0.0)",
+                      "F***T****") is True                # touches (BB arm)
+    assert relate_wkt(M1, M3, "0********") is True        # 0-dim crossing
+
+
+def test_buffer_general_kernel():
+    """buffer(line/polygon): capsule-union through the slab kernel —
+    membership at radius±ε, hole shrinkage preserved."""
+    from dublin_smart_city_graphdb_spark.geo.boolops import buffer_wkt
+
+    out = buffer_wkt("LINESTRING(0.0 0.0, 10.0 0.0)", 2.0)
+    g = parse_geom(out)
+    for p, want in [((5.0, 1.9), 1), ((5.0, 2.1), -1),
+                    ((-1.9, 0.0), 1), ((-2.5, 0.0), -1),
+                    ((11.9, 0.1), 1)]:
+        assert point_in_rings(p, g.rings) == want, p
+    out2 = buffer_wkt(A, 1.0)
+    g2 = parse_geom(out2)
+    for p, want in [((5.0, 5.0), 1), ((-0.9, 5.0), 1), ((-1.1, 5.0), -1),
+                    ((10.5, 10.5), 1), ((11.0, 11.0), -1)]:
+        assert point_in_rings(p, g2.rings) == want, p
+    # a holed polygon's hole SHRINKS by the radius
+    holed = ("POLYGON((0.0 0.0, 20.0 0.0, 20.0 20.0, 0.0 20.0, 0.0 0.0), "
+             "(5.0 5.0, 15.0 5.0, 15.0 15.0, 5.0 15.0, 5.0 5.0))")
+    g3 = parse_geom(buffer_wkt(holed, 1.0))
+    assert point_in_rings((10.0, 10.0), g3.rings) == -1  # still a hole
+    assert point_in_rings((5.5, 10.0), g3.rings) == 1    # eaten by buffer
+    assert buffer_wkt(A, 0.0) is None and buffer_wkt(A, -1.0) is None
+    assert buffer_wkt("GEOMETRYCOLLECTION EMPTY", 1.0) == \
+        "GEOMETRYCOLLECTION EMPTY"
+
+
+def test_sparql_buffer_general_and_line_ops(geo_repo):
+    """r8b: geof:buffer on non-point geometries (capsule-union kernel)
+    and LINESTRING operands in the set functions, end-to-end through
+    SPARQL with self-consumption into JVM predicates."""
+    rows = geo_repo.sparql_collect(PFX + """
+        SELECT ?inBuf ?outBuf ?clip WHERE {
+          ex:a geo:asWKT ?wa .
+          BIND(geof:buffer(?wa, 1, <http://www.opengis.net/def/uom/OGC/1.0/degree>) AS ?b)
+          BIND(geof:sfWithin("POINT(-0.5 5)"^^geo:wktLiteral, ?b) AS ?inBuf)
+          BIND(geof:sfWithin("POINT(-1.5 5)"^^geo:wktLiteral, ?b) AS ?outBuf)
+          BIND(geof:intersection("LINESTRING(-5 5, 15 5)"^^geo:wktLiteral, ?wa) AS ?clip)
+        }
+    """)
+    r = rows[0]
+    assert r["inBuf"]["lex"] == "true"
+    assert r["outBuf"]["lex"] == "false"
+    assert r["clip"]["lex"] == "LINESTRING(0.0 5.0, 10.0 5.0)"
