@@ -1178,3 +1178,74 @@ def buffer_wkt(wkt: str | None, radius: float,
         acc = boolop_rings(acc, [ring], "or")
     out = [[(round(x / c, 12), y) for x, y in r] for r in acc]
     return format_geom(Geom(rings=out))
+
+
+# -- OGC named predicates over the DE-9IM (generality escape hatch) -----------
+
+def _geom_dim(g: Geom) -> int:
+    if g.rings:
+        return 2
+    if g.lines:
+        return 1
+    if g.points:
+        return 0
+    return -1
+
+
+def _match(matrix: list[int], pattern: str) -> bool:
+    for cell, want in zip(matrix, pattern):
+        if want == "*":
+            continue
+        if want == "T" and cell < 0:
+            return False
+        if want == "F" and cell >= 0:
+            return False
+        if want in "012" and cell != int(want):
+            return False
+    return True
+
+
+def named_predicate(wkt_a: str | None, wkt_b: str | None,
+                    name: str) -> bool | None:
+    """The OGC simple-features named predicates evaluated through the
+    full DE-9IM — the dimension-aware generality path the JVM Column
+    kernels dispatch to for shapes outside their envelope (mixed
+    GEOMETRYCOLLECTIONs, line containment). Dim-dependent patterns
+    (overlaps/crosses) follow JTS RelateOp."""
+    a, b = parse_geom(wkt_a), parse_geom(wkt_b)
+    if a is None or b is None:
+        return None
+    if a.is_empty() or b.is_empty():
+        return name == "disjoint"
+    m = de9im(wkt_a, wkt_b)
+    if m is None:
+        return None
+    da, db = _geom_dim(a), _geom_dim(b)
+    if name == "disjoint":
+        return _match(m, "FF*FF****")
+    if name == "intersects":
+        return not _match(m, "FF*FF****")
+    if name == "equals":
+        return _match(m, "T*F**FFF*")
+    if name == "within":
+        return _match(m, "T*F**F***")
+    if name == "contains":
+        return _match(m, "T*****FF*")
+    if name == "touches":
+        return (_match(m, "FT*******") or _match(m, "F**T*****")
+                or _match(m, "F***T****"))
+    if name == "overlaps":
+        if da != db:
+            return False
+        if da == 1:
+            return _match(m, "1*T***T**")
+        return _match(m, "T*T***T**")
+    if name == "crosses":
+        if da < db:
+            return _match(m, "T*T******")
+        if da > db:
+            return _match(m, "T*****T**")
+        if da == 1:
+            return _match(m, "0********")
+        return False
+    return None

@@ -1231,20 +1231,71 @@ def _empty_aware(fn, on_empty: bool):
     return wrapped
 
 
+# mixed-dimension GEOMETRYCOLLECTION (contains point/line members)
+_WKT_MIXED_GC = (
+    r"(?si)^\s*(?:<[^>]*>\s*)?GEOMETRYCOLLECTION\s*\("
+    r".*\b(?:POINT|LINESTRING)\b"
+)
+# bare linework operand
+_WKT_LINEY = r"(?si)^\s*(?:<[^>]*>\s*)?(?:MULTI)?LINESTRING\b"
+
+
+def _sf_predicate(fn, name: str, line_escape: str | None = None):
+    """Dispatch wrapper for the simple-features predicates: the JVM
+    Column kernel serves its exactness envelope (the hot path,
+    unchanged — including its documented bbox fallbacks), while shapes
+    it CANNOT answer route to the Arrow-batched DE-9IM evaluator
+    (geo/boolops.named_predicate — round 8b): mixed-dimension
+    GEOMETRYCOLLECTION operands for every predicate, and a linework
+    operand on the CONTAINED side of the containment/equality family
+    (``line_escape`` = which side: 'a' for within, 'b' for contains,
+    'either' for equals), where the JVM kernel previously answered a
+    SPARQL error. Empty operands keep the OGC rule (disjoint true,
+    everything else false)."""
+    if name not in _GEO_SETOP_UDFS:
+        def pfn(a: pd.Series, b: pd.Series) -> pd.Series:
+            from dublin_smart_city_graphdb_spark.geo.boolops import (
+                named_predicate,
+            )
+
+            return pd.Series(
+                [named_predicate(x, y, name) for x, y in zip(a, b)],
+                dtype="object",
+            )
+
+        _GEO_SETOP_UDFS[name] = F.pandas_udf(pfn, "boolean")
+
+    def wrapped(args: list[Column]) -> Column:
+        a, b = args[0]["lex"], args[1]["lex"]
+        is_empty = a.rlike(_WKT_EMPTY) | b.rlike(_WKT_EMPTY)
+        escape = a.rlike(_WKT_MIXED_GC) | b.rlike(_WKT_MIXED_GC)
+        if line_escape in ("a", "either"):
+            escape = escape | a.rlike(_WKT_LINEY)
+        if line_escape in ("b", "either"):
+            escape = escape | b.rlike(_WKT_LINEY)
+        return (
+            F.when(is_empty, make_bool(F.lit(name == "disjoint")))
+            .when(escape, make_bool(_GEO_SETOP_UDFS[name](a, b)))
+            .otherwise(fn(args))
+        )
+
+    return wrapped
+
+
 def default_extensions() -> dict:
     ext = {
         FN + "haversineKm": haversine_km,
         FN + "wktLon": wkt_lon,
         FN + "wktLat": wkt_lat,
         FN + "wktWithinBBox": wkt_within_bbox,
-        GEOF + "sfWithin": _empty_aware(geof_sf_within, False),
-        GEOF + "sfContains": _empty_aware(geof_sf_contains, False),
-        GEOF + "sfIntersects": _empty_aware(geof_sf_intersects, False),
-        GEOF + "sfDisjoint": _empty_aware(geof_sf_disjoint, True),
-        GEOF + "sfEquals": _empty_aware(geof_sf_equals, False),
-        GEOF + "sfTouches": _empty_aware(geof_sf_touches, False),
-        GEOF + "sfOverlaps": _empty_aware(geof_sf_overlaps, False),
-        GEOF + "sfCrosses": _empty_aware(geof_sf_crosses, False),
+        GEOF + "sfWithin": _sf_predicate(geof_sf_within, "within", "a"),
+        GEOF + "sfContains": _sf_predicate(geof_sf_contains, "contains", "b"),
+        GEOF + "sfIntersects": _sf_predicate(geof_sf_intersects, "intersects"),
+        GEOF + "sfDisjoint": _sf_predicate(geof_sf_disjoint, "disjoint"),
+        GEOF + "sfEquals": _sf_predicate(geof_sf_equals, "equals", "either"),
+        GEOF + "sfTouches": _sf_predicate(geof_sf_touches, "touches"),
+        GEOF + "sfOverlaps": _sf_predicate(geof_sf_overlaps, "overlaps"),
+        GEOF + "sfCrosses": _sf_predicate(geof_sf_crosses, "crosses"),
         GEOF + "distance": geof_distance,
         GEOF + "envelope": geof_envelope,
         GEOF + "boundary": geof_boundary,

@@ -457,3 +457,29 @@ def test_sparql_buffer_general_and_line_ops(geo_repo):
     assert r["inBuf"]["lex"] == "true"
     assert r["outBuf"]["lex"] == "false"
     assert r["clip"]["lex"] == "LINESTRING(0.0 5.0, 10.0 5.0)"
+
+
+def test_sparql_mixed_gc_and_line_containment_predicates(geo_repo):
+    """r8b dispatch escapes: mixed-dimension GEOMETRYCOLLECTION operands
+    and line-containment shapes route to the DE-9IM evaluator; the JVM
+    envelope (incl. its documented bbox fallbacks) is untouched."""
+    rows = geo_repo.sparql_collect(PFX + """
+        SELECT ?gcHit ?gcMiss ?lineIn ?lineOut ?contLine ?eqLine WHERE {
+          ex:a geo:asWKT ?wa .
+          BIND("GEOMETRYCOLLECTION(POINT(30 30), POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)))"^^geo:wktLiteral AS ?gc)
+          BIND(geof:sfIntersects(?gc, "POINT(30 30)"^^geo:wktLiteral) AS ?gcHit)
+          BIND(geof:sfDisjoint(?gc, "POINT(40 40)"^^geo:wktLiteral) AS ?gcMiss)
+          BIND(geof:sfWithin("LINESTRING(2 2, 8 2)"^^geo:wktLiteral, ?wa) AS ?lineIn)
+          BIND(geof:sfWithin("LINESTRING(-5 5, 15 5)"^^geo:wktLiteral, ?wa) AS ?lineOut)
+          BIND(geof:sfContains(?wa, "LINESTRING(2 2, 8 2)"^^geo:wktLiteral) AS ?contLine)
+          BIND(geof:sfEquals("LINESTRING(0 0, 4 4)"^^geo:wktLiteral,
+                             "LINESTRING(4 4, 2 2, 0 0)"^^geo:wktLiteral) AS ?eqLine)
+        }
+    """)
+    r = rows[0]
+    assert r["gcHit"]["lex"] == "true"     # the point member hits
+    assert r["gcMiss"]["lex"] == "true"
+    assert r["lineIn"]["lex"] == "true"    # line within polygon (was error)
+    assert r["lineOut"]["lex"] == "false"
+    assert r["contLine"]["lex"] == "true"
+    assert r["eqLine"]["lex"] == "true"    # same line, reversed+split
