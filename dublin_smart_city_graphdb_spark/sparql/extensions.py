@@ -40,7 +40,10 @@ def haversine_km(args: list[Column]) -> Column:
     return make_numeric(d.cast("decimal(38,10)"), XSD + "double")
 
 
-_WKT_POINT = r"^\s*POINT\s*\(\s*(-?[0-9.eE+]+)\s+(-?[0-9.eE+]+)\s*\)\s*$"
+# proper float pattern: the old character-class form ([0-9.eE+]+)
+# silently truncated negative exponents ("1e-5" matched as "1e")
+_WKT_NUM = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_WKT_POINT = rf"^\s*POINT\s*\(\s*({_WKT_NUM})\s+({_WKT_NUM})\s*\)\s*$"
 
 
 def _wkt_coord(args: list[Column], group: int) -> Column:
@@ -67,7 +70,7 @@ def wkt_lat(args: list[Column]) -> Column:
 GEOF = "http://www.opengis.net/def/function/geosparql/"
 
 # all coordinate pairs inside any WKT geometry body: "lon lat"
-_WKT_PAIR = r"(-?[0-9.eE+]+)\s+(-?[0-9.eE+]+)"
+_WKT_PAIR = rf"({_WKT_NUM})\s+({_WKT_NUM})"
 
 
 def _geom_lons(col: Column) -> Column:

@@ -207,8 +207,18 @@ def test_buffer_circle_geometry(geo_eval):
         assert abs(d - r) < r * 0.01, (x, y, d)
 
 
-def test_buffer_non_point_is_error(geo_eval):
-    assert geo_eval(geof_buffer, SQ, num=100.0) is None
+def test_buffer_non_point_general_path(geo_eval, spark):
+    """r8b: non-point buffers route to the capsule-union kernel (the
+    former point-only stub); bad radius is still an error."""
+    one = spark.range(1)
+    wkt = geo_eval(geof_buffer, SQ, num=100.0)
+    assert wkt.startswith("POLYGON((")
+    # the original square is covered by its buffer
+    row = one.select(
+        geof_sf_within([_term("POINT(1 1)"), _term(wkt)]).alias("r")
+    ).collect()[0]["r"]
+    assert row["lex"] == "true"
+    assert geo_eval(geof_buffer, "LINESTRING(0 0, 1 1)", num=0.0) is None
 
 
 # -- Egenhofer / RCC8 families (round-6 session 3) --------------------------
@@ -361,3 +371,15 @@ def test_multi_distance(geo_eval):
     # point (3, 1): 1 degree east of member-1's edge x=2; ~111 km
     d_gap = float(geo_eval(geof_distance, "POINT(3 1)", MPOLY))
     assert 100_000 < d_gap < 120_000
+
+
+def test_scientific_notation_coordinates(geo_eval):
+    """r8: the WKT float regexes accept exponent notation — the old
+    character-class pattern silently truncated negative exponents
+    ("1e-5" matched as "1e" → null cast → dropped row)."""
+    box = "POLYGON((0 0, 1e-3 0, 1e-3 1e-3, 0 1e-3, 0 0))"
+    assert geo_eval(geof_sf_within, "POINT(1e-5 2.5e-4)", box) == "true"
+    assert geo_eval(geof_sf_within, "POINT(5e-3 5e-3)", box) == "false"
+    # Spark's own E-notation output round-trips through the kernels
+    env = geo_eval(geof_envelope, "LINESTRING(1e-5 0, 2e-5 1e-5)")
+    assert geo_eval(geof_sf_within, "POINT(1.5e-5 5e-6)", env) == "true"
