@@ -812,6 +812,14 @@ class Repository:
                 raise TimeoutError(f"query exceeded {timeout}s timeout")
         finally:
             self.engine._unregister_query(entry["id"])
+        if entry["aborted"]:
+            # the abort cancelled the job group and the runner thread may
+            # have died with the RAW Spark cancellation exception before
+            # the 50 ms poll observed the flag — the contract is
+            # QueryAbortedError either way (raced under full-suite load)
+            raise QueryAbortedError(
+                f"query {entry['id']} aborted via monitor"
+            )
         if error:
             raise error[0]
         return result[0]
