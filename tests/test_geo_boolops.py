@@ -483,3 +483,38 @@ def test_sparql_mixed_gc_and_line_containment_predicates(geo_repo):
     assert r["lineOut"]["lex"] == "false"
     assert r["contLine"]["lex"] == "true"
     assert r["eqLine"]["lex"] == "true"    # same line, reversed+split
+
+
+# horizontal lattice segments: y fixed per case, integer endpoints
+hsegs = st.tuples(st.integers(0, 14), st.integers(0, 14), st.integers(1, 8))
+
+
+@settings(max_examples=60, deadline=None)
+@given(hsegs, hsegs)
+def test_line_boolop_membership_algebra(sa, sb):
+    """1-D membership algebra on collinear lattice segments: a sample
+    point is on A∩B / A∪B / A−B / AΔB exactly per the set algebra of
+    being on A and on B."""
+    from dublin_smart_city_graphdb_spark.geo.boolops import _on_any_line
+
+    (xa, y, wa), (xb, _, wb) = sa, sb
+    la = f"LINESTRING({xa}.0 {y}.0, {xa + wa}.0 {y}.0)"
+    lb = f"LINESTRING({xb}.0 {y}.0, {xb + wb}.0 {y}.0)"
+    res = {op: parse_geom(boolop_wkt(la, lb, op))
+           for op in ("and", "or", "sub", "xor")}
+
+    def on(g, p):
+        return _on_any_line(p, g.lines) or p in g.points
+
+    for px2 in range(0, 2 * 24 + 1):  # half-integer samples
+        p = (px2 / 2.0, float(y))
+        in_a = xa <= p[0] <= xa + wa
+        in_b = xb <= p[0] <= xb + wb
+        assert on(res["or"], p) == (in_a or in_b), ("or", p)
+        assert on(res["and"], p) == (in_a and in_b), ("and", p)
+        # sub/xor drop only positive-length pieces; a boundary sample at
+        # the cut can legitimately remain an endpoint of a kept piece,
+        # so check strict-interior samples (odd px2) only
+        if px2 % 2 == 1:
+            assert on(res["sub"], p) == (in_a and not in_b), ("sub", p)
+            assert on(res["xor"], p) == (in_a != in_b), ("xor", p)
