@@ -23,6 +23,7 @@ import os
 import threading
 import uuid
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from dublin_smart_city_graphdb_spark.model.schema import INFERRED_GRAPH, QUAD_SCHEMA
@@ -743,17 +744,116 @@ class Repository:
                 result = UpdateExecutor(self.spark, self._load_fn()).apply(
                     explicit, ops
                 )
+                ruleset = _norm_ruleset(self.config.get("ruleset", "none"))
+                inferred_new = None
+                if (
+                    ruleset in ("rdfsplus", "owl-horst", "owl2-rl")
+                    and self._quads is not None
+                ):
+                    # incremental closure maintenance: Δ-seeded insert
+                    # path + DRed delete path (inference/dred.py); None
+                    # → schema-touching delta, full rebuild below
+                    result = result.filter(
+                        (F.col("g").isNull()) | (F.col("g") != INFERRED_GRAPH)
+                    )
+                    inferred_new = self._maintain_closure(
+                        q, explicit, result, ruleset
+                    )
                 self._pred_stats = None
                 self._version += 1
+                final = (
+                    result if inferred_new is None
+                    else result.unionByName(inferred_new)
+                )
                 if self._store:
-                    self._store.write(result, mode="overwrite")
+                    self._store.write(final, mode="overwrite")
                     self._quads = self._store.read()
                 else:
-                    self._quads = result.localCheckpoint(eager=True)
-                if self.config.get("ruleset", "none") != "none":
+                    self._quads = final.localCheckpoint(eager=True)
+                if inferred_new is None and ruleset != "none":
                     self.materialize_inference()
         finally:
             self.engine._unregister_query(entry["id"])
+
+    def _maintain_closure(
+        self, q: DataFrame, explicit: DataFrame, result: DataFrame,
+        ruleset: str,
+    ) -> DataFrame | None:
+        """Maintained inferred quads after an arbitrary SPARQL-Update /
+        transaction batch, or None → caller re-materializes fully.
+
+        Diffs the explicit SPO projections (two anti-joins — one shuffle
+        each, against the full fixpoint's ≤20 rule rounds the old path
+        re-ran per update), then routes the deleted side through the
+        ruleset's DRed retract (inference/dred.py — Δ-seeded
+        overdeletion, one rederive round) and the added side through its
+        Δ-seeded insert fixpoint. The SPO projection is the right diff
+        domain: inference reads the union of all explicit graphs, so a
+        triple removed from one graph but still present in another is
+        not a deletion for the closure."""
+        from dublin_smart_city_graphdb_spark.inference import horst, owl2rl
+        from dublin_smart_city_graphdb_spark.inference.dred import _anti
+        from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
+            _SPO_COLS,
+            materialize_incremental,
+            retract_incremental,
+        )
+        from dublin_smart_city_graphdb_spark.plans.ckpt import fresh_ids
+
+        # checkpoint both projections: `result`'s plan CONTAINS `explicit`
+        # as a subtree (a MODIFY op's WHERE runs over the store), so the
+        # diff anti-joins would otherwise be ambiguous self-joins — and the
+        # maintenance makes several passes over each side anyway.
+        # fresh_ids on every frame handed downstream: the maintenance
+        # unions these with one another, and checkpoint-descended frames
+        # sharing attribute ids trip a Spark optimizer crash (ckpt.py)
+        old_spo = (
+            explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+        )
+        new_spo = (
+            result.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+        )
+        deleted = fresh_ids(_anti(old_spo, new_spo).localCheckpoint(eager=True))
+        added = fresh_ids(_anti(new_spo, old_spo).localCheckpoint(eager=True))
+        inferred_old = fresh_ids(
+            q.filter(q.g == INFERRED_GRAPH).select(
+                F.lit(INFERRED_GRAPH).alias("g"), *_SPO_COLS
+            ).localCheckpoint(eager=True)
+        )
+        no_del, no_add = deleted.isEmpty(), added.isEmpty()
+        if no_del and no_add:
+            return inferred_old  # no net explicit change — closure stands
+        mid_spo = fresh_ids(_anti(new_spo, added).localCheckpoint(eager=True))
+        inferred_mid = inferred_old
+        if not no_del:
+            if ruleset == "rdfsplus":
+                inferred_mid = retract_incremental(
+                    mid_spo, inferred_old, deleted
+                )
+            elif ruleset == "owl-horst":
+                inferred_mid = horst.retract_incremental(
+                    self.spark, mid_spo, inferred_old, deleted
+                )
+            else:
+                inferred_mid = owl2rl.retract_incremental(
+                    self.spark, mid_spo, inferred_old, deleted
+                )
+            if inferred_mid is None:
+                return None
+            inferred_mid = inferred_mid.localCheckpoint(eager=True)
+        if no_add:
+            return inferred_mid
+        base = mid_spo.unionByName(inferred_mid.select(*_SPO_COLS))
+        if ruleset == "rdfsplus":
+            extra = materialize_incremental(base, added)
+        elif ruleset == "owl-horst":
+            extra = horst.materialize_incremental(self.spark, base, added)
+        else:
+            extra = owl2rl.materialize_incremental(self.spark, base, added)
+        # an added explicit triple that was previously INFERRED must leave
+        # the inferred set (a full rebuild seeds `known` with the explicit
+        # store, so it would never re-derive it)
+        return _anti(inferred_mid, added).unionByName(extra)
 
     def begin(self) -> "Transaction":
         """Open a buffered transaction (RDF4J transaction semantics at the

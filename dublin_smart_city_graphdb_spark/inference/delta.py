@@ -118,6 +118,62 @@ def delta_variants(
     return out
 
 
+def make_round_fn(spark, parsed: list, variants: list, static_df=None):
+    """Round function for the semi-naive driver loop: the built-in
+    RDFS-Plus batch plus a CONSTRUCT-rule batch, Δ-restricted through the
+    GRAPH-marker variants when ``inst`` is given. Shared by the INSERT
+    maintenance path (horst/owl2rl ``materialize_incremental``) and the
+    DELETE path (``retract_incremental`` via inference/dred.py) — both
+    need exactly the "conclusions whose body uses ≥1 Δ triple" contract.
+    ``static_df`` (owl2-rl's axiom-derived constant rows) is appended to
+    every round's candidates; the driver's anti-join dedups it."""
+    from dublin_smart_city_graphdb_spark.inference.custom import (
+        _construct_to_spo,
+    )
+    from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
+        _round,
+        _SPO_COLS,
+    )
+
+    def round_fn(known: DataFrame, inst) -> DataFrame:
+        from dublin_smart_city_graphdb_spark.sparql.compiler import (
+            QueryCompiler,
+        )
+
+        out = _round(known, inst)
+        if inst is None:
+            view = known.select(
+                F.lit(None).cast("string").alias("g"), *_SPO_COLS
+            )
+            asts = parsed
+        else:
+            view = delta_quads_view(known, inst, _SPO_COLS)
+            asts = [
+                a
+                for full, vs in zip(parsed, variants)
+                for a in (vs if vs is not None else [full])
+            ]
+        comp = QueryCompiler(spark, view)
+        for ast in asts:
+            out = out.unionByName(_construct_to_spo(comp.compile(ast)))
+        if static_df is not None and inst is None:
+            # axiom-derived constant rows are INDEPENDENT of instance
+            # triples: they belong in full rounds only. In Δ-restricted
+            # rounds they are never new (insert path: already in base) and
+            # must not count as delta-derived (delete path: overdeletion
+            # would misread them as schema conclusions losing support and
+            # force a needless full rebuild)
+            out = out.unionByName(static_df)
+        return out
+
+    # DRed overdeletion (inference/dred.py) requires delta rounds to emit
+    # ONLY delta-derived candidates; a rule whose body shape is not
+    # variant-rewritable runs full in delta rounds (sound for inserts,
+    # poison for overdeletion), so the delete path must not trust it
+    round_fn.delta_exact = all(vs is not None for vs in variants)
+    return round_fn
+
+
 def delta_quads_view(known_spo: DataFrame, inst_spo: DataFrame,
                      spo_cols: list[str]) -> DataFrame:
     """Quads view for a Δ-restricted round: the full statement set in

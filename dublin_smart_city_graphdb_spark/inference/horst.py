@@ -102,20 +102,10 @@ def materialize_incremental(
     round's fresh set) that touches the owl:/rdfs: schema vocabulary
     falls back to a full-evaluation round — same contract as
     rdfsplus.materialize_incremental."""
-    import pyspark.sql.functions as F  # noqa: F811 — local per module style
-
-    from dublin_smart_city_graphdb_spark.inference.custom import (
-        _construct_to_spo,
-    )
     from dublin_smart_city_graphdb_spark.inference.delta import (
-        delta_quads_view,
-        delta_variants,
         touches_schema_extended,
     )
-    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
 
-    parsed = [parse_query(r) for r in RESTRICTION_RULES]
-    variants = [delta_variants(p) for p in parsed]
     base_spo = base.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
     delta_spo = (
         new_explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
@@ -123,31 +113,49 @@ def materialize_incremental(
     known0 = base_spo.unionByName(delta_spo).distinct().localCheckpoint(
         eager=True
     )
-
-    def round_fn(known: DataFrame, inst) -> DataFrame:
-        from dublin_smart_city_graphdb_spark.sparql.compiler import (
-            QueryCompiler,
-        )
-
-        out = _round(known, inst)
-        if inst is None:
-            view = known.select(
-                F.lit(None).cast("string").alias("g"), *_SPO_COLS
-            )
-            asts = parsed
-        else:
-            view = delta_quads_view(known, inst, _SPO_COLS)
-            asts = [
-                a
-                for full, vs in zip(parsed, variants)
-                for a in (vs if vs is not None else [full])
-            ]
-        comp = QueryCompiler(spark, view)
-        for ast in asts:
-            out = out.unionByName(_construct_to_spo(comp.compile(ast)))
-        return out
-
     return _fixpoint(
-        known0, delta_spo, max_rounds, round_fn=round_fn,
+        known0, delta_spo, max_rounds, round_fn=_incremental_round_fn(spark),
         touches_schema=touches_schema_extended,
+    )
+
+
+def _incremental_round_fn(spark: SparkSession):
+    """Δ-restrictable round function for owl-horst: RDFS-Plus batch plus
+    the pD* restriction CONSTRUCT rules through their GRAPH-marker
+    variants — shared by insert and delete maintenance."""
+    from dublin_smart_city_graphdb_spark.inference.delta import (
+        delta_variants,
+        make_round_fn,
+    )
+    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+    parsed = [parse_query(r) for r in RESTRICTION_RULES]
+    variants = [delta_variants(p) for p in parsed]
+    return make_round_fn(spark, parsed, variants)
+
+
+def retract_incremental(
+    spark: SparkSession, explicit_new: DataFrame, inferred_old: DataFrame,
+    deleted: DataFrame, max_rounds: int = 20,
+) -> DataFrame | None:
+    """DRed maintenance of the owl-horst closure after removing
+    ``deleted`` from the explicit store (inference/dred.py): Δ-seeded
+    overdeletion, one rederive round, Δ-seeded propagation. Returns the
+    maintained inferred quads, or None when the delta touches rule
+    schema (the caller re-materializes fully)."""
+    from dublin_smart_city_graphdb_spark.inference.delta import (
+        touches_schema_extended,
+    )
+    from dublin_smart_city_graphdb_spark.inference.dred import retract
+
+    mid = (
+        explicit_new.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    )
+    inf = (
+        inferred_old.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    )
+    dele = deleted.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    return retract(
+        mid, inf, dele, _incremental_round_fn(spark),
+        touches_schema_extended, max_rounds,
     )

@@ -471,16 +471,9 @@ def materialize_incremental(
     set are rebuilt from base ∪ Δ up front, so a schema-carrying Δ is
     still answered correctly). Runs in the same skolemized space as
     ``materialize`` — anonymous class expressions keep matching."""
-    from dublin_smart_city_graphdb_spark.inference.custom import (
-        _construct_to_spo,
-    )
     from dublin_smart_city_graphdb_spark.inference.delta import (
-        delta_quads_view,
-        delta_variants,
         touches_schema_extended,
     )
-    from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
-    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
 
     base_spo = _skolemize_spo(
         base.select(*_SPO_COLS)
@@ -491,8 +484,30 @@ def materialize_incremental(
     known0 = base_spo.unionByName(delta_spo).distinct().localCheckpoint(
         eager=True
     )
-    vocab = _present_vocab(known0)
-    list_rules, static_rows = _list_rules(known0)
+    return _deskolemize_out(_fixpoint(
+        known0, delta_spo, max_rounds,
+        round_fn=_incremental_round_fn(spark, known0),
+        touches_schema=touches_schema_extended,
+    ))
+
+
+def _incremental_round_fn(spark: SparkSession, universe_spo: DataFrame):
+    """Δ-restrictable round function for owl2-rl, built against the
+    skolemized statement UNIVERSE the maintenance runs over (the rule
+    table is trigger-gated on the vocabulary present, and the per-axiom
+    list rules are expanded from the store's RDF lists — both read from
+    the universe up front). Shared by insert and delete maintenance;
+    instance-only deltas cannot change the axiom tables, and
+    schema-touching deltas take the full-evaluation fallback anyway."""
+    from dublin_smart_city_graphdb_spark.inference.delta import (
+        delta_variants,
+        make_round_fn,
+    )
+    from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
+    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+    vocab = _present_vocab(universe_spo)
+    list_rules, static_rows = _list_rules(universe_spo)
     texts = [
         text
         for trig, text in zip(_RESTRICTION_TRIGGERS, RESTRICTION_RULES)
@@ -509,36 +524,39 @@ def materialize_incremental(
         spark.createDataFrame(static_rows, spo_schema)
         if static_rows else None
     )
+    return make_round_fn(spark, parsed, variants, static_df=static_df)
 
-    def round_fn(known: DataFrame, inst) -> DataFrame:
-        from dublin_smart_city_graphdb_spark.sparql.compiler import (
-            QueryCompiler,
-        )
 
-        out = _round(known, inst)
-        if inst is None:
-            view = known.select(
-                F.lit(None).cast("string").alias("g"), *_SPO_COLS
-            )
-            asts = parsed
-        else:
-            view = delta_quads_view(known, inst, _SPO_COLS)
-            asts = [
-                a
-                for full, vs in zip(parsed, variants)
-                for a in (vs if vs is not None else [full])
-            ]
-        comp = QueryCompiler(spark, view)
-        for ast in asts:
-            out = out.unionByName(_construct_to_spo(comp.compile(ast)))
-        if static_df is not None:
-            out = out.unionByName(static_df)
-        return out
+def retract_incremental(
+    spark: SparkSession, explicit_new: DataFrame, inferred_old: DataFrame,
+    deleted: DataFrame, max_rounds: int = 20,
+) -> DataFrame | None:
+    """DRed maintenance of the owl2-rl closure after removing ``deleted``
+    from the explicit store (inference/dred.py). Runs in the same
+    skolemized space as ``materialize`` — anonymous class expressions
+    keep matching through the rule pipeline. Returns the maintained
+    inferred quads (deskolemized), or None when the delta touches rule
+    schema (the caller re-materializes fully)."""
+    from dublin_smart_city_graphdb_spark.inference.delta import (
+        touches_schema_extended,
+    )
+    from dublin_smart_city_graphdb_spark.inference.dred import retract
 
-    return _deskolemize_out(_fixpoint(
-        known0, delta_spo, max_rounds, round_fn=round_fn,
-        touches_schema=touches_schema_extended,
-    ))
+    mid = _skolemize_spo(
+        explicit_new.select(*_SPO_COLS)
+    ).distinct().localCheckpoint(eager=True)
+    inf = _skolemize_spo(
+        inferred_old.select(*_SPO_COLS)
+    ).distinct().localCheckpoint(eager=True)
+    dele = _skolemize_spo(
+        deleted.select(*_SPO_COLS)
+    ).distinct().localCheckpoint(eager=True)
+    universe = mid.unionByName(dele).unionByName(inf).distinct()
+    out = retract(
+        mid, inf, dele, _incremental_round_fn(spark, universe),
+        touches_schema_extended, max_rounds,
+    )
+    return None if out is None else _deskolemize_out(out)
 
 
 # -- inconsistency detection (validation report, SHACL-style) ---------------

@@ -105,11 +105,23 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
     rewrites, symmetric swap, rdfs9 inheritance, sameAs propagation) — the
     caller passes last round's DELTA when the delta contains no schema
     triples, so those rules join O(|delta|) rows instead of O(|all|).
-    Schema maps, and the property-filtered transitive/functional rules
-    (already reduced to declared properties, usually none), always read the
-    full set — a new schema fact forces a full round via _touches_schema."""
+    Schema maps always read the full set — a new schema fact forces a
+    full round via _touches_schema.
+
+    Delta rounds are DELTA-EXACT: every candidate they emit has ≥1 body
+    triple in ``inst``. Pure-schema rules (sub-prop/sub-class
+    transitivity, equivalentClass expansion, sameAs transitivity) are
+    skipped — a schema-free delta cannot feed them, so their output
+    would be (a) wasted anti-join work on the insert path and (b) a
+    spurious "overdeleted" set on the DRed delete path
+    (inference/dred.py), which overdeletes exactly the candidates a
+    round claims were delta-derived. The self-join rules (transitive
+    step, (inverse-)functional → sameAs) compose delta-against-full on
+    BOTH sides instead of full×full — the same completeness, |Δ|-sized
+    probes."""
     outs: list[DataFrame] = []
     facts = all_df
+    delta = inst  # None → full round
     if inst is None:
         inst = all_df
 
@@ -122,23 +134,26 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
             "o_lang", "o_num", "o_ts", "o_bool",
         )
     )
-    # rdfs5: subPropertyOf transitivity (schema-level)
-    sp_trans = (
-        subp.alias("x").join(subp.alias("y"), F.col("x.b") == F.col("y.a"))
-        .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
-    )
-    outs.append(
-        _type_triple(sp_trans, "sa", "sb").withColumn("p", F.lit(_SUBPROP))
-    )
-    # rdfs11: subClassOf transitivity
+    # rdfs5: subPropertyOf transitivity (schema-level; full rounds only —
+    # a schema-free delta cannot feed it)
+    if delta is None:
+        sp_trans = (
+            subp.alias("x").join(subp.alias("y"), F.col("x.b") == F.col("y.a"))
+            .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
+        )
+        outs.append(
+            _type_triple(sp_trans, "sa", "sb").withColumn("p", F.lit(_SUBPROP))
+        )
+    # rdfs11: subClassOf transitivity (schema-level; full rounds only)
     subc = _schema_pairs(facts, _SUBCLASS)
-    sc_trans = (
-        subc.alias("x").join(subc.alias("y"), F.col("x.b") == F.col("y.a"))
-        .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
-    )
-    outs.append(
-        _type_triple(sc_trans, "sa", "sb").withColumn("p", F.lit(_SUBCLASS))
-    )
+    if delta is None:
+        sc_trans = (
+            subc.alias("x").join(subc.alias("y"), F.col("x.b") == F.col("y.a"))
+            .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
+        )
+        outs.append(
+            _type_triple(sc_trans, "sa", "sb").withColumn("p", F.lit(_SUBCLASS))
+        )
     # rdfs9: subClassOf inheritance
     types = inst.filter(F.col("p") == RDF_TYPE)
     outs.append(
@@ -182,15 +197,19 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
             "o_lang", "o_num", "o_ts", "o_bool",
         )
     )
-    # equivalentClass → mutual subClassOf (handled through rdfs9 next round)
-    eqc = _schema_pairs(facts, _EQ_CLASS)
-    eqc_both = eqc.unionByName(eqc.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    outs.append(
-        _type_triple(
-            eqc_both.select(F.col("a").alias("sa"), F.col("b").alias("sb")),
-            "sa", "sb",
-        ).withColumn("p", F.lit(_SUBCLASS))
-    )
+    # equivalentClass → mutual subClassOf (handled through rdfs9 next
+    # round; schema-level — full rounds only)
+    if delta is None:
+        eqc = _schema_pairs(facts, _EQ_CLASS)
+        eqc_both = eqc.unionByName(
+            eqc.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        outs.append(
+            _type_triple(
+                eqc_both.select(F.col("a").alias("sa"), F.col("b").alias("sb")),
+                "sa", "sb",
+            ).withColumn("p", F.lit(_SUBCLASS))
+        )
     # SymmetricProperty
     sym_props = F.broadcast(
         facts.filter(
@@ -207,33 +226,54 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
     tfacts = facts.join(trans_props, facts.p == F.col("tp")).filter(
         F.col("o_kind") != 2
     )
-    step = (
-        tfacts.alias("x")
-        .join(
-            tfacts.alias("y"),
-            (F.col("x.o_lex") == F.col("y.s")) & (F.col("x.p") == F.col("y.p")),
+
+    def _tstep(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (
+            left.alias("x")
+            .join(
+                right.alias("y"),
+                (F.col("x.o_lex") == F.col("y.s"))
+                & (F.col("x.p") == F.col("y.p")),
+            )
+            .select(
+                F.col("x.s").alias("s"), F.col("x.p").alias("p"),
+                F.col("y.o_kind").alias("o_kind"),
+                F.col("y.o_lex").alias("o_lex"),
+                F.col("y.o_dtype").alias("o_dtype"),
+                F.col("y.o_lang").alias("o_lang"),
+                F.col("y.o_num").alias("o_num"),
+                F.col("y.o_ts").alias("o_ts"),
+                F.col("y.o_bool").alias("o_bool"),
+            )
         )
-        .select(
-            F.col("x.s").alias("s"), F.col("x.p").alias("p"),
-            F.col("y.o_kind").alias("o_kind"), F.col("y.o_lex").alias("o_lex"),
-            F.col("y.o_dtype").alias("o_dtype"), F.col("y.o_lang").alias("o_lang"),
-            F.col("y.o_num").alias("o_num"), F.col("y.o_ts").alias("o_ts"),
-            F.col("y.o_bool").alias("o_bool"),
+
+    if delta is None:
+        outs.append(_tstep(tfacts, tfacts))
+    else:
+        # Δ-exact: one composition side from the delta, the other from the
+        # full set — |Δ| probes instead of a full self-join per round
+        tdelta = delta.join(trans_props, delta.p == F.col("tp")).filter(
+            F.col("o_kind") != 2
         )
-    )
-    outs.append(step)
+        outs.append(_tstep(tdelta, tfacts))
+        outs.append(_tstep(tfacts, tdelta))
     # sameAs: symmetry + one transitive step per round
     same = inst.filter((F.col("p") == _SAME_AS) & (F.col("o_kind") == KIND_IRI))
     outs.append(_swap_so(same, F.col("p")))
     same_pairs = _schema_pairs(facts, _SAME_AS)
-    sa_trans = (
-        same_pairs.alias("x").join(same_pairs.alias("y"), F.col("x.b") == F.col("y.a"))
-        .filter(F.col("x.a") != F.col("y.b"))
-        .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
-    )
-    outs.append(
-        _type_triple(sa_trans, "sa", "sb").withColumn("p", F.lit(_SAME_AS))
-    )
+    if delta is None:
+        # sameAs transitivity over the pair table (sameAs is in
+        # _SCHEMA_PREDS, so a delta carrying one forces full rounds —
+        # this rule can never fire from a schema-free delta)
+        sa_trans = (
+            same_pairs.alias("x")
+            .join(same_pairs.alias("y"), F.col("x.b") == F.col("y.a"))
+            .filter(F.col("x.a") != F.col("y.b"))
+            .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
+        )
+        outs.append(
+            _type_triple(sa_trans, "sa", "sb").withColumn("p", F.lit(_SAME_AS))
+        )
     # sameAs statement propagation (subject position)
     outs.append(
         inst.join(same_pairs, inst.s == same_pairs.a)
@@ -248,28 +288,38 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
         .select(F.col("s").alias("fp")).distinct()
     )
     ffacts = facts.join(fun_props, facts.p == F.col("fp")).filter(F.col("o_kind") == KIND_IRI)
-    outs.append(
-        _type_triple(
-            ffacts.alias("x")
+
+    def _fun_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+        return _type_triple(
+            left.alias("x")
             .join(
-                ffacts.alias("y"),
+                right.alias("y"),
                 (F.col("x.s") == F.col("y.s")) & (F.col("x.p") == F.col("y.p"))
                 & (F.col("x.o_lex") < F.col("y.o_lex")),
             )
             .select(F.col("x.o_lex").alias("sa"), F.col("y.o_lex").alias("sb")),
             "sa", "sb",
         ).withColumn("p", F.lit(_SAME_AS))
-    )
+
+    if delta is None:
+        outs.append(_fun_pairs(ffacts, ffacts))
+    else:
+        fdelta = delta.join(fun_props, delta.p == F.col("fp")).filter(
+            F.col("o_kind") == KIND_IRI
+        )
+        outs.append(_fun_pairs(fdelta, ffacts))
+        outs.append(_fun_pairs(ffacts, fdelta))
     ifun_props = F.broadcast(
         facts.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == _INV_FUNCTIONAL))
         .select(F.col("s").alias("fp")).distinct()
     )
     iffacts = facts.join(ifun_props, facts.p == F.col("fp"))
-    outs.append(
-        _type_triple(
-            iffacts.alias("x")
+
+    def _ifun_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+        return _type_triple(
+            left.alias("x")
             .join(
-                iffacts.alias("y"),
+                right.alias("y"),
                 (F.col("x.o_lex") == F.col("y.o_lex"))
                 & (F.col("x.o_kind") == F.col("y.o_kind"))
                 & F.col("x.o_dtype").eqNullSafe(F.col("y.o_dtype"))
@@ -280,7 +330,13 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
             .select(F.col("x.s").alias("sa"), F.col("y.s").alias("sb")),
             "sa", "sb",
         ).withColumn("p", F.lit(_SAME_AS))
-    )
+
+    if delta is None:
+        outs.append(_ifun_pairs(iffacts, iffacts))
+    else:
+        ifdelta = delta.join(ifun_props, delta.p == F.col("fp"))
+        outs.append(_ifun_pairs(ifdelta, iffacts))
+        outs.append(_ifun_pairs(iffacts, ifdelta))
 
     out = outs[0]
     for o in outs[1:]:
@@ -322,6 +378,29 @@ def materialize_incremental(
         eager=True
     )
     return _fixpoint(known, delta_spo, max_rounds)
+
+
+def retract_incremental(
+    explicit_new: DataFrame, inferred_old: DataFrame, deleted: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame | None:
+    """DRed maintenance of the RDFS-Plus closure after removing
+    ``deleted`` from the explicit store (inference/dred.py): Δ-seeded
+    overdeletion over the old view, one rederive round over the
+    survivors, Δ-seeded propagation of the rederivations. Returns the
+    maintained inferred quads, or None when the delta touches rule
+    schema (deleted axioms change the rules — the caller must
+    re-materialize fully)."""
+    from dublin_smart_city_graphdb_spark.inference.dred import retract
+
+    mid = (
+        explicit_new.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    )
+    inf = (
+        inferred_old.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    )
+    dele = deleted.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    return retract(mid, inf, dele, _round, _touches_schema, max_rounds)
 
 
 def _fixpoint(

@@ -34,6 +34,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def fresh_ids(df: DataFrame) -> DataFrame:
+    """Re-root a DataFrame on its physical RDD with FRESH attribute ids
+    and no origin constraints/stats — plan hygiene for unions whose
+    children descend from the same checkpoint. Spark's optimizer crashes
+    rewriting the stale ``originConstraints`` of a deduplicated
+    LogicalRDD self-union (``key not found: s#N`` in
+    ``UnionBase.rewriteConstraints``, reproduced on 4.1.2 by
+    ``ckptA.unionByName(ckptB).distinct().localCheckpoint()`` when both
+    checkpoints carry the same output ids). Zero data movement: the new
+    frame wraps the SAME InternalRow RDD (``internalCreateDataFrame``),
+    falling back to a Row-converting ``createDataFrame`` if that
+    interface ever disappears."""
+    sp = df.sparkSession
+    jdf = df._jdf
+    try:
+        new_jdf = sp._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+    except Exception:
+        new_jdf = sp._jsparkSession.createDataFrame(
+            jdf.javaRDD(), jdf.schema()
+        )
+    return DataFrame(new_jdf, sp)
+
+
 class CheckpointTracker:
     """Tracks and frees localCheckpoint block generations for one driver
     loop. Blocking-unpersist=False: reclamation is async, the loop never
@@ -56,11 +81,18 @@ class CheckpointTracker:
             # a generation some other plan still references.
             return set()
 
-    def checkpoint(self, df: DataFrame) -> tuple[DataFrame, set]:
+    def checkpoint(
+        self, df: DataFrame, fresh: bool = False
+    ) -> tuple[DataFrame, set]:
         """Eagerly localCheckpoint ``df``; returns (checkpointed_df, the
-        persistent-RDD ids the materialization created)."""
+        persistent-RDD ids the materialization created). ``fresh=True``
+        additionally re-roots the result via ``fresh_ids`` (the returned
+        ids still identify the underlying checkpoint blocks)."""
         out = df.localCheckpoint(eager=True)
-        return out, self._owned_ids(out)
+        ids = self._owned_ids(out)
+        if fresh:
+            out = fresh_ids(out)
+        return out, ids
 
     def free(self, ids: set) -> None:
         """Unpersist a superseded generation's blocks. Only call with ids
