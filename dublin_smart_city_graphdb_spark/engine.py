@@ -757,7 +757,7 @@ class Repository:
                         (F.col("g").isNull()) | (F.col("g") != INFERRED_GRAPH)
                     )
                     inferred_new = self._maintain_closure(
-                        q, explicit, result, ruleset
+                        q, explicit, result, ruleset, ops
                     )
                 self._pred_stats = None
                 self._version += 1
@@ -775,9 +775,79 @@ class Repository:
         finally:
             self.engine._unregister_query(entry["id"])
 
+    def _constant_delta(
+        self, explicit: DataFrame, ops: list,
+        max_triples: int = 20_000, max_probe: int = 200_000,
+    ) -> tuple[list, list] | None:
+        """(deleted_spo_rows, added_spo_rows) when every op is a ground
+        data op (INSERT DATA / DELETE DATA): ONE broadcast semi-probe of
+        the store instead of the generic path's two full-store diff
+        shuffles — a 200-triple DELETE DATA against a 100 TB store must
+        not shuffle the store to learn its own delta. The probe collects
+        the store quads matching the constant triples (bounded by
+        ``max_probe``) and replays the op sequence driver-side to get
+        exact per-graph membership: a triple deleted from one graph but
+        still held by another is NOT deleted for the closure. Returns
+        None when the batch is non-constant or too large — the caller
+        falls back to the diff path."""
+        from dublin_smart_city_graphdb_spark.sparql import ast as A
+        from dublin_smart_city_graphdb_spark.sparql.update import (
+            _ground_rows,
+        )
+
+        if not ops or not all(
+            isinstance(o, (A.InsertDataOp, A.DeleteDataOp)) for o in ops
+        ):
+            return None
+        grounded = [(op, _ground_rows(op.quads)) for op in ops]
+        if sum(len(r) for _, r in grounded) > max_triples:
+            return None
+        id_cols = ["s", "p", "o_kind", "o_lex", "o_dtype", "o_lang"]
+        spo_of: dict[tuple, tuple] = {}
+        for _, rows in grounded:
+            for r in rows:
+                spo_of[tuple(r[1:7])] = tuple(r[1:])
+        from pyspark.sql.types import StructType
+
+        id_schema = StructType(
+            [f for f in QUAD_SCHEMA.fields if f.name in id_cols]
+        )
+        const_df = self.spark.createDataFrame(
+            [list(k) for k in spo_of], id_schema
+        )
+        e = explicit.select("g", *id_cols).alias("q")
+        cond = None
+        for c in id_cols:
+            clause = F.col(f"q.{c}").eqNullSafe(F.col(f"c.{c}"))
+            cond = clause if cond is None else (cond & clause)
+        matched = (
+            e.join(F.broadcast(const_df.alias("c")), cond, "left_semi")
+            .limit(max_probe + 1)
+            .collect()
+        )
+        if len(matched) > max_probe:
+            return None
+        present: dict[tuple, set] = {k: set() for k in spo_of}
+        for row in matched:
+            present[tuple(row[1:])].add(row[0])
+        old_has = {k for k, v in present.items() if v}
+        for op, rows in grounded:
+            delete = isinstance(op, A.DeleteDataOp)
+            for r in rows:
+                rid, g = tuple(r[1:7]), r[0]
+                if delete:
+                    present[rid].discard(g)
+                else:
+                    present[rid].add(g)
+        new_has = {k for k, v in present.items() if v}
+        return (
+            [spo_of[k] for k in old_has - new_has],
+            [spo_of[k] for k in new_has - old_has],
+        )
+
     def _maintain_closure(
         self, q: DataFrame, explicit: DataFrame, result: DataFrame,
-        ruleset: str,
+        ruleset: str, ops: list,
     ) -> DataFrame | None:
         """Maintained inferred quads after an arbitrary SPARQL-Update /
         transaction batch, or None → caller re-materializes fully.
@@ -799,31 +869,64 @@ class Repository:
             retract_incremental,
         )
         from dublin_smart_city_graphdb_spark.plans.ckpt import fresh_ids
+        from pyspark.sql.types import StructType
 
-        # checkpoint both projections: `result`'s plan CONTAINS `explicit`
-        # as a subtree (a MODIFY op's WHERE runs over the store), so the
-        # diff anti-joins would otherwise be ambiguous self-joins — and the
-        # maintenance makes several passes over each side anyway.
-        # fresh_ids on every frame handed downstream: the maintenance
-        # unions these with one another, and checkpoint-descended frames
-        # sharing attribute ids trip a Spark optimizer crash (ckpt.py)
-        old_spo = (
-            explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
-        )
-        new_spo = (
-            result.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
-        )
-        deleted = fresh_ids(_anti(old_spo, new_spo).localCheckpoint(eager=True))
-        added = fresh_ids(_anti(new_spo, old_spo).localCheckpoint(eager=True))
-        inferred_old = fresh_ids(
-            q.filter(q.g == INFERRED_GRAPH).select(
-                F.lit(INFERRED_GRAPH).alias("g"), *_SPO_COLS
-            ).localCheckpoint(eager=True)
-        )
-        no_del, no_add = deleted.isEmpty(), added.isEmpty()
-        if no_del and no_add:
-            return inferred_old  # no net explicit change — closure stands
-        mid_spo = fresh_ids(_anti(new_spo, added).localCheckpoint(eager=True))
+        spo_schema = StructType(QUAD_SCHEMA.fields[1:])
+        const = self._constant_delta(explicit, ops)
+        if const is not None:
+            # ground data-op batch: the delta is known from ONE broadcast
+            # probe — no full-store diff shuffles at all
+            del_rows, add_rows = const
+            no_del, no_add = not del_rows, not add_rows
+            deleted = self.spark.createDataFrame(del_rows, spo_schema)
+            added = self.spark.createDataFrame(add_rows, spo_schema)
+            inferred_old = fresh_ids(
+                q.filter(q.g == INFERRED_GRAPH).select(
+                    F.lit(INFERRED_GRAPH).alias("g"), *_SPO_COLS
+                ).localCheckpoint(eager=True)
+            )
+            if no_del and no_add:
+                return inferred_old
+            # LAZY map-side view: the store minus the (tiny, broadcast)
+            # deleted set — no full-store shuffle or copy; duplicate SPO
+            # rows across graphs are tolerated downstream (dred.retract)
+            mid_spo = _anti(
+                explicit.select(*_SPO_COLS), deleted, broadcast=True
+            )
+        else:
+            # checkpoint both projections: `result`'s plan CONTAINS
+            # `explicit` as a subtree (a MODIFY op's WHERE runs over the
+            # store), so the diff anti-joins would otherwise be ambiguous
+            # self-joins — and the maintenance makes several passes over
+            # each side anyway. fresh_ids on every frame handed
+            # downstream: the maintenance unions these with one another,
+            # and checkpoint-descended frames sharing attribute ids trip
+            # a Spark optimizer crash (ckpt.py)
+            old_spo = (
+                explicit.select(*_SPO_COLS).distinct()
+                .localCheckpoint(eager=True)
+            )
+            new_spo = (
+                result.select(*_SPO_COLS).distinct()
+                .localCheckpoint(eager=True)
+            )
+            deleted = fresh_ids(
+                _anti(old_spo, new_spo).localCheckpoint(eager=True)
+            )
+            added = fresh_ids(
+                _anti(new_spo, old_spo).localCheckpoint(eager=True)
+            )
+            inferred_old = fresh_ids(
+                q.filter(q.g == INFERRED_GRAPH).select(
+                    F.lit(INFERRED_GRAPH).alias("g"), *_SPO_COLS
+                ).localCheckpoint(eager=True)
+            )
+            no_del, no_add = deleted.isEmpty(), added.isEmpty()
+            if no_del and no_add:
+                return inferred_old  # no net explicit change
+            mid_spo = fresh_ids(
+                _anti(new_spo, added).localCheckpoint(eager=True)
+            )
         inferred_mid = inferred_old
         if not no_del:
             if ruleset == "rdfsplus":

@@ -132,15 +132,27 @@ def make_round_fn(spark, parsed: list, variants: list, static_df=None):
     )
     from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
         _round,
+        _schema_ctx,
         _SPO_COLS,
     )
+
+    # schema-context cache for the built-in batch: valid through
+    # schema-free delta rounds, invalidated by any full round (see
+    # rdfsplus._cached_round_fn)
+    ctx_box: dict = {}
 
     def round_fn(known: DataFrame, inst) -> DataFrame:
         from dublin_smart_city_graphdb_spark.sparql.compiler import (
             QueryCompiler,
         )
 
-        out = _round(known, inst)
+        if inst is None:
+            ctx_box.clear()
+            out = _round(known, None)
+        else:
+            if "ctx" not in ctx_box:
+                ctx_box["ctx"] = _schema_ctx(known)
+            out = _round(known, inst, ctx=ctx_box["ctx"])
         if inst is None:
             view = known.select(
                 F.lit(None).cast("string").alias("g"), *_SPO_COLS

@@ -67,9 +67,14 @@ def _semi(base: DataFrame, probe: DataFrame) -> DataFrame:
     )
 
 
-def _anti(base: DataFrame, probe: DataFrame) -> DataFrame:
+def _anti(
+    base: DataFrame, probe: DataFrame, broadcast: bool = False
+) -> DataFrame:
+    probe = probe.select(*_ID_COLS)
+    if broadcast:
+        probe = F.broadcast(probe)
     return base.alias("b").join(
-        probe.select(*_ID_COLS).alias("p"),
+        probe.alias("p"),
         on=_nullsafe_cond("b", "p"),
         how="left_anti",
     )
@@ -95,7 +100,16 @@ def retract(
     the rules themselves — the caller must re-materialize fully). A
     non-converged overdeletion (> max_rounds) also returns ``None``:
     under-deletion would silently KEEP unsupported inferences, so the
-    fallback is the only sound exit."""
+    fallback is the only sound exit.
+
+    Scale note: this function materializes NO full-store copy. The
+    unioned views (old view, survivors) stay LAZY — their members are
+    mutually disjoint so no distinct is needed, and duplicate SPO rows
+    (a triple asserted in several graphs) are tolerated: they only
+    duplicate rule candidates, which every consumer dedups
+    (``dropDuplicates`` on candidates, semi-join probes, ``_fixpoint``'s
+    anti-join). Callers should pass frames that are cheap to rescan
+    (checkpoint-backed or map-side projections of one)."""
     from dublin_smart_city_graphdb_spark.plans.ckpt import CheckpointTracker
 
     if touches_schema(deleted):
@@ -108,10 +122,7 @@ def retract(
 
     tr = CheckpointTracker(explicit_mid)
     old_known = (
-        explicit_mid.unionByName(deleted)
-        .unionByName(inferred_old)
-        .distinct()
-        .localCheckpoint(eager=True)
+        explicit_mid.unionByName(deleted).unionByName(inferred_old)
     )
     # `remaining` = inferred triples not yet overdeleted; shrinks as the
     # overdeletion frontier expands.
@@ -156,10 +167,17 @@ def retract(
     else:
         candidates = overdel.unionByName(deleted)
 
-    survive = (
-        explicit_mid.unionByName(remaining).distinct()
-        .localCheckpoint(eager=True)
-    )
+    # cheap head-unification prune: when no candidate can be ANY rule's
+    # head under the current schema (a driver-side check over the tiny
+    # schema tables), the rederive round — the one remaining full rule
+    # pass — is skipped and the delete costs pure Δ-work
+    checker = getattr(round_fn, "can_rederive", None)
+    if checker is not None and not checker(candidates):
+        return remaining.select(
+            F.lit(INFERRED_GRAPH).alias("g"), *_SPO_COLS
+        )
+
+    survive = explicit_mid.unionByName(remaining)
     from dublin_smart_city_graphdb_spark.plans.ckpt import fresh_ids
 
     red0 = fresh_ids(
@@ -168,9 +186,7 @@ def retract(
     )
     new_inferred = remaining
     if not red0.isEmpty():
-        known0 = (
-            survive.unionByName(red0).distinct().localCheckpoint(eager=True)
-        )
+        known0 = survive.unionByName(red0)
         extra = _fixpoint(
             known0, red0, max_rounds, round_fn=round_fn,
             touches_schema=touches_schema,

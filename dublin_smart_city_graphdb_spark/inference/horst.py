@@ -148,14 +148,10 @@ def retract_incremental(
     )
     from dublin_smart_city_graphdb_spark.inference.dred import retract
 
-    mid = (
-        explicit_new.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
-    )
-    inf = (
-        inferred_old.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
-    )
-    dele = deleted.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
     return retract(
-        mid, inf, dele, _incremental_round_fn(spark),
+        explicit_new.select(*_SPO_COLS),
+        inferred_old.select(*_SPO_COLS),
+        deleted.select(*_SPO_COLS),
+        _incremental_round_fn(spark),
         touches_schema_extended, max_rounds,
     )

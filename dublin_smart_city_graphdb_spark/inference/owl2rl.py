@@ -542,16 +542,12 @@ def retract_incremental(
     )
     from dublin_smart_city_graphdb_spark.inference.dred import retract
 
-    mid = _skolemize_spo(
-        explicit_new.select(*_SPO_COLS)
-    ).distinct().localCheckpoint(eager=True)
-    inf = _skolemize_spo(
-        inferred_old.select(*_SPO_COLS)
-    ).distinct().localCheckpoint(eager=True)
+    mid = _skolemize_spo(explicit_new.select(*_SPO_COLS))
+    inf = _skolemize_spo(inferred_old.select(*_SPO_COLS))
     dele = _skolemize_spo(
         deleted.select(*_SPO_COLS)
-    ).distinct().localCheckpoint(eager=True)
-    universe = mid.unionByName(dele).unionByName(inf).distinct()
+    ).localCheckpoint(eager=True)
+    universe = mid.unionByName(dele).unionByName(inf)
     out = retract(
         mid, inf, dele, _incremental_round_fn(spark, universe),
         touches_schema_extended, max_rounds,

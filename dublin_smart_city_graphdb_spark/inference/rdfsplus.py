@@ -96,9 +96,75 @@ def _touches_schema(delta: DataFrame) -> bool:
     ).isEmpty()
 
 
-def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
+def _schema_ctx(facts: DataFrame) -> dict:
+    """The schema-side tables every rule round reads, extracted from
+    ``facts`` ONCE and materialized (they are tiny — bounded by the
+    ontology). A loop whose schema cannot change between rounds — DRed
+    overdeletion over a fixed old view, or a stretch of schema-free
+    delta rounds in the insert fixpoint — passes this to ``_round`` so
+    each round stops re-scanning the full statement set ~12× for tables
+    that are provably identical. The property-INSTANCE tables
+    (transitive/functional facts) are NOT cached — they grow with the
+    fixpoint — but their emptiness flags are: a store that declares no
+    transitive/functional properties (the common case) skips those
+    rules' store scans entirely."""
+    # ONE scan of the (possibly lazy, possibly huge) fact view reduces it
+    # to the schema-relevant rows; the 11 per-table extractions and 4
+    # emptiness probes below then run against this tiny checkpoint
+    # instead of re-scanning the store 15×
+    sfacts = facts.filter(
+        F.col("p").isin(*_SCHEMA_PREDS)
+        | ((F.col("p") == RDF_TYPE) & F.col("o_lex").isin(*_SCHEMA_CLASSES))
+    ).localCheckpoint(eager=True)
+
+    def pairs(pred):
+        return F.broadcast(
+            sfacts.filter((F.col("p") == pred) & (F.col("o_kind") == KIND_IRI))
+            .select(F.col("s").alias("a"), F.col("o_lex").alias("b"))
+            .distinct()
+        )
+
+    def props(cls, alias):
+        return F.broadcast(
+            sfacts.filter(
+                (F.col("p") == RDF_TYPE) & (F.col("o_lex") == cls)
+            ).select(F.col("s").alias(alias)).distinct()
+        )
+
+    subp = pairs(_SUBPROP)
+    inv = pairs(_INVERSE)
+    eqp = pairs(_EQ_PROP)
+    ctx = {
+        "subp": subp,
+        "subc": pairs(_SUBCLASS),
+        "dom": pairs(_DOMAIN),
+        "rng": pairs(_RANGE),
+        "inv_both": inv.unionByName(
+            inv.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ),
+        "eqp_both": eqp.unionByName(
+            eqp.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ),
+        "same_pairs": pairs(_SAME_AS),
+        "sym_props": props(_SYMMETRIC, "a"),
+        "trans_props": props(_TRANSITIVE, "tp"),
+        "fun_props": props(_FUNCTIONAL, "fp"),
+        "ifun_props": props(_INV_FUNCTIONAL, "fp"),
+    }
+    ctx["sfacts"] = sfacts
+    ctx["has_sym"] = not ctx["sym_props"].isEmpty()
+    ctx["has_trans"] = not ctx["trans_props"].isEmpty()
+    ctx["has_fun"] = not ctx["fun_props"].isEmpty()
+    ctx["has_ifun"] = not ctx["ifun_props"].isEmpty()
+    return ctx
+
+
+def _round(
+    all_df: DataFrame, inst: DataFrame | None = None, ctx: dict | None = None,
+) -> DataFrame:
     """One application of every RDFS-Plus rule; returns candidate triples
-    (possibly already known).
+    (possibly already known). ``ctx`` (see ``_schema_ctx``) supplies
+    pre-materialized schema tables for loops whose schema is frozen.
 
     Semi-naive evaluation: ``inst`` is the instance-side input for the
     high-volume rules (subPropertyOf use, domain/range, inverse/equivalent
@@ -124,9 +190,14 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
     delta = inst  # None → full round
     if inst is None:
         inst = all_df
+    if ctx is None:
+        ctx = {}
+
+    def _get(key, build):
+        return ctx[key] if key in ctx else build()
 
     # rdfs7: subPropertyOf use  (schema side broadcast)
-    subp = _schema_pairs(facts, _SUBPROP)
+    subp = _get("subp", lambda: _schema_pairs(facts, _SUBPROP))
     outs.append(
         inst.join(subp, inst.p == subp.a)
         .select(
@@ -145,7 +216,7 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
             _type_triple(sp_trans, "sa", "sb").withColumn("p", F.lit(_SUBPROP))
         )
     # rdfs11: subClassOf transitivity (schema-level; full rounds only)
-    subc = _schema_pairs(facts, _SUBCLASS)
+    subc = _get("subc", lambda: _schema_pairs(facts, _SUBCLASS))
     if delta is None:
         sc_trans = (
             subc.alias("x").join(subc.alias("y"), F.col("x.b") == F.col("y.a"))
@@ -165,7 +236,7 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
         )
     )
     # rdfs2/3: domain / range
-    dom = _schema_pairs(facts, _DOMAIN)
+    dom = _get("dom", lambda: _schema_pairs(facts, _DOMAIN))
     outs.append(
         _type_triple(
             inst.join(dom, inst.p == dom.a).select(
@@ -174,7 +245,7 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
             "ss", "cc",
         )
     )
-    rng = _schema_pairs(facts, _RANGE)
+    rng = _get("rng", lambda: _schema_pairs(facts, _RANGE))
     outs.append(
         _type_triple(
             inst.filter(F.col("o_kind") != 2)
@@ -184,12 +255,16 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
         )
     )
     # inverseOf (both directions) + equivalentProperty (both directions)
-    inv = _schema_pairs(facts, _INVERSE)
-    inv_both = inv.unionByName(inv.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    def _both(pred):
+        base = _schema_pairs(facts, pred)
+        return base.unionByName(
+            base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+
+    inv_both = _get("inv_both", lambda: _both(_INVERSE))
     fi = inst.join(F.broadcast(inv_both), inst.p == F.col("a"))
     outs.append(_swap_so(fi, F.col("b")))
-    eqp = _schema_pairs(facts, _EQ_PROP)
-    eqp_both = eqp.unionByName(eqp.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    eqp_both = _get("eqp_both", lambda: _both(_EQ_PROP))
     fe = inst.join(F.broadcast(eqp_both), inst.p == F.col("a"))
     outs.append(
         fe.select(
@@ -211,18 +286,24 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
             ).withColumn("p", F.lit(_SUBCLASS))
         )
     # SymmetricProperty
-    sym_props = F.broadcast(
+    sym_props = _get("sym_props", lambda: F.broadcast(
         facts.filter(
             (F.col("p") == RDF_TYPE) & (F.col("o_lex") == _SYMMETRIC)
         ).select(F.col("s").alias("a")).distinct()
-    )
-    outs.append(_swap_so(inst.join(sym_props, inst.p == F.col("a")), F.col("p")))
-    # TransitiveProperty: one join step per round (outer loop closes it)
-    trans_props = F.broadcast(
+    ))
+    if ctx.get("has_sym", True):
+        outs.append(
+            _swap_so(inst.join(sym_props, inst.p == F.col("a")), F.col("p"))
+        )
+    # TransitiveProperty: one join step per round (outer loop closes it).
+    # tfacts deliberately comes from the CURRENT fact set, never the ctx
+    # cache — the transitive-fact table grows with the fixpoint
+    trans_props = _get("trans_props", lambda: F.broadcast(
         facts.filter(
             (F.col("p") == RDF_TYPE) & (F.col("o_lex") == _TRANSITIVE)
         ).select(F.col("s").alias("tp")).distinct()
-    )
+    ))
+    has_trans = ctx.get("has_trans", True)
     tfacts = facts.join(trans_props, facts.p == F.col("tp")).filter(
         F.col("o_kind") != 2
     )
@@ -248,8 +329,9 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
         )
 
     if delta is None:
-        outs.append(_tstep(tfacts, tfacts))
-    else:
+        if has_trans:
+            outs.append(_tstep(tfacts, tfacts))
+    elif has_trans:
         # Δ-exact: one composition side from the delta, the other from the
         # full set — |Δ| probes instead of a full self-join per round
         tdelta = delta.join(trans_props, delta.p == F.col("tp")).filter(
@@ -260,7 +342,7 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
     # sameAs: symmetry + one transitive step per round
     same = inst.filter((F.col("p") == _SAME_AS) & (F.col("o_kind") == KIND_IRI))
     outs.append(_swap_so(same, F.col("p")))
-    same_pairs = _schema_pairs(facts, _SAME_AS)
+    same_pairs = _get("same_pairs", lambda: _schema_pairs(facts, _SAME_AS))
     if delta is None:
         # sameAs transitivity over the pair table (sameAs is in
         # _SCHEMA_PREDS, so a delta carrying one forces full rounds —
@@ -283,10 +365,11 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
         )
     )
     # Functional / InverseFunctional → sameAs
-    fun_props = F.broadcast(
+    fun_props = _get("fun_props", lambda: F.broadcast(
         facts.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == _FUNCTIONAL))
         .select(F.col("s").alias("fp")).distinct()
-    )
+    ))
+    has_fun = ctx.get("has_fun", True)
     ffacts = facts.join(fun_props, facts.p == F.col("fp")).filter(F.col("o_kind") == KIND_IRI)
 
     def _fun_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -302,17 +385,19 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
         ).withColumn("p", F.lit(_SAME_AS))
 
     if delta is None:
-        outs.append(_fun_pairs(ffacts, ffacts))
-    else:
+        if has_fun:
+            outs.append(_fun_pairs(ffacts, ffacts))
+    elif has_fun:
         fdelta = delta.join(fun_props, delta.p == F.col("fp")).filter(
             F.col("o_kind") == KIND_IRI
         )
         outs.append(_fun_pairs(fdelta, ffacts))
         outs.append(_fun_pairs(ffacts, fdelta))
-    ifun_props = F.broadcast(
+    ifun_props = _get("ifun_props", lambda: F.broadcast(
         facts.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == _INV_FUNCTIONAL))
         .select(F.col("s").alias("fp")).distinct()
-    )
+    ))
+    has_ifun = ctx.get("has_ifun", True)
     iffacts = facts.join(ifun_props, facts.p == F.col("fp"))
 
     def _ifun_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -332,8 +417,9 @@ def _round(all_df: DataFrame, inst: DataFrame | None = None) -> DataFrame:
         ).withColumn("p", F.lit(_SAME_AS))
 
     if delta is None:
-        outs.append(_ifun_pairs(iffacts, iffacts))
-    else:
+        if has_ifun:
+            outs.append(_ifun_pairs(iffacts, iffacts))
+    elif has_ifun:
         ifdelta = delta.join(ifun_props, delta.p == F.col("fp"))
         outs.append(_ifun_pairs(ifdelta, iffacts))
         outs.append(_ifun_pairs(iffacts, ifdelta))
@@ -380,6 +466,69 @@ def materialize_incremental(
     return _fixpoint(known, delta_spo, max_rounds)
 
 
+def _cached_round_fn():
+    """The built-in rule batch with schema-context caching: consecutive
+    delta rounds reuse one ``_schema_ctx`` extraction (the schema cannot
+    change through schema-free deltas); any FULL round invalidates the
+    cache, because full rounds run exactly when the schema may have
+    changed."""
+    ctx_box: dict = {}
+
+    def round_fn(known: DataFrame, inst) -> DataFrame:
+        if inst is None:
+            ctx_box.clear()
+            return _round(known, None)
+        if "ctx" not in ctx_box:
+            ctx_box["ctx"] = _schema_ctx(known)
+        return _round(known, inst, ctx=ctx_box["ctx"])
+
+    def can_rederive(cands: DataFrame) -> bool:
+        """Could ANY candidate be the head of some rule instantiation
+        under the current schema? False lets DRed skip its rederive
+        round entirely — the common leaf-delete case then costs pure
+        Δ-work. Conservative: unknown ⇒ True. Sound because the schema
+        tables come from the OLD view, a superset of the survivors'."""
+        ctx = ctx_box.get("ctx")
+        if ctx is None:
+            return True
+        # ONE collect of the materialized schema subset; head tables are
+        # recomputed driver-side (they are ontology-sized)
+        srows = ctx["sfacts"].collect()
+        head_preds: set = set()
+        head_classes: set = set()
+        for r in srows:
+            if r.p == _SAME_AS:
+                return True  # sameAs propagation re-derives ANY predicate
+            if r.p == _SUBPROP:
+                head_preds.add(r.o_lex)
+            elif r.p in (_INVERSE, _EQ_PROP):
+                head_preds.add(r.s)
+                head_preds.add(r.o_lex)
+            elif r.p in (_SUBCLASS, _DOMAIN, _RANGE):
+                head_classes.add(r.o_lex)
+            elif r.p == RDF_TYPE:
+                if r.o_lex in (_SYMMETRIC, _TRANSITIVE):
+                    head_preds.add(r.s)
+                elif r.o_lex in (_FUNCTIONAL, _INV_FUNCTIONAL):
+                    head_preds.add(_SAME_AS)
+            elif r.p == _EQ_CLASS:
+                head_classes.add(r.s)
+                head_classes.add(r.o_lex)
+        if len(head_preds) + len(head_classes) > 10_000:
+            return True  # unusually wide schema: skip the prune
+        cond = F.lit(False)
+        if head_preds:
+            cond = cond | F.col("p").isin(*head_preds)
+        if head_classes:
+            cond = cond | (
+                (F.col("p") == RDF_TYPE) & F.col("o_lex").isin(*head_classes)
+            )
+        return not cands.filter(cond).isEmpty()
+
+    round_fn.can_rederive = can_rederive
+    return round_fn
+
+
 def retract_incremental(
     explicit_new: DataFrame, inferred_old: DataFrame, deleted: DataFrame,
     max_rounds: int = 20,
@@ -390,17 +539,17 @@ def retract_incremental(
     survivors, Δ-seeded propagation of the rederivations. Returns the
     maintained inferred quads, or None when the delta touches rule
     schema (deleted axioms change the rules — the caller must
-    re-materialize fully)."""
+    re-materialize fully). Inputs must be cheap to rescan
+    (checkpoint-backed or map-side projections of one) — no full-store
+    copy is materialized here; see dred.retract's scale note."""
     from dublin_smart_city_graphdb_spark.inference.dred import retract
 
-    mid = (
-        explicit_new.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    return retract(
+        explicit_new.select(*_SPO_COLS),
+        inferred_old.select(*_SPO_COLS),
+        deleted.select(*_SPO_COLS),
+        _cached_round_fn(), _touches_schema, max_rounds,
     )
-    inf = (
-        inferred_old.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
-    )
-    dele = deleted.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
-    return retract(mid, inf, dele, _round, _touches_schema, max_rounds)
 
 
 def _fixpoint(
@@ -416,6 +565,8 @@ def _fixpoint(
     wider vocabulary — inference/delta.py)."""
     from ..plans.ckpt import CheckpointTracker
 
+    if round_fn is None:
+        round_fn = _cached_round_fn()
     tr = CheckpointTracker(known)
     # ids of the CURRENT known generation's checkpoint blocks — only
     # generations this loop itself created are ever freed (gen 0 belongs
@@ -432,7 +583,7 @@ def _fixpoint(
             if delta is None or (touches_schema or _touches_schema)(delta)
             else delta
         )
-        candidates = (round_fn or _round)(known, inst)
+        candidates = round_fn(known, inst)
         # Null-safe anti-join: o_dtype/o_lang are NULL on most inferred
         # triples, and plain equi-join keys treat NULL != NULL — which would
         # re-derive every triple forever. eqNullSafe keeps the hash-join
