@@ -224,6 +224,26 @@ def _xsd_cast(dtype_iri: str, a: Column) -> Column:
     return make_ts(val)
 
 
+def _regex_with_flags(pat: Column, flags: Column) -> Column:
+    """XPath regex flags for REGEX/REPLACE (SPARQL 17.4.3.14): ``s m i
+    x`` map to Java inline modifiers; ``q`` quotes the whole pattern
+    (every metacharacter escaped) and composes with the others. An
+    invalid flag string is a SPARQL error — NULL here, so the operator
+    returns error (row dropped) instead of crashing the query the way a
+    raw ``(?q)``/``(?)`` prefix crashes the JVM regex compiler."""
+    valid = F.regexp_like(flags, F.lit("^[smixq]*$"))
+    quoted = F.regexp_replace(
+        pat, F.lit(r"([.^$|?*+()\[\]{}\\])"), F.lit(r"\\$1")
+    )
+    pat = F.when(flags.contains("q"), quoted).otherwise(pat)
+    inline = F.regexp_replace(flags, F.lit("q"), F.lit(""))
+    pat = F.when(
+        F.length(inline) > 0,
+        F.concat(F.lit("(?"), inline, F.lit(")"), pat),
+    ).otherwise(pat)
+    return F.when(valid, pat)
+
+
 def _lex(t: Column) -> Column:
     return t["lex"]
 
@@ -669,12 +689,12 @@ class ExprCompiler:
         if name == "REGEX":
             s, pat = _lex(args[0]), _lex(args[1])
             if len(args) > 2:
-                pat = F.concat(F.lit("(?"), _lex(args[2]), F.lit(")"), pat)
+                pat = _regex_with_flags(pat, _lex(args[2]))
             return make_bool(F.regexp_like(s, pat))
         if name == "REPLACE":
             s, pat, rep = _lex(args[0]), _lex(args[1]), _lex(args[2])
             if len(args) > 3:
-                pat = F.concat(F.lit("(?"), _lex(args[3]), F.lit(")"), pat)
+                pat = _regex_with_flags(pat, _lex(args[3]))
             return _str_like(args[0], F.regexp_replace(s, pat, rep))
 
         if name == "ABS":

@@ -444,6 +444,11 @@ class SparqlParser:
                         continue
                     break
                 group.elements.append(BGP(triples))
+                continue
+            # GraphPatternNotTriples '.'? — the grammar allows an optional
+            # dot after FILTER/BIND/VALUES/OPTIONAL/UNION/GRAPH/MINUS/
+            # SERVICE/sub-SELECT/nested groups (GroupGraphPatternSub)
+            self._accept_op(".")
 
     def _constraint(self):
         kw = self._kw()
@@ -1149,7 +1154,73 @@ def _validate_group(group: GroupPattern) -> None:
             )
 
 
+def _bgp_bnode_sets(node, out: list) -> None:
+    """One label set per basic graph pattern. Consecutive BGP elements
+    inside one group are merged (FILTERs don't end a BGP, and the
+    grammar stores them separately, so splits inside a group are
+    conservative join points); OPTIONAL/UNION/GRAPH/MINUS/subquery
+    boundaries are real BGP boundaries per SPARQL 1.1 §19.6."""
+    from dublin_smart_city_graphdb_spark.model.terms import BNode
+
+    def labels(bgp: BGP) -> set:
+        found = set()
+        for t in bgp.triples:
+            for term in (t.s, t.o):
+                if isinstance(term, BNode):
+                    found.add(term.label)
+        return found
+
+    if isinstance(node, BGP):
+        s = labels(node)
+        if s:
+            out.append(s)
+        return
+    if isinstance(node, GroupPattern):
+        run: set = set()
+        for elem in node.elements:
+            if isinstance(elem, BGP):
+                run |= labels(elem)
+            else:
+                if run:
+                    out.append(run)
+                    run = set()
+                _bgp_bnode_sets(elem, out)
+        if run:
+            out.append(run)
+        return
+    if isinstance(node, UnionPattern):
+        for b in node.branches:
+            _bgp_bnode_sets(b, out)
+        return
+    if isinstance(node, SubSelectPattern):
+        _bgp_bnode_sets(node.query.where, out)
+        return
+    group = getattr(node, "group", None)
+    if isinstance(group, GroupPattern):
+        _bgp_bnode_sets(group, out)
+
+
+def _check_bnode_reuse(where: GroupPattern) -> None:
+    """A blank node label may appear in only ONE basic graph pattern
+    (SPARQL 1.1 §19.6) — reuse across UNION branches, OPTIONAL groups,
+    GRAPH bodies etc. is a syntax error."""
+    sets: list = []
+    _bgp_bnode_sets(where, sets)
+    seen: set = set()
+    for s in sets:
+        dup = seen & s
+        if dup:
+            label = sorted(dup)[0]
+            raise ValueError(
+                f"sparql: blank node label _:{label} is used in two "
+                "different basic graph patterns"
+            )
+        seen |= s
+
+
 def _validate_query(q) -> None:
+    if hasattr(q, "where") and isinstance(q.where, GroupPattern):
+        _check_bnode_reuse(q.where)
     if not isinstance(q, SelectQuery):
         if hasattr(q, "where") and isinstance(q.where, GroupPattern):
             _validate_group(q.where)
