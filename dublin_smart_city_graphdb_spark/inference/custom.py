@@ -76,7 +76,7 @@ def materialize_rules(
     if not parsed:
         return explicit.limit(0)
 
-    spo = explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    spo = explicit.select(*_SPO_COLS)
 
     def round_fn(known: DataFrame, inst) -> DataFrame:
         from dublin_smart_city_graphdb_spark.sparql.compiler import (

@@ -70,7 +70,7 @@ def materialize(
     from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
 
     parsed = [parse_query(r) for r in RESTRICTION_RULES]
-    spo = explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    spo = explicit.select(*_SPO_COLS)
 
     def round_fn(known: DataFrame, inst) -> DataFrame:
         from dublin_smart_city_graphdb_spark.sparql.compiler import (
@@ -106,15 +106,13 @@ def materialize_incremental(
         touches_schema_extended,
     )
 
-    base_spo = base.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    base_spo = base.select(*_SPO_COLS)
     delta_spo = (
         new_explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
     )
-    known0 = base_spo.unionByName(delta_spo).distinct().localCheckpoint(
-        eager=True
-    )
     return _fixpoint(
-        known0, delta_spo, max_rounds, round_fn=_incremental_round_fn(spark),
+        base_spo.unionByName(delta_spo), delta_spo, max_rounds,
+        round_fn=_incremental_round_fn(spark),
         touches_schema=touches_schema_extended,
     )
 

@@ -414,9 +414,7 @@ def materialize(
     from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
     from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
 
-    spo = _skolemize_spo(
-        explicit.select(*_SPO_COLS)
-    ).distinct().localCheckpoint(eager=True)
+    spo = _skolemize_spo(explicit.select(*_SPO_COLS))
     vocab = _present_vocab(spo)
     list_rules, static_rows = _list_rules(spo)
     texts = [
@@ -475,15 +473,11 @@ def materialize_incremental(
         touches_schema_extended,
     )
 
-    base_spo = _skolemize_spo(
-        base.select(*_SPO_COLS)
-    ).distinct().localCheckpoint(eager=True)
+    base_spo = _skolemize_spo(base.select(*_SPO_COLS))
     delta_spo = _skolemize_spo(
         new_explicit.select(*_SPO_COLS)
     ).distinct().localCheckpoint(eager=True)
-    known0 = base_spo.unionByName(delta_spo).distinct().localCheckpoint(
-        eager=True
-    )
+    known0 = base_spo.unionByName(delta_spo)
     return _deskolemize_out(_fixpoint(
         known0, delta_spo, max_rounds,
         round_fn=_incremental_round_fn(spark, known0),

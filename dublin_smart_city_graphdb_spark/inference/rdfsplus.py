@@ -437,9 +437,11 @@ _SPO_COLS = [
 
 def materialize(explicit: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Run the rule batch to fixpoint; returns ONLY the inferred quads,
-    tagged ``g = urn:inferred``."""
-    spo = explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
-    return _fixpoint(spo, None, max_rounds)
+    tagged ``g = urn:inferred``. ``explicit`` must be cheap to rescan
+    (store/checkpoint-backed) — the loop keeps it LAZY rather than
+    copying the store into the block manager; duplicate SPO rows across
+    graphs are tolerated (see ``_fixpoint``)."""
+    return _fixpoint(explicit.select(*_SPO_COLS), None, max_rounds)
 
 
 def materialize_incremental(
@@ -456,14 +458,13 @@ def materialize_incremental(
     statements. Appending a data batch costs O(|Δ| ⋈ schema), not
     O(|store|) — the difference between an ingest pipeline and a nightly
     rebuild at 100 TB."""
-    base_spo = base.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
+    base_spo = base.select(*_SPO_COLS)
     delta_spo = (
         new_explicit.select(*_SPO_COLS).distinct().localCheckpoint(eager=True)
     )
-    known = base_spo.unionByName(delta_spo).distinct().localCheckpoint(
-        eager=True
+    return _fixpoint(
+        base_spo.unionByName(delta_spo), delta_spo, max_rounds
     )
-    return _fixpoint(known, delta_spo, max_rounds)
 
 
 def _cached_round_fn():
@@ -562,16 +563,21 @@ def _fixpoint(
     to the built-in RDFS-Plus rule batch; inference/custom.py plugs in a
     CONSTRUCT-rule batch for user-defined rulesets. ``touches_schema``
     overrides the schema-delta check (the extended rulesets guard a
-    wider vocabulary — inference/delta.py)."""
+    wider vocabulary — inference/delta.py).
+
+    Scale note: only each round's FRESH set is checkpointed. ``known``
+    grows as a LAZY union of the caller's base (which must be cheap to
+    rescan — checkpoint/store-backed) plus those fresh checkpoints — the
+    old per-round checkpoint of the ENTIRE known set was a full-store
+    materialized copy per round (20 copies through a 20-round
+    materialization of a 100 TB store). Duplicate rows in the base are
+    tolerated: candidates are de-duplicated and the anti-join only
+    probes membership."""
     from ..plans.ckpt import CheckpointTracker
 
     if round_fn is None:
         round_fn = _cached_round_fn()
     tr = CheckpointTracker(known)
-    # ids of the CURRENT known generation's checkpoint blocks — only
-    # generations this loop itself created are ever freed (gen 0 belongs
-    # to the caller and backs `empty`)
-    known_ids: set = set()
     empty = known.limit(0)
     inferred_acc: DataFrame | None = None
     for _ in range(max_rounds):
@@ -594,24 +600,17 @@ def _fixpoint(
         for col in _ID_COLS:
             clause = F.col(f"c.{col}").eqNullSafe(F.col(f"k.{col}"))
             cond = clause if cond is None else (cond & clause)
-        fresh, fresh_ids = tr.checkpoint(cand.join(kn, on=cond, how="left_anti"))
+        fresh, fresh_ids = tr.checkpoint(
+            cand.join(kn, on=cond, how="left_anti"), fresh=True
+        )
         if fresh.isEmpty():
             tr.free(fresh_ids)  # dead end: nothing references it
             break
-        known, new_known_ids = tr.checkpoint(known.unionByName(fresh))
-        # the superseded known generation (if loop-created) is garbage the
-        # moment its successor materializes — without this, a 20-round
-        # materialization pins 20 copies of the full statement set in the
-        # block manager for the driver JVM's lifetime
-        tr.free(known_ids)
-        known_ids = new_known_ids
+        known = known.unionByName(fresh)
         delta = fresh
         inferred_acc = (
             fresh if inferred_acc is None else inferred_acc.unionByName(fresh)
         )
-    # the returned union references only the `fresh` checkpoints — the
-    # loop's final known generation is scaffolding
-    tr.free(known_ids)
     if inferred_acc is None:
         inferred_acc = empty
     return inferred_acc.select(

@@ -249,7 +249,13 @@ def geo_repo(spark):
     from dublin_smart_city_graphdb_spark.engine import Engine
 
     eng = Engine(spark)
-    r = eng.create_repository("geo_boolops", ruleset="none")
+    # 120s: the geo set-function queries carry a fixed plan-analysis +
+    # Arrow-eval cost that can exceed the default 30s query timeout on a
+    # fully loaded 32-thread suite run (observed: TimeoutError flakes
+    # under concurrent full-suite load, instant standalone)
+    r = eng.create_repository(
+        "geo_boolops", ruleset="none", query_timeout=120.0
+    )
     r.load_turtle(GEO_TTL)
     yield r
     eng.drop_repository("geo_boolops")
