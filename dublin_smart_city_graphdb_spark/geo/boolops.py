@@ -30,9 +30,12 @@ line sets, JTS-style measure-zero rules), and GEOMETRYCOLLECTIONs of
 any mix, composed dimension-wise. ``buffer_wkt`` buffers every type via
 capsule unions through the same slab kernel. Malformed input returns
 None, surfacing as a SPARQL error. The empty geometry is
-``GEOMETRYCOLLECTION EMPTY`` on output and accepted on input. Known
-canonical-form divergence from JTS: unions keep transversal line
-crossings unnoded (topologically equal, fewer pieces).
+``GEOMETRYCOLLECTION EMPTY`` on output and accepted on input. Line
+outputs are NODED at proper transversal crossings (JTS overlay
+canonical form — two crossing lines union/difference into split
+pieces); one remaining documented canonical divergence: collinear
+OVERLAP endpoints dissolve into a single merged line where JTS keeps
+the overlay fragments (topologically equal, fewer pieces).
 
 These run per-row (no joins, no shuffle): the pandas-UDF wrappers in
 sparql/extensions.py stream Arrow batches through them, so the work is
@@ -519,11 +522,67 @@ def _subtract_line_overlaps(lines: list[list[Pt]],
     return out
 
 
-def _merge_line_pieces(pieces: list[Seg]) -> list[list[Pt]]:
+def _node_crossings(
+    pieces: list[Seg], extra_lines: list[list[Pt]] | None = None,
+) -> tuple[list[Seg], set]:
+    """Split every piece at its PROPER transversal crossings (interior
+    of one segment meeting the other, non-collinear) with the other
+    pieces and with ``extra_lines`` — the JTS overlay canonical form for
+    line output. Returns (noded pieces, crossing points); the points
+    feed ``_merge_line_pieces(breaks=...)`` so chain rejoining cannot
+    undo a node whose degree in the RESULT is 2 (e.g. A − B split where
+    B's pieces are absent from the result). Collinear contacts are NOT
+    nodes here — overlap endpoints keep the documented dissolve
+    canonicalization."""
+    # normalize first: upstream clip/overlap splits may have fragmented a
+    # piece exactly AT a crossing, hiding it from interior-contact
+    # detection below — re-merge (degree-2 chains only), then re-fragment
+    segs = [
+        s
+        for ln in _merge_line_pieces([s for s in pieces if s[0] != s[1]])
+        for s in zip(ln, ln[1:])
+    ]
+    others = [(c, d) for c, d in segs]
+    if extra_lines:
+        others += list(_lsegs(extra_lines))
+    out: list[Seg] = []
+    nodes: set = set()
+    for e in segs:
+        (ax, ay), (bx, by) = e
+        rx, ry = bx - ax, by - ay
+        ts = {0.0, 1.0}
+        for f in others:
+            if f == e:
+                continue
+            (cx, cy), (dx, dy) = f
+            sx, sy = dx - cx, dy - cy
+            denom = rx * sy - ry * sx
+            if denom == 0:
+                continue  # parallel/collinear: not a transversal node
+            t = ((cx - ax) * sy - (cy - ay) * sx) / denom
+            u = ((cx - ax) * ry - (cy - ay) * rx) / denom
+            if 0 < t < 1 and 0 <= u <= 1:
+                ts.add(t)
+                nodes.add(_t_point(e, t))
+            elif t in (0.0, 1.0) and 0 < u < 1:
+                # piece ENDPOINT in the other segment's interior: an
+                # upstream split already landed exactly on the crossing —
+                # still an overlay node the chain merge must not erase
+                nodes.add(_t_point(e, t))
+        for t0, t1 in zip(sorted(ts), sorted(ts)[1:]):
+            if t1 > t0:
+                out.append((_t_point(e, t0), _t_point(e, t1)))
+    return out, nodes
+
+
+def _merge_line_pieces(
+    pieces: list[Seg], breaks: frozenset | set = frozenset(),
+) -> list[list[Pt]]:
     """2-point pieces → maximal polylines: dedupe (direction-normalized),
     then walk chains through degree-2 vertices (the JTS LineMerger
     behavior, so clipping doesn't fragment a polyline at its own
-    bends)."""
+    bends). ``breaks`` lists vertices chains must NOT walk through —
+    crossing nodes that must survive in the output even at degree 2."""
     norm = {tuple(sorted(s)) for s in pieces if s[0] != s[1]}
     if not norm:
         return []
@@ -533,8 +592,11 @@ def _merge_line_pieces(pieces: list[Seg]) -> list[list[Pt]]:
         adj.setdefault(s[1], []).append(s)
     used: set = set()
     out: list[list[Pt]] = []
-    # chain starts: vertices with degree != 2 first, then leftovers (loops)
-    starts = [v for v, ss in adj.items() if len(ss) != 2] or list(adj)
+    # chain starts: vertices with degree != 2 (or forced breaks) first,
+    # then leftovers (loops)
+    starts = [
+        v for v, ss in adj.items() if len(ss) != 2 or v in breaks
+    ] or list(adj)
     for v0 in sorted(starts):
         for s0 in adj[v0]:
             if s0 in used:
@@ -544,7 +606,7 @@ def _merge_line_pieces(pieces: list[Seg]) -> list[list[Pt]]:
             while True:
                 cur = line[-1]
                 nxts = [s for s in adj.get(cur, []) if s not in used]
-                if len(adj.get(cur, [])) != 2 or not nxts:
+                if len(adj.get(cur, [])) != 2 or cur in breaks or not nxts:
                     break
                 s = nxts[0]
                 used.add(s)
@@ -557,6 +619,8 @@ def _merge_line_pieces(pieces: list[Seg]) -> list[list[Pt]]:
             line = [s[0], s[1]]
             while True:
                 cur = line[-1]
+                if cur in breaks:
+                    break
                 nxts = [x for x in adj.get(cur, []) if x not in used]
                 if not nxts:
                     break
@@ -704,13 +768,14 @@ def boolop_geom(a: Geom, b: Geom, op: str) -> Geom:
     (isolated points never subtract from a line)."""
     if op == "xor":
         left, right = boolop_geom(a, b, "sub"), boolop_geom(b, a, "sub")
+        xor_segs, xor_nodes = _node_crossings(
+            [s for ln in left.lines + right.lines
+             for s in zip(ln, ln[1:])]
+        )
         merged = Geom(
             points=sorted(set(left.points + right.points)),
             rings=left.rings + right.rings,
-            lines=_merge_line_pieces(
-                [s for ln in left.lines + right.lines
-                 for s in zip(ln, ln[1:])]
-            ),
+            lines=_merge_line_pieces(xor_segs, breaks=xor_nodes),
         )
         # adjacent sub-results can share boundary; re-run the 2-D union
         # so shared edges weld (e.g. A Δ A-half)
@@ -749,7 +814,14 @@ def boolop_geom(a: Geom, b: Geom, op: str) -> Geom:
             kept = _subtract_line_overlaps(kept_lines, b.lines)
         pieces += kept
         pts = [p for p in a.points if not _covered(p, b)]
-    lines = _merge_line_pieces(pieces)
+    # JTS overlay noding: line output splits at proper transversal
+    # crossings — with the other operand's lines too for A − B, whose
+    # crossing partners are absent from the result (breaks keep the
+    # node through the degree-2 chain merge)
+    pieces, cross_nodes = _node_crossings(
+        pieces, b.lines if op == "sub" else None
+    )
+    lines = _merge_line_pieces(pieces, breaks=cross_nodes)
     # a line piece riding the kept area's interior/boundary is absorbed
     if rings and lines:
         absorbed = []
@@ -757,7 +829,7 @@ def boolop_geom(a: Geom, b: Geom, op: str) -> Geom:
             mid = _t_point(s, 0.5)
             if point_in_rings(mid, rings) == -1:
                 absorbed.append(s)
-        lines = _merge_line_pieces(absorbed)
+        lines = _merge_line_pieces(absorbed, breaks=cross_nodes)
     pts = [p for p in pts
            if point_in_rings(p, rings) == -1 and not _on_any_line(p, lines)]
     return Geom(points=sorted(set(pts)), rings=rings, lines=lines)

@@ -372,11 +372,29 @@ def test_line_line_set_ops():
     assert boolop_wkt(M1, M2, "xor") == (
         "MULTILINESTRING((0.0 0.0, 4.0 0.0), (10.0 0.0, 14.0 0.0))"
     )
-    # transversal crossing: point intersection, no subtraction
+    # transversal crossing: point intersection; difference/union/xor are
+    # NODED at the crossing (JTS overlay canonical form — the measure-
+    # zero point still subtracts nothing, but the linework splits)
     assert boolop_wkt(M1, M3, "and") == "POINT(5.0 0.0)"
-    assert boolop_wkt(M1, M3, "sub") == M1
+    assert boolop_wkt(M1, M3, "sub") == (
+        "MULTILINESTRING((0.0 0.0, 5.0 0.0), (5.0 0.0, 10.0 0.0))"
+    )
+    assert boolop_wkt(M1, M3, "or") == (
+        "MULTILINESTRING((0.0 0.0, 5.0 0.0), (5.0 -5.0, 5.0 0.0), "
+        "(5.0 0.0, 5.0 5.0), (5.0 0.0, 10.0 0.0))"
+    )
+    assert boolop_wkt(M1, M3, "xor") == boolop_wkt(M1, M3, "or")
+    # T-contact: the other line's endpoint in M1's interior also nodes
+    assert boolop_wkt(M1, "LINESTRING(5.0 0.0, 5.0 5.0)", "sub") == (
+        "MULTILINESTRING((0.0 0.0, 5.0 0.0), (5.0 0.0, 10.0 0.0))"
+    )
+    # tip-to-tip touch stays chain-merged (LineMerger canonicalization)
+    assert boolop_wkt(M1, "LINESTRING(10.0 0.0, 15.0 5.0)", "or") == (
+        "LINESTRING(0.0 0.0, 10.0 0.0, 15.0 5.0)"
+    )
     for op in ("and", "or", "xor"):
         assert boolop_wkt(M1, M2, op) == boolop_wkt(M2, M1, op), op
+        assert boolop_wkt(M1, M3, op) == boolop_wkt(M3, M1, op), op
 
 
 def test_polyline_bend_survives_clipping():
