@@ -65,6 +65,77 @@ def quality_filter_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def minhash_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) MinHash-LSH band rows, computed
+    ROW-LOCAL: each lane is ``array_min`` over the document's shingle
+    array instead of the batch index's explode + groupBy — no shuffle,
+    no state, so the same expression runs on a STREAMING frame. Lanes
+    (two md5 evaluations sliced into 8×32-bit mins over 5-word
+    shingles) and 4×2 banding are bit-identical to the batch index
+    (harness/pipeline.py `dedup_minhash_sig`/`dedup_incremental`), so
+    stream-computed rows probe a batch-built historical index
+    directly."""
+    from dublin_smart_city_graphdb_spark.harness.pipeline import (
+        _mh_spark,
+        _MINHASH_K,
+        _N_BANDS,
+        _shingle_arr,
+    )
+
+    sh = _shingle_arr(5)
+    lanes = [
+        F.array_min(
+            F.expr(
+                "transform(__sh, shingle -> "
+                + _mh_spark(j)
+                + ")"
+            )
+        ).alias(f"mh{j}")
+        for j in range(_MINHASH_K)
+    ]
+    sig = docs.withColumn("__sh", sh).select("doc_id", *lanes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                ":",
+                F.col(f"mh{2 * b}").cast("string"),
+                F.col(f"mh{2 * b + 1}").cast("string"),
+            ).alias("band_val"),
+        )
+        for b in range(_N_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+
+
+def near_dup_stream(docs: DataFrame, hist_bands: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``dedup_incremental`` operator:
+    documents arriving on a feed are near-dup-probed against a STATIC
+    historical MinHash-LSH band index through a stream-static equi-join
+    on (band_idx, band_val). The stream side is map-only (row-local
+    signatures, no watermark, no state store); the static side is the
+    stored index a production pipeline maintains — per micro-batch cost
+    is O(|batch| × bands) probe rows against the index join, never a
+    corpus self-join. Emits (doc_id, hist_doc) match rows in append
+    mode; duplicates across bands are expected (the batch twin's
+    DISTINCT is an aggregation the caller applies downstream of the
+    sink, where global dedup belongs)."""
+    return (
+        minhash_band_rows(docs)
+        .join(hist_bands, ["band_idx", "band_val"])
+        .select(
+            F.col("doc_id"),
+            F.col("hist_doc"),
+        )
+    )
+
+
 def benchmark_grams(docs: DataFrame) -> DataFrame:
     """The static side of the streaming decontamination join: distinct
     word-level 4-grams of the benchmark subset (doc_id % 97 — the same

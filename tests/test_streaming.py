@@ -537,3 +537,57 @@ def test_decontaminate_stream_matches_batch(spark, tmp_path):
     want = sorted(map(tuple, REGISTRY["corpus_decontaminate"]
                       .raw_fn(spark, SF_DIR).collect()))
     assert got == want and len(got) > 0
+
+
+def test_near_dup_stream_matches_batch_incremental(spark, tmp_path):
+    """Streaming near-dup probe: new documents arriving on a feed (odd
+    doc_ids, the batch twin's stand-in for today's ingest) probing the
+    batch-built historical band index (even doc_ids) produce EXACTLY the
+    cross-batch pairs the batch dedup_incremental operator reports —
+    stream-computed row-local signatures are bit-identical to the batch
+    explode+groupBy index."""
+    import pyspark.sql.functions as F
+
+    from dublin_smart_city_graphdb_spark.harness.pipeline import (
+        dedup_incremental,
+    )
+    from dublin_smart_city_graphdb_spark.streaming.documents import (
+        minhash_band_rows,
+        near_dup_stream,
+        stream_documents,
+    )
+    from dublin_smart_city_graphdb_spark.streaming.events import (
+        run_available_to_memory,
+    )
+    from tests.conftest import SF_DIR
+
+    feed = tmp_path / "docs_feed_nd"
+    feed.mkdir()
+    (feed / "documents.parquet").symlink_to(f"{SF_DIR}/documents.parquet")
+
+    hist = (
+        minhash_band_rows(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+                F.col("doc_id") % 2 == 0
+            )
+        )
+        .withColumnRenamed("doc_id", "hist_doc")
+        .localCheckpoint(eager=True)
+    )
+    new_docs = stream_documents(spark, str(feed)).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    matches = run_available_to_memory(
+        spark,
+        near_dup_stream(new_docs, hist),
+        "t_near_dup",
+        str(tmp_path / "ckpt_near_dup"),
+        output_mode="append",
+    )
+    got = {(r["doc_id"], r["hist_doc"]) for r in matches.collect()}
+    want = {
+        (r["new_doc"], r["hist_doc"])
+        for r in dedup_incremental(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(want) > 0
