@@ -59,8 +59,12 @@ def _graph_data(by_sp, multi, node, ns: str) -> tuple[tuple[str, str], ...]:
     return tuple(sorted(out))
 
 
-def _load_manifest() -> list[tuple[str, str, str, tuple, str]]:
-    """manifest.ttl → [(test_id, query, data, graph_data, result)]."""
+def _load_manifest() -> list[tuple[str, str, str, tuple, str, str]]:
+    """manifest.ttl → [(test_id, query, data, graph_data, result,
+    entailment_regime)]. ``qt:entailmentRegime "RDFS"`` on the action
+    evaluates the query against a repository with the corresponding
+    ruleset materialized (SPARQL 1.1 Entailment Regimes — GraphDB's
+    query-under-inference surface); absent means simple entailment."""
     by_sp, multi = _manifest_maps()
     tests = []
     for s, props in sorted(by_sp.items(), key=lambda kv: str(kv[0])):
@@ -68,12 +72,14 @@ def _load_manifest() -> list[tuple[str, str, str, tuple, str]]:
         if t is None or t.value != MF + "QueryEvaluationTest":
             continue
         action = by_sp[props[MF + "action"]]
+        regime = action.get(QT + "entailmentRegime")
         tests.append((
             str(s).rsplit("/", 1)[-1],
             action[QT + "query"].value,
             action[QT + "data"].value,
             _graph_data(by_sp, multi, props[MF + "action"], QT),
             props[MF + "result"].value,
+            regime.lex if regime is not None else "",
         ))
     assert tests, "manifest parsed but no QueryEvaluationTest entries found"
     return tests
@@ -184,11 +190,14 @@ def w3c_engine(spark):
     eng = Engine(spark)
     repos: dict = {}
 
-    def repo_for(data_iri: str, graph_data: tuple = ()):
-        key = (data_iri, graph_data)
+    rulesets = {"": "none", "RDFS": "rdfsplus", "OWL-Horst": "owl-horst"}
+
+    def repo_for(data_iri: str, graph_data: tuple = (), regime: str = ""):
+        key = (data_iri, graph_data, regime)
         if key not in repos:
             r = eng.create_repository(
-                f"w3c_{Path(data_iri).stem}_{len(repos)}", ruleset="none"
+                f"w3c_{Path(data_iri).stem}_{len(repos)}",
+                ruleset=rulesets[regime],
             )
             r.load_turtle(_rel(data_iri).read_text())
             for file_iri, graph_iri in graph_data:
@@ -200,13 +209,13 @@ def w3c_engine(spark):
 
 
 @pytest.mark.parametrize(
-    "test_id,query_iri,data_iri,graph_data,result_iri",
+    "test_id,query_iri,data_iri,graph_data,result_iri,regime",
     TESTS,
     ids=[t[0] for t in TESTS],
 )
 def test_w3c_case(w3c_engine, test_id, query_iri, data_iri, graph_data,
-                  result_iri):
-    repo = w3c_engine(data_iri, graph_data)
+                  result_iri, regime):
+    repo = w3c_engine(data_iri, graph_data, regime)
     query_text = _rel(query_iri).read_text()
     df = repo.sparql(query_text)
     rows = repo.sparql_collect(query_text)
