@@ -248,6 +248,60 @@ def inference_transitive_within(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "inference_retract_dred",
+    """
+    SELECT s, class FROM (VALUES
+      ('urn:ex:i', 'urn:ex:Super'),
+      ('urn:ex:m', 'urn:ex:Super')
+    ) AS t(s, class)
+    """,
+    doc="DRed delete maintenance under the oracle gate (SURVEY §2.8, "
+        "round 8d): a repository with alternative-support instances and "
+        "a transitive chain takes ONE mixed DELETE DATA batch (kills a "
+        "chain edge, one of two supports of i, and k's only support) "
+        "then ONE INSERT DATA (new instance m). The maintained inferred "
+        "set must equal the constant a full rebuild yields: i keeps "
+        "Super via its surviving support (rederive round), k and the "
+        "chain conclusions retract (Δ-seeded overdeletion), m gains "
+        "Super (Δ-seeded insert path). Constant-valued oracle — the "
+        "flow is sf-independent by construction.",
+    cache_plan=False,
+)
+def inference_retract_dred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.engine import Engine
+
+    eng = Engine(spark)
+    name = f"gate_retract_dred_{abs(hash(sf_dir)) % 10_000}"
+    if name in eng.list_repositories():
+        repo = eng._repos[name]
+    else:
+        repo = eng.create_repository(name, ruleset="rdfsplus")
+        repo.load_turtle("""
+            @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+            @prefix owl: <http://www.w3.org/2002/07/owl#> .
+            @prefix ex: <urn:ex:> .
+            ex:Sub1 rdfs:subClassOf ex:Super .
+            ex:Sub2 rdfs:subClassOf ex:Super .
+            ex:next a owl:TransitiveProperty .
+            ex:i a ex:Sub1 . ex:i a ex:Sub2 . ex:k a ex:Sub1 .
+            ex:a ex:next ex:b . ex:b ex:next ex:c . ex:c ex:next ex:d .
+        """)
+        repo.update(
+            "PREFIX ex: <urn:ex:> "
+            "DELETE DATA { ex:i a ex:Sub1 . ex:k a ex:Sub1 . "
+            "ex:b ex:next ex:c }"
+        )
+        repo.update("PREFIX ex: <urn:ex:> INSERT DATA { ex:m a ex:Sub2 }")
+    q = repo.quads
+    from dublin_smart_city_graphdb_spark.model.schema import INFERRED_GRAPH
+
+    return (
+        q.filter(q.g == INFERRED_GRAPH)
+        .select("s", F.col("o_lex").alias("class"))
+    )
+
+
+@register(
     "sparql_optional_suppliers",
     """
     SELECT n.n_name AS nation, COUNT(s.s_suppkey) AS num_suppliers
