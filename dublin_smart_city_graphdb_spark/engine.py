@@ -83,6 +83,11 @@ class Repository:
         # Namespace registry (RDF4J /namespaces resource): prefix → IRI.
         # Session-scoped client conveniences, not statement data.
         self.namespaces: dict[str, str] = {}
+        # Parsed stored-shapes cache for validation-on-commit
+        # (shacl_enforce): None = unknown (recollect from the shapes
+        # graph on the next gated commit); [] = shapes graph empty.
+        # Invalidated whenever a commit's delta touches the shapes graph.
+        self._shapes_cache: list | None = None
         self._store = (
             QuadStore(
                 self.spark,
@@ -98,6 +103,7 @@ class Repository:
     # -- loading ------------------------------------------------------------
     def add_quads(self, df: DataFrame) -> None:
         with self._write_lock:
+            self._shacl_gate_append(df)
             self._pred_stats = None
             self._version += 1
             if self._store:
@@ -380,6 +386,187 @@ class Repository:
             )
         return validate(data, parse_shapes(shapes_text))
 
+    # -- SHACL validation-on-commit (RDF4J ShaclSail parity) ----------------
+    def validate_shacl_stored(
+        self, include_inferred: bool = True
+    ) -> DataFrame:
+        """On-demand validation against the STORED shapes graph
+        (``SHACL_SHAPES_GRAPH`` — the RDF4J convention: clients load
+        shapes into that context via GSP/transactions). Empty report when
+        no shapes are stored. This is the same shape set
+        ``shacl_enforce`` repositories check on every commit."""
+        import pyspark.sql.functions as F
+
+        from dublin_smart_city_graphdb_spark.shacl import (
+            SHACL_SHAPES_GRAPH,
+            validate,
+        )
+
+        shapes = self._stored_shapes(self.quads)
+        data = self.quads.filter(
+            F.col("g").isNull() | (F.col("g") != SHACL_SHAPES_GRAPH)
+        )
+        if not include_inferred:
+            data = data.filter(
+                F.col("g").isNull() | (F.col("g") != INFERRED_GRAPH)
+            )
+        if not shapes:
+            return validate(data.limit(0), [])
+        return validate(data, shapes)
+
+    def _stored_shapes(self, candidate: DataFrame) -> list:
+        """Parse the shapes graph out of ``candidate`` (driver-side — a
+        shapes graph is ontology-sized by nature, capped loudly at
+        ``SHAPES_GRAPH_CAP``). Does NOT touch the cache: callers decide
+        whether the parse is for a committed state."""
+        import pyspark.sql.functions as F
+
+        from dublin_smart_city_graphdb_spark.shacl import (
+            SHACL_SHAPES_GRAPH,
+            SHAPES_GRAPH_CAP,
+            ShaclError,
+            quad_rows_to_triples,
+            shapes_from_triples,
+        )
+
+        rows = (
+            candidate.filter(F.col("g") == SHACL_SHAPES_GRAPH)
+            .select("s", "p", "o_kind", "o_lex", "o_dtype", "o_lang")
+            .limit(SHAPES_GRAPH_CAP + 1)
+            .collect()
+        )
+        if len(rows) > SHAPES_GRAPH_CAP:
+            raise ShaclError(
+                f"shacl: shapes graph exceeds {SHAPES_GRAPH_CAP} statements"
+                " — data loaded into the shapes context?"
+            )
+        if not rows:
+            return []
+        return shapes_from_triples(quad_rows_to_triples(rows))
+
+    def _enforce_shacl(
+        self,
+        candidate: DataFrame,
+        affected: DataFrame | None,
+        shapes_delta: bool,
+    ) -> None:
+        """The commit gate (ShaclSail contract, VERDICT r8 task 2): when
+        ``shacl_enforce`` is on and the shapes graph is non-empty,
+        validate the candidate post-state BEFORE any write lands; raise
+        :class:`ShaclViolationError` (carrying a capped report) to reject
+        the commit with the store unchanged.
+
+        Scale shape: validation data stays a lazy distributed frame;
+        delta-local shapes (single-step paths, no cross-node reads)
+        restrict their focus set to ``affected`` — the nodes the commit
+        touched — so a ground-data commit costs O(Δ ⋈ store) filtered
+        scans, not O(store) re-validation. Non-local shapes (sh:class,
+        sh:node, composite paths, sh:sparql) validate fully; that cost is
+        those shapes' semantics. Validation sees EXPLICIT statements only
+        (the RDF4J ShaclSail contract — it validates asserted data;
+        inference-aware reports stay available on demand via
+        ``validate_shacl(include_inferred=True)``)."""
+        if not self.config.get("shacl_enforce"):
+            return
+        import pyspark.sql.functions as F
+
+        from dublin_smart_city_graphdb_spark.shacl import (
+            SHACL_REPORT_CAP,
+            SHACL_SHAPES_GRAPH,
+            ShaclViolationError,
+            validate,
+        )
+
+        if shapes_delta or self._shapes_cache is None:
+            shapes = self._stored_shapes(candidate)
+            # cache only when this parse reflects the COMMITTED shapes
+            # graph: a shapes-touching candidate may still be rejected
+            # below, so its parse must not stick
+            if shapes_delta:
+                self._shapes_cache = None
+            else:
+                self._shapes_cache = shapes
+        else:
+            shapes = self._shapes_cache
+        if not shapes:
+            return
+        data = candidate.filter(
+            F.col("g").isNull()
+            | (~F.col("g").isin(INFERRED_GRAPH, SHACL_SHAPES_GRAPH))
+        )
+        # a commit that touches the SHAPES graph changes what conformance
+        # means for every focus node — the delta-focus restriction is
+        # only sound when the shape set itself is unchanged
+        report = validate(data, shapes, None if shapes_delta else affected)
+        rows = report.limit(SHACL_REPORT_CAP + 1).collect()
+        if rows:
+            raise ShaclViolationError(
+                [r.asDict() for r in rows[:SHACL_REPORT_CAP]],
+                truncated=len(rows) > SHACL_REPORT_CAP,
+            )
+
+    def _shacl_gate_append(self, new_df: DataFrame) -> None:
+        """Append-path commit gate: candidate = store ∪ batch; affected =
+        the batch's subjects plus IRI/bnode objects (a superset of every
+        node whose incident statements change — sound for the delta-local
+        focus restriction)."""
+        if not self.config.get("shacl_enforce"):
+            return
+        import pyspark.sql.functions as F
+
+        from dublin_smart_city_graphdb_spark.shacl import SHACL_SHAPES_GRAPH
+
+        candidate = (
+            new_df
+            if self._quads is None
+            else self._quads.unionByName(new_df)
+        )
+        shapes_delta = bool(
+            new_df.filter(F.col("g") == SHACL_SHAPES_GRAPH).limit(1).count()
+        )
+        affected = (
+            new_df.select(F.col("s").alias("focus"))
+            .unionByName(
+                new_df.filter(F.col("o_kind").isin(0, 1)).select(
+                    F.col("o_lex").alias("focus")
+                )
+            )
+            .distinct()
+        )
+        self._enforce_shacl(candidate, affected, shapes_delta)
+
+    def _ops_affected(
+        self, ops: list, max_nodes: int = 20_000
+    ) -> tuple[DataFrame | None, bool]:
+        """(affected-focus frame | None, shapes_delta) for an update-op
+        batch. Ground data ops yield their constant subjects + node
+        objects driver-side (no Spark job); pattern-driven ops return
+        (None, True) — full validation plus a shapes re-parse, the
+        conservative sound fallback."""
+        from dublin_smart_city_graphdb_spark.shacl import SHACL_SHAPES_GRAPH
+        from dublin_smart_city_graphdb_spark.sparql import ast as A
+        from dublin_smart_city_graphdb_spark.sparql.update import _ground_rows
+
+        nodes: set[str] = set()
+        shapes_delta = False
+        for op in ops:
+            if not isinstance(op, (A.InsertDataOp, A.DeleteDataOp)):
+                return None, True
+            for row in _ground_rows(op.quads):
+                if row[0] == SHACL_SHAPES_GRAPH:
+                    shapes_delta = True
+                nodes.add(row[1])
+                if row[3] in (0, 1):
+                    nodes.add(row[4])
+        if len(nodes) > max_nodes:
+            return None, shapes_delta
+        return (
+            self.spark.createDataFrame(
+                [(n,) for n in sorted(nodes)], "focus string"
+            ),
+            shapes_delta,
+        )
+
     def check_consistency(self, include_inferred: bool = True) -> DataFrame:
         """OWL 2 RL inconsistency rules (eq-diff*, prp-irp/asyp/pdw/adp/
         npa*, cls-com/nothing2/maxc1/maxqc1+2, cax-dw/adc) as a
@@ -601,38 +788,16 @@ class Repository:
         SELECT never sits in driver memory as one list, matching how
         GraphDB streams result sets (the HTTP layer switches to a
         streamed response above a row threshold)."""
-        import json as _json
-
         from dublin_smart_city_graphdb_spark.sparql import ast as _ast
         from dublin_smart_city_graphdb_spark.sparql.protocol import (
-            row_binding,
+            select_result_chunks,
         )
 
         form = parse_query(query_text)
         if not isinstance(form, _ast.SelectQuery):
             return None
         df = self.sparql(query_text, include_inferred=include_inferred)
-        cols = list(df.columns)
-        if cols == ["ask"]:
-            return None
-
-        def gen():
-            yield (
-                '{"head": {"vars": %s}, "results": {"bindings": ['
-                % _json.dumps(cols)
-            )
-            first = True
-            buf: list[str] = []
-            for row in df.toLocalIterator():
-                buf.append(_json.dumps(row_binding(cols, row)))
-                if len(buf) >= batch_rows:
-                    yield ("" if first else ", ") + ", ".join(buf)
-                    first, buf = False, []
-            if buf:
-                yield ("" if first else ", ") + ", ".join(buf)
-            yield "]}}"
-
-        return gen()
+        return select_result_chunks(df, batch_rows=batch_rows)
 
     def graph_result_chunks(
         self, query_text: str, accept: str,
@@ -744,6 +909,9 @@ class Repository:
                 result = UpdateExecutor(self.spark, self._load_fn()).apply(
                     explicit, ops
                 )
+                if self.config.get("shacl_enforce"):
+                    affected, shapes_delta = self._ops_affected(ops)
+                    self._enforce_shacl(result, affected, shapes_delta)
                 ruleset = _norm_ruleset(self.config.get("ruleset", "none"))
                 inferred_new = None
                 if (
@@ -1157,13 +1325,20 @@ class Engine:
         context_index: bool = True,
         bucket_subjects: int = 0,
         rules: list[str] | None = None,
+        shacl_enforce: bool = False,
     ) -> Repository:
         """Idempotent create (matches init-graphdb.sh:36-82 + :145-154).
         ``bucket_subjects=N`` co-locates quads by subject hash (N buckets):
         star-compacted BGPs then aggregate with no shuffle at all.
         ``ruleset="custom"`` takes ``rules`` — SPARQL CONSTRUCT texts run
         to fixpoint at load time (the GraphDB custom-.pie-ruleset analog);
-        the rule texts persist in config.json like every other setting."""
+        the rule texts persist in config.json like every other setting.
+        ``shacl_enforce=True`` turns on validation-on-commit (RDF4J
+        ShaclSail parity): every load/update/transaction commit validates
+        the post-state against the shapes stored in the
+        ``SHACL_SHAPES_GRAPH`` context and is rejected (store unchanged,
+        :class:`shacl.ShaclViolationError` with the report) on
+        violation."""
         if name in self._repos:
             return self._repos[name]
         if _norm_ruleset(ruleset) == "custom" and not rules:
@@ -1173,6 +1348,7 @@ class Engine:
             "query_timeout": query_timeout,
             "context_index": context_index,
             "bucket_subjects": bucket_subjects,
+            "shacl_enforce": shacl_enforce,
         }
         if rules is not None:
             config["rules"] = list(rules)
@@ -1226,6 +1402,7 @@ class Engine:
             context_index=config.get("context_index", True),
             bucket_subjects=config.get("bucket_subjects", 0),
             rules=config.get("rules"),
+            shacl_enforce=config.get("shacl_enforce", False),
         )
         repo.add_quads(
             read_nquads_distributed(

@@ -31,11 +31,13 @@ any mix, composed dimension-wise. ``buffer_wkt`` buffers every type via
 capsule unions through the same slab kernel. Malformed input returns
 None, surfacing as a SPARQL error. The empty geometry is
 ``GEOMETRYCOLLECTION EMPTY`` on output and accepted on input. Line
-outputs are NODED at proper transversal crossings (JTS overlay
-canonical form — two crossing lines union/difference into split
-pieces); one remaining documented canonical divergence: collinear
-OVERLAP endpoints dissolve into a single merged line where JTS keeps
-the overlay fragments (topologically equal, fewer pieces).
+outputs are NODED at proper transversal crossings AND at
+collinear-overlap endpoints (JTS overlay canonical form — two crossing
+lines union/difference into split pieces, and two partially-overlapping
+collinear lines union into three fragments split at the overlap
+interval's endpoints). One deliberate canonicalization remains:
+tip-to-tip endpoint touches chain-merge (the LineMerger form) — no
+overlap interval and no crossing exists there to node on.
 
 These run per-row (no joins, no shuffle): the pandas-UDF wrappers in
 sparql/extensions.py stream Arrow batches through them, so the work is
@@ -522,8 +524,21 @@ def _subtract_line_overlaps(lines: list[list[Pt]],
     return out
 
 
+def _overlap_nodes(la: list[list[Pt]], lb: list[list[Pt]]) -> set:
+    """Endpoints of the collinear-overlap intervals between two polyline
+    sets — overlay nodes in JTS canonical output (the noding the r8
+    review flagged as the last line-overlay divergence): union /
+    difference / symDifference split their linework there instead of
+    dissolving through."""
+    if not la or not lb:
+        return set()
+    ov, _ = _line_line_bits(la, lb)
+    return {s[0] for s in ov} | {s[1] for s in ov}
+
+
 def _node_crossings(
     pieces: list[Seg], extra_lines: list[list[Pt]] | None = None,
+    forced: set | frozenset = frozenset(),
 ) -> tuple[list[Seg], set]:
     """Split every piece at its PROPER transversal crossings (interior
     of one segment meeting the other, non-collinear) with the other
@@ -531,9 +546,11 @@ def _node_crossings(
     line output. Returns (noded pieces, crossing points); the points
     feed ``_merge_line_pieces(breaks=...)`` so chain rejoining cannot
     undo a node whose degree in the RESULT is 2 (e.g. A − B split where
-    B's pieces are absent from the result). Collinear contacts are NOT
-    nodes here — overlap endpoints keep the documented dissolve
-    canonicalization."""
+    B's pieces are absent from the result). ``forced`` adds overlay
+    nodes that aren't transversal crossings — the collinear-overlap
+    endpoints (JTS nodes linework there too: LINESTRING(0 0,2 0) ∪
+    LINESTRING(1 0,3 0) is three fragments, split at x=1 and x=2) —
+    splitting any piece they land inside and surviving the chain merge."""
     # normalize first: upstream clip/overlap splits may have fragmented a
     # piece exactly AT a crossing, hiding it from interior-contact
     # detection below — re-merge (degree-2 chains only), then re-fragment
@@ -546,11 +563,15 @@ def _node_crossings(
     if extra_lines:
         others += list(_lsegs(extra_lines))
     out: list[Seg] = []
-    nodes: set = set()
+    nodes: set = set(forced)
     for e in segs:
         (ax, ay), (bx, by) = e
         rx, ry = bx - ax, by - ay
+        den2 = rx * rx + ry * ry
         ts = {0.0, 1.0}
+        for p in forced:
+            if p != e[0] and p != e[1] and _on_segment(p, e[0], e[1]):
+                ts.add(((p[0] - ax) * rx + (p[1] - ay) * ry) / den2)
         for f in others:
             if f == e:
                 continue
@@ -770,7 +791,8 @@ def boolop_geom(a: Geom, b: Geom, op: str) -> Geom:
         left, right = boolop_geom(a, b, "sub"), boolop_geom(b, a, "sub")
         xor_segs, xor_nodes = _node_crossings(
             [s for ln in left.lines + right.lines
-             for s in zip(ln, ln[1:])]
+             for s in zip(ln, ln[1:])],
+            forced=_overlap_nodes(a.lines, b.lines),
         )
         merged = Geom(
             points=sorted(set(left.points + right.points)),
@@ -817,9 +839,11 @@ def boolop_geom(a: Geom, b: Geom, op: str) -> Geom:
     # JTS overlay noding: line output splits at proper transversal
     # crossings — with the other operand's lines too for A − B, whose
     # crossing partners are absent from the result (breaks keep the
-    # node through the degree-2 chain merge)
+    # node through the degree-2 chain merge) — and at collinear-overlap
+    # endpoints (forced nodes: JTS keeps the overlay fragments there)
     pieces, cross_nodes = _node_crossings(
-        pieces, b.lines if op == "sub" else None
+        pieces, b.lines if op == "sub" else None,
+        forced=_overlap_nodes(a.lines, b.lines),
     )
     lines = _merge_line_pieces(pieces, breaks=cross_nodes)
     # a line piece riding the kept area's interior/boundary is absorbed

@@ -302,6 +302,77 @@ def inference_retract_dred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shacl_enforce_commit",
+    """
+    SELECT step, outcome FROM (VALUES
+      ('violating_commit', 'rejected'),
+      ('violation_focus', 'urn:ex:carol'),
+      ('violation_constraint', 'MinCountConstraintComponent'),
+      ('store_after_reject', 'unchanged'),
+      ('conforming_commit', 'accepted')
+    ) AS t(step, outcome)
+    ORDER BY step
+    """,
+    doc="SHACL validation-on-commit under the oracle gate (SURVEY §2.8, "
+        "round 9 — RDF4J ShaclSail parity): a shacl_enforce repository "
+        "holds shapes in the RDF4J shapes graph; a commit whose "
+        "post-state violates minCount is REJECTED with the store "
+        "unchanged and a report naming the focus/constraint, then a "
+        "conforming commit lands. Constant-valued oracle — the contract "
+        "is sf-independent by construction.",
+    cache_plan=False,
+)
+def shacl_enforce_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dublin_smart_city_graphdb_spark.engine import Engine
+    from dublin_smart_city_graphdb_spark.shacl import (
+        SHACL_SHAPES_GRAPH,
+        ShaclViolationError,
+    )
+
+    eng = Engine(spark)
+    name = f"gate_shacl_enforce_{abs(hash(sf_dir)) % 10_000}"
+    repo = eng.create_repository(name, ruleset="none", shacl_enforce=True)
+    if not repo.count():
+        repo.load_turtle_text("""
+            @prefix sh: <http://www.w3.org/ns/shacl#> .
+            @prefix ex: <urn:ex:> .
+            ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+              sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+        """, graph=SHACL_SHAPES_GRAPH)
+        repo.load_turtle_text(
+            '@prefix ex: <urn:ex:> . ex:alice a ex:Person ; ex:name "A" .'
+        )
+    before = repo.count()
+    rows = []
+    try:
+        repo.update("PREFIX ex: <urn:ex:> INSERT DATA { ex:carol a ex:Person }")
+        rows.append(("violating_commit", "accepted"))
+    except ShaclViolationError as ex:
+        rows.append(("violating_commit", "rejected"))
+        rows.append(("violation_focus", ex.report_rows[0]["focus"]))
+        rows.append(
+            ("violation_constraint", ex.report_rows[0]["constraint"])
+        )
+    rows.append((
+        "store_after_reject",
+        "unchanged" if repo.count() == before else "mutated",
+    ))
+    try:
+        repo.update(
+            "PREFIX ex: <urn:ex:> "
+            'INSERT DATA { ex:carol a ex:Person ; ex:name "C" }'
+        )
+        outcome = "accepted" if repo.count() == before + 2 else "lost"
+    except ShaclViolationError:
+        outcome = "rejected"
+    rows.append(("conforming_commit", outcome))
+    eng.drop_repository(name)
+    return spark.createDataFrame(rows, "step string, outcome string").orderBy(
+        "step"
+    )
+
+
+@register(
     "sparql_optional_suppliers",
     """
     SELECT n.n_name AS nation, COUNT(s.s_suppkey) AS num_suppliers

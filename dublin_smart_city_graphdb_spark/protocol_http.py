@@ -36,6 +36,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import pyspark.sql.functions as F
 
 from dublin_smart_city_graphdb_spark.engine import Engine
+from dublin_smart_city_graphdb_spark.shacl import ShaclViolationError
 
 
 #: A SELECT response longer than this many buffered chunks (chunk ≈ 1024
@@ -104,6 +105,18 @@ def _make_handler(engine: Engine):
                 return  # connection already marked for close mid-stream
             except Exception as ex:  # noqa: BLE001 — protocol boundary
                 self._send(400, {"error": str(ex)})
+
+        def _send_shacl(self, ex: ShaclViolationError) -> None:
+            """A commit rejected by SHACL validation-on-commit: 409
+            Conflict with the (capped) validation report — the RDF4J
+            ShaclSail failure contract over HTTP. The store is unchanged
+            (the gate raises before any write lands)."""
+            self._send(409, {
+                "error": str(ex),
+                "conforms": False,
+                "truncated": ex.truncated,
+                "violations": ex.report_rows,
+            })
 
         def _send_chunks(self, code: int, chunks, ctype: str) -> None:
             """Answer from a chunk iterator. Small results accumulate and
@@ -337,17 +350,35 @@ def _make_handler(engine: Engine):
                         query = (qs.get("query") or [body.decode()])[0]
                         from dublin_smart_city_graphdb_spark.sparql.protocol import (
                             rows_to_json,
+                            select_result_chunks,
                         )
 
                         df = tx.query(query)
-                        doc = rows_to_json(df.columns, df.collect())
-                        self._send(200, doc)
+                        # SELECT results stream exactly like the main
+                        # query endpoint (VERDICT r8 task 3): chunked
+                        # results-JSON over toLocalIterator against the
+                        # transaction snapshot — a large SELECT inside a
+                        # transaction never sits on the driver as one
+                        # collected list. ASK stays buffered (one row).
+                        chunks = select_result_chunks(df)
+                        if chunks is not None:
+                            self._send_chunks(
+                                200, chunks,
+                                "application/sparql-results+json",
+                            )
+                        else:
+                            doc = rows_to_json(df.columns, df.collect())
+                            self._send(200, doc)
                     elif action == "COMMIT":
                         tx.commit()
                         txns.pop(txid, None)
                         self._send(200, "")
                     else:
                         self._send(400, {"error": f"unknown action {action!r}"})
+                except _StreamAborted:
+                    return  # connection already mid-stream; only abort
+                except ShaclViolationError as ex:
+                    self._send_shacl(ex)
                 except Exception as ex:  # noqa: BLE001
                     self._send(400, {"error": str(ex)})
                 return
@@ -369,6 +400,8 @@ def _make_handler(engine: Engine):
                 self._send(204, "")
             except self._UnsupportedRdfType as ex:
                 self._send(415, {"error": f"unsupported RDF content type: {ex}"})
+            except ShaclViolationError as ex:
+                self._send_shacl(ex)
             except Exception as ex:  # noqa: BLE001
                 self._send(400, {"error": str(ex)})
 
@@ -539,6 +572,8 @@ def _make_handler(engine: Engine):
                     self._send(204, "")
                 except self._UnsupportedRdfType as ex:
                     self._send(415, {"error": f"unsupported RDF content type: {ex}"})
+                except ShaclViolationError as ex:
+                    self._send_shacl(ex)
                 except Exception as ex:  # noqa: BLE001
                     self._send(400, {"error": str(ex)})
                 return
@@ -576,8 +611,12 @@ def _make_handler(engine: Engine):
                 timeout = float(
                     params.get("queryTimeout", {}).get("value", 30)
                 )
+                enforce = str(
+                    params.get("shaclEnforce", {}).get("value", "false")
+                ).lower() == "true"
                 engine.create_repository(
-                    name, ruleset=ruleset, query_timeout=timeout
+                    name, ruleset=ruleset, query_timeout=timeout,
+                    shacl_enforce=enforce,
                 )
                 self._send(201, {"id": name})
                 return
@@ -585,12 +624,18 @@ def _make_handler(engine: Engine):
             if len(parts) == 3 and parts[0] == "repositories" and parts[2] == "shacl":
                 # SHACL validation: POST a shapes document (text/turtle),
                 # get the validation report back as JSON — the batch face
-                # of the GraphDB/RDF4J SHACL engine surface.
+                # of the GraphDB/RDF4J SHACL engine surface. An EMPTY body
+                # validates against the STORED shapes graph (the shape set
+                # shacl_enforce repositories check on every commit).
                 repo = self._repo(parts[1])
                 if repo is None:
                     return
                 try:
-                    report = repo.validate_shacl(body.decode())
+                    report = (
+                        repo.validate_shacl(body.decode())
+                        if body.strip()
+                        else repo.validate_shacl_stored()
+                    )
                     rows = report.limit(1001).collect()
                     truncated = len(rows) > 1000
                     payload = {
@@ -621,6 +666,8 @@ def _make_handler(engine: Engine):
                             update = body.decode()
                         repo.update(update)
                         self._send(204, "")
+                except ShaclViolationError as ex:
+                    self._send_shacl(ex)
                 except Exception as ex:  # noqa: BLE001
                     self._send(400, {"error": str(ex)})
                 return
@@ -694,6 +741,8 @@ def _make_handler(engine: Engine):
                     else:
                         repo.update("CLEAR SILENT DEFAULT")
                     self._send(204, "")
+                except ShaclViolationError as ex:
+                    self._send_shacl(ex)
                 except Exception as ex:  # noqa: BLE001
                     self._send(400, {"error": str(ex)})
                 return
@@ -721,6 +770,8 @@ def _make_handler(engine: Engine):
                     else:
                         repo.update("CLEAR ALL")
                     self._send(204, "")
+                except ShaclViolationError as ex:
+                    self._send_shacl(ex)
                 except Exception as ex:  # noqa: BLE001
                     self._send(400, {"error": str(ex)})
                 return

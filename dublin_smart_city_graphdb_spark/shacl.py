@@ -160,6 +160,40 @@ class ShaclError(ValueError):
     pass
 
 
+#: RDF4J's reserved shapes-graph context: ShaclSail reads the shapes it
+#: enforces from this named graph, and clients load shapes into it via
+#: ordinary statement APIs (GSP PUT, transaction ADD with context). The
+#: engine's validation-on-commit mode uses the same convention.
+SHACL_SHAPES_GRAPH = "http://rdf4j.org/schema/rdf4j#SHACLShapeGraph"
+
+#: Collect guard for the stored-shapes graph: shapes documents are
+#: ontology-sized by nature; a shapes graph past this row count is almost
+#: certainly data loaded into the wrong context, and collecting it to the
+#: driver would be the bug — fail loudly instead.
+SHAPES_GRAPH_CAP = 200_000
+
+#: Violation rows collected into a ShaclViolationError (and serialized by
+#: the REST layer on a rejected commit). The report DataFrame is computed
+#: distributed; only this prefix lands on the driver — a commit touching
+#: a million violating nodes must not OOM the driver to be rejected.
+SHACL_REPORT_CAP = 100
+
+
+class ShaclViolationError(ValueError):
+    """A commit was rejected by SHACL validation-on-commit (the RDF4J
+    ShaclSail contract: transactions whose post-state violates the stored
+    shapes fail and leave the store unchanged). Carries the (capped)
+    validation report rows so protocol layers can serialize them."""
+
+    def __init__(self, report_rows: list[dict], truncated: bool = False):
+        self.report_rows = report_rows
+        self.truncated = truncated
+        super().__init__(
+            f"SHACL validation on commit failed: {len(report_rows)}"
+            f"{'+' if truncated else ''} violation(s)"
+        )
+
+
 def _term_key(t: Term) -> tuple[int, str]:
     if isinstance(t, IRI):
         return (0, t.value)
@@ -168,13 +202,48 @@ def _term_key(t: Term) -> tuple[int, str]:
     return (1, getattr(t, "label", str(t)))
 
 
+def quad_rows_to_triples(rows) -> list[tuple[Term, Term, Term]]:
+    """Collected QUAD_SCHEMA rows → (s, p, o) Term triples — the inverse
+    of ``model.terms.term_to_row`` for the shapes-graph collect path
+    (shapes graphs are ontology-sized; the data graph stays distributed).
+    Quoted-triple terms can't occur in well-formed shapes documents and
+    are rejected."""
+    from dublin_smart_city_graphdb_spark.model.terms import BNode
+
+    def node(lex: str) -> Term:
+        return BNode(lex[2:]) if lex.startswith("_:") else IRI(lex)
+
+    out: list[tuple[Term, Term, Term]] = []
+    for r in rows:
+        if r["o_kind"] == 3 or r["s"].startswith("<<"):
+            raise ShaclError(
+                "shacl: quoted-triple terms are not valid in a shapes graph"
+            )
+        if r["o_kind"] == 2:
+            o: Term = Literal(
+                r["o_lex"], datatype=r["o_dtype"], lang=r["o_lang"]
+            )
+        else:
+            o = node(r["o_lex"])
+        out.append((node(r["s"]), IRI(r["p"]), o))
+    return out
+
+
 def parse_shapes(text: str) -> list[NodeShape]:
     """Parse a shapes document (Turtle text) into NodeShape structs.
     Driver-side by design: shapes graphs are ontology-sized (the data
     graph is the distributed side)."""
     from dublin_smart_city_graphdb_spark.sources.turtle import parse_turtle
 
-    triples = parse_turtle(text)
+    return shapes_from_triples(parse_turtle(text))
+
+
+def shapes_from_triples(
+    triples: list[tuple[Term, Term, Term]],
+) -> list[NodeShape]:
+    """Build NodeShape structs from parsed (s, p, o) triples — shared by
+    the text path (:func:`parse_shapes`) and the stored-shapes-graph path
+    (validation-on-commit reads shapes from ``SHACL_SHAPES_GRAPH``)."""
     spo: dict[str, list[tuple[str, Term]]] = {}
 
     def node_id(t: Term) -> str:
@@ -452,9 +521,57 @@ def _report_row(ps: PropertyShape, shape: str, constraint: str,
     ]
 
 
-def validate(quads: DataFrame, shapes: list[NodeShape]) -> DataFrame:
+def _ps_delta_local(ps: PropertyShape) -> bool:
+    """True when every triple this property shape reads has the focus
+    node as its subject or object — i.e. conformance of a focus node can
+    only change when a statement TOUCHING that node changes. Single-step
+    paths (direct or inverse) qualify; composite paths, sh:class (reads
+    the VALUE node's type statements), and sh:node / qualified-shape
+    references (read the value node's properties) do not."""
+    if ps.path_expr is not None:
+        return False
+    if ps.class_ is not None or ps.node is not None:
+        return False
+    for kids in (ps.or_branches, ps.and_branches, ps.xone_branches):
+        if kids and not all(_ps_delta_local(k) for k in kids):
+            return False
+    if ps.not_branch is not None and not _ps_delta_local(ps.not_branch):
+        return False
+    if ps.qvs is not None and not _ps_delta_local(ps.qvs):
+        return False
+    return True
+
+
+def shape_delta_local(ns: NodeShape) -> bool:
+    """True when the shape's validation outcome for a focus node depends
+    only on statements incident to that node: commit-time validation may
+    then restrict the focus set to nodes touched by the commit's delta
+    (subjects + IRI/bnode objects of changed statements) — O(Δ ⋈ store)
+    instead of O(store) per commit, the property that keeps
+    validation-on-commit viable at 100 TB. sh:sparql constraints see the
+    whole graph, so they disqualify; sh:closed is subject-local and
+    qualifies. Target selection is unaffected: a node can only ENTER or
+    LEAVE the focus set via a statement incident to it (type statement,
+    targetSubjectsOf/ObjectsOf statement), so restricting to touched
+    nodes also covers newly-targeted and de-targeted nodes."""
+    return not ns.sparql_constraints and all(
+        _ps_delta_local(p) for p in ns.properties
+    )
+
+
+def validate(
+    quads: DataFrame,
+    shapes: list[NodeShape],
+    affected: DataFrame | None = None,
+) -> DataFrame:
     """Validation report: one row per violation (sh:ValidationResult).
-    Empty report ⇔ conforms."""
+    Empty report ⇔ conforms.
+
+    ``affected`` (a one-column ``focus string`` frame) restricts
+    validation of DELTA-LOCAL shapes (:func:`shape_delta_local`) to focus
+    nodes in that set — the commit-time incremental mode. Shapes that are
+    not delta-local validate their full focus set regardless, keeping the
+    report sound."""
     spark = quads.sparkSession
     shapes_map = {ns.iri: ns for ns in shapes}
     reports: list[DataFrame] = []
@@ -462,6 +579,8 @@ def validate(quads: DataFrame, shapes: list[NodeShape]) -> DataFrame:
         if ns.deactivated:  # sh:deactivated true: the shape is skipped
             continue
         focus = _focus_nodes(quads, ns)
+        if affected is not None and shape_delta_local(ns):
+            focus = focus.join(affected, "focus", "left_semi")
         for ps in ns.properties:
             reports.extend(
                 _check_property(quads, focus, ns, ps, shapes_map)

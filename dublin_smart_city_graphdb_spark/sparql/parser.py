@@ -497,6 +497,13 @@ class SparqlParser:
                     )
                 rows.append(row)
             self._expect_op("}")
+        names = [v.name for v in vars_]
+        if len(set(names)) != len(names):
+            # grammar note on DataBlock: the variable list must not
+            # repeat a variable (round 9 — found by syn-neg-values-dup-var)
+            raise ValueError(
+                "sparql: VALUES repeats a variable in its variable list"
+            )
         return ValuesPattern(vars_, rows)
 
     def _values_term(self):
@@ -535,6 +542,25 @@ class SparqlParser:
             while True:
                 obj = self._graph_term(out)
                 out.append(TriplePattern(subj, pred, obj))
+                # SPARQL-star annotation syntax (round 9): `:s :p :o
+                # {| :src ?x |}` asserts the triple AND opens a
+                # predicate-object list on its quoted form — sugar for
+                # `<< :s :p :o >> :src ?x`. Two-token lookahead keeps
+                # `{` starting a nested group graph pattern unambiguous
+                # (a group can't begin with `|`).
+                while self._peek()[1] == "{" and self._peek(1)[1] == "|":
+                    self._next()
+                    self._next()
+                    if not isinstance(pred, (IRI, Var)):
+                        raise ValueError(
+                            "sparql: annotation {| |} needs a plain"
+                            " predicate, not a path"
+                        )
+                    self._predicate_object_list(
+                        QuotedPattern(subj, pred, obj), out
+                    )
+                    self._expect_op("|")
+                    self._expect_op("}")
                 if self._accept_op(","):
                     continue
                 break
@@ -1246,6 +1272,17 @@ def _validate_query(q) -> None:
             raise ValueError(
                 f"sparql: ?{name} is assigned or projected twice in the "
                 "SELECT clause"
+            )
+        if alias is not None and any(
+            name in _element_scope_vars(e) for e in q.where.elements
+        ):
+            # 18.2.4.4 second clause: the AS target must also be fresh
+            # with respect to the WHERE pattern's IN-SCOPE variables
+            # (round 9 — found by syn-neg-select-alias-shadows;
+            # _element_scope_vars keeps subselect-hidden vars out)
+            raise ValueError(
+                f"sparql: (expr AS ?{name}) shadows a variable already"
+                " in scope in the WHERE pattern"
             )
         seen_names.add(name)
     if grouped and q.projections:

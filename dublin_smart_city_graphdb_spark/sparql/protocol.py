@@ -63,6 +63,41 @@ def rows_to_json(columns: list[str], rows: list) -> dict:
     }
 
 
+def select_result_chunks(df: DataFrame, batch_rows: int = 1024):
+    """SELECT-result DataFrame → iterator of results-JSON text chunks, or
+    None for the ASK form (single boolean row — buffered is correct).
+    Concatenated chunks are byte-identical to
+    ``json.dumps(rows_to_json(df.columns, df.collect()))``, but rows
+    arrive through ``toLocalIterator`` — one partition resident on the
+    driver at a time. Shared by the main query endpoint
+    (``Repository.sparql_result_chunks``) and the RDF4J transaction QUERY
+    route (VERDICT r8 task 3: that route used to ``collect()`` the whole
+    result on the driver, uncapped)."""
+    import json as _json
+
+    cols = list(df.columns)
+    if cols == ["ask"]:
+        return None
+
+    def gen():
+        yield (
+            '{"head": {"vars": %s}, "results": {"bindings": ['
+            % _json.dumps(cols)
+        )
+        first = True
+        buf: list[str] = []
+        for row in df.toLocalIterator():
+            buf.append(_json.dumps(row_binding(cols, row)))
+            if len(buf) >= batch_rows:
+                yield ("" if first else ", ") + ", ".join(buf)
+                first, buf = False, []
+        if buf:
+            yield ("" if first else ", ") + ", ".join(buf)
+        yield "]}}"
+
+    return gen()
+
+
 def _nt_escape(col) -> "F.Column":
     out = F.regexp_replace(col, r"\\", r"\\\\")
     out = F.regexp_replace(out, '"', '\\\\"')

@@ -237,15 +237,59 @@ def quoted_subject_struct(col: Column) -> Column:
                    _NULL_B())
 
 
-_QT_COMPONENT_RE = r"^<< (\S+) (\S+) (.+) >>$"
-
-
 def quoted_component(col: Column, k: int) -> Column:
     """Extract component k (1=subject, 2=predicate, 3=object) of a quoted
-    triple's canonical text. Subject and predicate are IRIs/bnode labels
-    (never contain whitespace); the object is the unambiguous remainder,
-    so literals with spaces — and even a nested quoted OBJECT — survive."""
-    return F.regexp_extract(col, _QT_COMPONENT_RE, k)
+    triple's canonical text — nesting-aware (round 9: the old regex
+    required a whitespace-free subject, so SUBJECT() of a NESTED quoted
+    subject like ``<< << :a :p :b >> :cert 0.9 >>`` failed; found by the
+    W3C-star slice). Pure JVM expression: tokenize the inner text on
+    single spaces, walk ``<<``/``>>`` depth to find where the subject
+    ends (one token, or a balanced block), take the next token as the
+    predicate (always IRI/bnode), and rejoin the remainder as the object
+    (so literals with spaces and nested quoted objects survive —
+    split+join on the same separator is lossless). Known corner: a
+    literal whose TEXT contains a lone ``<<``/``>>`` token corrupts the
+    depth walk; canonical engine serializations never emit one outside a
+    quoted string. Non-quoted input yields '' (the old regex contract)."""
+    inner = col.substr(F.lit(4), F.length(col) - 6)
+    tokens = F.split(inner, " ")
+    delta = lambda t: (  # noqa: E731 — local token weight
+        F.when(t == "<<", F.lit(1)).when(t == ">>", F.lit(-1)).otherwise(
+            F.lit(0)
+        )
+    )
+    # token count of the subject: 1 for a plain term, else the prefix
+    # length where << / >> depth first returns to zero
+    subj_n = F.when(F.element_at(tokens, 1) != "<<", F.lit(1)).otherwise(
+        F.aggregate(
+            tokens,
+            F.struct(
+                F.lit(0).alias("d"), F.lit(0).alias("i"),
+                F.lit(0).alias("n"),
+            ),
+            lambda acc, t: F.struct(
+                (acc["d"] + delta(t)).alias("d"),
+                (acc["i"] + 1).alias("i"),
+                F.when(
+                    (acc["n"] == 0) & ((acc["d"] + delta(t)) == 0),
+                    acc["i"] + 1,
+                ).otherwise(acc["n"]).alias("n"),
+            ),
+        )["n"]
+    )
+    if k == 1:
+        out = F.array_join(F.slice(tokens, F.lit(1), subj_n), " ")
+    elif k == 2:
+        out = F.element_at(tokens, subj_n + 1)
+    else:
+        out = F.array_join(
+            F.slice(
+                tokens, subj_n + 2,
+                F.greatest(F.lit(0), F.size(tokens) - subj_n - 1),
+            ),
+            " ",
+        )
+    return F.when(col.rlike(r"^<< .* >>$"), out).otherwise(F.lit(""))
 
 
 def nt_text_to_struct(col: Column) -> Column:

@@ -367,10 +367,25 @@ def test_line_polygon_set_ops():
 def test_line_line_set_ops():
     assert boolop_wkt(M1, M2, "and") == "LINESTRING(4.0 0.0, 10.0 0.0)"
     assert boolop_wkt(M1, M2, "sub") == "LINESTRING(0.0 0.0, 4.0 0.0)"
-    # overlapping collinear union dissolves into one line
-    assert boolop_wkt(M1, M2, "or") == "LINESTRING(0.0 0.0, 14.0 0.0)"
+    # overlapping collinear union: NODED at the overlap endpoints (JTS
+    # overlay canonical form — r8 verdict task 4; previously dissolved
+    # into one merged line)
+    assert boolop_wkt(M1, M2, "or") == (
+        "MULTILINESTRING((0.0 0.0, 4.0 0.0), (4.0 0.0, 10.0 0.0), "
+        "(10.0 0.0, 14.0 0.0))"
+    )
     assert boolop_wkt(M1, M2, "xor") == (
         "MULTILINESTRING((0.0 0.0, 4.0 0.0), (10.0 0.0, 14.0 0.0))"
+    )
+    # overlap strictly inside one operand: three fragments, the middle
+    # one being the shared interval (JTS union of (0..10) with (4..7))
+    assert boolop_wkt(M1, "LINESTRING(4.0 0.0, 7.0 0.0)", "or") == (
+        "MULTILINESTRING((0.0 0.0, 4.0 0.0), (4.0 0.0, 7.0 0.0), "
+        "(7.0 0.0, 10.0 0.0))"
+    )
+    # ... and difference keeps the gap fragments unmerged
+    assert boolop_wkt(M1, "LINESTRING(4.0 0.0, 7.0 0.0)", "sub") == (
+        "MULTILINESTRING((0.0 0.0, 4.0 0.0), (7.0 0.0, 10.0 0.0))"
     )
     # transversal crossing: point intersection; difference/union/xor are
     # NODED at the crossing (JTS overlay canonical form — the measure-

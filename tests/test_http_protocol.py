@@ -1117,3 +1117,58 @@ def test_jsonld_export_cap_413(server, monkeypatch):
     except urllib.error.HTTPError as e:
         assert e.code == 413
         assert b"dump" in e.read()
+
+
+def test_txn_query_streams_byte_identical(server):
+    """VERDICT r8 task 3: a large SELECT inside an RDF4J transaction goes
+    out STREAMED (no Content-Length — the route used to collect() the
+    whole result on the driver, uncapped) and byte-identical to the
+    buffered results-JSON serializer; small results and ASK keep the
+    Content-Length path."""
+    repo = _graph_fixture(server, "txn_stream", n=5000)
+
+    req = urllib.request.Request(
+        _url(server, "/repositories/txn_stream/transactions"), data=b"",
+    )
+    with urllib.request.urlopen(req) as r:
+        loc = r.headers["Location"]
+
+    def put(q, data=b""):
+        preq = urllib.request.Request(
+            _url(server, f"{loc}?{q}"), data=data,
+            headers={"Content-Type": "text/turtle"}, method="PUT",
+        )
+        return urllib.request.urlopen(preq)
+
+    # buffered statements become part of the snapshot the stream reads
+    put("action=ADD", b'<http://s#extra> <http://s#val> "extra" .').close()
+    query = (
+        "PREFIX ex: <http://s#> SELECT ?s ?v WHERE { ?s ex:val ?v } "
+        "ORDER BY ?s"
+    )
+    with put(f"action=QUERY&query={urllib.parse.quote(query)}") as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Length") is None  # streamed
+        assert r.headers.get_content_type() == (
+            "application/sparql-results+json"
+        )
+        body = r.read().decode()
+    doc = json.loads(body)
+    assert len(doc["results"]["bindings"]) == 5001  # snapshot incl. ADD
+    # byte-identical to the buffered serializer over the SAME snapshot
+    from dublin_smart_city_graphdb_spark.sparql.protocol import rows_to_json
+
+    tx = repo.begin()
+    tx.add_turtle('<http://s#extra> <http://s#val> "extra" .')
+    df = tx.query(query)
+    assert body == json.dumps(rows_to_json(df.columns, df.collect()))
+    tx.rollback()
+    # small SELECT stays buffered (Content-Length present)
+    small = "PREFIX ex: <http://s#> SELECT ?v WHERE { ex:n7 ex:val ?v }"
+    with put(f"action=QUERY&query={urllib.parse.quote(small)}") as r:
+        assert r.headers.get("Content-Length") is not None
+    # ASK keeps the boolean-document form
+    ask = "PREFIX ex: <http://s#> ASK { ex:n7 ex:val ?v }"
+    with put(f"action=QUERY&query={urllib.parse.quote(ask)}") as r:
+        assert r.headers.get("Content-Length") is not None
+        assert json.loads(r.read())["boolean"] is True

@@ -190,7 +190,12 @@ def w3c_engine(spark):
     eng = Engine(spark)
     repos: dict = {}
 
-    rulesets = {"": "none", "RDFS": "rdfsplus", "OWL-Horst": "owl-horst"}
+    rulesets = {
+        "": "none",
+        "RDFS": "rdfsplus",
+        "OWL-Horst": "owl-horst",
+        "OWL2-RL": "owl2-rl",
+    }
 
     def repo_for(data_iri: str, graph_data: tuple = (), regime: str = ""):
         key = (data_iri, graph_data, regime)
