@@ -88,6 +88,14 @@ class Repository:
         # graph on the next gated commit); [] = shapes graph empty.
         # Invalidated whenever a commit's delta touches the shapes graph.
         self._shapes_cache: list | None = None
+        # owl2-rl incremental-append round-function cache (round 9):
+        # building the RL rule table scans the full store (vocabulary
+        # flags + list-axiom collection) but depends only on its SCHEMA
+        # subset. {"round_fn": fn, "valid_at": version} — reused while
+        # every intervening mutation is an instance-only append; any
+        # other mutation leaves valid_at behind and the next append
+        # rebuilds. See owl2rl.materialize_incremental(ctx=...).
+        self._rl_ctx: dict = {}
         self._store = (
             QuadStore(
                 self.spark,
@@ -226,10 +234,33 @@ class Repository:
                 )
             else:
                 from dublin_smart_city_graphdb_spark.inference import owl2rl
-
-                inferred_new = owl2rl.materialize_incremental(
-                    self.spark, self.quads, new_df
+                from dublin_smart_city_graphdb_spark.inference.delta import (
+                    touches_schema_extended,
                 )
+
+                # round-fn cache: valid only if built when the store was
+                # at the CURRENT version (i.e. every mutation since the
+                # build was one of these instance-only appends)
+                if self._rl_ctx.get("valid_at") != self._version:
+                    self._rl_ctx.pop("round_fn", None)
+                schema_delta = touches_schema_extended(new_df)
+                inferred_new = owl2rl.materialize_incremental(
+                    self.spark, self.quads, new_df,
+                    ctx=None if schema_delta else self._rl_ctx,
+                )
+                if not schema_delta and touches_schema_extended(
+                    inferred_new
+                ):
+                    # the fixpoint DERIVED schema statements (scm-*,
+                    # owl:sameAs, vocabulary typings) — the cached rule
+                    # table no longer reflects the store's schema subset
+                    schema_delta = True
+                self.add_quads(new_df.unionByName(inferred_new))
+                if schema_delta:
+                    self._rl_ctx.clear()
+                else:
+                    self._rl_ctx["valid_at"] = self._version
+                return
             self.add_quads(new_df.unionByName(inferred_new))
 
     def load_nquads_text(self, text: str, graph: str | None = None) -> int:

@@ -456,7 +456,7 @@ def materialize(
 
 def materialize_incremental(
     spark: SparkSession, base: DataFrame, new_explicit: DataFrame,
-    max_rounds: int = 20,
+    max_rounds: int = 20, ctx: dict | None = None,
 ) -> DataFrame:
     """Inferred quads NEWLY entailed by adding ``new_explicit`` to
     ``base`` under owl2-rl (base = explicit ∪ already-materialized
@@ -468,7 +468,18 @@ def materialize_incremental(
     vocabulary force a full-evaluation round (the axiom tables and rule
     set are rebuilt from base ∪ Δ up front, so a schema-carrying Δ is
     still answered correctly). Runs in the same skolemized space as
-    ``materialize`` — anonymous class expressions keep matching."""
+    ``materialize`` — anonymous class expressions keep matching.
+
+    ``ctx`` (round 9): caller-owned round-function cache. Building the
+    round function scans the FULL store (vocabulary presence flags +
+    RDF-list axiom collection) — an O(store) term per append that the
+    r9 soak measured as the owl2-rl append's entire store-growth
+    (×3.02 under 10× store vs owl-horst's flat ×1.01). The rule table
+    depends only on the store's SCHEMA subset, so the caller passes the
+    same dict back while its commits stay instance-only (the engine
+    keys validity on its statement-set version and drops the dict on
+    any schema-touching or non-append mutation); ``ctx['round_fn']``
+    is reused when present and written back after a build."""
     from dublin_smart_city_graphdb_spark.inference.delta import (
         touches_schema_extended,
     )
@@ -478,9 +489,14 @@ def materialize_incremental(
         new_explicit.select(*_SPO_COLS)
     ).distinct().localCheckpoint(eager=True)
     known0 = base_spo.unionByName(delta_spo)
+    round_fn = ctx.get("round_fn") if ctx is not None else None
+    if round_fn is None:
+        round_fn = _incremental_round_fn(spark, known0)
+        if ctx is not None:
+            ctx["round_fn"] = round_fn
     return _deskolemize_out(_fixpoint(
         known0, delta_spo, max_rounds,
-        round_fn=_incremental_round_fn(spark, known0),
+        round_fn=round_fn,
         touches_schema=touches_schema_extended,
     ))
 
