@@ -644,17 +644,41 @@ def _all_vertices(xs: Column, ys: Column, pred) -> Column:
     ))
 
 
+def _any_edge_midpoint(xs: Column, ys: Column, pred) -> Column:
+    """∃ edge of the flat arrays whose MIDPOINT satisfies pred
+    (separator-adjacent edges have a null endpoint → null midpoint →
+    coalesced to false)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(xs) - 2, F.lit(0)))
+    return F.exists(idx, lambda i: F.coalesce(
+        pred(
+            (F.get(xs, i) + F.get(xs, i + 1)) / 2,
+            (F.get(ys, i) + F.get(ys, i + 1)) / 2,
+        ),
+        F.lit(False),
+    ))
+
+
 def _interiors_meet_flat(s) -> Column:
     """Polygon interiors share a point over bound arrays {xa,ya,xb,yb}:
-    a proper edge crossing, or a vertex of one STRICTLY inside the other.
-    (Exactness envelope: interiors that overlap with every vertex on the
-    other's boundary and no proper crossing — i.e. identical polygons —
-    are handled by the equals guard at the call sites.)"""
+    a proper edge crossing, a vertex of one STRICTLY inside the other,
+    or an edge MIDPOINT of one strictly inside the other. The midpoint
+    probe (round 9 — found by the interval-algebra property test: a box
+    nested in another while spanning its full y-extent has EVERY vertex
+    on the other's boundary, no crossing, yet its interior is inside)
+    covers the all-vertices-on-boundary containment class; what remains
+    outside the envelope is a boundary that lies ENTIRELY on the other's
+    boundary — the equals guard at the call sites."""
     xa, ya, xb, yb = s["xa"], s["ya"], s["xb"], s["yb"]
     return (
         _edges_cross_flat(xa, ya, xb, yb)
         | _any_vertex(xb, yb, lambda x, y: _strictly_inside_flat(xa, ya, x, y))
         | _any_vertex(xa, ya, lambda x, y: _strictly_inside_flat(xb, yb, x, y))
+        | _any_edge_midpoint(
+            xb, yb, lambda x, y: _strictly_inside_flat(xa, ya, x, y)
+        )
+        | _any_edge_midpoint(
+            xa, ya, lambda x, y: _strictly_inside_flat(xb, yb, x, y)
+        )
     )
 
 
