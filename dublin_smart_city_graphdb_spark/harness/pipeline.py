@@ -2682,6 +2682,103 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    uni AS (
+        SELECT t, COUNT(*) AS c
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t
+    ),
+    tot AS (SELECT SUM(c) AS n FROM uni),
+    bg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS r(i)
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN(0.75 * CAST(cb AS DOUBLE) / u1.c
+                        + 0.25 * CAST(u2.c AS DOUBLE) / n)), 6)
+               AS mean_logprob,
+           ROUND(-AVG(LN(0.75 * CAST(cb AS DOUBLE) / u1.c
+                         + 0.25 * CAST(u2.c AS DOUBLE) / n)) / LN(2), 6)
+               AS bits_per_bigram
+    FROM bg
+    JOIN bgc USING (w1, w2)
+    JOIN uni u1 ON bg.w1 = u1.t
+    JOIN uni u2 ON bg.w2 = u2.t
+    CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "text_bigram_perplexity",
+    _BIGRAM_SQL,
+    doc="Bigram-interpolated LM perplexity (the CCNet-style quality "
+        "signal one model class up from text_unigram_logprob): fit "
+        "corpus bigram counts, score every document's mean log-prob "
+        "under P(w2|w1) = 0.75·c(w1w2)/c(w1) + 0.25·c(w2)/N — "
+        "interpolation with the unigram model, so unseen-in-context "
+        "words degrade smoothly instead of zeroing the product. "
+        "Bigrams form MAP-SIDE from each document's token array "
+        "(transform over an index sequence — no positional self-join); "
+        "the unigram vocab broadcasts; the only corpus-scale shuffles "
+        "are the bigram-count groupBy and its join back to the bigram "
+        "stream (same key, so the exchange is reused) plus the per-doc "
+        "aggregation. Docs with <2 tokens have no bigrams and drop. "
+        "Scale ceiling mirrors the unigram op: at 100 TB truncate the "
+        "models to top-K n-grams with an OOV floor, same plan shape.",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_parallel(spark, sf_dir)
+    ts = F.split(F.col("text"), " ")
+    # the <2-token guard must precede sequence(): Spark's sequence(0, -1)
+    # counts DOWN ([0, -1]), it does not return an empty array
+    bg = (
+        d.filter(F.size(ts) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ts) - 2),
+                    lambda i: F.struct(
+                        F.get(ts, i).alias("w1"),
+                        F.get(ts, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+    uni = toks.groupBy("t").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    u1 = F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")))
+    p = (
+        F.lit(0.75) * F.col("cb").cast("double") / F.col("c1")
+        + F.lit(0.25) * F.col("c2").cast("double") / F.col("n")
+    )
+    return (
+        bg.join(bgc, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("mean_logprob"),
+            F.round(-F.avg(F.log(p)) / F.log(F.lit(2.0)), 6).alias(
+                "bits_per_bigram"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: rule-based quality filter (Gopher-style keep/drop with
 # per-rule flags — the auditable form: you can see WHY a doc was dropped)

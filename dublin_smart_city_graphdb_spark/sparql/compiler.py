@@ -149,6 +149,13 @@ class Compiled:
     df: DataFrame
     var_order: list[str]
     certain: set[str]
+    # Row-count UPPER BOUND from load-time predicate stats (None =
+    # unknown). Only trusted where an over-estimate is harmless and an
+    # under-estimate impossible: stats cover the full store and refresh
+    # on every mutation, so a predicate-constant scan can never exceed
+    # its stat. Used to turn cartesian-style joins into broadcast
+    # nested-loop joins when one side is provably small.
+    est_rows: float | None = None
 
     @property
     def vars(self) -> set[str]:
@@ -676,7 +683,10 @@ class QueryCompiler:
                 else:
                     ec = self._expr_compiler(cur)
                     bound = cur.df.withColumn(name, ec.compile(elem.expr))
-                cur = Compiled(bound, cur.var_order + [name], cur.certain)
+                cur = Compiled(
+                    bound, cur.var_order + [name], cur.certain,
+                    est_rows=cur.est_rows,  # BIND never changes row count
+                )
             elif isinstance(elem, A.ValuesPattern):
                 c = self._values(elem)
                 cur = c if cur is None else self.join(cur, c, "inner")
@@ -969,7 +979,22 @@ class QueryCompiler:
                     & c["dtype"].eqNullSafe(k["dtype"])
                     & c["lang"].eqNullSafe(k["lang"])
                 )
-        return Compiled(out.select(*sel), names, set(names))
+        return Compiled(
+            out.select(*sel), names, set(names),
+            est_rows=self._star_est(tps),
+        )
+
+    def _star_est(self, tps: list[A.TriplePattern]) -> float | None:
+        """Upper bound for a star group: the product of the member
+        predicates' stats (worst case every row shares one subject)."""
+        if not self.predicate_stats:
+            return None
+        est = 1.0
+        for tp in tps:
+            if not isinstance(tp.p, IRI):
+                return None
+            est *= float(self.predicate_stats.get(tp.p.value, 0))
+        return est
 
     def _compile_star(
         self,
@@ -1093,7 +1118,7 @@ class QueryCompiler:
             out = out.filter(F.col(c).eqNullSafe(F.col(vname)))
         if eq_filters:
             out = out.select(*names)
-        return Compiled(out, names, set(names))
+        return Compiled(out, names, set(names), est_rows=self._star_est(tps))
 
     @staticmethod
     def _qp_ground_term(qp: "A.QuotedPattern"):
@@ -1586,7 +1611,14 @@ class QueryCompiler:
                 conds.append(exprs[0] == other)
         for c in conds:
             df = df.filter(c)
-        return Compiled(df.select(*sel), names, set(names))
+        # predicate-constant scans are bounded by the load-time stat for
+        # that predicate (extra s/o constants only shrink the result)
+        est = (
+            float(self.predicate_stats.get(tp.p.value, 0))
+            if isinstance(tp.p, IRI) and self.predicate_stats
+            else None
+        )
+        return Compiled(df.select(*sel), names, set(names), est_rows=est)
 
     # -- property paths ------------------------------------------------------
     def _scan_path_pattern(
@@ -1825,7 +1857,34 @@ class QueryCompiler:
         # stays ≤ cap² regardless of chain depth.
         if not any(v in a.certain and v in b.certain for v in shared):
             cap = self._cross_partition_cap()
-            a_df, b_df = a_df.coalesce(cap), b_df.coalesce(cap)
+            # A side whose load-time stats PROVE it small becomes a
+            # broadcast: the physical join turns into a
+            # BroadcastNestedLoopJoin whose output keeps the probe
+            # side's partitioning, instead of a CartesianProduct whose
+            # |L|×|R| partition product we would otherwise have to cap
+            # on both inputs (cap² tiny tasks, each paying the full
+            # task-binary/codegen overhead — the dominant cost of the
+            # plan-analysis-heavy geo kernels). ~100k term-struct rows
+            # is ≲ 20 MB, well inside the broadcast budget at any scale.
+            bcast_rows = 100_000.0
+
+            def _small(c: Compiled) -> bool:
+                return c.est_rows is not None and c.est_rows <= bcast_rows
+
+            # broadcast-right works for inner/cross and every left-*
+            # flavor; broadcast-left only for inner/cross
+            b_can = _small(b)
+            a_can = _small(a) and how in ("inner", "cross")
+            if b_can and (not a_can or b.est_rows <= a.est_rows):
+                b_df = F.broadcast(b_df)
+                if _small(a):
+                    a_df = a_df.coalesce(1)
+            elif a_can:
+                a_df = F.broadcast(a_df)
+                if _small(b):
+                    b_df = b_df.coalesce(1)
+            else:
+                a_df, b_df = a_df.coalesce(cap), b_df.coalesce(cap)
         # rdf:type skew salting (SURVEY §7 M8): a pure-equi inner join
         # keyed on a class-position variable hashes every instance of a
         # dominant class to ONE partition. Salt 8 ways: the left side
@@ -1902,8 +1961,14 @@ class QueryCompiler:
         certain = set(a.certain)
         if how == "inner":
             certain |= b.certain
+        # result upper bound: inner ≤ |a|·|b|; left ≤ |a|·max(1,|b|)
+        est = None
+        if a.est_rows is not None and b.est_rows is not None:
+            est = a.est_rows * (
+                b.est_rows if how == "inner" else max(1.0, b.est_rows)
+            )
         # left join: b-only vars are maybe-null; shared stay as in a
-        return Compiled(joined.select(*sel), order, certain)
+        return Compiled(joined.select(*sel), order, certain, est_rows=est)
 
     def _union(self, branches: list[Compiled]) -> Compiled:
         all_vars: list[str] = []
@@ -1957,7 +2022,9 @@ class QueryCompiler:
             n for i, n in enumerate(names)
             if all(row[i] is not None for row in vp.rows)
         }
-        return Compiled(rows_df, names, certain)
+        return Compiled(
+            rows_df, names, certain, est_rows=float(len(vp.rows))
+        )
 
     # -- filters -------------------------------------------------------------
     def _compile_exists_inner(self, group, outer_vars, graph_ctx):
@@ -2028,11 +2095,17 @@ class QueryCompiler:
                 )
             how = "left_anti" if flt.negated else "left_semi"
             joined = cur.df.alias("L").join(b_df.alias("R"), cond, how)
-            return Compiled(joined.select(*cur.var_order), cur.var_order, cur.certain)
+            return Compiled(
+                joined.select(*cur.var_order), cur.var_order, cur.certain,
+                est_rows=cur.est_rows,  # semi/anti only drop rows
+            )
         if _contains_exists(flt):
             return self._filter_with_nested_exists(cur, flt, graph_ctx)
         ec = self._expr_compiler(cur)
-        return Compiled(cur.df.filter(ec.compile_bool(flt)), cur.var_order, cur.certain)
+        return Compiled(
+            cur.df.filter(ec.compile_bool(flt)), cur.var_order, cur.certain,
+            est_rows=cur.est_rows,  # filters only drop rows
+        )
 
     def _filter_with_nested_exists(self, cur: Compiled, flt, graph_ctx) -> Compiled:
         """EXISTS / NOT EXISTS as a SUB-expression of a compound FILTER
