@@ -45,7 +45,7 @@ _SPARQL_TOKEN = re.compile(
     | (?P<DECIMAL>\d*\.\d+)
     | (?P<INTEGER>\d+)
     | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
-    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-]|[A-Za-z_][A-Za-z0-9_-]*:|:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-]|:)
+    | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_-]*)?:(?:(?:[A-Za-z0-9_.%-]|\\[_~.!$&'()*+,;=/?\#@%-])*(?:[A-Za-z0-9_%-]|\\[_~.!$&'()*+,;=/?\#@%-]))?)
     | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<OP><<|>>|\^\^|&&|\|\||!=|<=|>=|[=<>!+\-*/|^?()\[\]{},.;])
     """,
@@ -159,11 +159,20 @@ class SparqlParser:
             if kw == "PREFIX":
                 self._next()
                 _, pname = self._next()
+                # grammar PNAME_NS is `PN_PREFIX? ':'` — the declared
+                # name MUST end with the colon ("PREFIX ex <...>" is a
+                # syntax error, not an implicit "ex:")
                 if not pname.endswith(":"):
-                    ns = pname.split(":", 1)[0]
-                else:
-                    ns = pname[:-1]
+                    raise ValueError(
+                        f"sparql: PREFIX name {pname!r} must end with ':'"
+                    )
+                ns = pname[:-1]
                 _, iriref = self._next()
+                if not (iriref.startswith("<") and iriref.endswith(">")):
+                    raise ValueError(
+                        f"sparql: PREFIX {pname} expects an IRIREF, "
+                        f"got {iriref!r}"
+                    )
                 self.prefixes[ns] = iriref[1:-1]
             elif kw == "BASE":
                 self._next()
@@ -725,6 +734,9 @@ class SparqlParser:
             ns, _, local = v.partition(":")
             if ns not in self.prefixes:
                 raise ValueError(f"sparql: unknown prefix {ns!r}")
+            # PN_LOCAL_ESC: backslash-escaped punctuation in local names
+            # (`ex:foo\.bar`) denotes the bare character in the IRI
+            local = re.sub(r"\\(.)", r"\1", local)
             return IRI(self.prefixes[ns] + local)
         if kind == "BNODE":
             return BNode(v[2:])
@@ -750,6 +762,16 @@ class SparqlParser:
             return Literal(v, datatype=XSD + "decimal")
         if kind == "DOUBLE":
             return Literal(v, datatype=XSD + "double")
+        if kind == "OP" and v in ("+", "-"):
+            # NumericLiteralPositive / NumericLiteralNegative: a sign
+            # directly on a numeric constant in a term position (the
+            # grammar folds the sign into the literal's lexical form)
+            nk, nv = self._peek()
+            if nk in ("INTEGER", "DECIMAL", "DOUBLE"):
+                self._next()
+                dt = {"INTEGER": "integer", "DECIMAL": "decimal",
+                      "DOUBLE": "double"}[nk]
+                return Literal(v + nv, datatype=XSD + dt)
         raise ValueError(f"sparql: unexpected term token {v!r}")
 
     # -- expressions --------------------------------------------------------
