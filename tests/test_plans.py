@@ -136,3 +136,48 @@ def test_cartesian_chain_partition_product_is_capped(spark, store_repo):
     ))
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert df.rdd.getNumPartitions() <= cap * cap
+
+
+def test_cartesian_with_proven_small_side_broadcasts(spark, store_repo):
+    """A cartesian-style join whose side is PROVABLY small (load-time
+    predicate stats bound a predicate-constant scan) compiles to a
+    BroadcastNestedLoopJoin instead of a coalesce-capped
+    CartesianProduct: the output keeps the probe side's partitioning,
+    so a constant-bound pattern pair costs |probe| tasks, not cap²
+    tiny tasks each paying the full task-binary/codegen overhead (the
+    dominant cost of the plan-analysis-heavy geo kernels)."""
+    from dublin_smart_city_graphdb_spark.sparql.compiler import QueryCompiler
+    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+    df = QueryCompiler(
+        spark, store_repo.quads,
+        predicate_stats=store_repo.predicate_stats(),
+    ).compile(parse_query(PROLOG + """
+        SELECT ?n ?t WHERE {
+          ?f schema:name ?n . ?g schema:additionalType ?t .
+        }
+    """))
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cartesian_without_stats_still_coalesce_capped(spark, store_repo):
+    """Without stats (or past the broadcast row bound) the cartesian
+    keeps the r4 fallback: both sides coalesce-capped so the partition
+    product stays bounded — the broadcast fast path must never replace
+    the safety cap for sides it cannot prove small."""
+    from dublin_smart_city_graphdb_spark.sparql.compiler import QueryCompiler
+    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
+
+    df = QueryCompiler(spark, store_repo.quads.repartition(64)).compile(
+        parse_query(PROLOG + """
+            SELECT ?n ?t WHERE {
+              ?f schema:name ?n . ?g schema:additionalType ?t .
+            }
+        """)
+    )
+    # (Catalyst may still pick a nested-loop broadcast from its own size
+    # estimate — the contract here is only the bounded partition product)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert df.rdd.getNumPartitions() <= cap * cap
