@@ -176,3 +176,80 @@ def decontaminate_stream(docs: DataFrame, bench: DataFrame) -> DataFrame:
         ))).alias("g"),
     )
     return grams.join(F.broadcast(bench), "g", "left_semi")
+
+
+def lm_bigram_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Static side of the streaming LM-scoring join: unigram counts,
+    bigram counts, and the 1-row token total fitted on the HISTORICAL
+    corpus — the quality model a production ingest pipeline maintains
+    and periodically refits (the stream side never re-aggregates it).
+    Mirrors the batch ``text_bigram_perplexity`` model fit exactly."""
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+    uni = toks.groupBy("t").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    ts = F.split(F.col("text"), " ")
+    bg = (
+        docs.filter(F.size(ts) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ts) - 2),
+                    lambda i: F.struct(
+                        F.get(ts, i).alias("w1"),
+                        F.get(ts, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    return uni, bgc, tot
+
+
+def lm_score_stream(
+    docs: DataFrame, uni: DataFrame, bgc: DataFrame, tot: DataFrame
+) -> DataFrame:
+    """Streaming twin of ``text_bigram_perplexity``'s scoring stage:
+    documents arriving on a feed are scored against the STATIC fitted
+    model through stream-static joins. Bigrams form MAP-SIDE from each
+    document's token array (row-local, no watermark, no state store);
+    each probes the bigram/unigram count tables and emits one
+    (doc_id, w1, w2, logprob) row in append mode under the interpolated
+    model P(w2|w1) = 0.75·c(w1w2)/c(w1) + 0.25·c(w2)/N. The per-doc
+    mean (the batch twin's groupBy) is a trivial downstream batch
+    aggregation at the sink, where global state belongs — same
+    convention as ``near_dup_stream``. Inner-join semantics: a bigram
+    absent from the fitted model drops (fit the model with an OOV
+    bucket upstream if unseen tokens must score). Per micro-batch cost
+    is O(|batch| × tokens) probe rows — never a corpus re-aggregation."""
+    ts = F.split(F.col("text"), " ")
+    bg = (
+        docs.filter(F.size(ts) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ts) - 2),
+                    lambda i: F.struct(
+                        F.get(ts, i).alias("w1"),
+                        F.get(ts, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    u1 = F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")))
+    p = (
+        F.lit(0.75) * F.col("cb").cast("double") / F.col("c1")
+        + F.lit(0.25) * F.col("c2").cast("double") / F.col("n")
+    )
+    return (
+        bg.join(bgc, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "w1", "w2", F.log(p).alias("logprob"))
+    )

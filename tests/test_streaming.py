@@ -591,3 +591,60 @@ def test_near_dup_stream_matches_batch_incremental(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_lm_score_stream_matches_batch_bigram_perplexity(spark, tmp_path):
+    """Streaming LM scoring: documents streamed against the batch-fitted
+    bigram/unigram model produce per-bigram logprob rows whose per-doc
+    mean equals the batch text_bigram_perplexity output exactly (after
+    the shared round-6) — the stream side re-derives nothing, it only
+    probes the static model tables."""
+    import pyspark.sql.functions as F
+
+    from dublin_smart_city_graphdb_spark.harness.pipeline import (
+        text_bigram_perplexity,
+    )
+    from dublin_smart_city_graphdb_spark.streaming.documents import (
+        lm_bigram_tables,
+        lm_score_stream,
+        stream_documents,
+    )
+    from dublin_smart_city_graphdb_spark.streaming.events import (
+        run_available_to_memory,
+    )
+    from tests.conftest import SF_DIR
+
+    feed = tmp_path / "docs_feed_lm"
+    feed.mkdir()
+    (feed / "documents.parquet").symlink_to(f"{SF_DIR}/documents.parquet")
+
+    hist = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    uni, bgc, tot = lm_bigram_tables(hist)
+    uni = uni.localCheckpoint(eager=True)
+    bgc = bgc.localCheckpoint(eager=True)
+    tot = tot.localCheckpoint(eager=True)
+
+    scored = run_available_to_memory(
+        spark,
+        lm_score_stream(stream_documents(spark, str(feed)), uni, bgc, tot),
+        "t_lm_score",
+        str(tmp_path / "ckpt_lm_score"),
+        output_mode="append",
+    )
+    got = {
+        (r["doc_id"], r["n_bigrams"], r["mean_logprob"])
+        for r in scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("logprob"), 6).alias("mean_logprob"),
+        )
+        .collect()
+    }
+    want = {
+        (r["doc_id"], r["n_bigrams"], r["mean_logprob"])
+        for r in text_bigram_perplexity(spark, SF_DIR)
+        .select("doc_id", "n_bigrams", "mean_logprob")
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
