@@ -181,3 +181,22 @@ def test_cartesian_without_stats_still_coalesce_capped(spark, store_repo):
     # estimate — the contract here is only the bounded partition product)
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert df.rdd.getNumPartitions() <= cap * cap
+
+
+def test_plans_md_covers_audited_roster():
+    """VERDICT r10 #1: the AUDITED roster and the committed PLANS.md
+    diverged twice (r8, r10 — a name added to the roster without
+    regenerating the report). Pin them together so the drift is
+    mechanically impossible to commit."""
+    import pathlib
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root))
+    from tools.audit_plans import plans_md_drift
+
+    missing = plans_md_drift(root / "PLANS.md")
+    assert not missing, (
+        f"PLANS.md lacks AUDITED sections for {missing}; "
+        "run tools/audit_plans.py and commit the regenerated report"
+    )

@@ -3,11 +3,20 @@ queries plus a per-plan summary (shuffle count, broadcasts, pushed filters,
 whole-stage-codegen coverage) into PLANS.md.
 
 Usage: python tools/audit_plans.py [sf_dir]
+       python tools/audit_plans.py --check   # no Spark: fail if PLANS.md
+                                             # lacks a section for any
+                                             # AUDITED name (roster drift)
 
 The point is reviewability: tests/test_plans.py and
 tests/test_pipeline_plans.py ASSERT the load-bearing shapes; this report
 shows the full plans those assertions pin down, so a reviewer can see the
 scan→exchange→agg structure without running Spark.
+
+The ``--check`` mode exists because the AUDITED roster and the committed
+PLANS.md diverged twice (r8, r10: a name was added here without
+regenerating the report). ``tools/close_round.py`` runs it, and
+``tests/test_plans.py::test_plans_md_covers_audited_roster`` pins it in
+the suite, so the drift can no longer be committed silently.
 """
 
 from __future__ import annotations
@@ -106,7 +115,23 @@ def summarize(plan: str) -> list[str]:
     return notes
 
 
+def plans_md_drift(plans_path: Path) -> list[str]:
+    """AUDITED names with no ``## name`` section in the committed PLANS.md."""
+    if not plans_path.is_file():
+        return list(AUDITED)
+    sections = set(re.findall(r"(?m)^## (\S+)$", plans_path.read_text()))
+    return [n for n in AUDITED if n not in sections]
+
+
 def main() -> None:
+    if "--check" in sys.argv[1:]:
+        missing = plans_md_drift(Path(__file__).resolve().parents[1] / "PLANS.md")
+        if missing:
+            print("PLANS.md is missing AUDITED sections (regenerate with "
+                  f"tools/audit_plans.py): {', '.join(missing)}", file=sys.stderr)
+            raise SystemExit(1)
+        print(f"PLANS.md covers all {len(AUDITED)} AUDITED names", file=sys.stderr)
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from dublin_smart_city_graphdb_spark import harness
     from dublin_smart_city_graphdb_spark.session import get_spark

@@ -120,6 +120,16 @@ def main() -> int:
         }
         path.write_text(json.dumps(records, indent=2))
 
+    # VERDICT r10 #1: refuse to close while the AUDITED roster has names
+    # with no section in the committed PLANS.md (regenerate it first).
+    from tools.audit_plans import plans_md_drift
+
+    drift = plans_md_drift(ROOT / "PLANS.md")
+    if drift:
+        print("FAIL: PLANS.md lacks AUDITED sections for: "
+              + ", ".join(drift) + " — run tools/audit_plans.py and commit")
+        return 1
+
     head_after, head_time = engine_head_epoch()
     if head_after != head_before:
         print(f"FAIL: engine tree advanced mid-run ({head_before[:9]} -> "
