@@ -2780,6 +2780,248 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text analysis: bounded-vocabulary LM variants — the 100 TB form of the two
+# LM scoring ops above. The raw vocab (long tail of typos/ids) is
+# data-dependent and can outgrow a broadcast; these truncate the model to the
+# top-K tokens by count (deterministic tie-break: count desc, token asc) and
+# route every tail token through a single OOV bucket whose count is the tail
+# mass — so the broadcast side is ≤ K+1 rows BY CONSTRUCTION, not by luck.
+# ---------------------------------------------------------------------------
+
+# K is deliberately below the fixture vocab (31 distinct tokens at every SF)
+# so the OOV path is exercised, not just compiled.
+_LM_TOPK = 16
+# Sentinel for the OOV bucket: chr(1) cannot collide with any whitespace-split
+# token (the parquet fixtures are printable words; a control char never is).
+_LM_OOV = "\x01"
+
+_UNIGRAM_TOPK_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT SUM(c) AS n FROM uni),
+    topk AS (SELECT t, c FROM uni ORDER BY c DESC, t ASC LIMIT {_LM_TOPK}),
+    oov AS (
+        SELECT GREATEST(n - (SELECT SUM(c) FROM topk), 1) AS oc, n FROM tot
+    )
+    SELECT toks.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN topk.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           ROUND(AVG(LN(CAST(COALESCE(topk.c, oov.oc) AS DOUBLE) / oov.n)), 6)
+               AS mean_logprob,
+           ROUND(-AVG(LN(CAST(COALESCE(topk.c, oov.oc) AS DOUBLE) / oov.n))
+                 / LN(2), 6) AS bits_per_token
+    FROM toks LEFT JOIN topk ON toks.t = topk.t CROSS JOIN oov
+    GROUP BY toks.doc_id
+"""
+
+
+def _lm_topk_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Fit the truncated unigram model ONCE and materialize it (eager
+    localCheckpoint — the tables are ≤ K rows / 1 row, so this is the
+    'persist the fitted model' step of a production scoring pipeline,
+    not a corpus materialization). Without it, every broadcast consumer
+    of the model re-runs the corpus-scale vocab aggregation — the lazy
+    form costs O(consumers) corpus scans at 100 TB. Returns
+    (topk, tot): the top-K (count desc, token asc — a total order, so
+    the set is deterministic) vocab rows and the 1-row token total.
+    The top-K is a TakeOrderedAndProject over the already-aggregated
+    vocab, never the corpus."""
+    toks = _docs_parallel(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    uni = toks.groupBy("t").agg(F.count("*").alias("c"))
+    topk = (
+        uni.orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(_LM_TOPK)
+        .localCheckpoint(eager=True)
+    )
+    tot = uni.agg(F.sum("c").alias("n")).localCheckpoint(eager=True)
+    return topk, tot
+
+
+@register(
+    "text_unigram_logprob_topk",
+    _UNIGRAM_TOPK_SQL,
+    doc="text_unigram_logprob with the vocabulary truncated to the top-K "
+        "tokens by count (tie-break count desc / token asc — a total order, "
+        "so both engines pick the identical set) and one OOV bucket holding "
+        "the tail mass (floored at 1 so log never sees zero). The scoring "
+        "join's broadcast side is ≤ K+1 rows BY CONSTRUCTION — the plan "
+        "survives any vocabulary distribution at 100 TB, unlike the exact "
+        "op whose broadcast is data-dependent. The model is fitted once and "
+        "materialized (_lm_topk_fit), so scoring is a single corpus pass: "
+        "one ≤K-row broadcast left join + one per-doc aggregation. n_oov "
+        "is the per-doc audit column: how many of the doc's tokens scored "
+        "through the bucket. cache_plan=False: the fit is a real "
+        "corpus-scale job at construction time — repeat calls must honestly "
+        "re-run it.",
+    cache_plan=False,
+)
+def text_unigram_logprob_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topk, tot = _lm_topk_fit(spark, sf_dir)
+    kmass = topk.agg(F.sum("c").alias("km"))
+    # 1 row: (OOV count floored at 1, total tokens) — derived from the
+    # checkpointed fit, no corpus re-scan
+    oov = tot.crossJoin(kmass).select(
+        F.greatest(F.col("n") - F.col("km"), F.lit(1)).alias("oc"), "n"
+    )
+    toks = _docs_parallel(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    lp = F.log(F.coalesce(F.col("c"), F.col("oc")).cast("double") / F.col("n"))
+    return (
+        toks.join(F.broadcast(topk), "t", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(F.avg(lp), 6).alias("mean_logprob"),
+            F.round(-F.avg(lp) / F.log(F.lit(2.0)), 6).alias("bits_per_token"),
+        )
+    )
+
+
+_BIGRAM_TOPK_SQL = f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    toks AS (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents),
+    uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    tot AS (SELECT SUM(c) AS n FROM uni),
+    topk AS (SELECT t, c FROM uni ORDER BY c DESC, t ASC LIMIT {_LM_TOPK}),
+    unim AS (
+        SELECT t, c FROM topk
+        UNION ALL
+        SELECT chr(1) AS t,
+               GREATEST((SELECT n FROM tot) - (SELECT SUM(c) FROM topk), 1)
+                   AS c
+    ),
+    bg AS (
+        SELECT doc_id,
+               CASE WHEN ts[i] IN (SELECT t FROM topk)
+                    THEN ts[i] ELSE chr(1) END AS w1,
+               CASE WHEN ts[i + 1] IN (SELECT t FROM topk)
+                    THEN ts[i + 1] ELSE chr(1) END AS w2
+        FROM docs, UNNEST(generate_series(1, len(ts) - 1)) AS r(i)
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN bg.w1 = chr(1) OR bg.w2 = chr(1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_bigrams,
+           ROUND(AVG(LN(0.75 * CAST(cb AS DOUBLE) / u1.c
+                        + 0.25 * CAST(u2.c AS DOUBLE) / n)), 6)
+               AS mean_logprob,
+           ROUND(-AVG(LN(0.75 * CAST(cb AS DOUBLE) / u1.c
+                         + 0.25 * CAST(u2.c AS DOUBLE) / n)) / LN(2), 6)
+               AS bits_per_bigram
+    FROM bg
+    JOIN bgc ON bg.w1 = bgc.w1 AND bg.w2 = bgc.w2
+    JOIN unim u1 ON bg.w1 = u1.t
+    JOIN unim u2 ON bg.w2 = u2.t
+    CROSS JOIN tot
+    GROUP BY bg.doc_id
+"""
+
+
+@register(
+    "text_bigram_perplexity_topk",
+    _BIGRAM_TOPK_SQL,
+    doc="text_bigram_perplexity with the model truncated to the top-K "
+        "unigram vocabulary plus one OOV bucket: every token outside the "
+        "top-K maps to the bucket BEFORE bigram formation, so the bigram "
+        "model's key space is bounded by (K+1)² and the unigram lookup "
+        "tables broadcast ≤ K+1 rows by construction — the documented "
+        "100 TB ceiling of the exact op, implemented. Same plan shape as "
+        "the exact op (map-side bigram formation, same-key exchange reuse "
+        "on the bigram-count join-back, one per-doc aggregation); the only "
+        "additions are two ≤K-row broadcast membership probes doing the "
+        "token→bucket mapping. Interpolated scoring is unchanged: "
+        "P(w2|w1) = 0.75·c(w1w2)/c(w1) + 0.25·c(w2)/N over the MAPPED "
+        "streams, with the OOV bucket carrying the tail mass (floored at "
+        "1). n_oov_bigrams audits how many of a doc's bigrams touched the "
+        "bucket. The unigram model is fitted once and materialized "
+        "(_lm_topk_fit) — the lazy form re-runs the corpus-scale vocab "
+        "aggregation for every broadcast consumer. cache_plan=False: the "
+        "fit is a real corpus job at construction time.",
+    cache_plan=False,
+)
+def text_bigram_perplexity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_parallel(spark, sf_dir)
+    ts = F.split(F.col("text"), " ")
+    topk, tot = _lm_topk_fit(spark, sf_dir)
+    kmass = topk.agg(F.sum("c").alias("km"))
+    oov_row = tot.crossJoin(kmass).select(
+        F.lit(_LM_OOV).alias("t"),
+        F.greatest(F.col("n") - F.col("km"), F.lit(1)).alias("c"),
+    )
+    unim = topk.unionByName(oov_row)  # ≤ K+1 rows by construction
+    # raw bigrams form map-side exactly as the exact op (sequence guard:
+    # <2-token docs drop before sequence() can count down)
+    bg = (
+        d.filter(F.size(ts) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ts) - 2),
+                    lambda i: F.struct(
+                        F.get(ts, i).alias("w1"),
+                        F.get(ts, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    # token → bucket mapping: two ≤K-row broadcast membership probes
+    m1 = F.broadcast(topk.select(F.col("t").alias("w1"), F.lit(1).alias("in1")))
+    m2 = F.broadcast(topk.select(F.col("t").alias("w2"), F.lit(1).alias("in2")))
+    bgm = (
+        bg.join(m1, "w1", "left")
+        .join(m2, "w2", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in1").isNotNull(), F.col("w1"))
+            .otherwise(F.lit(_LM_OOV))
+            .alias("w1"),
+            F.when(F.col("in2").isNotNull(), F.col("w2"))
+            .otherwise(F.lit(_LM_OOV))
+            .alias("w2"),
+        )
+    )
+    # mapped bigram counts: the key space is ≤ (K+1)² by construction, so
+    # the fitted bigram table broadcasts — the probe side is never shuffled
+    # for the join-back (unlike the exact op, whose bigram table is
+    # corpus-vocabulary-sized and must shuffle-join)
+    bgc = bgm.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    u1 = F.broadcast(unim.select(F.col("t").alias("w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(unim.select(F.col("t").alias("w2"), F.col("c").alias("c2")))
+    p = (
+        F.lit(0.75) * F.col("cb").cast("double") / F.col("c1")
+        + F.lit(0.25) * F.col("c2").cast("double") / F.col("n")
+    )
+    oov_hit = (F.col("w1") == _LM_OOV) | (F.col("w2") == _LM_OOV)
+    return (
+        bgm.join(F.broadcast(bgc), ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(oov_hit, 1).otherwise(0)).alias("n_oov_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("mean_logprob"),
+            F.round(-F.avg(F.log(p)) / F.log(F.lit(2.0)), 6).alias(
+                "bits_per_bigram"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus curation: rule-based quality filter (Gopher-style keep/drop with
 # per-rule flags — the auditable form: you can see WHY a doc was dropped)
 # ---------------------------------------------------------------------------

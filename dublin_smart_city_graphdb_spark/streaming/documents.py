@@ -15,6 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
+# OOV-bucket sentinel for the bounded-vocabulary LM twins; must equal the
+# batch side's ``harness.pipeline._LM_OOV`` (pinned by the stream≡batch
+# test). chr(1) cannot collide with any whitespace-split token.
+_LM_OOV = "\x01"
+
 
 def stream_documents(spark: SparkSession, path: str) -> DataFrame:
     """Streaming scan of a documents feed directory (schema pinned from a
@@ -252,4 +257,181 @@ def lm_score_stream(
         .join(u2, "w2")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", "w1", "w2", F.log(p).alias("logprob"))
+    )
+
+
+def lm_bigram_tables_topk(
+    docs: DataFrame, k: int = 16
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Bounded-vocabulary static side of the streaming LM join — the
+    100 TB form of ``lm_bigram_tables``: the unigram model truncates to
+    the top-``k`` tokens by count (tie-break count desc / token asc)
+    plus one OOV bucket carrying the tail mass (floored at 1), and the
+    bigram table is fitted over the MAPPED token stream, so both
+    stream-side broadcast tables are bounded by construction (≤ k+1
+    unigram rows, ≤ (k+1)² bigram keys) regardless of the corpus
+    vocabulary distribution. Mirrors the batch
+    ``text_bigram_perplexity_topk`` model fit exactly. Returns
+    (topk, uni, bgc, tot): ``topk`` is the membership table the scoring
+    stage needs to map arriving tokens into the bucket."""
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+    uni_full = toks.groupBy("t").agg(F.count("*").alias("c"))
+    tot = uni_full.agg(F.sum("c").alias("n"))
+    topk = uni_full.orderBy(F.col("c").desc(), F.col("t").asc()).limit(k)
+    kmass = topk.agg(F.sum("c").alias("km"))
+    oov_row = tot.crossJoin(kmass).select(
+        F.lit(_LM_OOV).alias("t"),
+        F.greatest(F.col("n") - F.col("km"), F.lit(1)).alias("c"),
+    )
+    uni = topk.unionByName(oov_row)
+    ts = F.split(F.col("text"), " ")
+    bg = (
+        docs.filter(F.size(ts) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ts) - 2),
+                    lambda i: F.struct(
+                        F.get(ts, i).alias("w1"),
+                        F.get(ts, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    m1 = F.broadcast(topk.select(F.col("t").alias("w1"), F.lit(1).alias("in1")))
+    m2 = F.broadcast(topk.select(F.col("t").alias("w2"), F.lit(1).alias("in2")))
+    bgm = (
+        bg.join(m1, "w1", "left")
+        .join(m2, "w2", "left")
+        .select(
+            F.when(F.col("in1").isNotNull(), F.col("w1"))
+            .otherwise(F.lit(_LM_OOV))
+            .alias("w1"),
+            F.when(F.col("in2").isNotNull(), F.col("w2"))
+            .otherwise(F.lit(_LM_OOV))
+            .alias("w2"),
+        )
+    )
+    bgc = bgm.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    return topk, uni, bgc, tot
+
+
+def lm_score_stream_topk(
+    docs: DataFrame,
+    topk: DataFrame,
+    uni: DataFrame,
+    bgc: DataFrame,
+    tot: DataFrame,
+) -> DataFrame:
+    """Streaming twin of ``text_bigram_perplexity_topk``'s scoring
+    stage: arriving documents form bigrams MAP-SIDE, map each endpoint
+    through the ≤k-row ``topk`` membership broadcast into the OOV
+    bucket, then probe the bounded model tables exactly as
+    ``lm_score_stream`` probes the unbounded ones. Because the model's
+    key space is closed under the mapping (every mapped token is either
+    a top-k token or the bucket), a stream bigram can only miss the
+    ``bgc`` inner join when that mapped PAIR never occurred in the fit
+    corpus — unseen-vocabulary drops, the failure mode of the exact
+    twin, cannot happen. Same sink convention as ``lm_score_stream``:
+    per-bigram (doc_id, w1, w2, logprob) rows in append mode; the
+    per-doc mean belongs to the sink (see ``lm_score_rollup``)."""
+    ts = F.split(F.col("text"), " ")
+    bg = (
+        docs.filter(F.size(ts) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ts) - 2),
+                    lambda i: F.struct(
+                        F.get(ts, i).alias("w1"),
+                        F.get(ts, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    m1 = F.broadcast(topk.select(F.col("t").alias("w1"), F.lit(1).alias("in1")))
+    m2 = F.broadcast(topk.select(F.col("t").alias("w2"), F.lit(1).alias("in2")))
+    bgm = (
+        bg.join(m1, "w1", "left")
+        .join(m2, "w2", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in1").isNotNull(), F.col("w1"))
+            .otherwise(F.lit(_LM_OOV))
+            .alias("w1"),
+            F.when(F.col("in2").isNotNull(), F.col("w2"))
+            .otherwise(F.lit(_LM_OOV))
+            .alias("w2"),
+        )
+    )
+    u1 = F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")))
+    p = (
+        F.lit(0.75) * F.col("cb").cast("double") / F.col("c1")
+        + F.lit(0.25) * F.col("c2").cast("double") / F.col("n")
+    )
+    return (
+        bgm.join(F.broadcast(bgc), ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "w1", "w2", F.log(p).alias("logprob"))
+    )
+
+
+def lm_score_rollup(scored: DataFrame) -> DataFrame:
+    """Sink-side per-document rollup for ``lm_score_stream`` /
+    ``lm_score_stream_topk`` — the runnable form of the documented
+    convention that the per-doc mean belongs to the sink. A streaming
+    stateful aggregation keyed by doc_id over the per-bigram logprob
+    rows; run it in ``update`` (or ``complete``) output mode and the
+    sink receives exactly the batch twin's per-doc output
+    (n_bigrams, mean_logprob). State is one (count, sum) pair per
+    in-flight document — production bounds retention with a watermark
+    on an arrival-time column or ships ``lm_score_partials_sink``
+    instead, which keeps NO streaming state at all."""
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logprob"), 6).alias("mean_logprob"),
+    )
+
+
+def lm_score_partials_sink(store_dir: str):
+    """foreachBatch alternative to ``lm_score_rollup`` for unbounded
+    feeds: each micro-batch reduces its per-bigram rows to per-doc
+    partial aggregates (count, sum) — a batch-local shuffle, bounded by
+    the micro-batch — and writes them to ``store_dir/batch_id=N``.
+    Overwriting the batch's own directory makes replay after failure
+    idempotent (Structured Streaming re-runs a batch with the same
+    batch_id), so the store is exactly-once without any streaming
+    state; ``lm_rollup_from_partials`` folds the partials into final
+    per-doc means at read time. Returns the foreachBatch callable to
+    pass to ``DataStreamWriter.foreachBatch``."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("doc_id")
+            .agg(F.count("*").alias("pn"), F.sum("logprob").alias("ps"))
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/batch_id={batch_id}")
+        )
+
+    return _write
+
+
+def lm_rollup_from_partials(spark, store_dir: str) -> DataFrame:
+    """Fold the per-batch partials written by ``lm_score_partials_sink``
+    into the batch twin's per-doc output. Documents split across
+    micro-batches merge correctly because (count, sum) partials are
+    associative; the fold is one groupBy over data that is already
+    per-doc-per-batch (≪ the bigram stream it summarizes)."""
+    p = spark.read.parquet(store_dir)
+    return p.groupBy("doc_id").agg(
+        F.sum("pn").alias("n_bigrams"),
+        F.round(F.sum("ps") / F.sum("pn"), 6).alias("mean_logprob"),
     )

@@ -533,3 +533,30 @@ def test_r7_gate_ops_have_no_cartesian(spark):
                  "sparql_owl2_consistency", "sparql_geo_multipolygon"):
         plan = plan_of(q(spark, name))
         assert "CartesianProduct" not in plan, name
+
+
+def test_lm_topk_model_is_capped_and_scoring_broadcast_only(spark):
+    """Bounded-vocabulary LM ops (the 100 TB form of the LM family): the
+    fitted model materializes ≤ K (+1 OOV) rows — the cap is a limit in
+    the fit plan, not a property of the data — and the scoring side
+    joins it exclusively by broadcast: no sort-merge join may appear
+    whatever the corpus vocabulary distribution. Scan/shuffle budget:
+    unigram = 1 corpus scan + 1 per-doc agg shuffle; bigram = 2 corpus
+    scans (bigram-table fit, probe) + 2 shuffles (bigram-count groupBy,
+    per-doc agg)."""
+    from dublin_smart_city_graphdb_spark.harness.pipeline import (
+        _LM_TOPK,
+        _lm_topk_fit,
+    )
+
+    topk, tot = _lm_topk_fit(spark, SF_DIR)
+    assert topk.count() <= _LM_TOPK
+    assert tot.count() == 1
+    for name, scans, shuffles in (
+        ("text_unigram_logprob_topk", 1, 1),
+        ("text_bigram_perplexity_topk", 2, 2),
+    ):
+        plan = plan_of(q(spark, name))
+        assert "SortMergeJoin" not in plan, name
+        assert plan.count("FileScan") == scans, name
+        assert plan.count("Exchange hashpartitioning") == shuffles, name

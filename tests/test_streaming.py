@@ -648,3 +648,117 @@ def test_lm_score_stream_matches_batch_bigram_perplexity(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_lm_topk_stream_rollup_matches_batch(spark, tmp_path):
+    """Bounded-vocabulary streaming LM end-to-end: documents streamed
+    against the truncated (top-K + OOV bucket) model through
+    lm_score_stream_topk, rolled up per-doc by the SHIPPED sink-side
+    stateful aggregation (lm_score_rollup, complete mode), equal the
+    batch text_bigram_perplexity_topk output exactly across the
+    stream/batch boundary — the rollup convention is runnable package
+    code, not a test-local aggregation."""
+    from dublin_smart_city_graphdb_spark.harness.pipeline import (
+        text_bigram_perplexity_topk,
+    )
+    from dublin_smart_city_graphdb_spark.streaming.documents import (
+        lm_bigram_tables_topk,
+        lm_score_rollup,
+        lm_score_stream_topk,
+        stream_documents,
+    )
+    from dublin_smart_city_graphdb_spark.streaming.events import (
+        run_available_to_memory,
+    )
+    from tests.conftest import SF_DIR
+
+    feed = tmp_path / "docs_feed_lm_topk"
+    feed.mkdir()
+    (feed / "documents.parquet").symlink_to(f"{SF_DIR}/documents.parquet")
+
+    hist = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    topk, uni, bgc, tot = lm_bigram_tables_topk(hist)
+    topk = topk.localCheckpoint(eager=True)
+    uni = uni.localCheckpoint(eager=True)
+    bgc = bgc.localCheckpoint(eager=True)
+    tot = tot.localCheckpoint(eager=True)
+    assert topk.count() <= 16 and uni.count() <= 17  # bounded by construction
+
+    rolled = run_available_to_memory(
+        spark,
+        lm_score_rollup(
+            lm_score_stream_topk(
+                stream_documents(spark, str(feed)), topk, uni, bgc, tot
+            )
+        ),
+        "t_lm_topk_rollup",
+        str(tmp_path / "ckpt_lm_topk_rollup"),
+        output_mode="complete",
+    )
+    got = {
+        (r["doc_id"], r["n_bigrams"], r["mean_logprob"])
+        for r in rolled.collect()
+    }
+    want = {
+        (r["doc_id"], r["n_bigrams"], r["mean_logprob"])
+        for r in text_bigram_perplexity_topk(spark, SF_DIR)
+        .select("doc_id", "n_bigrams", "mean_logprob")
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_lm_partials_sink_rollup_matches_batch(spark, tmp_path):
+    """The stateless foreachBatch rollup path: per-batch per-doc
+    (count, sum) partials written to batch_id-keyed directories, folded
+    at read time by lm_rollup_from_partials, equal the batch twin —
+    exactly-once via batch-directory overwrite, zero streaming state."""
+    from dublin_smart_city_graphdb_spark.harness.pipeline import (
+        text_bigram_perplexity_topk,
+    )
+    from dublin_smart_city_graphdb_spark.streaming.documents import (
+        lm_bigram_tables_topk,
+        lm_rollup_from_partials,
+        lm_score_partials_sink,
+        lm_score_stream_topk,
+        stream_documents,
+    )
+    from tests.conftest import SF_DIR
+
+    feed = tmp_path / "docs_feed_lm_fb"
+    feed.mkdir()
+    (feed / "documents.parquet").symlink_to(f"{SF_DIR}/documents.parquet")
+
+    hist = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    topk, uni, bgc, tot = lm_bigram_tables_topk(hist)
+    topk = topk.localCheckpoint(eager=True)
+    uni = uni.localCheckpoint(eager=True)
+    bgc = bgc.localCheckpoint(eager=True)
+    tot = tot.localCheckpoint(eager=True)
+
+    store = str(tmp_path / "lm_partials")
+    q = (
+        lm_score_stream_topk(
+            stream_documents(spark, str(feed)), topk, uni, bgc, tot
+        )
+        .writeStream.foreachBatch(lm_score_partials_sink(store))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lm_fb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["doc_id"], r["n_bigrams"], r["mean_logprob"])
+        for r in lm_rollup_from_partials(spark, store).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_bigrams"], r["mean_logprob"])
+        for r in text_bigram_perplexity_topk(spark, SF_DIR)
+        .select("doc_id", "n_bigrams", "mean_logprob")
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0

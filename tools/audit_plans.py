@@ -93,6 +93,8 @@ AUDITED = [
     # round-10 gate op (bigram LM perplexity — map-side bigram
     # formation, broadcast unigram probes, same-key count join)
     "text_bigram_perplexity",
+    "text_unigram_logprob_topk",
+    "text_bigram_perplexity_topk",
 ]
 
 
