@@ -87,10 +87,15 @@ class QuadStore:
         return df.select(*[f.name for f in QUAD_SCHEMA.fields])
 
     def _refresh_stats(self) -> None:
+        # explicit schema, like read(): an emptied store (CLEAR/DELETE of
+        # every statement writes zero part files) has nothing to infer
+        # from, and stats MUST still land — a missing stats file reads as
+        # "0 rows for every predicate" downstream, which is only sound
+        # when the store is actually empty
         src = (
             self.spark.table(self._table)
             if self.bucket_subjects
-            else self.spark.read.parquet(self.path)
+            else self.spark.read.schema(QUAD_SCHEMA).parquet(self.path)
         )
         stats = {
             r["p"]: r["n"]
@@ -124,7 +129,7 @@ class QuadStore:
             raise ValueError("bucketed stores are already file-aligned")
         stats = self.predicate_stats() or {
             r["p"]: r["n"]
-            for r in self.spark.read.parquet(self.path)
+            for r in self.spark.read.schema(QUAD_SCHEMA).parquet(self.path)
             .groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         n_files = {

@@ -200,3 +200,190 @@ def test_plans_md_covers_audited_roster():
         f"PLANS.md lacks AUDITED sections for {missing}; "
         "run tools/audit_plans.py and commit the regenerated report"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stats-refresh soundness for the cartesian-broadcast planner (VERDICT r10
+# #3). The broadcast fast path trusts `Compiled.est_rows` as an UPPER bound;
+# that is sound only if predicate_stats() always reflects the post-mutation
+# store — a missing or stale entry reads as "0 rows" at compile time
+# (`predicate_stats.get(p, 0)`), which _small() would happily broadcast.
+# These tests enumerate every mutation path and pin that the stats are
+# STRICTLY RECOMPUTED from the post-state (exact equality with a fresh
+# groupBy over repo.quads — never decremented, never carried over).
+# ---------------------------------------------------------------------------
+
+
+def _true_pred_counts(repo) -> dict:
+    import pyspark.sql.functions as F
+
+    return {
+        r["p"]: r["n"]
+        for r in repo.quads.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+_EXTRA_TTL = '<http://example.org/x1> <http://example.org/extra> "v" .'
+
+
+def _m_append_turtle(repo):
+    repo.load_turtle_text(_EXTRA_TTL)
+
+
+def _m_insert_data(repo):
+    repo.update(
+        'INSERT DATA { <http://example.org/x2> '
+        '<http://example.org/extra> "w" }'
+    )
+
+
+def _m_delete_where(repo):
+    repo.update(PROLOG + "DELETE WHERE { ?s schema:name ?o }")
+
+
+def _m_delete_insert(repo):
+    repo.update(PROLOG + """
+        DELETE { ?s schema:additionalType ?t }
+        INSERT { ?s <http://example.org/retyped> ?t }
+        WHERE { ?s schema:additionalType ?t }
+    """)
+
+
+def _m_clear_default(repo):
+    repo.update("CLEAR DEFAULT")
+
+
+def _m_add_graph(repo):
+    repo.update("ADD DEFAULT TO <http://example.org/g2>")
+
+
+def _m_move_graph(repo):
+    repo.update("MOVE DEFAULT TO <http://example.org/g3>")
+
+
+def _m_txn_add(repo):
+    t = repo.begin()
+    t.add_turtle(_EXTRA_TTL)
+    t.commit()
+
+
+def _m_txn_update_delete(repo):
+    t = repo.begin()
+    t.update(PROLOG + "DELETE WHERE { ?s schema:additionalType ?o }")
+    t.commit()
+
+
+_MUTATIONS = [
+    ("add_quads_append", _m_append_turtle),
+    ("update_insert_data", _m_insert_data),
+    ("update_delete_where", _m_delete_where),
+    ("update_delete_insert", _m_delete_insert),
+    ("update_clear_default", _m_clear_default),
+    ("update_add_graph", _m_add_graph),
+    ("update_move_graph", _m_move_graph),
+    ("txn_commit_add", _m_txn_add),
+    ("txn_commit_update_delete", _m_txn_update_delete),
+]
+
+
+@pytest.mark.parametrize("label,mutate", _MUTATIONS, ids=[m[0] for m in _MUTATIONS])
+def test_predicate_stats_recomputed_after_mutation(
+    spark, tmp_path_factory, label, mutate
+):
+    """After EVERY mutation path, predicate_stats() equals a fresh count
+    over the post-state exactly — an under-count would let a stale bound
+    reach _small() and broadcast a corpus-scale side."""
+    wh = str(tmp_path_factory.mktemp(f"wh_stats_{label}"))
+    eng = Engine(spark, warehouse=wh)
+    repo = eng.create_repository(f"stats_{label}", ruleset="none")
+    repo.load_turtle(fixtures.full_fixture_ttl(40))
+    # warm the cache so the test exercises INVALIDATION, not first compute
+    before = repo.predicate_stats()
+    assert before == _true_pred_counts(repo)
+    mutate(repo)
+    assert repo.predicate_stats() == _true_pred_counts(repo), label
+
+
+@pytest.mark.parametrize(
+    "label,mutate",
+    [
+        ("delta_seeded_append", _m_append_turtle),
+        ("dred_delete", _m_delete_where),
+        ("rematerialize", lambda r: r.materialize_inference()),
+    ],
+    ids=["delta_seeded_append", "dred_delete", "rematerialize"],
+)
+def test_predicate_stats_recomputed_under_inference(
+    spark, tmp_path_factory, label, mutate
+):
+    """Same invariant on a ruleset repo: the Δ-seeded incremental append,
+    the DRed retraction path, and a full re-materialization all land with
+    stats matching the post-state INCLUDING inferred statements (the
+    compiler plans over the full store when include_inferred=True)."""
+    wh = str(tmp_path_factory.mktemp(f"wh_inf_{label}"))
+    eng = Engine(spark, warehouse=wh)
+    repo = eng.create_repository(f"inf_{label}", ruleset="rdfsplus")
+    repo.load_turtle(fixtures.full_fixture_ttl(40))
+    before = repo.predicate_stats()
+    assert before == _true_pred_counts(repo)
+    mutate(repo)
+    assert repo.predicate_stats() == _true_pred_counts(repo), label
+
+
+def test_predicate_stats_after_dump_restore(spark, tmp_path_factory):
+    """A restored repository's stats come from the restored store, not a
+    carried-over cache."""
+    wh = str(tmp_path_factory.mktemp("wh_dump"))
+    dump = str(tmp_path_factory.mktemp("dump_dir"))
+    eng = Engine(spark, warehouse=wh)
+    repo = eng.create_repository("dump_src", ruleset="none")
+    repo.load_turtle(fixtures.full_fixture_ttl(40))
+    eng.dump_repository("dump_src", dump)
+    eng2 = Engine(spark, warehouse=str(tmp_path_factory.mktemp("wh_dump2")))
+    restored = eng2.restore_repository("dump_restored", dump)
+    assert restored.predicate_stats() == _true_pred_counts(restored)
+
+
+def test_bulk_append_pushes_predicate_past_broadcast_bound(
+    spark, tmp_path_factory
+):
+    """Adversarial staleness scenario end-to-end: a predicate starts with
+    1 row (provably small → the no-shared-variable join broadcasts it);
+    a bulk append then pushes it past the 100k broadcast bound. The
+    recompile must see the REFRESHED bound — est_rows over 100k cannot
+    reach _small() — and the plan keeps the capped partition product, so
+    the engine never broadcasts 101k term-struct rows on a stale stat."""
+    import pyspark.sql.functions as F
+
+    wh = str(tmp_path_factory.mktemp("wh_bulk"))
+    eng = Engine(spark, warehouse=wh)
+    repo = eng.create_repository("bulk_repo", ruleset="none")
+    repo.load_turtle(fixtures.full_fixture_ttl(40))
+    repo.load_turtle_text(
+        '<http://example.org/b1> <http://example.org/bulk> "x" .'
+    )
+    q = PROLOG + (
+        "SELECT ?n ?t WHERE { ?f schema:name ?n . "
+        "?g <http://example.org/bulk> ?t }"
+    )
+    assert "BroadcastNestedLoopJoin" in plan_of(repo.sparql(q))
+
+    bulk = spark.range(101_000).select(
+        F.lit(None).cast("string").alias("g"),
+        F.concat(F.lit("http://example.org/s"), F.col("id")).alias("s"),
+        F.lit("http://example.org/bulk").alias("p"),
+        F.lit(2).cast("byte").alias("o_kind"),
+        F.col("id").cast("string").alias("o_lex"),
+        F.lit("http://www.w3.org/2001/XMLSchema#string").alias("o_dtype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(None).cast("decimal(38,10)").alias("o_num"),
+        F.lit(None).cast("timestamp").alias("o_ts"),
+        F.lit(None).cast("boolean").alias("o_bool"),
+    )
+    repo.add_quads(bulk)
+    assert repo.predicate_stats()["http://example.org/bulk"] == 101_001
+    df = repo.sparql(q)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert df.rdd.getNumPartitions() <= cap * cap
