@@ -2534,7 +2534,8 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1/accuracy — the only feasible form at 100 TB. No SQL oracle (no "
         "portable sketch semantics); tests/test_quantiles_approx.py asserts "
         "a 2% empirical rank-error bound against the exact path (small-sample "
-        "slack over GK's formal 1/accuracy guarantee).",
+        "slack over GK's formal 1/accuracy guarantee); the driver-visible "
+        "form of that bound is the events_quantiles_gk_audit entry.",
 )
 def events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
@@ -2543,6 +2544,113 @@ def events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("approx_percentile(value, 0.95D, 10000)"), 6).alias("p95"),
         F.round(F.expr("approx_percentile(value, 0.99D, 10000)"), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible bound audits for the two sketch entries (VERDICT r10 #7).
+# The sketches themselves have no portable SQL semantics, so their raw
+# entries are rows-only in the driver gate; these companion entries fold the
+# exact twin INTO the query and output booleans ("estimate within its
+# documented budget") next to oracle-checkable exact columns. A sketch
+# regression flips a boolean → value-hash mismatch → the driver CORRECTNESS
+# gate fails loudly, not just the builder-side LOCALGATE bound check.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_unique_users_hll_audit",
+    """
+    SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT)
+               AS hour_idx,
+           event_type,
+           COUNT(DISTINCT user_id) AS unique_users,
+           TRUE AS hll_within_bound
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="HLL++ bound audit: one aggregation computes BOTH the exact "
+        "distinct count and the rsd=0.02 sketch estimate per "
+        "(hour, event_type) group, and outputs the exact count plus a "
+        "boolean — |estimate − exact| ≤ max(2, 10%·exact), the budget the "
+        "gate artifacts pin. The oracle expects TRUE on every row, so a "
+        "sketch regression fails the driver's value-hash comparison "
+        "loudly. The estimate itself is deliberately NOT a column (it is "
+        "engine-specific); the audited CLAIM is portable.",
+)
+def events_unique_users_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    g = (
+        e.select(
+            F.expr("ts_us div 3600000000").alias("hour_idx"),
+            "event_type",
+            "user_id",
+        )
+        .groupBy("hour_idx", "event_type")
+        .agg(
+            F.countDistinct("user_id").alias("unique_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("est"),
+        )
+    )
+    budget = F.greatest(F.lit(2.0), F.lit(0.10) * F.col("unique_users"))
+    return g.select(
+        "hour_idx",
+        "event_type",
+        "unique_users",
+        (F.abs(F.col("est") - F.col("unique_users")) <= budget).alias(
+            "hll_within_bound"
+        ),
+    )
+
+
+@register(
+    "events_quantiles_gk_audit",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Greenwald-Khanna bound audit: score each approx_percentile "
+        "output by its EMPIRICAL RANK in the group (the faithful metric — "
+        "GK returns an observed value near the target rank, while exact "
+        "percentile interpolates) and flag whether the target quantile "
+        "lies inside the value's rank interval widened by the 2% slack "
+        "the accuracy tests pin. Distributed form of "
+        "test_quantiles_approx: the per-type sketch row broadcasts back "
+        "onto one events pass that counts values strictly-below / "
+        "at-or-below each returned quantile; ties widen the interval "
+        "exactly as in the pytest. Oracle expects all-TRUE, so a sketch "
+        "regression fails the driver gate, not only the local suite.",
+)
+def events_quantiles_gk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    ap = e.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5D, 10000)"), 6).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.95D, 10000)"), 6).alias("p95"),
+        F.round(F.expr("approx_percentile(value, 0.99D, 10000)"), 6).alias("p99"),
+    )
+    v6 = F.round(F.col("value"), 6)
+    j = e.select("event_type", "value").join(F.broadcast(ap), "event_type")
+    agg_cols = [F.count("*").alias("n_events")]
+    for q in ("p50", "p95", "p99"):
+        agg_cols.append(
+            F.sum(F.when(v6 < F.col(q), 1).otherwise(0)).alias(f"lo_{q}")
+        )
+        agg_cols.append(
+            F.sum(F.when(v6 <= F.col(q), 1).otherwise(0)).alias(f"hi_{q}")
+        )
+    g = j.groupBy("event_type").agg(*agg_cols)
+    slack = F.lit(0.02)
+    out_cols = [F.col("event_type"), F.col("n_events")]
+    for q, target in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+        lo = F.col(f"lo_{q}") / F.col("n_events")
+        hi = F.col(f"hi_{q}") / F.col("n_events")
+        out_cols.append(
+            ((lo - slack <= F.lit(target)) & (F.lit(target) <= hi + slack))
+            .alias(f"ok_{q}")
+        )
+    return g.select(*out_cols)
 
 
 # ---------------------------------------------------------------------------
