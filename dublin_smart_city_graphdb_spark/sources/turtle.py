@@ -47,7 +47,7 @@ _TOKEN_RE = re.compile(
     | (?P<DECIMAL>[+-]?\d*\.\d+)
     | (?P<INTEGER>[+-]?\d+)
     | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
-    | (?P<PNAME>[A-Za-z0-9_-]*:[A-Za-z0-9_.%\\:-]*[A-Za-z0-9_%\\:-]|[A-Za-z0-9_-]*:)
+    | (?P<PNAME>[A-Za-z0-9_-]*:(?:(?:[A-Za-z0-9_.%:-]|\\[_~.!$&'()*+,;=/?\#@%-])*(?:[A-Za-z0-9_%:-]|\\[_~.!$&'()*+,;=/?\#@%-]))?)
     | (?P<KW_A>\ba\b)
     | (?P<KW_GRAPH>\bGRAPH\b|\bgraph\b|\bGraph\b)
     | (?P<BOOL>\btrue\b|\bfalse\b)

@@ -34,8 +34,8 @@ from dublin_smart_city_graphdb_spark.sources.turtle import _unescape
 _SPARQL_TOKEN = re.compile(
     r"""
       (?P<WS>\s+|\#[^\n]*)
-    | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
-    | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<IRIREF><(?:[^<>"{}|^`\\\x00-\x20]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*>)
+    | (?P<VAR>[?$][A-Za-z0-9_]+)
     | (?P<STRING_LONG2>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\")
     | (?P<STRING_LONG1>'''(?:[^'\\]|\\.|'(?!''))*''')
     | (?P<STRING2>"(?:[^"\\\n]|\\.)*")
@@ -51,6 +51,17 @@ _SPARQL_TOKEN = re.compile(
     """,
     re.VERBOSE,
 )
+
+# IRIREF admits numeric escapes (UCHAR: \uXXXX / \UXXXXXXXX) and nothing
+# else — decoded at token→IRI time, exactly once (grammar §19.2).
+_UCHAR = re.compile(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})")
+
+
+def _iri_unescape(s: str) -> str:
+    return _UCHAR.sub(
+        lambda m: chr(int(m.group(1) or m.group(2), 16)), s
+    )
+
 
 _KEYWORDS = {
     "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "WHERE", "FROM", "NAMED",
@@ -173,11 +184,11 @@ class SparqlParser:
                         f"sparql: PREFIX {pname} expects an IRIREF, "
                         f"got {iriref!r}"
                     )
-                self.prefixes[ns] = iriref[1:-1]
+                self.prefixes[ns] = _iri_unescape(iriref[1:-1])
             elif kw == "BASE":
                 self._next()
                 _, iriref = self._next()
-                self.base = iriref[1:-1]
+                self.base = _iri_unescape(iriref[1:-1])
             else:
                 return
 
@@ -724,7 +735,7 @@ class SparqlParser:
     def _term(self):
         kind, v = self._next()
         if kind == "IRIREF":
-            iri = v[1:-1]
+            iri = _iri_unescape(v[1:-1])
             if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
                 from dublin_smart_city_graphdb_spark.model.terms import resolve_iri
 
