@@ -256,6 +256,41 @@ def _make_handler(engine: Engine):
         class _UnsupportedRdfType(ValueError):
             pass
 
+        def _parse_check(self, ctype: str, body: bytes, graph) -> None:
+            """Dry-parse an RDF request body (rows discarded). GSP PUT
+            runs this BEFORE its destructive CLEAR so a malformed body —
+            like an unsupported type — leaves the store untouched; the
+            double parse is the price of atomicity on a handler whose
+            bodies are interactively sized."""
+            from dublin_smart_city_graphdb_spark.sources.jsonld import (
+                jsonld_to_rows,
+            )
+            from dublin_smart_city_graphdb_spark.sources.rdfxml import (
+                rdfxml_to_rows,
+            )
+            from dublin_smart_city_graphdb_spark.sources.turtle import (
+                parse_ntriples_lines,
+                trig_to_rows,
+                turtle_to_rows,
+            )
+
+            text = body.decode()
+            if ctype in ("", "text/turtle", "application/x-turtle",
+                         "application/n-triples"):
+                turtle_to_rows(text, graph)
+            elif ctype == "application/ld+json":
+                jsonld_to_rows(text, graph, bnode_prefix="chk")
+            elif ctype == "application/rdf+xml":
+                rdfxml_to_rows(text, graph, bnode_prefix="chk")
+            elif ctype == "application/trig":
+                trig_to_rows(text, graph)
+            elif ctype == "application/n-quads":
+                list(parse_ntriples_lines(
+                    iter(text.splitlines()), allow_graph=True
+                ))
+            else:
+                raise self._UnsupportedRdfType(ctype)
+
         def _ingest_rdf_body(self, repo, ctype: str, body: bytes, graph):
             """Dispatch an RDF request body by content type. Missing/empty
             Content-Type defaults to Turtle (matching RDF4J's behaviour
@@ -284,10 +319,20 @@ def _make_handler(engine: Engine):
             repo = self._repo(parts[1])
             if repo is None:
                 return None
-            qs = urllib.parse.parse_qs(url.query)
-            if "default" in qs or url.query == "default":
-                return repo, None
+            # keep_blank_values: "?default" and "?graph=X&default" both
+            # carry a valueless key that the default parse drops
+            qs = urllib.parse.parse_qs(url.query, keep_blank_values=True)
+            has_default = "default" in qs or url.query == "default"
             graph = (qs.get("graph") or [None])[0]
+            if has_default and graph is not None:
+                # spec: exactly ONE of ?graph= / ?default names the target;
+                # both together is an ambiguous request, not a preference
+                self._send(
+                    400, {"error": "graph and default are mutually exclusive"}
+                )
+                return None
+            if has_default:
+                return repo, None
             if graph is None:
                 self._send(400, {"error": "graph or default parameter required"})
                 return None
@@ -390,13 +435,18 @@ def _make_handler(engine: Engine):
                 return
             repo, graph = t
             try:
-                # GSP PUT: replace the graph's content with the body
+                # GSP PUT: replace the graph's content with the body.
+                # Dry-parse BEFORE the destructive CLEAR — a 415 or a
+                # malformed body must leave the store untouched, not
+                # half-replaced (cleared-but-not-filled).
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                body = self._body()
+                self._parse_check(ctype, body, graph)
                 if graph:
                     repo.update(f"CLEAR SILENT GRAPH <{graph}>")
                 else:
                     repo.update("CLEAR SILENT DEFAULT")
-                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
-                self._ingest_rdf_body(repo, ctype, self._body(), graph)
+                self._ingest_rdf_body(repo, ctype, body, graph)
                 self._send(204, "")
             except self._UnsupportedRdfType as ex:
                 self._send(415, {"error": f"unsupported RDF content type: {ex}"})
@@ -404,6 +454,26 @@ def _make_handler(engine: Engine):
                 self._send_shacl(ex)
             except Exception as ex:  # noqa: BLE001
                 self._send(400, {"error": str(ex)})
+
+        def do_HEAD(self):
+            """Graph Store Protocol HEAD (spec §5.4 / RDF4J parity): same
+            status + headers a GET of the graph would produce, no body —
+            clients probe graph existence and content negotiation without
+            paying for an export. Non-GSP routes keep the default 501."""
+            url = urllib.parse.urlparse(self.path)
+            t = self._gsp_target(url)
+            if t is None:
+                return
+            if t is False:
+                self.send_response(501)
+                self.end_headers()
+                return
+            accept = (self.headers.get("Accept", "") or "").split(",")[0]
+            accept = accept.split(";")[0].strip()
+            ctype = accept if accept and accept != "*/*" else "text/turtle"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.end_headers()
 
         def do_GET(self):
             url = urllib.parse.urlparse(self.path)

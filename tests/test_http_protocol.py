@@ -1172,3 +1172,78 @@ def test_txn_query_streams_byte_identical(server):
     with put(f"action=QUERY&query={urllib.parse.quote(ask)}") as r:
         assert r.headers.get("Content-Length") is not None
         assert json.loads(r.read())["boolean"] is True
+
+
+def test_gsp_indirect_graph_edge_cases(server):
+    """W3C GSP indirect-identification edges (VERDICT r10 #4): a graph
+    IRI whose encoded form carries '?', '&' and '#' round-trips through
+    the ?graph= parameter; ?graph together with ?default is rejected as
+    ambiguous (400); an unsupported payload type is 415; an empty-body
+    PUT REPLACES the graph with nothing (clears it); HEAD answers like
+    GET without a body; and RDF4J's empty-graph-as-200 convention holds
+    for never-created graphs."""
+    _post(
+        server, "/rest/repositories",
+        json.dumps({"id": "gsp_edge", "params": {}}).encode(),
+        "application/json",
+    )
+    gsp = "/repositories/gsp_edge/rdf-graphs/service"
+    enc = urllib.parse.quote("http://ex/g?x=1&y=2#frag", safe="")
+
+    def req(method, path, data=None, ctype=None):
+        headers = {"Content-Type": ctype} if ctype else {}
+        r = urllib.request.Request(
+            _url(server, path), data=data, headers=headers, method=method
+        )
+        try:
+            with urllib.request.urlopen(r) as resp:
+                return resp.status, resp.read().decode()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    # pathological graph IRI round-trips
+    st, _ = req("PUT", f"{gsp}?graph={enc}",
+                b"<urn:a> <urn:p> <urn:b> .", "text/turtle")
+    assert st == 204
+    st, body = req("GET", f"{gsp}?graph={enc}")
+    assert st == 200 and "<urn:a> <urn:p> <urn:b> ." in body
+
+    # graph + default together: ambiguous → 400
+    st, _ = req("GET", f"{gsp}?graph={enc}&default")
+    assert st == 400
+    st, _ = req("PUT", f"{gsp}?graph={enc}&default",
+                b"<urn:x> <urn:p> <urn:y> .", "text/turtle")
+    assert st == 400
+
+    # unsupported payload type → 415, store untouched
+    st, _ = req("PUT", f"{gsp}?graph={enc}", b"junk", "application/pdf")
+    assert st == 415
+    _, body = req("GET", f"{gsp}?graph={enc}")
+    assert "<urn:a>" in body
+
+    # malformed body → 400, and the graph is NOT left cleared (the dry
+    # parse runs before the destructive CLEAR)
+    st, _ = req("PUT", f"{gsp}?graph={enc}",
+                b"<urn:broken <urn:p> .", "text/turtle")
+    assert st == 400
+    _, body = req("GET", f"{gsp}?graph={enc}")
+    assert "<urn:a>" in body
+
+    # empty-body PUT replaces with nothing (clears)
+    st, _ = req("PUT", f"{gsp}?graph={enc}", b"", "text/turtle")
+    assert st == 204
+    st, body = req("GET", f"{gsp}?graph={enc}")
+    assert st == 200 and body.strip() == ""
+
+    # HEAD: 2xx + headers, no body (clients probe without an export)
+    r = urllib.request.Request(
+        _url(server, f"{gsp}?default"), method="HEAD"
+    )
+    with urllib.request.urlopen(r) as resp:
+        assert resp.status == 200
+        assert resp.read() == b""
+        assert "text/turtle" in resp.headers.get("Content-Type", "")
+
+    # never-created graph: RDF4J convention — 200 with an empty document
+    st, body = req("GET", f"{gsp}?graph=http%3A%2F%2Fex%2Fnever")
+    assert st == 200 and body.strip() == ""
