@@ -4732,3 +4732,155 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_shared_grams")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact duplicated-span detection (the ExactSubstr granularity — spans
+# shared across documents that doc- and chunk-level dedup both miss)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8
+
+_SPAN_EXACT_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sp AS (
+        SELECT doc_id,
+               {_hash60_duck(f"list_aggregate(ts[i:i+{_SPAN_W - 1}], "
+                             "'string_agg', ' ')")} AS h
+        FROM t, UNNEST(range(1, len(ts) - {_SPAN_W - 2})) AS r(i)
+        WHERE len(ts) >= {_SPAN_W}
+    ),
+    c AS (SELECT h, COUNT(*) AS n FROM sp GROUP BY h)
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_span_frac
+    FROM sp JOIN c USING (h)
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_span_exact",
+    _SPAN_EXACT_SQL,
+    doc="Exact duplicated-span detection (the 'Deduplicating Training Data "
+        "Makes Language Models Better' ExactSubstr granularity): every "
+        "sliding 8-token span is hashed, corpus-wide occurrence counts "
+        "mark spans appearing more than once, and each document reports "
+        "its duplicated-span fraction — the signal that catches shared "
+        "boilerplate/quotations INSIDE otherwise-distinct documents, "
+        "which doc-level (dedup_exact) and chunk-level (corpus_chunk_"
+        "dedup) both miss. Spans form MAP-SIDE from the token array "
+        "(slice over an index sequence — the decontaminate idiom) and "
+        "ride as 60-bit hashes, so the shuffle key is fixed-width "
+        "regardless of span text; the plan is the LM-family shape: one "
+        "span-count groupBy, the same-key join back (exchange reuse), "
+        "one per-doc aggregation. No self-join, no span-text shuffle. "
+        "Docs shorter than the window have no spans and drop.",
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_parallel(spark, sf_dir)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("ts")).filter(
+        F.size("ts") >= _SPAN_W
+    )
+    idx = F.sequence(F.lit(1), F.size("ts") - (_SPAN_W - 1))
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("ts"), i, F.lit(_SPAN_W))
+                ),
+            )
+        ).alias("s"),
+    )
+    hashed = spans.select("doc_id", F.expr(_hash60_spark("s")).alias("h"))
+    cnt = hashed.groupBy("h").agg(F.count("*").alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        hashed.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            F.round(
+                F.sum(dup).cast("double") / F.count("*"), 6
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: per-label centroid drift (corpus-distribution monitoring — the
+# report that says "shard 3's embeddings moved away from the corpus center"
+# before anyone trains on a skewed mixture)
+# ---------------------------------------------------------------------------
+
+_LABEL_DRIFT_SQL = """
+    WITH e AS (
+        SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    lm AS (SELECT label, i, AVG(v) AS ml FROM e GROUP BY label, i),
+    gm AS (SELECT i, AVG(v) AS mg FROM e GROUP BY i),
+    agg AS (
+        SELECT label,
+               SUM(ml * mg) AS dot,
+               SUM(ml * ml) AS nl,
+               SUM(mg * mg) AS ng
+        FROM lm JOIN gm USING (i)
+        GROUP BY label
+    ),
+    cnt AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT label, n_vecs,
+           ROUND(dot / (sqrt(nl) * sqrt(ng)), 6) AS centroid_cosine
+    FROM agg JOIN cnt USING (label)
+"""
+
+
+@register(
+    "embed_label_drift",
+    _LABEL_DRIFT_SQL,
+    doc="Per-label centroid drift: cosine between each label's embedding "
+        "centroid and the global corpus centroid — the distribution-shift "
+        "monitor run before weighting a training mixture (a label whose "
+        "centroid_cosine sinks is semantically drifting from the corpus). "
+        "Plan: one posexplode pass feeds BOTH mean aggregations "
+        "(per-label-per-dim and per-dim) with map-side partials; the "
+        "per-dim global means broadcast into the per-label join (|dims| "
+        "rows), and the final per-label reduction is over |labels|·|dims| "
+        "rows — corpus-scale work is exactly one explode + two "
+        "aggregations, nothing quadratic. Cosine assembled from the "
+        "joined means in double precision, round(6) on both engines.",
+)
+def embed_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "v0")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    lm = e.groupBy("label", "i").agg(F.avg("v").alias("ml"))
+    gm = e.groupBy("i").agg(F.avg("v").alias("mg"))
+    agg = (
+        lm.join(F.broadcast(gm), "i")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ml") * F.col("mg")).alias("dot"),
+            F.sum(F.col("ml") * F.col("ml")).alias("nl"),
+            F.sum(F.col("mg") * F.col("mg")).alias("ng"),
+        )
+    )
+    cnt = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return agg.join(cnt, "label").select(
+        "label",
+        "n_vecs",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("nl")) * F.sqrt(F.col("ng"))), 6
+        ).alias("centroid_cosine"),
+    )

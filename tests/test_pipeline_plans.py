@@ -560,3 +560,28 @@ def test_lm_topk_model_is_capped_and_scoring_broadcast_only(spark):
         assert "SortMergeJoin" not in plan, name
         assert plan.count("FileScan") == scans, name
         assert plan.count("Exchange hashpartitioning") == shuffles, name
+
+
+def test_span_exact_spans_ride_as_hashes_no_self_join(spark):
+    """Duplicated-span detection: spans form map-side and shuffle as
+    fixed-width 60-bit hashes (never span text), through the LM-family
+    shape — span-count groupBy + same-key join-back + per-doc agg. Two
+    corpus-scale hash exchanges, no self-join, single documents scan
+    feeding the reused exchange."""
+    plan = plan_of(q(spark, "dedup_span_exact"))
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan
+    # the join keys are the hash column, not the span string: no span
+    # text survives past the hash projection
+    assert "conv(substr(md5" in plan
+
+
+def test_label_drift_is_one_explode_two_aggs_broadcast_dims(spark):
+    """Centroid drift: corpus-scale work is one posexplode + the two
+    mean aggregations; the per-dim global means broadcast into the
+    per-label join (|dims| rows) — no sort-merge join of corpus-scale
+    sides anywhere."""
+    plan = plan_of(q(spark, "embed_label_drift"))
+    assert "Generate posexplode" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -95,6 +95,8 @@ AUDITED = [
     "text_bigram_perplexity",
     "text_unigram_logprob_topk",
     "text_bigram_perplexity_topk",
+    "dedup_span_exact",
+    "embed_label_drift",
 ]
 
 
