@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from dublin_smart_city_graphdb_spark.model.schema import INFERRED_GRAPH, QUAD_SCHEMA
+from dublin_smart_city_graphdb_spark.session import local_df
 from dublin_smart_city_graphdb_spark.sources.store import QuadStore
 from dublin_smart_city_graphdb_spark.sources.turtle import (
     read_ntriples_distributed,
@@ -131,7 +132,7 @@ class Repository:
         that happens to equal a server-side path cannot trigger a local
         file read (ADVICE r3 LFI surface)."""
         rows = turtle_to_rows(text, graph)
-        self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+        self._ingest(local_df(self.spark, rows, QUAD_SCHEMA))
         return len(rows)
 
     def load_turtle(self, source: str, graph: str | None = None) -> int:
@@ -149,7 +150,7 @@ class Repository:
         )
 
         rows = jsonld_to_rows(text, graph, bnode_prefix=f"j{self._version}b")
-        self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+        self._ingest(local_df(self.spark, rows, QUAD_SCHEMA))
         return len(rows)
 
     def load_jsonld(self, source: str, graph: str | None = None) -> int:
@@ -171,7 +172,7 @@ class Repository:
         )
 
         rows = trig_to_rows(text, graph)
-        self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+        self._ingest(local_df(self.spark, rows, QUAD_SCHEMA))
         return len(rows)
 
     def load_trig(self, source: str, graph: str | None = None) -> int:
@@ -190,7 +191,7 @@ class Repository:
         )
 
         rows = rdfxml_to_rows(text, graph, bnode_prefix=f"r{self._version}b")
-        self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+        self._ingest(local_df(self.spark, rows, QUAD_SCHEMA))
         return len(rows)
 
     def load_rdfxml(self, source: str, graph: str | None = None) -> int:
@@ -277,7 +278,7 @@ class Repository:
         )
         if graph is not None:
             rows = [(graph, *r[1:]) for r in rows]
-        self._ingest(self.spark.createDataFrame(rows, QUAD_SCHEMA))
+        self._ingest(local_df(self.spark, rows, QUAD_SCHEMA))
         return len(rows)
 
     def load_nquads(self, path: str) -> None:
@@ -623,7 +624,7 @@ class Repository:
     @property
     def quads(self) -> DataFrame:
         if self._quads is None:
-            return self.spark.createDataFrame([], QUAD_SCHEMA)
+            return local_df(self.spark, [], QUAD_SCHEMA)
         return self._quads
 
     def predicate_stats(self) -> dict[str, int]:
@@ -1077,8 +1078,8 @@ class Repository:
             # probe — no full-store diff shuffles at all
             del_rows, add_rows = const
             no_del, no_add = not del_rows, not add_rows
-            deleted = self.spark.createDataFrame(del_rows, spo_schema)
-            added = self.spark.createDataFrame(add_rows, spo_schema)
+            deleted = local_df(self.spark, del_rows, spo_schema)
+            added = local_df(self.spark, add_rows, spo_schema)
             inferred_old = fresh_ids(
                 q.filter(q.g == INFERRED_GRAPH).select(
                     F.lit(INFERRED_GRAPH).alias("g"), *_SPO_COLS

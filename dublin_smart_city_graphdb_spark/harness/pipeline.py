@@ -68,41 +68,81 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shingling helpers (word k-grams; shared by MinHash and Jaccard dedup)
 # ---------------------------------------------------------------------------
 
+def _arr_let(arr, body):
+    """Single-evaluation let binding for an array Column consumed inside
+    a higher-order-function lambda. HOFs run INTERPRETED (never
+    whole-stage codegen), and interpreted evaluation is a pure tree
+    walk: an array expression referenced inside a per-element lambda is
+    re-evaluated ON EVERY ELEMENT — ``element_at(hs, i)`` with ``hs`` a
+    derived array recomputes the whole array per shingle, turning an
+    O(tokens) map-side pass into O(tokens²) per document. Routing the
+    array through a one-element ``transform`` makes every reference a
+    lambda-variable access — a leaf. Measured on the sf0.1 shingle
+    pass: 2.3–27 s → 0.33 s, bit-identical output. (Same trick as the
+    geo kernels' ``_let`` in sparql/extensions.py.)"""
+    return F.get(F.transform(F.array(arr), body), 0)
+
+
 def _shingle_arr(k: int):
-    """Column expr: distinct word-k-gram shingle array for ``text``."""
-    w = F.split(F.col("text"), " ")
-    return F.when(
-        F.size(w) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Column expr: distinct word-k-gram shingle array for ``text``.
+    The word array is let-bound (``_arr_let``) so the per-shingle slice
+    reads an evaluated array instead of re-splitting the text per
+    shingle."""
+    return _arr_let(
+        F.split(F.col("text"), " "),
+        lambda w: F.when(
+            F.size(w) >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def _shingle_hash_arr(k: int):
     """Column expr: distinct 64-bit-hashed word-k-gram shingles for
     ``text``. Each word is xxhash64'd ONCE, then each k-gram hashes the k
     word-hash longs (fixed-width input) — no shingle strings are ever
-    built and no word is string-hashed k times, which cut the interpreted
-    HOF's map-side cost ~30% vs hashing concatenated strings. Equality
-    matches string shingles exactly (words cannot contain the separator)
-    up to 64-bit hash collisions (~n²/2⁶⁴)."""
-    w = F.split(F.col("text"), " ")
-    hs = F.transform(w, lambda x: F.xxhash64(x))
-    return F.when(
-        F.size(w) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (k - 1)),
-                lambda i: F.xxhash64(
-                    *[F.element_at(hs, i + j) for j in range(k)]
-                ),
-            )
+    built and no word is string-hashed k times. Equality matches string
+    shingles exactly (words cannot contain the separator) up to 64-bit
+    hash collisions (~n²/2⁶⁴). The word-hash array is let-bound
+    (``_arr_let``): without it the interpreter re-evaluated the whole
+    split+hash array per shingle — the O(tokens²) trap measured at
+    2.3–27 s vs 0.33 s on the sf0.1 shingle pass."""
+    return _arr_let(
+        F.transform(F.split(F.col("text"), " "), lambda x: F.xxhash64(x)),
+        lambda hs: F.when(
+            F.size(hs) >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(hs) - (k - 1)),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(hs, i + j) for j in range(k)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+
+
+def _bigram_structs():
+    """(w1, w2) struct array over ``text``, let-bound (``_arr_let``): the
+    token array evaluates once per document; the unbound form re-split
+    the text per bigram under interpreted HOF evaluation — the same
+    O(tokens²) trap as the shingle helpers."""
+    return _arr_let(
+        F.split(F.col("text"), " "),
+        lambda ts: F.transform(
+            F.sequence(F.lit(0), F.size(ts) - 2),
+            lambda i: F.struct(
+                F.get(ts, i).alias("w1"),
+                F.get(ts, i + 1).alias("w2"),
+            ),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    )
 
 
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2847,18 +2887,7 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts DOWN ([0, -1]), it does not return an empty array
     bg = (
         d.filter(F.size(ts) >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ts) - 2),
-                    lambda i: F.struct(
-                        F.get(ts, i).alias("w1"),
-                        F.get(ts, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b"),
-        )
+        .select("doc_id", F.explode(_bigram_structs()).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
@@ -3070,18 +3099,7 @@ def text_bigram_perplexity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <2-token docs drop before sequence() can count down)
     bg = (
         d.filter(F.size(ts) >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ts) - 2),
-                    lambda i: F.struct(
-                        F.get(ts, i).alias("w1"),
-                        F.get(ts, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b"),
-        )
+        .select("doc_id", F.explode(_bigram_structs()).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
     # token → bucket mapping: two ≤K-row broadcast membership probes

@@ -78,21 +78,52 @@ def materialize_rules(
 
     spo = explicit.select(*_SPO_COLS)
 
+    # Δ-restriction (r11): plain-BGP rule bodies get GRAPH-marker
+    # semi-naive variants (inference/delta.py) so rounds after the first
+    # scan |Δ| rows per instance slot instead of re-running every rule
+    # over the whole accumulated set; non-rewritable bodies (FILTER-only
+    # is fine; UNION/paths are not) keep full evaluation in delta rounds
+    # — sound, just unseeded. Slots without variants can only match
+    # owl:/rdfs: schema triples, so the extended schema-touch guard
+    # forces a full round exactly when those could gain matches. The
+    # fixpoint's result is unchanged: each round's candidates remain a
+    # superset of the Δ-derived conclusions and a subset of the
+    # derivable ones.
+    from dublin_smart_city_graphdb_spark.inference.delta import (
+        delta_quads_view,
+        delta_variants,
+        touches_schema_extended,
+    )
+
+    variants = [delta_variants(p) for p in parsed]
+
     def round_fn(known: DataFrame, inst) -> DataFrame:
         from dublin_smart_city_graphdb_spark.sparql.compiler import (
             QueryCompiler,
         )
 
-        quads_view = known.select(
-            F.lit(None).cast("string").alias("g"), *_SPO_COLS
-        )
-        comp = QueryCompiler(spark, quads_view)
-        parts = [
-            _construct_to_spo(comp.compile(ast)) for ast in parsed
-        ]
+        if inst is None:
+            view = known.select(
+                F.lit(None).cast("string").alias("g"), *_SPO_COLS
+            )
+            asts = parsed
+        else:
+            view = delta_quads_view(known, inst, _SPO_COLS)
+            asts = [
+                a
+                for full, vs in zip(parsed, variants)
+                for a in (vs if vs is not None else [full])
+            ]
+        if not asts:
+            return known.select(*_SPO_COLS).limit(0)
+        comp = QueryCompiler(spark, view)
+        parts = [_construct_to_spo(comp.compile(ast)) for ast in asts]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
-    return _fixpoint(spo, None, max_rounds, round_fn=round_fn)
+    return _fixpoint(
+        spo, None, max_rounds, round_fn=round_fn,
+        touches_schema=touches_schema_extended,
+    )

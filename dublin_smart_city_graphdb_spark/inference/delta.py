@@ -43,14 +43,11 @@ _SCHEMA_NS = (OWL, RDFS)
 _RDF_TYPE = RDF + "type"
 
 
-def touches_schema_extended(delta: DataFrame) -> bool:
-    """Does Δ alter any extended-ruleset rule's SCHEMA side? Covers the
-    whole owl:/rdfs: vocabulary (restriction axioms, property
-    declarations, class expressions), vocabulary type assertions, and
-    the RDF-list triples the owl2-rl list-axiom expansion collects.
-    Conservative by construction: a schema-touching Δ forces a full
-    round, never a wrong answer."""
-    return not delta.filter(
+def _schema_touch_cond_extended():
+    """Column predicate for ``touches_schema_extended`` (exposed so the
+    fixpoint driver can fuse the schema-touch probe into the emptiness
+    probe — rdfsplus._probe_delta)."""
+    return (
         F.col("p").startswith(OWL)
         | F.col("p").startswith(RDFS)
         | F.col("p").isin(RDF + "first", RDF + "rest")
@@ -59,7 +56,20 @@ def touches_schema_extended(delta: DataFrame) -> bool:
             & (F.col("o_lex").startswith(OWL)
                | F.col("o_lex").startswith(RDFS))
         )
-    ).isEmpty()
+    )
+
+
+def touches_schema_extended(delta: DataFrame) -> bool:
+    """Does Δ alter any extended-ruleset rule's SCHEMA side? Covers the
+    whole owl:/rdfs: vocabulary (restriction axioms, property
+    declarations, class expressions), vocabulary type assertions, and
+    the RDF-list triples the owl2-rl list-axiom expansion collects.
+    Conservative by construction: a schema-touching Δ forces a full
+    round, never a wrong answer."""
+    return not delta.filter(_schema_touch_cond_extended()).isEmpty()
+
+
+touches_schema_extended.cond = _schema_touch_cond_extended
 
 
 def _is_instance_pattern(t: A.TriplePattern) -> bool:
@@ -147,8 +157,12 @@ def make_round_fn(spark, parsed: list, variants: list, static_df=None):
         )
 
         if inst is None:
+            # full round: rebuild the ctx from the current statement set —
+            # even full rounds then skip dead rule branches and share one
+            # schema extraction (see rdfsplus._cached_round_fn)
             ctx_box.clear()
-            out = _round(known, None)
+            ctx_box["ctx"] = _schema_ctx(known)
+            out = _round(known, None, ctx=ctx_box["ctx"])
         else:
             if "ctx" not in ctx_box:
                 ctx_box["ctx"] = _schema_ctx(known)

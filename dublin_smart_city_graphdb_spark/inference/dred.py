@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
     _fixpoint,
     _ID_COLS,
+    _probe_delta,
     _SPO_COLS,
 )
 from dublin_smart_city_graphdb_spark.model.schema import INFERRED_GRAPH
@@ -136,11 +137,12 @@ def retract(
         # fresh=True: the generations accumulate into `overdel` by union,
         # and same-id checkpoint unions trip the optimizer (ckpt.py)
         new_over, new_ids = tr.checkpoint(_semi(remaining, cand), fresh=True)
-        if new_over.isEmpty():
+        non_empty, over_touches = _probe_delta(new_over, touches_schema)
+        if not non_empty:
             tr.free(new_ids)
             converged = True
             break
-        if touches_schema(new_over):
+        if over_touches:
             # an inferred schema triple (e.g. derived subClassOf) lost
             # support — the rule set itself may shrink; full rebuild
             tr.free(new_ids)

@@ -61,32 +61,29 @@ def materialize(
 ) -> DataFrame:
     """Run RDFS-Plus ∪ restriction rules to fixpoint; returns ONLY the
     inferred quads, tagged ``g = urn:inferred`` (same contract as
-    rdfsplus.materialize)."""
-    import pyspark.sql.functions as F
+    rdfsplus.materialize).
 
-    from dublin_smart_city_graphdb_spark.inference.custom import (
-        _construct_to_spo,
+    Evaluation strategy (r11): the Δ-restrictable round function the
+    incremental paths already use — round 0 runs full, every later round
+    whose fresh set stays off the owl:/rdfs: vocabulary evaluates the
+    restriction rules through |Δ|-sized GRAPH-marker variants and the
+    built-in batch through its seeded path, instead of re-running every
+    rule over the whole accumulated set each round. The closure is
+    identical (each round's candidates are a superset of the
+    delta-derived conclusions and a subset of the derivable ones); only
+    the per-round cost changes — the old full re-evaluation was
+    O(|store| × rules) per round for work whose new conclusions are
+    Δ-sized."""
+    from dublin_smart_city_graphdb_spark.inference.delta import (
+        touches_schema_extended,
     )
-    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
 
-    parsed = [parse_query(r) for r in RESTRICTION_RULES]
     spo = explicit.select(*_SPO_COLS)
-
-    def round_fn(known: DataFrame, inst) -> DataFrame:
-        from dublin_smart_city_graphdb_spark.sparql.compiler import (
-            QueryCompiler,
-        )
-
-        out = _round(known, inst)
-        quads_view = known.select(
-            F.lit(None).cast("string").alias("g"), *_SPO_COLS
-        )
-        comp = QueryCompiler(spark, quads_view)
-        for ast in parsed:
-            out = out.unionByName(_construct_to_spo(comp.compile(ast)))
-        return out
-
-    return _fixpoint(spo, None, max_rounds, round_fn=round_fn)
+    return _fixpoint(
+        spo, None, max_rounds,
+        round_fn=_incremental_round_fn(spark),
+        touches_schema=touches_schema_extended,
+    )
 
 
 def materialize_incremental(

@@ -408,49 +408,24 @@ def materialize(
     """RDFS-Plus ∪ pD* restrictions ∪ the full OWL 2 RL rule table to
     fixpoint; returns ONLY the inferred quads tagged ``g = urn:inferred``
     (the shared ruleset contract)."""
-    from dublin_smart_city_graphdb_spark.inference.custom import (
-        _construct_to_spo,
-    )
-    from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
-    from dublin_smart_city_graphdb_spark.sparql.parser import parse_query
-
     spo = _skolemize_spo(explicit.select(*_SPO_COLS))
-    vocab = _present_vocab(spo)
-    list_rules, static_rows = _list_rules(spo)
-    texts = [
-        text
-        for trig, text in zip(_RESTRICTION_TRIGGERS, RESTRICTION_RULES)
-        if trig & vocab
-    ] + [
-        text for trig, text in _FIXED_RULES if trig & vocab
-    ] + list_rules
-    parsed = [parse_query(r) for r in texts]
-    spo_schema = spark.createDataFrame([], QUAD_SCHEMA).select(
-        *_SPO_COLS
-    ).schema
-    static_df = (
-        spark.createDataFrame(static_rows, spo_schema)
-        if static_rows else None
+    # Evaluation strategy (r11): the Δ-restrictable round function the
+    # incremental paths already use — round 0 full, schema-free later
+    # rounds evaluate every CONSTRUCT rule through |Δ|-sized GRAPH-marker
+    # variants and the built-in batch through its seeded path. Closure
+    # identical (superset-of-Δ-derived / subset-of-derivable per round);
+    # the old full per-round re-evaluation of the whole vocabulary-gated
+    # rule table was the dominant materialization cost.
+    from dublin_smart_city_graphdb_spark.inference.delta import (
+        touches_schema_extended,
     )
-
-    def round_fn(known: DataFrame, inst) -> DataFrame:
-        from dublin_smart_city_graphdb_spark.sparql.compiler import (
-            QueryCompiler,
-        )
-
-        out = _round(known, inst)
-        quads_view = known.select(
-            F.lit(None).cast("string").alias("g"), *_SPO_COLS
-        )
-        comp = QueryCompiler(spark, quads_view)
-        for ast in parsed:
-            out = out.unionByName(_construct_to_spo(comp.compile(ast)))
-        if static_df is not None:
-            out = out.unionByName(static_df)
-        return out
 
     return _deskolemize_out(
-        _fixpoint(spo, None, max_rounds, round_fn=round_fn)
+        _fixpoint(
+            spo, None, max_rounds,
+            round_fn=_incremental_round_fn(spark, spo),
+            touches_schema=touches_schema_extended,
+        )
     )
 
 

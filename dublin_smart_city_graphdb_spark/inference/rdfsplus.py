@@ -86,76 +86,136 @@ _SCHEMA_PREDS = (
 _SCHEMA_CLASSES = (_SYMMETRIC, _TRANSITIVE, _FUNCTIONAL, _INV_FUNCTIONAL)
 
 
+def _schema_touch_cond():
+    """Column predicate: is this row a SCHEMA triple for the built-in
+    rule batch? (Exposed separately so fixpoint drivers can fuse the
+    schema-touch probe into the same job as the emptiness probe.)"""
+    return (
+        F.col("p").isin(*_SCHEMA_PREDS)
+        | ((F.col("p") == RDF_TYPE) & F.col("o_lex").isin(*_SCHEMA_CLASSES))
+    )
+
+
 def _touches_schema(delta: DataFrame) -> bool:
     """Does this round's delta alter any rule's SCHEMA side (property maps,
     property-class declarations, sameAs pairs)? If so the next round must
     rejoin the full statement set; otherwise the delta alone suffices."""
-    return not delta.filter(
-        F.col("p").isin(*_SCHEMA_PREDS)
-        | ((F.col("p") == RDF_TYPE) & F.col("o_lex").isin(*_SCHEMA_CLASSES))
-    ).isEmpty()
+    return not delta.filter(_schema_touch_cond()).isEmpty()
+
+
+_touches_schema.cond = _schema_touch_cond
+
+
+def _probe_delta(df: DataFrame, touches_schema_fn) -> tuple[bool, bool]:
+    """(non_empty, touches_schema) for a just-checkpointed delta in ONE
+    Spark job when the checker exposes its predicate Column (``.cond``
+    attribute); two probes otherwise. Fixpoint loops previously paid two
+    jobs per round here (isEmpty + the schema filter's isEmpty)."""
+    cond = getattr(touches_schema_fn, "cond", None)
+    if cond is None:
+        if df.isEmpty():
+            return False, False
+        return True, touches_schema_fn(df)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(cond(), F.lit(1))).alias("ts"),
+    ).first()
+    return row.n > 0, row.ts > 0
 
 
 def _schema_ctx(facts: DataFrame) -> dict:
     """The schema-side tables every rule round reads, extracted from
-    ``facts`` ONCE and materialized (they are tiny — bounded by the
-    ontology). A loop whose schema cannot change between rounds — DRed
-    overdeletion over a fixed old view, or a stretch of schema-free
-    delta rounds in the insert fixpoint — passes this to ``_round`` so
-    each round stops re-scanning the full statement set ~12× for tables
-    that are provably identical. The property-INSTANCE tables
-    (transitive/functional facts) are NOT cached — they grow with the
-    fixpoint — but their emptiness flags are: a store that declares no
-    transitive/functional properties (the common case) skips those
-    rules' store scans entirely."""
-    # ONE scan of the (possibly lazy, possibly huge) fact view reduces it
-    # to the schema-relevant rows; the 11 per-table extractions and 4
-    # emptiness probes below then run against this tiny checkpoint
-    # instead of re-scanning the store 15×
-    sfacts = facts.filter(
-        F.col("p").isin(*_SCHEMA_PREDS)
-        | ((F.col("p") == RDF_TYPE) & F.col("o_lex").isin(*_SCHEMA_CLASSES))
-    ).localCheckpoint(eager=True)
+    ``facts`` ONCE with a single collect (they are tiny — bounded by the
+    ontology, the already-adjudicated driver-side bound of this module)
+    and re-published as one-slice local frames. A loop whose schema
+    cannot change between rounds — DRed overdeletion over a fixed old
+    view, a stretch of schema-free delta rounds, or any single round —
+    passes this to ``_round`` so the round stops re-scanning the full
+    statement set ~12× for tables that are provably identical.
 
-    def pairs(pred):
-        return F.broadcast(
-            sfacts.filter((F.col("p") == pred) & (F.col("o_kind") == KIND_IRI))
-            .select(F.col("s").alias("a"), F.col("o_lex").alias("b"))
-            .distinct()
+    Driver-side collection buys two things the old checkpoint-backed
+    tables could not (measured on the DRed gate flow, r11): every
+    schema table's EMPTINESS is known without a Spark job, so ``_round``
+    skips dead rule branches entirely (most workloads declare 1-3 of the
+    11 schema relations), and the 4 isEmpty probes + per-round broadcast
+    materializations collapse into the one collect. The property-
+    INSTANCE tables (transitive/functional facts) still come from the
+    live fact set — they grow with the fixpoint — but their guard flags
+    are schema-side and exact."""
+    from dublin_smart_city_graphdb_spark.session import local_df
+
+    spark = facts.sparkSession
+    srows = (
+        facts.filter(
+            F.col("p").isin(*_SCHEMA_PREDS)
+            | ((F.col("p") == RDF_TYPE) & F.col("o_lex").isin(*_SCHEMA_CLASSES))
+        )
+        .select("s", "p", "o_kind", "o_lex")
+        .collect()
+    )
+
+    def pair_rows(pred):
+        return sorted(
+            {(r.s, r.o_lex) for r in srows
+             if r.p == pred and r.o_kind == KIND_IRI}
         )
 
-    def props(cls, alias):
-        return F.broadcast(
-            sfacts.filter(
-                (F.col("p") == RDF_TYPE) & (F.col("o_lex") == cls)
-            ).select(F.col("s").alias(alias)).distinct()
+    def prop_rows(cls):
+        return sorted(
+            {(r.s,) for r in srows if r.p == RDF_TYPE and r.o_lex == cls}
         )
 
-    subp = pairs(_SUBPROP)
-    inv = pairs(_INVERSE)
-    eqp = pairs(_EQ_PROP)
+    def pair_df(rows):
+        return F.broadcast(local_df(spark, rows, "a string, b string"))
+
+    def prop_df(rows, alias):
+        return F.broadcast(local_df(spark, rows, f"{alias} string"))
+
+    subp = pair_rows(_SUBPROP)
+    subc = pair_rows(_SUBCLASS)
+    dom = pair_rows(_DOMAIN)
+    rng = pair_rows(_RANGE)
+    inv = pair_rows(_INVERSE)
+    eqp = pair_rows(_EQ_PROP)
+    eqc = pair_rows(_EQ_CLASS)
+    same = pair_rows(_SAME_AS)
+    sym = prop_rows(_SYMMETRIC)
+    trans = prop_rows(_TRANSITIVE)
+    fun = prop_rows(_FUNCTIONAL)
+    ifun = prop_rows(_INV_FUNCTIONAL)
+
+    def both(rows):
+        return sorted(set(rows) | {(b, a) for a, b in rows})
+
     ctx = {
-        "subp": subp,
-        "subc": pairs(_SUBCLASS),
-        "dom": pairs(_DOMAIN),
-        "rng": pairs(_RANGE),
-        "inv_both": inv.unionByName(
-            inv.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ),
-        "eqp_both": eqp.unionByName(
-            eqp.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ),
-        "same_pairs": pairs(_SAME_AS),
-        "sym_props": props(_SYMMETRIC, "a"),
-        "trans_props": props(_TRANSITIVE, "tp"),
-        "fun_props": props(_FUNCTIONAL, "fp"),
-        "ifun_props": props(_INV_FUNCTIONAL, "fp"),
+        "subp": pair_df(subp),
+        "subc": pair_df(subc),
+        "dom": pair_df(dom),
+        "rng": pair_df(rng),
+        "inv_both": pair_df(both(inv)),
+        "eqp_both": pair_df(both(eqp)),
+        "eqc_both": pair_df(both(eqc)),
+        "same_pairs": pair_df(same),
+        "sym_props": prop_df(sym, "a"),
+        "trans_props": prop_df(trans, "tp"),
+        "fun_props": prop_df(fun, "fp"),
+        "ifun_props": prop_df(ifun, "fp"),
+        # exact per-relation guards: a rule whose schema side is empty
+        # cannot produce a row — _round skips its joins outright
+        "has_subp": bool(subp),
+        "has_subc": bool(subc),
+        "has_dom": bool(dom),
+        "has_rng": bool(rng),
+        "has_inv": bool(inv),
+        "has_eqp": bool(eqp),
+        "has_eqc": bool(eqc),
+        "has_same": bool(same),
+        "has_sym": bool(sym),
+        "has_trans": bool(trans),
+        "has_fun": bool(fun),
+        "has_ifun": bool(ifun),
+        "srows": srows,
     }
-    ctx["sfacts"] = sfacts
-    ctx["has_sym"] = not ctx["sym_props"].isEmpty()
-    ctx["has_trans"] = not ctx["trans_props"].isEmpty()
-    ctx["has_fun"] = not ctx["fun_props"].isEmpty()
-    ctx["has_ifun"] = not ctx["ifun_props"].isEmpty()
     return ctx
 
 
@@ -196,64 +256,77 @@ def _round(
     def _get(key, build):
         return ctx[key] if key in ctx else build()
 
+    def _has(key):
+        # exact guard when a collected ctx supplies it; True (evaluate the
+        # rule) when running without a ctx — never unsound, only slower
+        return ctx.get(key, True)
+
     # rdfs7: subPropertyOf use  (schema side broadcast)
-    subp = _get("subp", lambda: _schema_pairs(facts, _SUBPROP))
-    outs.append(
-        inst.join(subp, inst.p == subp.a)
-        .select(
-            "s", F.col("b").alias("p"), "o_kind", "o_lex", "o_dtype",
-            "o_lang", "o_num", "o_ts", "o_bool",
-        )
-    )
-    # rdfs5: subPropertyOf transitivity (schema-level; full rounds only —
-    # a schema-free delta cannot feed it)
-    if delta is None:
-        sp_trans = (
-            subp.alias("x").join(subp.alias("y"), F.col("x.b") == F.col("y.a"))
-            .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
-        )
+    if _has("has_subp"):
+        subp = _get("subp", lambda: _schema_pairs(facts, _SUBPROP))
         outs.append(
-            _type_triple(sp_trans, "sa", "sb").withColumn("p", F.lit(_SUBPROP))
+            inst.join(subp, inst.p == subp.a)
+            .select(
+                "s", F.col("b").alias("p"), "o_kind", "o_lex", "o_dtype",
+                "o_lang", "o_num", "o_ts", "o_bool",
+            )
         )
+        # rdfs5: subPropertyOf transitivity (schema-level; full rounds only
+        # — a schema-free delta cannot feed it)
+        if delta is None:
+            sp_trans = (
+                subp.alias("x")
+                .join(subp.alias("y"), F.col("x.b") == F.col("y.a"))
+                .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
+            )
+            outs.append(
+                _type_triple(sp_trans, "sa", "sb")
+                .withColumn("p", F.lit(_SUBPROP))
+            )
     # rdfs11: subClassOf transitivity (schema-level; full rounds only)
-    subc = _get("subc", lambda: _schema_pairs(facts, _SUBCLASS))
-    if delta is None:
-        sc_trans = (
-            subc.alias("x").join(subc.alias("y"), F.col("x.b") == F.col("y.a"))
-            .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
-        )
+    if _has("has_subc"):
+        subc = _get("subc", lambda: _schema_pairs(facts, _SUBCLASS))
+        if delta is None:
+            sc_trans = (
+                subc.alias("x")
+                .join(subc.alias("y"), F.col("x.b") == F.col("y.a"))
+                .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
+            )
+            outs.append(
+                _type_triple(sc_trans, "sa", "sb")
+                .withColumn("p", F.lit(_SUBCLASS))
+            )
+        # rdfs9: subClassOf inheritance
+        types = inst.filter(F.col("p") == RDF_TYPE)
         outs.append(
-            _type_triple(sc_trans, "sa", "sb").withColumn("p", F.lit(_SUBCLASS))
+            _type_triple(
+                types.join(subc, types.o_lex == subc.a).select(
+                    F.col("s").alias("ss"), F.col("b").alias("cc")
+                ),
+                "ss", "cc",
+            )
         )
-    # rdfs9: subClassOf inheritance
-    types = inst.filter(F.col("p") == RDF_TYPE)
-    outs.append(
-        _type_triple(
-            types.join(subc, types.o_lex == subc.a).select(
-                F.col("s").alias("ss"), F.col("b").alias("cc")
-            ),
-            "ss", "cc",
-        )
-    )
     # rdfs2/3: domain / range
-    dom = _get("dom", lambda: _schema_pairs(facts, _DOMAIN))
-    outs.append(
-        _type_triple(
-            inst.join(dom, inst.p == dom.a).select(
-                F.col("s").alias("ss"), F.col("b").alias("cc")
-            ),
-            "ss", "cc",
+    if _has("has_dom"):
+        dom = _get("dom", lambda: _schema_pairs(facts, _DOMAIN))
+        outs.append(
+            _type_triple(
+                inst.join(dom, inst.p == dom.a).select(
+                    F.col("s").alias("ss"), F.col("b").alias("cc")
+                ),
+                "ss", "cc",
+            )
         )
-    )
-    rng = _get("rng", lambda: _schema_pairs(facts, _RANGE))
-    outs.append(
-        _type_triple(
-            inst.filter(F.col("o_kind") != 2)
-            .join(rng, inst.p == rng.a)
-            .select(F.col("o_lex").alias("ss"), F.col("b").alias("cc")),
-            "ss", "cc",
+    if _has("has_rng"):
+        rng = _get("rng", lambda: _schema_pairs(facts, _RANGE))
+        outs.append(
+            _type_triple(
+                inst.filter(F.col("o_kind") != 2)
+                .join(rng, inst.p == rng.a)
+                .select(F.col("o_lex").alias("ss"), F.col("b").alias("cc")),
+                "ss", "cc",
+            )
         )
-    )
     # inverseOf (both directions) + equivalentProperty (both directions)
     def _both(pred):
         base = _schema_pairs(facts, pred)
@@ -261,24 +334,23 @@ def _round(
             base.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
 
-    inv_both = _get("inv_both", lambda: _both(_INVERSE))
-    fi = inst.join(F.broadcast(inv_both), inst.p == F.col("a"))
-    outs.append(_swap_so(fi, F.col("b")))
-    eqp_both = _get("eqp_both", lambda: _both(_EQ_PROP))
-    fe = inst.join(F.broadcast(eqp_both), inst.p == F.col("a"))
-    outs.append(
-        fe.select(
-            "s", F.col("b").alias("p"), "o_kind", "o_lex", "o_dtype",
-            "o_lang", "o_num", "o_ts", "o_bool",
+    if _has("has_inv"):
+        inv_both = _get("inv_both", lambda: _both(_INVERSE))
+        fi = inst.join(F.broadcast(inv_both), inst.p == F.col("a"))
+        outs.append(_swap_so(fi, F.col("b")))
+    if _has("has_eqp"):
+        eqp_both = _get("eqp_both", lambda: _both(_EQ_PROP))
+        fe = inst.join(F.broadcast(eqp_both), inst.p == F.col("a"))
+        outs.append(
+            fe.select(
+                "s", F.col("b").alias("p"), "o_kind", "o_lex", "o_dtype",
+                "o_lang", "o_num", "o_ts", "o_bool",
+            )
         )
-    )
     # equivalentClass → mutual subClassOf (handled through rdfs9 next
     # round; schema-level — full rounds only)
-    if delta is None:
-        eqc = _schema_pairs(facts, _EQ_CLASS)
-        eqc_both = eqc.unionByName(
-            eqc.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
+    if delta is None and _has("has_eqc"):
+        eqc_both = _get("eqc_both", lambda: _both(_EQ_CLASS))
         outs.append(
             _type_triple(
                 eqc_both.select(F.col("a").alias("sa"), F.col("b").alias("sb")),
@@ -286,26 +358,34 @@ def _round(
             ).withColumn("p", F.lit(_SUBCLASS))
         )
     # SymmetricProperty
-    sym_props = _get("sym_props", lambda: F.broadcast(
-        facts.filter(
-            (F.col("p") == RDF_TYPE) & (F.col("o_lex") == _SYMMETRIC)
-        ).select(F.col("s").alias("a")).distinct()
-    ))
-    if ctx.get("has_sym", True):
+    if _has("has_sym"):
+        sym_props = _get("sym_props", lambda: F.broadcast(
+            facts.filter(
+                (F.col("p") == RDF_TYPE) & (F.col("o_lex") == _SYMMETRIC)
+            ).select(F.col("s").alias("a")).distinct()
+        ))
         outs.append(
             _swap_so(inst.join(sym_props, inst.p == F.col("a")), F.col("p"))
         )
     # TransitiveProperty: one join step per round (outer loop closes it).
     # tfacts deliberately comes from the CURRENT fact set, never the ctx
     # cache — the transitive-fact table grows with the fixpoint
-    trans_props = _get("trans_props", lambda: F.broadcast(
-        facts.filter(
-            (F.col("p") == RDF_TYPE) & (F.col("o_lex") == _TRANSITIVE)
-        ).select(F.col("s").alias("tp")).distinct()
-    ))
     has_trans = ctx.get("has_trans", True)
-    tfacts = facts.join(trans_props, facts.p == F.col("tp")).filter(
-        F.col("o_kind") != 2
+    trans_props = (
+        _get("trans_props", lambda: F.broadcast(
+            facts.filter(
+                (F.col("p") == RDF_TYPE) & (F.col("o_lex") == _TRANSITIVE)
+            ).select(F.col("s").alias("tp")).distinct()
+        ))
+        if has_trans
+        else None
+    )
+    tfacts = (
+        facts.join(trans_props, facts.p == F.col("tp")).filter(
+            F.col("o_kind") != 2
+        )
+        if has_trans
+        else None
     )
 
     def _tstep(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -339,38 +419,57 @@ def _round(
         )
         outs.append(_tstep(tdelta, tfacts))
         outs.append(_tstep(tfacts, tdelta))
-    # sameAs: symmetry + one transitive step per round
-    same = inst.filter((F.col("p") == _SAME_AS) & (F.col("o_kind") == KIND_IRI))
-    outs.append(_swap_so(same, F.col("p")))
-    same_pairs = _get("same_pairs", lambda: _schema_pairs(facts, _SAME_AS))
-    if delta is None:
-        # sameAs transitivity over the pair table (sameAs is in
-        # _SCHEMA_PREDS, so a delta carrying one forces full rounds —
-        # this rule can never fire from a schema-free delta)
-        sa_trans = (
-            same_pairs.alias("x")
-            .join(same_pairs.alias("y"), F.col("x.b") == F.col("y.a"))
-            .filter(F.col("x.a") != F.col("y.b"))
-            .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
+    # sameAs: symmetry + one transitive step per round. The symmetry swap
+    # is inst-side (a delta can carry sameAs only into FULL rounds — it is
+    # a schema predicate — so in delta rounds `same` is provably empty and
+    # the guard also covers stores with no sameAs at all).
+    if _has("has_same") or delta is None:
+        same = inst.filter(
+            (F.col("p") == _SAME_AS) & (F.col("o_kind") == KIND_IRI)
         )
+        outs.append(_swap_so(same, F.col("p")))
+    if _has("has_same"):
+        same_pairs = _get("same_pairs", lambda: _schema_pairs(facts, _SAME_AS))
+        if delta is None:
+            # sameAs transitivity over the pair table (sameAs is in
+            # _SCHEMA_PREDS, so a delta carrying one forces full rounds —
+            # this rule can never fire from a schema-free delta)
+            sa_trans = (
+                same_pairs.alias("x")
+                .join(same_pairs.alias("y"), F.col("x.b") == F.col("y.a"))
+                .filter(F.col("x.a") != F.col("y.b"))
+                .select(F.col("x.a").alias("sa"), F.col("y.b").alias("sb"))
+            )
+            outs.append(
+                _type_triple(sa_trans, "sa", "sb")
+                .withColumn("p", F.lit(_SAME_AS))
+            )
+        # sameAs statement propagation (subject position)
         outs.append(
-            _type_triple(sa_trans, "sa", "sb").withColumn("p", F.lit(_SAME_AS))
+            inst.join(same_pairs, inst.s == same_pairs.a)
+            .select(
+                F.col("b").alias("s"), "p", "o_kind", "o_lex", "o_dtype",
+                "o_lang", "o_num", "o_ts", "o_bool",
+            )
         )
-    # sameAs statement propagation (subject position)
-    outs.append(
-        inst.join(same_pairs, inst.s == same_pairs.a)
-        .select(
-            F.col("b").alias("s"), "p", "o_kind", "o_lex", "o_dtype",
-            "o_lang", "o_num", "o_ts", "o_bool",
-        )
-    )
     # Functional / InverseFunctional → sameAs
-    fun_props = _get("fun_props", lambda: F.broadcast(
-        facts.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == _FUNCTIONAL))
-        .select(F.col("s").alias("fp")).distinct()
-    ))
     has_fun = ctx.get("has_fun", True)
-    ffacts = facts.join(fun_props, facts.p == F.col("fp")).filter(F.col("o_kind") == KIND_IRI)
+    fun_props = (
+        _get("fun_props", lambda: F.broadcast(
+            facts.filter(
+                (F.col("p") == RDF_TYPE) & (F.col("o_lex") == _FUNCTIONAL)
+            ).select(F.col("s").alias("fp")).distinct()
+        ))
+        if has_fun
+        else None
+    )
+    ffacts = (
+        facts.join(fun_props, facts.p == F.col("fp")).filter(
+            F.col("o_kind") == KIND_IRI
+        )
+        if has_fun
+        else None
+    )
 
     def _fun_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
         return _type_triple(
@@ -393,12 +492,19 @@ def _round(
         )
         outs.append(_fun_pairs(fdelta, ffacts))
         outs.append(_fun_pairs(ffacts, fdelta))
-    ifun_props = _get("ifun_props", lambda: F.broadcast(
-        facts.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == _INV_FUNCTIONAL))
-        .select(F.col("s").alias("fp")).distinct()
-    ))
     has_ifun = ctx.get("has_ifun", True)
-    iffacts = facts.join(ifun_props, facts.p == F.col("fp"))
+    ifun_props = (
+        _get("ifun_props", lambda: F.broadcast(
+            facts.filter(
+                (F.col("p") == RDF_TYPE) & (F.col("o_lex") == _INV_FUNCTIONAL)
+            ).select(F.col("s").alias("fp")).distinct()
+        ))
+        if has_ifun
+        else None
+    )
+    iffacts = (
+        facts.join(ifun_props, facts.p == F.col("fp")) if has_ifun else None
+    )
 
     def _ifun_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
         return _type_triple(
@@ -424,6 +530,10 @@ def _round(
         outs.append(_ifun_pairs(ifdelta, iffacts))
         outs.append(_ifun_pairs(iffacts, ifdelta))
 
+    if not outs:
+        # every rule branch was skipped by an exact schema guard — the
+        # round provably derives nothing
+        return inst.select(*_SPO_COLS).limit(0)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -477,8 +587,15 @@ def _cached_round_fn():
 
     def round_fn(known: DataFrame, inst) -> DataFrame:
         if inst is None:
+            # full round: the schema MAY have changed — rebuild the ctx
+            # from the current statement set and use it, so even full
+            # rounds skip dead rule branches and share one schema
+            # extraction instead of 12 per-rule store scans. Subsequent
+            # schema-free delta rounds reuse it (their schema subset is
+            # identical by the touches-schema contract).
             ctx_box.clear()
-            return _round(known, None)
+            ctx_box["ctx"] = _schema_ctx(known)
+            return _round(known, None, ctx=ctx_box["ctx"])
         if "ctx" not in ctx_box:
             ctx_box["ctx"] = _schema_ctx(known)
         return _round(known, inst, ctx=ctx_box["ctx"])
@@ -492,9 +609,9 @@ def _cached_round_fn():
         ctx = ctx_box.get("ctx")
         if ctx is None:
             return True
-        # ONE collect of the materialized schema subset; head tables are
-        # recomputed driver-side (they are ontology-sized)
-        srows = ctx["sfacts"].collect()
+        # the schema subset was collected once when the ctx was built;
+        # head tables are recomputed driver-side (they are ontology-sized)
+        srows = ctx["srows"]
         head_preds: set = set()
         head_classes: set = set()
         for r in srows:
@@ -580,15 +697,16 @@ def _fixpoint(
     tr = CheckpointTracker(known)
     empty = known.limit(0)
     inferred_acc: DataFrame | None = None
+    touch_fn = touches_schema or _touches_schema
+    # schema-touch state of the CURRENT delta: probed once for the
+    # caller-provided seed, then carried forward from each round's fused
+    # checkpoint probe instead of re-filtering the delta every round
+    delta_touches = False if delta is None else touch_fn(delta)
     for _ in range(max_rounds):
         # Semi-naive: after round 0, high-volume rules join only last
         # round's delta — unless that delta added schema facts, which force
         # a full re-evaluation (new rule inputs can fire on OLD statements).
-        inst = (
-            None
-            if delta is None or (touches_schema or _touches_schema)(delta)
-            else delta
-        )
+        inst = None if delta is None or delta_touches else delta
         candidates = round_fn(known, inst)
         # Null-safe anti-join: o_dtype/o_lang are NULL on most inferred
         # triples, and plain equi-join keys treat NULL != NULL — which would
@@ -603,7 +721,8 @@ def _fixpoint(
         fresh, fresh_ids = tr.checkpoint(
             cand.join(kn, on=cond, how="left_anti"), fresh=True
         )
-        if fresh.isEmpty():
+        non_empty, delta_touches = _probe_delta(fresh, touch_fn)
+        if not non_empty:
             tr.free(fresh_ids)  # dead end: nothing references it
             break
         known = known.unionByName(fresh)

@@ -62,6 +62,41 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_LOCAL_DF_ROWS_PER_SLICE = 50_000
+
+
+def local_df(spark: SparkSession, rows, schema) -> "DataFrame":
+    """DataFrame from driver-resident rows with a partition count scaled to
+    the data (one slice per 50k rows, min 1) instead of defaultParallelism.
+
+    PySpark's list-input ``createDataFrame`` parallelizes into
+    ``defaultParallelism`` slices regardless of size: a 12-row ontology
+    batch becomes a 32-partition RDD on ``local[32]``, and every fixpoint
+    round that rescans it — or a union of many such batches — schedules 32
+    mostly-empty tasks per scan. Measured on the DRed gate flow, that fixed
+    scheduling overhead was the dominant cost (10,438 tasks for a 12-triple
+    store). Driver-resident rows are bounded by driver memory by
+    construction, so one task per 50k rows keeps tiny frames single-task
+    while never funnelling a genuinely large batch through one core; on a
+    cluster the same bound holds because the data already sits on one
+    machine (the driver) before this call."""
+    from pyspark import RDD
+
+    if isinstance(rows, RDD):
+        # already distributed (e.g. a streaming micro-batch parsed on the
+        # executors) — partitioning is the caller's, pass through
+        return spark.createDataFrame(rows, schema)
+    rows = rows if isinstance(rows, (list, tuple)) else list(rows)
+    if not rows:
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize([], 1), schema
+        )
+    n_slices = max(1, -(-len(rows) // _LOCAL_DF_ROWS_PER_SLICE))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )
+
+
 def needs_nanos_compat(path: str) -> bool:
     """True iff the parquet file/directory at ``path`` carries a
     TIMESTAMP(NANOS) column, which Spark's reader rejects unless

@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 from typing import Any
 
+from dublin_smart_city_graphdb_spark.session import local_df
 from dublin_smart_city_graphdb_spark.model.terms import (
     RDF,
     XSD,
@@ -386,7 +387,7 @@ def read_jsonld(spark, path: str, graph: str | None = None):
 
     with open(path, encoding="utf-8") as f:
         rows = jsonld_to_rows(f.read(), graph)
-    return spark.createDataFrame(rows, QUAD_SCHEMA)
+    return local_df(spark, rows, QUAD_SCHEMA)
 
 
 def read_jsonld_distributed(spark, path: str, graph: str | None = None):

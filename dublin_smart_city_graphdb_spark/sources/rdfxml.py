@@ -41,6 +41,7 @@ import re
 import xml.etree.ElementTree as ET
 from urllib.parse import urljoin
 
+from dublin_smart_city_graphdb_spark.session import local_df
 from dublin_smart_city_graphdb_spark.model.terms import (
     RDF,
     BNode,
@@ -319,4 +320,4 @@ def read_rdfxml(spark, path: str, graph: str | None = None):
 
     with open(path, encoding="utf-8") as f:
         rows = rdfxml_to_rows(f.read(), graph)
-    return spark.createDataFrame(rows, QUAD_SCHEMA)
+    return local_df(spark, rows, QUAD_SCHEMA)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
+from dublin_smart_city_graphdb_spark.session import local_df
 from dublin_smart_city_graphdb_spark.model.terms import (
     RDF,
     RDF_TYPE,
@@ -409,7 +410,7 @@ def read_ntriples_distributed(spark, path: str, graph: str | None = None):
 
     lines = spark.read.text(path).rdd.map(lambda r: r.value)
     rows = lines.mapPartitions(lambda it: parse_ntriples_lines(it, graph))
-    return spark.createDataFrame(rows, QUAD_SCHEMA)
+    return local_df(spark, rows, QUAD_SCHEMA)
 
 
 def read_nquads_distributed(spark, path: str):
@@ -421,4 +422,4 @@ def read_nquads_distributed(spark, path: str):
     rows = lines.mapPartitions(
         lambda it: parse_ntriples_lines(it, None, allow_graph=True)
     )
-    return spark.createDataFrame(rows, QUAD_SCHEMA)
+    return local_df(spark, rows, QUAD_SCHEMA)

@@ -31,6 +31,7 @@ from dublin_smart_city_graphdb_spark.model.schema import (
     QUAD_SCHEMA,
 )
 from dublin_smart_city_graphdb_spark.model.terms import IRI
+from dublin_smart_city_graphdb_spark.session import local_df
 from dublin_smart_city_graphdb_spark.sparql import ast as A
 from dublin_smart_city_graphdb_spark.sparql.termcol import const_struct, null_struct
 
@@ -105,11 +106,11 @@ class UpdateExecutor:
     def _apply_one(self, quads: DataFrame, op) -> DataFrame:
         if isinstance(op, A.InsertDataOp):
             rows = _ground_rows(op.quads)
-            return _add_quads(quads, self.spark.createDataFrame(rows, QUAD_SCHEMA))
+            return _add_quads(quads, local_df(self.spark, rows, QUAD_SCHEMA))
         if isinstance(op, A.DeleteDataOp):
             rows = _ground_rows(op.quads)
             return _subtract_quads(
-                quads, self.spark.createDataFrame(rows, QUAD_SCHEMA)
+                quads, local_df(self.spark, rows, QUAD_SCHEMA)
             )
         if isinstance(op, A.ModifyOp):
             return self._modify(quads, op)

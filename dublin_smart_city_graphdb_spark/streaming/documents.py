@@ -21,6 +21,31 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in")
 _LM_OOV = "\x01"
 
 
+def _arr_let(arr, body):
+    """Single-evaluation let binding for an array Column consumed inside
+    a HOF lambda (same rationale and trick as
+    ``harness/pipeline.py::_arr_let``: interpreted HOF evaluation
+    re-evaluates captured expressions per element)."""
+    return F.get(F.transform(F.array(arr), body), 0)
+
+
+def _bigram_structs():
+    """(w1, w2) struct array over ``text``, let-bound so the token array
+    evaluates once per document instead of once per bigram (must stay
+    formation-identical to the batch twin in harness/pipeline.py — the
+    stream≡batch tests pin the outputs)."""
+    return _arr_let(
+        F.split(F.col("text"), " "),
+        lambda ts: F.transform(
+            F.sequence(F.lit(0), F.size(ts) - 2),
+            lambda i: F.struct(
+                F.get(ts, i).alias("w1"),
+                F.get(ts, i + 1).alias("w2"),
+            ),
+        ),
+    )
+
+
 def stream_documents(spark: SparkSession, path: str) -> DataFrame:
     """Streaming scan of a documents feed directory (schema pinned from a
     batch footer read, as the streaming file source requires)."""
@@ -192,20 +217,9 @@ def lm_bigram_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
     uni = toks.groupBy("t").agg(F.count("*").alias("c"))
     tot = uni.agg(F.sum("c").alias("n"))
-    ts = F.split(F.col("text"), " ")
     bg = (
-        docs.filter(F.size(ts) >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ts) - 2),
-                    lambda i: F.struct(
-                        F.get(ts, i).alias("w1"),
-                        F.get(ts, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b")
-        )
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select(F.explode(_bigram_structs()).alias("b"))
         .select("b.w1", "b.w2")
     )
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
@@ -228,21 +242,9 @@ def lm_score_stream(
     absent from the fitted model drops (fit the model with an OOV
     bucket upstream if unseen tokens must score). Per micro-batch cost
     is O(|batch| × tokens) probe rows — never a corpus re-aggregation."""
-    ts = F.split(F.col("text"), " ")
     bg = (
-        docs.filter(F.size(ts) >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ts) - 2),
-                    lambda i: F.struct(
-                        F.get(ts, i).alias("w1"),
-                        F.get(ts, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b"),
-        )
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select("doc_id", F.explode(_bigram_structs()).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
     u1 = F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")))
@@ -284,20 +286,9 @@ def lm_bigram_tables_topk(
         F.greatest(F.col("n") - F.col("km"), F.lit(1)).alias("c"),
     )
     uni = topk.unionByName(oov_row)
-    ts = F.split(F.col("text"), " ")
     bg = (
-        docs.filter(F.size(ts) >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ts) - 2),
-                    lambda i: F.struct(
-                        F.get(ts, i).alias("w1"),
-                        F.get(ts, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b")
-        )
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select(F.explode(_bigram_structs()).alias("b"))
         .select("b.w1", "b.w2")
     )
     m1 = F.broadcast(topk.select(F.col("t").alias("w1"), F.lit(1).alias("in1")))
@@ -337,21 +328,9 @@ def lm_score_stream_topk(
     twin, cannot happen. Same sink convention as ``lm_score_stream``:
     per-bigram (doc_id, w1, w2, logprob) rows in append mode; the
     per-doc mean belongs to the sink (see ``lm_score_rollup``)."""
-    ts = F.split(F.col("text"), " ")
     bg = (
-        docs.filter(F.size(ts) >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ts) - 2),
-                    lambda i: F.struct(
-                        F.get(ts, i).alias("w1"),
-                        F.get(ts, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b"),
-        )
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select("doc_id", F.explode(_bigram_structs()).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
     m1 = F.broadcast(topk.select(F.col("t").alias("w1"), F.lit(1).alias("in1")))

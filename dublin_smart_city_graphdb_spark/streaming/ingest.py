@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from dublin_smart_city_graphdb_spark.model.schema import QUAD_SCHEMA
+from dublin_smart_city_graphdb_spark.session import local_df
 from dublin_smart_city_graphdb_spark.sources.turtle import parse_ntriples_lines
 
 
@@ -35,7 +36,7 @@ class StreamingTripleIngest:
         lines = batch_df.rdd.map(lambda r: r.value)
         graph = self.graph
         rows = lines.mapPartitions(lambda it: parse_ntriples_lines(it, graph))
-        quads = self.spark.createDataFrame(rows, QUAD_SCHEMA)
+        quads = local_df(self.spark, rows, QUAD_SCHEMA)
         self.repo.add_quads(quads)
 
     def start(self, available_now: bool = True):
