@@ -712,7 +712,15 @@ def label_propagation(
     w = Window.partitionBy("id").orderBy(
         F.col("n").desc(), F.col("label").asc()
     )
-    for _ in range(iterations):
+    # each round references `labels` twice (the neighbor join and the
+    # keep-old-label fallback), so an uncheckpointed loop doubles the
+    # plan per iteration — 2^r subtree copies by round r. Checkpoint
+    # every generation that feeds another round and free its
+    # predecessor (pagerank's rank-table lifecycle); the FINAL round
+    # stays a live plan so callers see the round's real shape.
+    tr = CheckpointTracker(edges)
+    label_ids: set = set()
+    for r in range(iterations):
         neigh = (
             und.join(
                 labels.withColumnRenamed("id", "b"), "b"
@@ -725,7 +733,7 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("id", F.col("label").alias("new_label"))
         )
-        labels = (
+        round_out = (
             nodes.join(best, "id", "left")
             .join(labels, "id")
             .select(
@@ -733,6 +741,12 @@ def label_propagation(
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
         )
+        if r < iterations - 1:
+            new_labels, new_ids = tr.checkpoint(round_out)
+            tr.free(label_ids)
+            labels, label_ids = new_labels, new_ids
+        else:
+            labels = round_out
     return labels
 
 

@@ -617,26 +617,51 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     )
+    # The Hamming≤3 verify runs INSIDE the bucket lambda: the full
+    # fingerprint rides in the packed id's low 32 bits, so a popcount on
+    # the xor decides each pair before anything leaves the bucket task.
+    # Band values are heavily skewed on real corpora (similar docs share
+    # band bytes — measured at sf0.1: 8.9M candidate pairs from 5,000
+    # docs, top bucket 2,566 members), and the old shape shuffled every
+    # candidate into the distinct before filtering; verifying in-bucket
+    # shuffles only the true near-dup pairs (guide: filter before the
+    # exchange). The bucket-local pair scan stays O(|bucket|²) popcounts
+    # — 8-byte xors, orders of magnitude cheaper than shuffling the pairs.
+    # Cross-band dedup also happens IN the lambda: a Hamming≤3 pair
+    # usually agrees on several bands (measured 2.2 band-copies per pair
+    # at sf0.1), so each pair is emitted only from its FIRST agreeing
+    # band — the emit condition requires every lower band of a^b to be
+    # nonzero. Together the two in-lambda checks turn the old
+    # explode-8.9M → shuffle → distinct → filter pipeline into an exact
+    # map-side emission of the 2.1M result pairs with NO pair exchange
+    # at all (the remaining exchanges are the signature groupBy and the
+    # band groupBy).
+    mask = (1 << _SIMHASH_BITS) - 1
+    bw = band_width
+    first_band = " AND ".join(
+        f"(band.j < {j + 1} OR "
+        f"(((a & {mask}) ^ (b & {mask})) >> {bw * j}) & {(1 << bw) - 1} != 0)"
+        for j in range(_SIMHASH_BANDS - 1)
+    )
+    pair_explode_hamming = (
+        "flatten(transform(ds, a -> transform(filter(ds, b -> b > a AND "
+        f"bit_count((a & {mask}) ^ (b & {mask})) <= 3 AND {first_band}), "
+        "b -> named_struct('doc_a', a, 'doc_b', b))))"
+    )
     cand = (
         bands.groupBy("band")
         .agg(F.collect_list("pk").alias("ds"))
         .filter(F.size("ds") > 1)
-        .select(F.explode(F.expr(_PAIR_EXPLODE)).alias("pr"))
+        .select(F.explode(F.expr(pair_explode_hamming)).alias("pr"))
         .select(F.col("pr.doc_a").alias("pa"), F.col("pr.doc_b").alias("pb"))
-        .distinct()
     )
-    mask = (1 << _SIMHASH_BITS) - 1
     hamming = F.bit_count(
         (F.col("pa").bitwiseAND(mask)).bitwiseXOR(F.col("pb").bitwiseAND(mask))
     )
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 3)
-        .select(
-            F.shiftright(F.col("pa"), _SIMHASH_BITS).alias("doc_a"),
-            F.shiftright(F.col("pb"), _SIMHASH_BITS).alias("doc_b"),
-            F.col("hamming").cast("int").alias("hamming"),
-        )
+    return cand.select(
+        F.shiftright(F.col("pa"), _SIMHASH_BITS).alias("doc_a"),
+        F.shiftright(F.col("pb"), _SIMHASH_BITS).alias("doc_b"),
+        hamming.cast("int").alias("hamming"),
     )
 
 
