@@ -644,16 +644,28 @@ def hits_scores(
     hub = nodes.select("id", F.lit(1).cast("decimal(38,0)").alias("hub"))
     auth = None
     zero = F.lit(0).cast("decimal(38,0)")
-    for _ in range(iterations):
+    # each round's authority table feeds BOTH the hub half-round and
+    # (on the last round) the final hub⋈auth join, and each hub table
+    # feeds the next round's authority — checkpoint the intermediate
+    # generations so the plan stays one join+agg chain per half-round
+    # instead of re-expanding every prior round per reference. The last
+    # hub half-round stays a live plan (plan-contract visibility).
+    tr = CheckpointTracker(edges)
+    gen_ids: set = set()
+    for it in range(iterations):
         auth_in = (
             e.join(hub.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.sum("hub").alias("authority"))
             .withColumnRenamed("dst", "id")
         )
-        auth = nodes.join(auth_in, "id", "left").select(
-            "id", F.coalesce(F.col("authority"), zero).alias("authority")
+        auth, auth_ids = tr.checkpoint(
+            nodes.join(auth_in, "id", "left").select(
+                "id", F.coalesce(F.col("authority"), zero).alias("authority")
+            )
         )
+        tr.free(gen_ids)
+        gen_ids = auth_ids
         hub_out = (
             e.join(auth.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
@@ -663,6 +675,12 @@ def hits_scores(
         hub = nodes.join(hub_out, "id", "left").select(
             "id", F.coalesce(F.col("hub"), zero).alias("hub")
         )
+        if it < iterations - 1:
+            hub, hub_ids = tr.checkpoint(hub)
+            # auth of a non-final round is referenced only by this hub —
+            # wait to free it until the hub generation is materialized
+            tr.free(gen_ids)
+            gen_ids = hub_ids
     return (
         hub.join(auth, "id")
         .select(
