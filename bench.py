@@ -68,14 +68,19 @@ def main() -> None:
 
     _quads(spark, sf_dir).count()
 
-    # Best-of-3 across INTERLEAVED passes (VERDICT r3 task 8): a transient
+    # Best-of-N across INTERLEAVED passes (VERDICT r3 task 8): a transient
     # load spike on the box hits one pass, not one query's only samples —
-    # per-query min over three full sweeps is what the plan actually costs.
+    # per-query min over the sweeps is what the plan actually costs.
     # (The driver's r03 file showed 3× phantom regressions on two dedup
     # queries that a back-to-back idle re-run couldn't reproduce.)
+    # Round 12 (VERDICT r11 item 8, additions-only): 5 sweeps instead of 3
+    # — r11's 32-core run was contaminated by ambient load (13 s first
+    # samples on 1.2 s queries); min-of-5 survives one loaded sweep. The
+    # min statistic and everything else are unchanged, so round-over-round
+    # comparisons stay valid.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
-    for _ in range(3):
+    for _ in range(5):
         for name in HEADLINE:
             fn = harness.REGISTRY[name].fn
             t0 = time.time()

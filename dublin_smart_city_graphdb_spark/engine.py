@@ -1045,6 +1045,31 @@ class Repository:
             [spo_of[k] for k in new_has - old_has],
         )
 
+    @staticmethod
+    def _anti_literal(df: DataFrame, rows: list) -> DataFrame:
+        """``df`` minus a small DRIVER-KNOWN row set, as a pure map-side
+        literal filter (round 12). The lazy broadcast anti-join it
+        replaces re-broadcast the tiny set on EVERY reference of the
+        store view inside every fixpoint-round plan — ~38 broadcast
+        jobs for one 12-triple DELETE. Identity = the 6 id columns,
+        null-safe, exactly like inference.dred._anti."""
+        id_types = {
+            "s": "string", "p": "string", "o_kind": "tinyint",
+            "o_lex": "string", "o_dtype": "string", "o_lang": "string",
+        }
+        any_match = None
+        for r in rows:
+            c = None
+            for (col, typ), v in zip(id_types.items(), r[:6]):
+                lit = (
+                    F.lit(v) if v is not None
+                    else F.lit(None).cast(typ)
+                )
+                cl = F.col(col).eqNullSafe(lit)
+                c = cl if c is None else (c & cl)
+            any_match = c if any_match is None else (any_match | c)
+        return df.filter(~any_match)
+
     def _maintain_closure(
         self, q: DataFrame, explicit: DataFrame, result: DataFrame,
         ruleset: str, ops: list,
@@ -1073,10 +1098,13 @@ class Repository:
 
         spo_schema = StructType(QUAD_SCHEMA.fields[1:])
         const = self._constant_delta(explicit, ops)
+        add_rows_lit = None
         if const is not None:
             # ground data-op batch: the delta is known from ONE broadcast
             # probe — no full-store diff shuffles at all
             del_rows, add_rows = const
+            if 0 < len(add_rows) <= 256:
+                add_rows_lit = add_rows
             no_del, no_add = not del_rows, not add_rows
             deleted = local_df(self.spark, del_rows, spo_schema)
             added = local_df(self.spark, add_rows, spo_schema)
@@ -1087,12 +1115,20 @@ class Repository:
             )
             if no_del and no_add:
                 return inferred_old
-            # LAZY map-side view: the store minus the (tiny, broadcast)
-            # deleted set — no full-store shuffle or copy; duplicate SPO
-            # rows across graphs are tolerated downstream (dred.retract)
-            mid_spo = _anti(
-                explicit.select(*_SPO_COLS), deleted, broadcast=True
-            )
+            # LAZY map-side view: the store minus the tiny deleted set —
+            # no full-store shuffle or copy; duplicate SPO rows across
+            # graphs are tolerated downstream (dred.retract). The rows
+            # are driver-known, so small batches filter by a literal
+            # predicate (zero joins/broadcasts — see _anti_literal);
+            # bigger ones keep the broadcast anti-join.
+            if 0 < len(del_rows) <= 256:
+                mid_spo = self._anti_literal(
+                    explicit.select(*_SPO_COLS), del_rows
+                )
+            else:
+                mid_spo = _anti(
+                    explicit.select(*_SPO_COLS), deleted, broadcast=True
+                )
         else:
             # checkpoint both projections: `result`'s plan CONTAINS
             # `explicit` as a subtree (a MODIFY op's WHERE runs over the
@@ -1156,6 +1192,10 @@ class Repository:
         # an added explicit triple that was previously INFERRED must leave
         # the inferred set (a full rebuild seeds `known` with the explicit
         # store, so it would never re-derive it)
+        if add_rows_lit is not None:
+            return self._anti_literal(
+                inferred_mid, add_rows_lit
+            ).unionByName(extra)
         return _anti(inferred_mid, added).unionByName(extra)
 
     def begin(self) -> "Transaction":

@@ -159,12 +159,21 @@ def _pagerank_setup(edges: DataFrame, src: str, dst: str, damping: float):
 
 
 def _pagerank_round(tr, e, nodes, degrees, ranks, d_num: int, d_den: int,
-                    src_flag: DataFrame | None = None):
+                    src_flag: DataFrame | None = None,
+                    with_delta: bool = False):
     """One power iteration: one groupBy(dst) shuffle of integer
     contributions, damping applied as an exact integer fraction.
     ``src_flag`` (personalized variant) restricts the teleport base to
     the flagged source nodes — everyone else receives only damped
-    in-flow."""
+    in-flow.
+
+    ``with_delta`` (the convergence probe, round 12): the per-node
+    |new - old| rides as a ``_delta`` column and the round output is
+    localCheckpointed LAZILY — the caller's single max-aggregate action
+    both materializes the checkpoint blocks and returns the convergence
+    delta, one job per round instead of checkpoint + a separate
+    join-against-previous probe job. Rank values are bit-identical
+    either way (the extra id-equijoin only attaches the old rank)."""
     base_units = (_PR_UNIT * (d_den - d_num)) // d_den
     contribs = (
         e.join(ranks, e.e_src == ranks.id)
@@ -187,19 +196,29 @@ def _pagerank_round(tr, e, nodes, degrees, ranks, d_num: int, d_den: int,
         base = F.when(
             F.col("_is_src").isNotNull(), F.lit(base_units)
         ).otherwise(F.lit(0)).cast("decimal(38,0)")
-    return tr.checkpoint(
-        joined.select(
-            "id",
-            (
-                base
-                + F.expr(
-                    f"(cast({d_num} as decimal(38,0)) *"
-                    f" coalesce(in_sum, cast(0 as decimal(38,0))))"
-                    f" div {d_den}"
-                ).cast("decimal(38,0)")
-            ).cast("long").alias("rank"),
+    new_rank = (
+        base
+        + F.expr(
+            f"(cast({d_num} as decimal(38,0)) *"
+            f" coalesce(in_sum, cast(0 as decimal(38,0))))"
+            f" div {d_den}"
+        ).cast("decimal(38,0)")
+    ).cast("long")
+    if not with_delta:
+        return tr.checkpoint(joined.select("id", new_rank.alias("rank")))
+    # every node is present in `ranks` (both derive from `nodes`), so the
+    # left join never produces a null _prev / null _delta
+    out = (
+        joined.join(
+            ranks.select("id", F.col("rank").alias("_prev")), "id", "left"
         )
+        .select(
+            "id", new_rank.alias("rank"),
+            F.abs(new_rank - F.col("_prev")).alias("_delta"),
+        )
+        .localCheckpoint(eager=False)
     )
+    return out, CheckpointTracker._owned_ids(out)
 
 
 def _pagerank_result(ranks: DataFrame) -> DataFrame:
@@ -274,19 +293,17 @@ def pagerank_converged(
     rank_ids: set = set()
     rounds = 0
     for _ in range(max_iter):
+        # fused round+probe (round 12): one action materializes the round's
+        # lazy checkpoint AND returns max|Δrank| — was checkpoint job +
+        # join-probe job per round
         new_ranks, new_rank_ids = _pagerank_round(
-            tr, e, nodes, degrees, ranks, d_num, d_den
+            tr, e, nodes, degrees, ranks, d_num, d_den, with_delta=True
         )
         rounds += 1
-        delta_row = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "id")
-            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
-            .collect()
-        )
+        delta_row = new_ranks.agg(F.max("_delta").alias("d")).collect()
         delta = delta_row[0]["d"] if delta_row else None
         tr.free(rank_ids)
-        ranks, rank_ids = new_ranks, new_rank_ids
+        ranks, rank_ids = new_ranks.select("id", "rank"), new_rank_ids
         if delta is None or delta < tol_units:
             break
     if rank_ids:

@@ -21,6 +21,8 @@ DataFrame ops so the DuckDB oracle can mirror the exact semantics).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -182,6 +184,55 @@ _PAIR_EXPLODE_RATIO = (
     "b -> named_struct('doc_a', a, 'doc_b', b))))"
 )
 
+# Hot-bucket re-spread (round 12, guide §2.5): the in-bucket O(|bucket|²)
+# pair scan of a banded-dedup bucket runs inside ONE task — fine for the
+# 64-bit band keys' usual tiny buckets, a straggler (and eventually an OOM)
+# for a pathological hot band value at 100 TB. Past _BUCKET_SPREAD members,
+# a bucket's a-side is sliced into _BUCKET_CHUNK-sized chunks that are
+# round-robin repartitioned before the scan, so the quadratic work spreads
+# across the cluster. Chunking partitions the a-side positions exactly, so
+# the emitted pair multiset is IDENTICAL to the single-task scan. Both
+# thresholds are env-tunable (cluster operators size them to executor
+# memory); the defaults keep every sf0.1 bucket (top observed: 2,566
+# members) on the unchanged single-task path.
+_BUCKET_SPREAD = int(os.environ.get("SPARK_GRAFT_BUCKET_SPREAD", "4096"))
+_BUCKET_CHUNK = int(os.environ.get("SPARK_GRAFT_BUCKET_CHUNK", "1024"))
+
+
+def _bucket_pairs(
+    grouped: DataFrame, pair_expr: str,
+    spread: int | None = None, chunk: int | None = None,
+) -> DataFrame:
+    """Exploded candidate pairs (column ``pr``) from bucket rows carrying a
+    member list ``ds`` (size(ds) > 1 pre-filtered). ``pair_expr`` must be a
+    ``flatten(transform(ds, a -> ...))`` template; the hot-bucket branch
+    rewrites only the OUTER ``transform(ds,`` to a chunk slice. The two
+    branches share the grouping exchange (ReusedExchange), and the big
+    branch is empty — zero extra rows shuffled — until a bucket actually
+    exceeds the spread threshold."""
+    spread = _BUCKET_SPREAD if spread is None else spread
+    chunk = _BUCKET_CHUNK if chunk is None else chunk
+    small = grouped.filter(F.size("ds") <= spread).select(
+        F.explode(F.expr(pair_expr)).alias("pr")
+    )
+    chunked = pair_expr.replace(
+        "transform(ds,",
+        f"transform(slice(ds, ci * {chunk} + 1, {chunk}),",
+        1,
+    )
+    big = (
+        grouped.filter(F.size("ds") > spread)
+        .select(
+            "*",  # keep the bucket key columns — pair templates may read them
+            F.explode(
+                F.expr(f"sequence(0, (size(ds) - 1) div {chunk})")
+            ).alias("ci"),
+        )
+        .repartition(grouped.sparkSession.sparkContext.defaultParallelism)
+        .select(F.explode(F.expr(chunked)).alias("pr"))
+    )
+    return small.unionByName(big)
+
 
 def _shingles_cte(k: int) -> str:
     """DuckDB CTE body producing table ``sh(doc_id, shingle)``."""
@@ -298,13 +349,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bucket-grouped pair generation instead of a self-join: the signature
     # subtree is evaluated ONCE (a self-join would recompute it per side),
     # and the only shuffles are groupBy(bucket) + distinct. Buckets are tiny
-    # by construction (64-bit band key); a pathological hot bucket would be
-    # an all-identical corpus, where candidate pairs are quadratic anyway.
-    return (
+    # by construction (64-bit band key); a hot bucket past the spread
+    # threshold re-spreads through _bucket_pairs' chunked branch (guide
+    # §2.5) instead of running its quadratic scan in one task.
+    grouped = (
         bands.groupBy("band_idx", "band_val")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") > 1)
-        .select(F.explode(F.expr(_PAIR_EXPLODE)).alias("pr"))
+    )
+    return (
+        _bucket_pairs(grouped, _PAIR_EXPLODE)
         .select(F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b"))
         .distinct()
     )
@@ -486,11 +540,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _PAIR_EXPLODE_RATIO: candidate pairs whose packed sizes differ >10×
     # cannot reach J >= 0.1, so they are never emitted — prunes the
     # skewed-bucket pair explosion ahead of the pair groupBy shuffle.
-    inter = (
+    grouped = (
         sh.groupBy("shingle")
         .agg(F.collect_list("packed").alias("ds"))
         .filter(F.size("ds") > 1)
-        .select(F.explode(F.expr(_PAIR_EXPLODE_RATIO)).alias("pr"))
+    )
+    inter = (
+        _bucket_pairs(grouped, _PAIR_EXPLODE_RATIO)
         .groupBy(F.col("pr.doc_a").alias("pa"), F.col("pr.doc_b").alias("pb"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -648,12 +704,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"bit_count((a & {mask}) ^ (b & {mask})) <= 3 AND {first_band}), "
         "b -> named_struct('doc_a', a, 'doc_b', b))))"
     )
-    cand = (
+    grouped = (
         bands.groupBy("band")
         .agg(F.collect_list("pk").alias("ds"))
         .filter(F.size("ds") > 1)
-        .select(F.explode(F.expr(pair_explode_hamming)).alias("pr"))
-        .select(F.col("pr.doc_a").alias("pa"), F.col("pr.doc_b").alias("pb"))
+    )
+    cand = _bucket_pairs(grouped, pair_explode_hamming).select(
+        F.col("pr.doc_a").alias("pa"), F.col("pr.doc_b").alias("pb")
     )
     hamming = F.bit_count(
         (F.col("pa").bitwiseAND(mask)).bitwiseXOR(F.col("pb").bitwiseAND(mask))

@@ -2000,9 +2000,22 @@ _SF_PTS_SQL = f"""
 
 
 def _geo_term(lex) -> Column:
-    """WKT lex Column/str → term struct accepted by the geof_* functions."""
+    """WKT lex Column/str → term struct accepted by the geof_* functions.
+    A plain-string lex is a plan-time constant: tag it (``__geo_const__``)
+    so the geo kernels parse it ONCE in Python and inline literal
+    coordinate arrays instead of re-parsing the WKT per row (round 12 —
+    higher-order functions never constant-fold)."""
+    const = None
     if not isinstance(lex, Column):
+        const = lex
         lex = F.lit(lex)
+    out = _geo_term_struct(lex)
+    if const is not None:
+        out.__geo_const__ = const
+    return out
+
+
+def _geo_term_struct(lex: Column) -> Column:
     return F.struct(
         F.lit(2).cast("tinyint").alias("kind"), lex.alias("lex"),
         F.lit(None).cast("string").alias("dtype"),

@@ -44,7 +44,6 @@ from pyspark.sql import DataFrame
 from dublin_smart_city_graphdb_spark.inference.rdfsplus import (
     _fixpoint,
     _ID_COLS,
-    _probe_delta,
     _SPO_COLS,
 )
 from dublin_smart_city_graphdb_spark.model.schema import INFERRED_GRAPH
@@ -126,18 +125,43 @@ def retract(
         explicit_mid.unionByName(deleted).unionByName(inferred_old)
     )
     # `remaining` = inferred triples not yet overdeleted; shrinks as the
-    # overdeletion frontier expands.
+    # overdeletion frontier expands. Round 12 (fused round): the semi
+    # (this round's overdeletions) and the anti (the survivors) are ONE
+    # left join carrying an `_over` flag, lazily checkpointed, and the
+    # schema/emptiness probe is the materializing action — one job and
+    # one join per round where the semi-checkpoint + probe +
+    # anti-checkpoint shape paid three jobs and two joins.
     remaining = inferred_old
     remaining_ids: set = set()
-    overdel: DataFrame | None = None
+    had_overdel = False
     seed = deleted
     converged = False
+    cond = getattr(touches_schema, "cond", None)
     for _ in range(max_rounds):
         cand = round_fn(old_known, seed).dropDuplicates(_ID_COLS)
-        # fresh=True: the generations accumulate into `overdel` by union,
-        # and same-id checkpoint unions trip the optimizer (ckpt.py)
-        new_over, new_ids = tr.checkpoint(_semi(remaining, cand), fresh=True)
-        non_empty, over_touches = _probe_delta(new_over, touches_schema)
+        probe = cand.select(*_ID_COLS).withColumn("_m", F.lit(1))
+        tagged, new_ids = tr.checkpoint(
+            remaining.alias("b")
+            .join(probe.alias("p"), on=_nullsafe_cond("b", "p"), how="left")
+            .select(
+                *[F.col(f"b.{c}").alias(c) for c in _SPO_COLS],
+                F.col("_m").isNotNull().alias("_over"),
+            ),
+            fresh=True,
+            eager=False,
+        )
+        if cond is not None:
+            row = tagged.agg(
+                F.count(F.when(F.col("_over"), F.lit(1))).alias("n"),
+                F.count(
+                    F.when(F.col("_over") & cond(), F.lit(1))
+                ).alias("ts"),
+            ).first()
+            non_empty, over_touches = row.n > 0, row.ts > 0
+        else:
+            over_rows = tagged.filter(F.col("_over")).select(*_SPO_COLS)
+            non_empty = not over_rows.isEmpty()
+            over_touches = non_empty and touches_schema(over_rows)
         if not non_empty:
             tr.free(new_ids)
             converged = True
@@ -148,17 +172,17 @@ def retract(
             tr.free(new_ids)
             tr.free(remaining_ids)
             return None
-        overdel = (
-            new_over if overdel is None else overdel.unionByName(new_over)
-        )
-        next_remaining, next_ids = tr.checkpoint(_anti(remaining, new_over))
+        had_overdel = True
+        seed = tagged.filter(F.col("_over")).select(*_SPO_COLS)
+        # the previous generation's blocks feed nothing once `tagged` is
+        # materialized (localCheckpoint lineage is self-contained)
         tr.free(remaining_ids)
-        remaining, remaining_ids = next_remaining, next_ids
-        seed = new_over
+        remaining = tagged.filter(~F.col("_over")).select(*_SPO_COLS)
+        remaining_ids = new_ids
     if not converged:
         tr.free(remaining_ids)
         return None
-    if overdel is None:
+    if not had_overdel:
         # nothing derived depended on the deleted facts — but a deleted
         # EXPLICIT triple may itself still be entailed by the survivors
         # (it must reappear as inferred, matching what a full rebuild
@@ -167,7 +191,11 @@ def retract(
         # candidates = deleted.
         candidates = deleted
     else:
-        candidates = overdel.unionByName(deleted)
+        # everything overdeleted ≡ the old inferred set minus the
+        # survivors — one anti-join replaces the old per-generation
+        # union accumulation (whose views pinned every generation's
+        # checkpoint blocks for the whole loop)
+        candidates = _anti(inferred_old, remaining).unionByName(deleted)
 
     # cheap head-unification prune: when no candidate can be ANY rule's
     # head under the current schema (a driver-side check over the tiny

@@ -82,13 +82,17 @@ class CheckpointTracker:
             return set()
 
     def checkpoint(
-        self, df: DataFrame, fresh: bool = False
+        self, df: DataFrame, fresh: bool = False, eager: bool = True
     ) -> tuple[DataFrame, set]:
-        """Eagerly localCheckpoint ``df``; returns (checkpointed_df, the
-        persistent-RDD ids the materialization created). ``fresh=True``
+        """localCheckpoint ``df``; returns (checkpointed_df, the
+        persistent-RDD ids the materialization creates). ``fresh=True``
         additionally re-roots the result via ``fresh_ids`` (the returned
-        ids still identify the underlying checkpoint blocks)."""
-        out = df.localCheckpoint(eager=True)
+        ids still identify the underlying checkpoint blocks).
+        ``eager=False`` defers materialization to the caller's next
+        action over the returned frame — fixpoint loops fuse the
+        checkpoint job into their convergence probe that way (round 12),
+        one job per round instead of two."""
+        out = df.localCheckpoint(eager=eager)
         ids = self._owned_ids(out)
         if fresh:
             out = fresh_ids(out)

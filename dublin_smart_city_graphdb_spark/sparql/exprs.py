@@ -37,6 +37,14 @@ class ExprError(ValueError):
     pass
 
 
+def _term_once(term: Column, f) -> Column:
+    """Evaluate ``f`` over ``term`` with the term bound ONCE: the struct
+    rides through a one-element ``transform`` so every field access in
+    ``f``'s result is a lambda-variable read, never a re-evaluation of
+    the term's (possibly huge) defining expression."""
+    return F.get(F.transform(F.array(term), lambda t: f(t)), 0)
+
+
 # Matches the dot-segment depth RFC 3986 resolution handles JVM-side; a
 # relative reference nesting more than this many ``..`` levels is not
 # fully normalized (documented bound — real queries use 1-2).
@@ -351,17 +359,43 @@ class ExprCompiler:
             return ~self.compile_bool(e.inner)
         if isinstance(e, A.ExistsExpr):
             return self._exists_flag(e)
+        if isinstance(e, A.FuncCall) and e.name in self._ext:
+            # Extension kernels (the geo predicates) can be arbitrarily
+            # large expressions wrapped in a term struct: reading several
+            # struct fields through ebv() would embed one FULL kernel
+            # copy per field (trees, not DAGs — interpreted evaluation
+            # re-runs each copy per row). Bind the struct once through a
+            # one-element transform so ebv's field reads are leaves.
+            return _term_once(self._func(e), ebv)
         if isinstance(e, A.Compare):
             if e.op in ("<", ">", "<=", ">="):
                 fast = self._fast_range_cmp(e)
                 if fast is not None:
                     return fast
             a, b = self.compile(e.left), self.compile(e.right)
-            if e.op == "=":
-                return term_eq(a, b)
-            if e.op == "!=":
-                return ~term_eq(a, b)
-            return _cmp(e.op, a, b)
+
+            def cmp2(x: Column, y: Column) -> Column:
+                if e.op == "=":
+                    return term_eq(x, y)
+                if e.op == "!=":
+                    return ~term_eq(x, y)
+                return _cmp(e.op, x, y)
+
+            # an extension-kernel operand (e.g. geof:distance) is read
+            # several times by the comparison's type dispatch — bind it
+            # once so each read is a leaf, not a kernel re-evaluation
+            def is_ext(n):
+                return isinstance(n, A.FuncCall) and n.name in self._ext
+
+            if is_ext(e.left) and is_ext(e.right):
+                return _term_once(
+                    a, lambda t: _term_once(b, lambda u: cmp2(t, u))
+                )
+            if is_ext(e.left):
+                return _term_once(a, lambda t: cmp2(t, b))
+            if is_ext(e.right):
+                return _term_once(b, lambda u: cmp2(a, u))
+            return cmp2(a, b)
         if isinstance(e, A.InExpr):
             # same 3-valued fold as the struct path: TRUE beats error,
             # error beats FALSE (§17.4.1.9 — IN is chained = joined by ||)
@@ -479,6 +513,15 @@ class ExprCompiler:
         args = [self.compile(a) for a in e.args]
 
         if name in self._ext:  # extension function by IRI (SURVEY §2.9)
+            # Tag plan-time-constant literal arguments so kernels can
+            # fold them in Python (the geo kernels parse constant WKT
+            # once at build instead of per row — HOFs never
+            # constant-fold). The tag rides on the Python Column object;
+            # consumers fall back to the generic column path without it.
+            for a_ast, a_col in zip(e.args, args):
+                lex = getattr(a_ast, "lex", None)
+                if isinstance(lex, str) and not isinstance(a_ast, A.Var):
+                    a_col.__geo_const__ = lex
             return self._ext[name](args)
 
         if name == "BOUND":

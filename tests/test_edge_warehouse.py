@@ -22,6 +22,13 @@ from tools.check_oracle import TABLES, compare
 T0 = dt.datetime(1995, 6, 1)
 
 
+# Driver-window hygiene (round 12, VERDICT r11 item 6): full-registry adversarial-warehouse oracle sweep —
+# slow-gate class, excluded from the default suite so the driver's
+# verify completes inside its window; run with `-m slow` (the round
+# close does).
+pytestmark = pytest.mark.slow
+
+
 def _ts(y, m, d):
     return dt.datetime(y, m, d)
 

@@ -8,6 +8,8 @@ a whole batch of cases in one Spark job."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import random
 
@@ -16,6 +18,13 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 EPS = 1e-6
+
+
+# Driver-window hygiene (round 12, VERDICT r11 item 6): randomized geometry property soak —
+# slow-gate class, excluded from the default suite so the driver's
+# verify completes inside its window; run with `-m slow` (the round
+# close does).
+pytestmark = pytest.mark.slow
 
 
 def _convex_polygon(rng: random.Random) -> list[tuple[float, float]]:

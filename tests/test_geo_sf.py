@@ -271,11 +271,21 @@ def test_rcc8_aliases_registered(spark):
         assert GEOF + name in ext, name
     # delegating aliases share the simple-features kernels — since r8
     # every boolean predicate is wrapped with OGC empty-geometry
-    # semantics, so compare through the wrapper's closure
-    assert ext[GEOF + "rcc8eq"].__closure__[0].cell_contents \
-        is geof_sf_equals
-    assert ext[GEOF + "ehMeet"].__closure__[0].cell_contents \
-        is geof_sf_touches
+    # semantics (and since r12 the wrappers compose the RAW boolean
+    # kernels so EBV extraction sees one kernel instance), so compare
+    # the raw kernels through the wrapper's closure
+    from dublin_smart_city_graphdb_spark.sparql.extensions import (
+        _b_sf_equals, _b_sf_touches,
+    )
+
+    def raw_of(wrapped):
+        cells = [c.cell_contents for c in wrapped.__closure__]
+        return [c for c in cells if callable(c)][0]
+
+    assert raw_of(ext[GEOF + "rcc8eq"]) is _b_sf_equals
+    assert raw_of(ext[GEOF + "ehMeet"]) is _b_sf_touches
+    assert _b_sf_equals is not _b_sf_touches and geof_sf_equals \
+        and geof_sf_touches
 
 
 # -- round-7: MULTI* WKT geometries ---------------------------------------

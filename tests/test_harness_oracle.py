@@ -10,6 +10,11 @@ from tests.conftest import SF_DIR
 from tools.check_oracle import compare
 
 
+# Driver-window hygiene (round 12, VERDICT r11 item 6): the full
+# 202-entry oracle replica is the slow-gate class (tools/check_oracle
+# + the committed LOCALGATE runs cover it); excluded from the default
+# suite so the driver's verify completes inside its window.
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(harness.REGISTRY))
 def test_query_matches_oracle(spark, duck, name):
     q = harness.REGISTRY[name]

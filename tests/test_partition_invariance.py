@@ -41,6 +41,13 @@ QUERIES = [
 ]
 
 
+# Driver-window hygiene (round 12, VERDICT r11 item 6): shuffle-partition matrix (plan-cache-busting sweeps) —
+# slow-gate class, excluded from the default suite so the driver's
+# verify completes inside its window; run with `-m slow` (the round
+# close does).
+pytestmark = pytest.mark.slow
+
+
 def _rows(spark, name, n_shuffle):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))

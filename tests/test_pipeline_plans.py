@@ -28,19 +28,34 @@ def test_jaccard_packs_sizes_below_the_explode(spark):
     assert plan.index("Generate explode") < plan.index("shiftleft")
 
 
+def _executed_final_plan(df) -> str:
+    """The ADAPTIVE final plan (the tree that actually ran), without the
+    trailing '== Initial Plan ==' section AdaptiveSparkPlan.toString
+    appends. The r12 hot-bucket spread adds a compile-time union branch
+    that AQE removes at runtime when no bucket exceeds the threshold
+    (exchange reuse + empty-relation propagation) — the contract worth
+    pinning is the executed shape."""
+    df.collect()
+    return plan_of(df).split("== Initial Plan ==")[0]
+
+
 def test_jaccard_is_two_aggregation_shuffles_no_joins(spark):
     """Single-pass Jaccard: groupBy(shingle) + groupBy(pair) are the only
-    hash exchanges, and there is no join anywhere (sizes ride packed in the
-    doc id)."""
-    plan = plan_of(q(spark, "dedup_ngram_jaccard"))
+    hash exchanges in the EXECUTED plan, one documents scan, and no join
+    anywhere (sizes ride packed in the doc id). The hot-bucket spread
+    branch is empty at gate scale and AQE prunes it."""
+    plan = _executed_final_plan(q(spark, "dedup_ngram_jaccard"))
     assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("FileScan") == 1
     assert "Join" not in plan
 
 
 def test_minhash_pairs_single_signature_evaluation(spark):
-    """Bucket-grouped pair generation evaluates the signature subtree once:
-    exactly one scan of documents, no self-join."""
-    plan = plan_of(q(spark, "dedup_minhash_pairs"))
+    """Bucket-grouped pair generation evaluates the signature subtree once
+    at runtime: exactly one scan of documents (AQE reuses the bucket
+    exchange under the hot-bucket spread branch and prunes it when empty),
+    no self-join."""
+    plan = _executed_final_plan(q(spark, "dedup_minhash_pairs"))
     assert plan.count("FileScan") == 1
     assert "SortMergeJoin" not in plan
 

@@ -57,6 +57,13 @@ query = st.fixed_dictionaries(
 
 # -- pure-Python reference evaluator -----------------------------------------
 
+# Driver-window hygiene (round 12, VERDICT r11 item 6): hypothesis soaks —
+# slow-gate class, excluded from the default suite so the driver's
+# verify completes inside its window; run with `-m slow` (the round
+# close does).
+pytestmark = pytest.mark.slow
+
+
 def _match(tp, triple, binding):
     out = dict(binding)
     for pos, val in zip(tp, triple):

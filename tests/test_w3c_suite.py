@@ -37,6 +37,13 @@ XMLLANG = "{http://www.w3.org/XML/1998/namespace}lang"
 RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 
 
+# Driver-window hygiene (round 12, VERDICT r11 item 6): W3C conformance matrix (462 cases) —
+# slow-gate class, excluded from the default suite so the driver's
+# verify completes inside its window; run with `-m slow` (the round
+# close does).
+pytestmark = pytest.mark.slow
+
+
 def _manifest_maps():
     """manifest.ttl → (single-valued s→{p: o}, multi-valued s→{p: [o,...]})."""
     triples = parse_turtle((W3C / "manifest.ttl").read_text())
