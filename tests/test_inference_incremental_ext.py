@@ -11,14 +11,13 @@ import pytest
 
 from dublin_smart_city_graphdb_spark.engine import Engine
 
-PFX = """
-# Driver-window hygiene (round 12, VERDICT r11 item 6): incremental-inference soak flows —
-# slow-gate class, excluded from the default suite so the driver's
-# verify completes inside its window; run with `-m slow` (the round
-# close does).
+# Driver-window hygiene (round 12, VERDICT r11 item 6): incremental-
+# inference soak flows — slow-gate class, excluded from the default suite
+# so the driver's verify completes inside its window; run with `-m slow`
+# (the round close does).
 pytestmark = pytest.mark.slow
 
-
+PFX = """
 @prefix owl: <http://www.w3.org/2002/07/owl#> .
 @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
 @prefix ex: <http://inc#> .
